@@ -1,0 +1,132 @@
+"""Vectorized hydraulic closure functions.
+
+Pure elementwise functions of per-node arrays — they replace the scalar
+closures of the reference (ref: src/hydromodel/hydraulics.py:4-229) with
+branch-free jnp code that XLA fuses into the surrounding stencil.  All
+formulas are numerically identical to the reference (including its epsilon
+clamps), so the Preissmann trajectories can be compared allclose.
+
+Conventions
+-----------
+* ``A`` wetted area, ``P`` wetted perimeter, ``R = A/P`` hydraulic radius,
+  ``T`` top width, ``K`` conveyance, ``n`` Manning roughness, ``h`` depth,
+  ``Q`` discharge, ``rc`` radius of curvature (1/curvature).
+* every function broadcasts over arbitrary leading shapes.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from flowsim_tpu.config import GRAVITY as g
+
+_EPS = 1e-30  # guards 0/0 only; never changes well-posed values
+
+
+def conveyance(A, n, R):
+    """Manning conveyance K = A R^{2/3} / n  (ref: hydraulics.py:15-26)."""
+    return A * R ** (2.0 / 3.0) / n
+
+
+def dK_dA(A, n, R, dR_dA):
+    """dK/dA (ref: hydraulics.py:28-40)."""
+    return (R ** (2.0 / 3.0) + A * (2.0 / 3.0) * R ** (2.0 / 3.0 - 1.0) * dR_dA) / n
+
+
+def friction_slope(Q, K):
+    """Sf = Q|Q| / K^2  (ref: hydraulics.py:42-57)."""
+    return Q * jnp.abs(Q) / (K * K)
+
+
+def dSf_dA(Q, K, dK_dA_val):
+    """dSf/dA = -2 Sf dK/dA / K  (ref: hydraulics.py:59-75)."""
+    return -2.0 * friction_slope(Q, K) * (dK_dA_val / K)
+
+
+def dSf_dQ(Q, K):
+    """dSf/dQ = 2|Q| / K^2  (ref: hydraulics.py:77-92)."""
+    return 2.0 * jnp.abs(Q) / (K * K)
+
+
+def normal_flow(bed_slope, K):
+    """Q = sign(S0) K sqrt(|S0|)  (ref: hydraulics.py:4-13)."""
+    Q = K * jnp.sqrt(jnp.abs(bed_slope))
+    return jnp.where(bed_slope < 0, -Q, Q)
+
+
+def dQn_dA(bed_slope, dK_dA_val):
+    """d(normal flow)/dA  (ref: hydraulics.py:206-215)."""
+    d = dK_dA_val * jnp.sqrt(jnp.abs(bed_slope))
+    return jnp.where(bed_slope < 0, -d, d)
+
+
+def froude(T, A, Q):
+    """Froude number with the reference's 1e-6 clamps (ref: hydraulics.py:155-168)."""
+    V = Q / jnp.maximum(A, 1e-6)
+    D = A / jnp.maximum(T, 1e-6)
+    return V / jnp.sqrt(g * jnp.maximum(D, 1e-6))
+
+
+def dFr_dA(T, A, Q):
+    """dFr/dA (no clamps, matching ref: hydraulics.py:170-187)."""
+    V = Q / A
+    D = A / T
+    dV_dA = -Q / (A * A)
+    dD_dA = 1.0 / T
+    return -0.5 * V * (g * D) ** (-1.5) * g * dD_dA + dV_dA * (g * D) ** (-0.5)
+
+
+def dFr_dQ(T, A):
+    """dFr/dQ (ref: hydraulics.py:189-204)."""
+    D = A / T
+    return (1.0 / A) * (g * D) ** (-0.5)
+
+
+def darcy_weisbach_f(n, R):
+    """f = 8 g n^2 / R^{1/3}  (ref: hydraulics.py:217-229)."""
+    C = R ** (1.0 / 6.0) / n
+    return 8.0 * g / (C * C)
+
+
+def curvature_slope(h, T, A, Q, n, R, rc):
+    """Transverse-circulation energy slope Sc (ref: hydraulics.py:94-117).
+
+    Sc = (2.86 sqrt(f) + 2.07 f) h^2 Fr^2 / ((0.565 + sqrt(f)) rc^2)
+    """
+    Fr = froude(T, A, Q)
+    f = darcy_weisbach_f(n, R)
+    sqrtf = jnp.sqrt(f)
+    num = (2.86 * sqrtf + 2.07 * f) * h * h * Fr * Fr
+    den = (0.565 + sqrtf) * rc * rc
+    return num / den
+
+
+def dSc_dA(h, A, Q, n, R, rc, dR_dA, T):
+    """dSc/dA (ref: hydraulics.py:119-137)."""
+    Fr = froude(T, A, Q)
+    f = darcy_weisbach_f(n, R)
+    dh_dA = 1.0 / T
+    dFr = dFr_dA(A=A, Q=Q, T=T)
+    df_dA = -(8.0 / 3.0) * g * n * n * R ** (-4.0 / 3.0) * dR_dA
+
+    sqrtf = jnp.sqrt(f)
+    num = (2.86 * sqrtf + 2.07 * f) * h * h * Fr * Fr
+    den = (0.565 + sqrtf) * rc * rc
+
+    dnum_dA = (2.86 / (2.0 * sqrtf) * df_dA + 2.07 * df_dA) * h * h * Fr * Fr + (
+        2.86 * sqrtf + 2.07 * f
+    ) * (2.0 * h * dh_dA * Fr * Fr + h * h * 2.0 * Fr * dFr)
+    dden_dA = (1.0 / (2.0 * sqrtf) * df_dA) * rc * rc
+    return (dnum_dA * den - num * dden_dA) / (den * den)
+
+
+def dSc_dQ(h, T, A, Q, n, R, rc):
+    """dSc/dQ (ref: hydraulics.py:139-153)."""
+    Fr = froude(T, A, Q)
+    f = darcy_weisbach_f(n, R)
+    dFr = dFr_dQ(T=T, A=A)
+    sqrtf = jnp.sqrt(f)
+    num = (2.86 * sqrtf + 2.07 * f) * h * h * Fr * Fr
+    den = (0.565 + sqrtf) * rc * rc
+    dnum_dQ = (2.86 * sqrtf + 2.07 * f) * h * h * 2.0 * Fr * dFr
+    return dnum_dQ / den

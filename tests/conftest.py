@@ -1,0 +1,31 @@
+"""Test configuration.
+
+Parity tests compare against the float64 NumPy/SciPy reference, so tests run
+on CPU with x64 enabled.  An 8-device virtual CPU mesh is forced so the
+multi-chip (shard_map) paths are exercised without TPU hardware, mirroring
+how the driver dry-runs ``__graft_entry__.dryrun_multichip``.
+
+Note: this image pins ``jax_platforms`` to the remote-TPU "axon" plugin at
+interpreter startup (env JAX_PLATFORMS is ignored), so CPU must be forced via
+``jax.config`` before any backend is touched — otherwise every op becomes a
+network round-trip to the tunnel.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)

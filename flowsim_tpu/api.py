@@ -1,0 +1,419 @@
+"""High-level user API.
+
+Mirrors the ergonomics of the reference package (``Channel``/``Boundary``/
+``Hydrograph``/``RatingCurve``/``LumpedStorage``/``PreissmannSolver``/
+``LaxSolver``; ref: src/hydromodel/*) so a reference user can switch with
+minimal edits, while compiling everything down to the pytree/functional core:
+
+* host objects collect configuration;
+* ``PreissmannSolver``/``LaxSolver`` lower them to (geometry pytree, boundary
+  params, settings) and run the jitted scan;
+* results and accessors match the reference solver surface
+  (``depth``/``flow`` arrays, ``save_results``, per-node accessors).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from flowsim_tpu import geometry as geom
+from flowsim_tpu.config import default_dtype
+from flowsim_tpu.ops import boundary as bnd
+from flowsim_tpu.ops import initial_conditions as ic
+from flowsim_tpu.ops import preissmann as prs
+from flowsim_tpu.ops import rating_curve as rcurve
+from flowsim_tpu.ops import sections as sec
+from flowsim_tpu.ops import storage as storage_mod
+
+
+class Hydrograph:
+    """Forcing time series Q(t) or stage(t) (ref: hydrograph.py:3-33).
+
+    Either a table (linear interpolation) or an arbitrary Python function;
+    solvers sample it on the host at the discrete times k*dt.
+    """
+
+    def __init__(self, function: Optional[Callable] = None, table=None):
+        self.table = None if table is None else np.asarray(table, dtype=np.float64)
+        self.function = function
+
+    def get_at(self, time):
+        if self.function is not None:
+            return self.function(time)
+        if self.table is None:
+            raise ValueError("Hydrograph is not defined.")
+        return float(np.interp(time, self.table[:, 0], self.table[:, 1]))
+
+    def set_table(self, table):
+        self.table = np.asarray(table, dtype=np.float64)
+
+    def set_function(self, func):
+        self.function = func
+
+    def sample(self, times) -> np.ndarray:
+        return np.asarray([self.get_at(t) for t in np.asarray(times)], dtype=np.float64)
+
+
+class RatingCurve:
+    """Host wrapper over :mod:`flowsim_tpu.ops.rating_curve` params
+    (ref: rating_curve.py:3-162)."""
+
+    def __init__(self, params: Optional[rcurve.RatingCurveParams] = None):
+        self.params = params
+
+    @property
+    def defined(self):
+        return self.params is not None
+
+    def set(self, type, a, b, c=None, stage_shift=None):
+        shift = 0.0 if stage_shift is None else stage_shift
+        if type == "polynomial":
+            if c is None:
+                raise ValueError("Insufficient arguments. c must be specified.")
+            self.params = rcurve.make_polynomial(a, b, c, stage_shift=shift)
+        elif type == "power":
+            self.params = rcurve.make_power(a, b, stage_shift=shift)
+        else:
+            raise ValueError("Invalid type.")
+
+    def fit(self, discharges, stages, stage_shift=0.0, type="polynomial", degree=2):
+        self.params = rcurve.fit(discharges, stages, stage_shift=stage_shift, type=type, degree=degree)
+
+    def discharge(self, stage, time=None):
+        return float(rcurve.discharge(self.params, jnp.asarray(stage)))
+
+    def stage(self, discharge, trial_stage=None, time=None, tolerance=1e-2, rate=1.0):
+        return float(
+            rcurve.inverse_stage(self.params, discharge, trial_stage=trial_stage, tolerance=tolerance, rate=rate)
+        )
+
+    def dQ_dz(self, stage, time=None):
+        return float(rcurve.dQ_dz(self.params, jnp.asarray(stage)))
+
+
+class LumpedStorage:
+    """0-D reservoir config (ref: lumped_storage.py:7-23)."""
+
+    def __init__(self, solution_boundaries=(0.0, 200.0), surface_area=None, min_stage=None, rating_curve: Optional[RatingCurve] = None):
+        self.solution_boundaries = solution_boundaries
+        self.surface_area = surface_area
+        self.min_stage = -math.inf if min_stage is None else min_stage
+        self.rating_curve = rating_curve
+        self.area_curve = None
+        self.alpha = 1.0
+        self.beta = 0.0
+        self.capture_losses = False
+        self.reservoir_length = 0.0
+        self.K_q = 0.0
+
+    def set_area_curve(self, table, alpha=1.0, beta=0.0):
+        self.area_curve = np.asarray(table, dtype=np.float64)
+        self.alpha = alpha
+        self.beta = beta
+
+    def build(self) -> storage_mod.StorageParams:
+        return storage_mod.make_storage(
+            surface_area=self.surface_area,
+            min_stage=self.min_stage,
+            solution_boundaries=self.solution_boundaries,
+            area_curve=self.area_curve,
+            alpha=self.alpha,
+            beta=self.beta,
+            rating=None if self.rating_curve is None else self.rating_curve.params,
+            capture_losses=self.capture_losses,
+            reservoir_length=self.reservoir_length,
+            K_q=self.K_q,
+        )
+
+
+class Boundary:
+    """Channel boundary (ref: boundary.py:7-54)."""
+
+    def __init__(
+        self,
+        condition: str,
+        chainage,
+        bed_level: Optional[float] = None,
+        initial_depth: Optional[float] = None,
+        rating_curve=None,
+        hydrograph: Optional[Hydrograph] = None,
+    ):
+        if condition not in ("flow_hydrograph", "fixed_depth", "normal_depth", "rating_curve", "stage_hydrograph"):
+            raise ValueError("Invalid boundary condition.")
+        self.condition = condition
+        self.chainage = chainage
+        self.bed_level = bed_level
+        self.initial_depth = initial_depth
+        self.initial_stage = None if initial_depth is None or bed_level is None else bed_level + initial_depth
+        self.rating_curve = rating_curve
+        self.hydrograph = hydrograph
+        self.lumped_storage: Optional[LumpedStorage] = None
+
+    def set_lumped_storage(self, lumped_storage: LumpedStorage):
+        self.lumped_storage = lumped_storage
+
+    def condition_type(self) -> bool:
+        return self.condition in bnd.Q_TYPE_KINDS
+
+    def build(self, times, bed_level, bed_slope) -> bnd.BoundaryParams:
+        """Lower to device params; hydrographs sampled at the solver times."""
+        series = None
+        if self.condition in ("flow_hydrograph", "stage_hydrograph"):
+            if self.hydrograph is None:
+                raise ValueError(f"{self.condition} boundary needs a hydrograph")
+            series = self.hydrograph.sample(times)
+        rating = None
+        if self.condition == "rating_curve":
+            if self.rating_curve is None:
+                raise ValueError("rating_curve boundary needs a rating curve")
+            rating = self.rating_curve.params if isinstance(self.rating_curve, RatingCurve) else self.rating_curve
+        storage = None if self.lumped_storage is None else self.lumped_storage.build()
+        return bnd.make_boundary(
+            kind=self.condition,
+            bed_level=bed_level,
+            bed_slope=bed_slope,
+            initial_depth=np.nan if self.initial_depth is None else self.initial_depth,
+            target_series=series,
+            rating=rating,
+            storage=storage,
+        )
+
+
+class Channel:
+    """Reach assembly (ref: channel.py:7-51)."""
+
+    def __init__(
+        self,
+        upstream_boundary: Boundary,
+        downstream_boundary: Boundary,
+        initial_flow: float,
+        roughness: Optional[float] = None,
+        width: Optional[float] = None,
+        interpolation_method: str = "GVF_equation",
+    ):
+        if interpolation_method not in ("linear", "GVF_equation", "steady-state"):
+            raise ValueError("Invalid interpolation method.")
+        self.upstream_boundary = upstream_boundary
+        self.downstream_boundary = downstream_boundary
+        self.initial_flow_rate = initial_flow
+        self.roughness = roughness
+        self.width = width
+        self.interpolation_method = interpolation_method
+        self.length = downstream_boundary.chainage - upstream_boundary.chainage
+        self.xs_chainages = None
+        self.input_stations = None
+        self.coords = None
+        self.coords_chainages = None
+        # populated by a solver
+        self.geometry: Optional[geom.TrapezoidGeometry] = None
+        self.ch_at_node = None
+        self.initial_conditions = None
+
+    def set_cross_sections(self, chainages, sections):
+        chainages = np.asarray(chainages, dtype=float)
+        if len(chainages) != len(sections):
+            raise ValueError("chainages and sections must have same length")
+        if not np.all(np.diff(chainages) > 0):
+            raise ValueError("chainages must be strictly increasing")
+        self.xs_chainages = chainages
+        self.input_stations = list(sections)
+
+    def set_coords(self, coords, chainages):
+        self.coords = np.asarray(coords, dtype=np.float64)
+        self.coords_chainages = np.asarray(chainages, dtype=np.float64)
+
+    # -- lowering ----------------------------------------------------------
+
+    def build_geometry(self, n_nodes: int) -> geom.TrapezoidGeometry:
+        self.ch_at_node = np.linspace(self.upstream_boundary.chainage, self.downstream_boundary.chainage, n_nodes)
+        dtype = default_dtype()
+        if self.xs_chainages is None:
+            # provisional prismatic rectangle (ref channel.py:282-294)
+            self.geometry = geom.build_trapezoid_geometry(
+                n_nodes=n_nodes,
+                length=self.length,
+                us_z_bed=self.upstream_boundary.bed_level,
+                ds_z_bed=self.downstream_boundary.bed_level,
+                width=self.width,
+                roughness=self.roughness,
+                dtype=dtype,
+            )
+        else:
+            self.geometry = geom.interpolate_stations(
+                self.input_stations,
+                self.xs_chainages,
+                self.ch_at_node,
+                coords=self.coords,
+                coords_chainages=self.coords_chainages,
+                dtype=dtype,
+            )
+        return self.geometry
+
+    def initialize_conditions(self, n_nodes: int, dx: float):
+        g = self.geometry if self.geometry is not None and self.geometry.n_nodes == n_nodes else self.build_geometry(n_nodes)
+        h, Q = ic.initial_conditions(
+            g,
+            self.interpolation_method,
+            self.initial_flow_rate,
+            dx,
+            h_us=self.upstream_boundary.initial_depth,
+            h_ds=self.downstream_boundary.initial_depth,
+        )
+        self.initial_conditions = np.stack([np.asarray(h), np.asarray(Q)], axis=1)
+        return h, Q
+
+    # per-node accessors matching the reference Channel surface
+    def area_at(self, i, hw):
+        g = jax.tree_util.tree_map(lambda a: a[i], self.geometry)
+        return float(sec.section_state(g, jnp.asarray(hw) - g.z_bed).A)
+
+    def top_width(self, i, hw):
+        g = jax.tree_util.tree_map(lambda a: a[i], self.geometry)
+        return float(sec.section_state(g, jnp.asarray(hw) - g.z_bed).T)
+
+    def bed_level_at(self, i):
+        return float(self.geometry.z_bed[i])
+
+
+class _SolverBase:
+    """Shared grid setup + state accessors (ref: solver.py:10-63,244-296)."""
+
+    def __init__(self, channel: Channel, time_step, spatial_step, simulation_time, fit_spatial_step=True):
+        self.channel = channel
+        self.time_step = float(time_step)
+        self.spatial_step = float(spatial_step)
+        self.number_of_nodes = int(channel.length // self.spatial_step + 1)
+        self.number_of_time_levels = int(simulation_time // self.time_step + 1)
+        if fit_spatial_step:
+            # ref solver.py:53-55
+            self.number_of_nodes = round(channel.length / self.spatial_step) + 1
+            self.spatial_step = channel.length / (self.number_of_nodes - 1)
+        self.depth = None  # [nt, N] after run()
+        self.flow = None
+        self.output: Optional[prs.SimOutput] = None
+        self._results = None
+        self.total_sim_duration = 0.0
+
+    # accessors (k=None -> last computed level; k=-1 -> previous)
+    def depth_at(self, k=None, i=None):
+        k = -1 if k is None else k
+        return float(self.depth[k, i])
+
+    def flow_at(self, k=None, i=None):
+        k = -1 if k is None else k
+        return float(self.flow[k, i])
+
+    def water_level_at(self, k=None, i=None):
+        return self.channel.bed_level_at(i) + self.depth_at(k, i)
+
+    def prepare_results(self):
+        from flowsim_tpu.utils import results as res_mod
+
+        if self._results is None:
+            self._results = res_mod.prepare_results(self)
+        return self._results
+
+    def save_results(self, folder_path: str, file_name: str = None):
+        from flowsim_tpu.utils import results as res_mod
+
+        res_mod.save_results(self, folder_path, file_name=file_name)
+
+
+class PreissmannSolver(_SolverBase):
+    """Implicit Preissmann solver (ref: preissmann.py:9-46 surface)."""
+
+    _type = "preissmann"
+
+    def __init__(self, channel, theta, time_step, spatial_step, simulation_time,
+                 fit_spatial_step=True, linear_solver="pcr", newton="while"):
+        super().__init__(channel, time_step, spatial_step, simulation_time, fit_spatial_step)
+        self.theta = float(theta)
+        self.linear_solver = linear_solver
+        self.newton = newton
+        channel.build_geometry(self.number_of_nodes)
+        self.h0, self.Q0 = channel.initialize_conditions(self.number_of_nodes, self.spatial_step)
+        times = np.arange(self.number_of_time_levels) * self.time_step
+        geo = channel.geometry
+        self.us_params = channel.upstream_boundary.build(times, geo.z_bed[0], geo.bed_slope[0])
+        self.ds_params = channel.downstream_boundary.build(times, geo.z_bed[-1], geo.bed_slope[-1])
+
+    def settings(self, tolerance, max_iter) -> prs.PreissmannSettings:
+        return prs.PreissmannSettings(
+            theta=self.theta,
+            time_step=self.time_step,
+            spatial_step=self.spatial_step,
+            n_time_levels=self.number_of_time_levels,
+            tolerance=float(tolerance),
+            max_iter=int(max_iter),
+            linear_solver=self.linear_solver,
+            newton=self.newton,
+        )
+
+    def run(self, tolerance=1e-4, verbose=1, max_iter=100, diagnos=False):
+        out = prs.simulate(
+            self.channel.geometry, self.us_params, self.ds_params,
+            self.h0, self.Q0, self.settings(tolerance, max_iter),
+        )
+        out = jax.tree_util.tree_map(np.asarray, out)
+        self.output = out
+        self.depth = out.depth
+        self.flow = out.flow
+        self.total_sim_duration = (self.number_of_time_levels - 1) * self.time_step
+        if not bool(out.converged.all()):
+            bad = int(np.argmin(out.converged))
+            if diagnos and (np.isnan(out.error[bad]) or np.isnan(out.depth[bad]).any()):
+                raise ValueError("NaN in system assembly")  # ref preissmann.py:137
+            raise ValueError(
+                f"Convergence within {int(out.iterations[bad])} iterations couldn't be achieved."
+            )  # ref preissmann.py:126
+        if verbose >= 1:
+            print("Simulation completed successfully.")
+        return out
+
+
+class LaxSolver(_SolverBase):
+    """Explicit Lax-Friedrichs solver; see ops/lax_friedrichs.py."""
+
+    _type = "lax"
+
+    def __init__(self, channel, time_step, spatial_step, simulation_time,
+                 secondary_BC=("constant", "constant"), fit_spatial_step=True):
+        super().__init__(channel, time_step, spatial_step, simulation_time, fit_spatial_step)
+        self.secondary_BC = secondary_BC
+        channel.build_geometry(self.number_of_nodes)
+        self.h0, self.Q0 = channel.initialize_conditions(self.number_of_nodes, self.spatial_step)
+        times = np.arange(self.number_of_time_levels) * self.time_step
+        geo = channel.geometry
+        self.us_params = channel.upstream_boundary.build(times, geo.z_bed[0], geo.bed_slope[0])
+        self.ds_params = channel.downstream_boundary.build(times, geo.z_bed[-1], geo.bed_slope[-1])
+
+    def run(self, verbose=1):
+        from flowsim_tpu.ops import lax_friedrichs as lxf
+
+        out = lxf.simulate(
+            self.channel.geometry, self.us_params, self.ds_params,
+            self.h0, self.Q0,
+            lxf.LaxSettings(
+                time_step=self.time_step,
+                spatial_step=self.spatial_step,
+                n_time_levels=self.number_of_time_levels,
+                secondary_bc_us=self.secondary_BC[0],
+                secondary_bc_ds=self.secondary_BC[1],
+            ),
+        )
+        out = jax.tree_util.tree_map(np.asarray, out)
+        self.output = out
+        self.depth = out.depth
+        self.flow = out.flow
+        self.total_sim_duration = (self.number_of_time_levels - 1) * self.time_step
+        if bool(out.cfl_violated.any()):
+            k = int(np.argmax(out.cfl_violated))
+            raise ValueError(f"CFL condition failed at k={k}.")  # ref lax.py:241-243
+        if verbose >= 1:
+            print("Simulation completed successfully.")
+        return out

@@ -33,3 +33,8 @@ def default_dtype():
 def set_default_dtype(dtype) -> None:
     global _DEFAULT_DTYPE
     _DEFAULT_DTYPE = jnp.dtype(dtype)
+
+
+def farray(x):
+    """Array in the current default float dtype (f64 when x64 is enabled)."""
+    return jnp.asarray(x, dtype=default_dtype())

@@ -1,0 +1,160 @@
+"""Boundary-condition residuals and Jacobian entries (device side).
+
+The five boundary types of the reference (ref: src/hydromodel/boundary.py:32)
+evaluated as pure functions of the boundary node's section state.  The BC
+``kind`` is static, so jit specializes each simulation to exactly its two
+boundary code paths (no lax.switch).
+
+Residual form is ``unknown - target`` (ref boundary.py:141) with
+
+    kind              unknown   target
+    flow_hydrograph   Q         hydrograph(t)                     (ref :85-89)
+    normal_depth      Q         K(h) sqrt(S0)                     (ref :91-92)
+    rating_curve      Q         RC(bed_level + h)                 (ref :94-95)
+    fixed_depth       h         initial depth, or reservoir stage
+                                + head loss - bed level           (ref :97-133)
+    stage_hydrograph  h         hydrograph(t) - bed_level         (ref :135-139)
+
+Hydrograph targets are precomputed per time level on the host (the solvers
+only ever evaluate them at t = k*dt), so a hydrograph is just a [nt] array.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from flowsim_tpu.config import farray
+
+from flowsim_tpu.ops import hydraulics as hyd
+from flowsim_tpu.ops import rating_curve as rcurve
+from flowsim_tpu.ops import storage as storage_mod
+
+Q_TYPE_KINDS = ("flow_hydrograph", "normal_depth", "rating_curve")  # ref :244-247
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class BoundaryParams:
+    kind: str = field(metadata=dict(static=True))
+    bed_level: jnp.ndarray           # stage datum of the boundary (ref :30)
+    bed_slope: jnp.ndarray           # section bed slope (normal_depth)
+    initial_depth: jnp.ndarray       # fixed_depth target (no storage)
+    target_series: jnp.ndarray       # [nt] hydrograph values at k*dt
+    rating: Optional[rcurve.RatingCurveParams] = None
+    storage: Optional[storage_mod.StorageParams] = None
+
+    @property
+    def is_q_type(self) -> bool:
+        return self.kind in Q_TYPE_KINDS
+
+
+class NodeSection(NamedTuple):
+    """Scalar section quantities at a boundary node (slice of SectionState)."""
+
+    A: jnp.ndarray
+    R: jnp.ndarray
+    K: jnp.ndarray
+    n_eq: jnp.ndarray
+    dA_dh: jnp.ndarray
+    dR_dA: jnp.ndarray
+    dK_dA: jnp.ndarray
+
+
+def make_boundary(
+    kind: str,
+    bed_level=0.0,
+    bed_slope=jnp.nan,
+    initial_depth=jnp.nan,
+    target_series=None,
+    rating=None,
+    storage=None,
+) -> BoundaryParams:
+    if kind not in ("flow_hydrograph", "fixed_depth", "normal_depth", "rating_curve", "stage_hydrograph"):
+        raise ValueError("Invalid boundary condition.")  # ref boundary.py:32-33
+    if storage is not None and kind != "fixed_depth":
+        raise ValueError("lumped storage is only supported on a fixed_depth boundary")
+    return BoundaryParams(
+        kind=kind,
+        bed_level=farray(bed_level),
+        bed_slope=farray(bed_slope),
+        initial_depth=farray(initial_depth),
+        target_series=(jnp.zeros((1,)) if target_series is None else farray(target_series)),
+        rating=rating,
+        storage=storage,
+    )
+
+
+class BCEval(NamedTuple):
+    residual: jnp.ndarray
+    df_dh: jnp.ndarray
+    df_dQ: jnp.ndarray
+    reservoir_stage: jnp.ndarray  # NaN unless fixed_depth + storage
+
+
+def evaluate(
+    bc: BoundaryParams,
+    node: NodeSection,
+    h,
+    Q,
+    k,
+    dt,
+    Q_prev=None,
+    reservoir_stage_prev=None,
+) -> BCEval:
+    """Residual + its two Jacobian entries for one boundary.
+
+    ``k`` is the (traced) time-level index; targets use ``target_series[k]``.
+    ``Q_prev`` is the previous-level discharge at this node (for the storage
+    volume, ref preissmann.py:314).  ``reservoir_stage_prev`` is the stage
+    recorded at the previous time level (ref boundary.py:104-108 indexes the
+    stage hydrograph written during level k-1).
+    """
+    nan = jnp.asarray(jnp.nan, dtype=jnp.result_type(h))
+    res_stage = nan
+
+    if bc.kind == "flow_hydrograph":
+        target = bc.target_series[k]
+        return BCEval(Q - target, jnp.zeros_like(h), jnp.ones_like(h), res_stage)
+
+    if bc.kind == "stage_hydrograph":
+        target = bc.target_series[k] - bc.bed_level
+        return BCEval(h - target, jnp.ones_like(h), jnp.zeros_like(h), res_stage)
+
+    if bc.kind == "normal_depth":
+        target = hyd.normal_flow(bc.bed_slope, node.K)
+        df_dh = -hyd.dQn_dA(bc.bed_slope, node.dK_dA) * node.dA_dh  # ref :179-180
+        return BCEval(Q - target, df_dh, jnp.ones_like(h), res_stage)
+
+    if bc.kind == "rating_curve":
+        stage = bc.bed_level + h
+        target = rcurve.discharge(bc.rating, stage)
+        df_dh = -rcurve.dQ_dz(bc.rating, stage)  # ref :182-184
+        return BCEval(Q - target, df_dh, jnp.ones_like(h), res_stage)
+
+    if bc.kind == "fixed_depth":
+        if bc.storage is None:
+            return BCEval(h - bc.initial_depth, jnp.ones_like(h), jnp.zeros_like(h), res_stage)
+
+        sp = bc.storage
+        vol_in = 0.5 * (Q_prev + Q) * dt  # ref preissmann.py:314
+        # ref boundary.py:104-108: at the first solved level the previous
+        # reservoir stage is taken as the *current trial* boundary stage.
+        Y_old = jnp.where(k == 1, h + bc.bed_level, reservoir_stage_prev)
+        Y_new = storage_mod.mass_balance(sp, dt, vol_in, Y_old)
+
+        head_loss = storage_mod.energy_loss(sp, node.A, Q, node.n_eq, node.R)
+        target = (Y_new + head_loss) - bc.bed_level
+        res_stage = Y_new
+
+        d_hl_dA = storage_mod.dhl_dA(sp, node.A, Q, node.n_eq, node.R, node.dR_dA)
+        df_dh = 1.0 - d_hl_dA * node.dA_dh  # ref :167-177
+        dY_dvol = storage_mod.dY_new_dvol_in(sp, Y_new)
+        d_hl_dQ = storage_mod.dhl_dQ(sp, node.A, Q, node.n_eq, node.R)
+        df_dQ = -(dY_dvol * 0.5 * dt + d_hl_dQ)  # ref :224-237
+        return BCEval(h - target, df_dh, df_dQ, res_stage)
+
+    raise ValueError(f"unknown boundary kind {bc.kind!r}")

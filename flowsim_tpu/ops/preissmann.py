@@ -1,0 +1,281 @@
+"""Preissmann four-point implicit box scheme — the dynamical core.
+
+TPU-first redesign of the reference solver (ref: src/hydromodel/preissmann.py):
+instead of per-node Python loops assembling a scipy CSR matrix and a
+sequential sparse LU per Newton iteration (ref :79-99, :146), each Newton
+iteration here is
+
+    1. one fused, fully vectorized stencil evaluating all 2N residuals and
+       all (8N-4) Jacobian entries from the per-node closure arrays
+       (formulas: ref :200-320 residuals, :346-798 Jacobian entries), and
+    2. one O(log N)-depth block-tridiagonal solve (PCR; see
+       :mod:`flowsim_tpu.ops.tridiag`) for the Newton update.
+
+Time stepping is a ``lax.scan`` over levels; the Newton iteration is a
+``lax.while_loop`` (or a fixed-length masked scan when reverse-mode
+differentiability is required, e.g. gradient calibration).
+
+Numerical semantics replicated exactly from the reference:
+
+* theta-weighted operators time_diff / spatial_diff / cell_avg (ref :899-910);
+* unknown ordering [h0,Q0,h1,Q1,...] and equation ordering
+  [US, C_0, M_0, ..., C_{N-2}, M_{N-2}, DS] (ref :76-81), regrouped into the
+  equivalent 2x2-block tridiagonal form;
+* convergence on the L2 norm of the *pre-update* residual, with the final
+  Newton increment still applied (ref :146-153);
+* the downstream storage volume 0.5 (Q_ds^{k-1} + Q_ds^k) dt (ref :314).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from flowsim_tpu.config import GRAVITY as g
+from flowsim_tpu.ops import boundary as bnd
+from flowsim_tpu.ops import sections as sec
+from flowsim_tpu.ops import tridiag
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class PreissmannSettings:
+    theta: float = field(metadata=dict(static=True))
+    time_step: float = field(metadata=dict(static=True))
+    spatial_step: float = field(metadata=dict(static=True))
+    n_time_levels: int = field(metadata=dict(static=True))
+    tolerance: float = field(metadata=dict(static=True))
+    max_iter: int = field(metadata=dict(static=True))
+    linear_solver: str = field(default="pcr", metadata=dict(static=True))
+    newton: str = field(default="while", metadata=dict(static=True))  # 'while' | 'fixed'
+
+
+class PrevLevel(NamedTuple):
+    """Quantities of the previous (converged) time level, computed once."""
+
+    h: jnp.ndarray
+    Q: jnp.ndarray
+    A: jnp.ndarray
+    Y: jnp.ndarray
+    Se: jnp.ndarray
+    Q2A: jnp.ndarray
+
+
+class SimOutput(NamedTuple):
+    depth: jnp.ndarray        # [nt, N]
+    flow: jnp.ndarray         # [nt, N]
+    iterations: jnp.ndarray   # [nt] Newton iterations (0 at level 0)
+    error: jnp.ndarray        # [nt] final pre-update residual norm
+    converged: jnp.ndarray    # [nt] bool
+    reservoir_stage: jnp.ndarray  # [nt] NaN unless downstream storage BC
+
+
+def _node_section(st: sec.SectionState, i) -> bnd.NodeSection:
+    return bnd.NodeSection(
+        A=st.A[i], R=st.R[i], K=st.K[i], n_eq=st.n_eq[i],
+        dA_dh=st.dA_dh[i], dR_dA=st.dR_dA[i], dK_dA=st.dK_dA[i],
+    )
+
+
+def prev_level_state(geo, h, Q) -> PrevLevel:
+    st = sec.section_state(geo, h)
+    es = sec.energy_slope(geo, h, Q, st)
+    return PrevLevel(h=h, Q=Q, A=st.A, Y=geo.z_bed + h, Se=es.Se, Q2A=Q * Q / st.A)
+
+
+def assemble(geo, us_bc, ds_bc, settings: PreissmannSettings, prev: PrevLevel, h, Q, k, reservoir_stage_prev):
+    """Residuals + block-tridiagonal Jacobian at the current Newton iterate.
+
+    Returns (L, D, U, b, err_norm, reservoir_stage): the 2x2 block system
+    J delta = b (b = -R grouped per node) and the L2 norm of R.
+    """
+    theta = settings.theta
+    dt = settings.time_step
+    dx = settings.spatial_step
+
+    st = sec.section_state(geo, h)
+    es = sec.energy_slope(geo, h, Q, st)
+    A = st.A
+    Y = geo.z_bed + h
+    Se = es.Se
+    Q2A = Q * Q / A
+
+    # -- interior residuals, one fused stencil over cells (ref :220-301) ---
+    def tdiff(cur, prv):
+        return (cur[1:] + cur[:-1] - prv[1:] - prv[:-1]) / (2.0 * dt)
+
+    def sdiff(cur, prv):
+        return (theta * (cur[1:] - cur[:-1]) + (1.0 - theta) * (prv[1:] - prv[:-1])) / dx
+
+    def cavg(cur, prv):
+        return 0.5 * theta * (cur[1:] + cur[:-1]) + 0.5 * (1.0 - theta) * (prv[1:] + prv[:-1])
+
+    Rc = tdiff(A, prev.A) + sdiff(Q, prev.Q)
+    dQdt = tdiff(Q, prev.Q)
+    dQ2A_dx = sdiff(Q2A, prev.Q2A)
+    avgA = cavg(A, prev.A)
+    dYdx = sdiff(Y, prev.Y)
+    avgSe = cavg(Se, prev.Se)
+    Rm = dQdt + dQ2A_dx + g * avgA * (dYdx + avgSe)
+
+    # -- interior Jacobian entries (ref :407-733) --------------------------
+    dA_dh = st.dA_dh
+    dSe_dA = es.dSe_dA_eff
+    dSe_dQ = es.dSe_dQ
+    QA = Q / A
+    th_dx = theta / dx
+    inv2dt = 1.0 / (2.0 * dt)
+
+    dC_dh_i = dA_dh[:-1] * inv2dt
+    dC_dh_i1 = dA_dh[1:] * inv2dt
+    # dC_dQ_i = -th_dx ; dC_dQ_i1 = th_dx (constants)
+
+    geom_term = dYdx + avgSe
+    dM_dh_i = (
+        th_dx * QA[:-1] ** 2 * dA_dh[:-1]
+        + g * (avgA * (-th_dx + 0.5 * theta * dSe_dA[:-1] * dA_dh[:-1])
+               + 0.5 * theta * dA_dh[:-1] * geom_term)
+    )
+    dM_dh_i1 = (
+        -th_dx * QA[1:] ** 2 * dA_dh[1:]
+        + g * (avgA * (th_dx + 0.5 * theta * dSe_dA[1:] * dA_dh[1:])
+               + 0.5 * theta * dA_dh[1:] * geom_term)
+    )
+    dM_dQ_i = inv2dt - th_dx * 2.0 * QA[:-1] + g * avgA * 0.5 * theta * dSe_dQ[:-1]
+    dM_dQ_i1 = inv2dt + th_dx * 2.0 * QA[1:] + g * avgA * 0.5 * theta * dSe_dQ[1:]
+
+    # -- boundary rows (ref :200-218, :303-320) ----------------------------
+    us = bnd.evaluate(us_bc, _node_section(st, 0), h[0], Q[0], k, dt,
+                      Q_prev=prev.Q[0], reservoir_stage_prev=reservoir_stage_prev)
+    ds = bnd.evaluate(ds_bc, _node_section(st, -1), h[-1], Q[-1], k, dt,
+                      Q_prev=prev.Q[-1], reservoir_stage_prev=reservoir_stage_prev)
+    reservoir_stage = jnp.where(jnp.isnan(ds.reservoir_stage), us.reservoir_stage, ds.reservoir_stage)
+
+    # -- norm of the full residual vector (ref :149) -----------------------
+    err = jnp.sqrt(us.residual**2 + ds.residual**2 + jnp.sum(Rc**2) + jnp.sum(Rm**2))
+
+    # -- regroup into 2x2 block-tridiagonal form ---------------------------
+    dtype = h.dtype
+    N = h.shape[0]
+    zc = jnp.zeros((N - 1,), dtype)
+
+    # L[i], i>=1: row0 = dM[i-1]/dx_{i-1}; row1 = 0
+    L = jnp.stack(
+        [
+            jnp.stack([jnp.concatenate([jnp.zeros((1,), dtype), dM_dh_i]),
+                       jnp.concatenate([jnp.zeros((1,), dtype), dM_dQ_i])], axis=-1),
+            jnp.zeros((N, 2), dtype),
+        ],
+        axis=-2,
+    )
+    # D[i]: row0 = US row (i=0) or dM[i-1]/dx_i ; row1 = dC[i]/dx_i (i<N-1) or DS row
+    D_row0 = jnp.stack(
+        [jnp.concatenate([us.df_dh[None], dM_dh_i1]),
+         jnp.concatenate([us.df_dQ[None], dM_dQ_i1])], axis=-1)
+    D_row1 = jnp.stack(
+        [jnp.concatenate([dC_dh_i, ds.df_dh[None]]),
+         jnp.concatenate([jnp.full((N - 1,), -th_dx, dtype), ds.df_dQ[None]])], axis=-1)
+    D = jnp.stack([D_row0, D_row1], axis=-2)
+    # U[i], i<N-1: row0 = 0; row1 = dC[i]/dx_{i+1}
+    U = jnp.stack(
+        [
+            jnp.zeros((N, 2), dtype),
+            jnp.stack([jnp.concatenate([dC_dh_i1, jnp.zeros((1,), dtype)]),
+                       jnp.concatenate([jnp.full((N - 1,), th_dx, dtype), jnp.zeros((1,), dtype)])], axis=-1),
+        ],
+        axis=-2,
+    )
+
+    b_row0 = jnp.concatenate([us.residual[None], Rm])
+    b_row1 = jnp.concatenate([Rc, ds.residual[None]])
+    b = -jnp.stack([b_row0, b_row1], axis=-1)
+
+    return L, D, U, b, err, reservoir_stage
+
+
+def newton_solve(geo, us_bc, ds_bc, settings, prev: PrevLevel, h, Q, k, reservoir_stage_prev):
+    """One time level: Newton-iterate to tolerance (ref :101-163 inner loop)."""
+    tol = settings.tolerance
+
+    def one_iteration(h, Q):
+        L, D, U, b, err, res_stage = assemble(
+            geo, us_bc, ds_bc, settings, prev, h, Q, k, reservoir_stage_prev
+        )
+        delta = tridiag.solve_block_tridiag(L, D, U, b, method=settings.linear_solver)
+        return h + delta[:, 0], Q + delta[:, 1], err, res_stage
+
+    nan = jnp.asarray(jnp.nan, dtype=h.dtype)
+
+    if settings.newton == "while":
+        def cond(c):
+            _, _, err, it, _ = c
+            return (err >= tol) & (it < settings.max_iter)
+
+        def body(c):
+            h, Q, _, it, _ = c
+            h2, Q2, err, res_stage = one_iteration(h, Q)
+            return (h2, Q2, err, it + 1, res_stage)
+
+        h, Q, err, iters, res_stage = jax.lax.while_loop(
+            cond, body, (h, Q, jnp.asarray(jnp.inf, h.dtype), jnp.asarray(0), nan)
+        )
+    else:  # fixed-length masked Newton: reverse-mode differentiable
+        def body(c, _):
+            h, Q, err, it, res_stage = c
+            active = err >= tol
+            h2, Q2, err2, res2 = one_iteration(h, Q)
+            h = jnp.where(active, h2, h)
+            Q = jnp.where(active, Q2, Q)
+            err = jnp.where(active, err2, err)
+            res_stage = jnp.where(active, res2, res_stage)
+            it = it + active.astype(it.dtype)
+            return (h, Q, err, it, res_stage), None
+
+        (h, Q, err, iters, res_stage), _ = jax.lax.scan(
+            body, (h, Q, jnp.asarray(jnp.inf, h.dtype), jnp.asarray(0), nan),
+            None, length=settings.max_iter,
+        )
+
+    return h, Q, err, iters, res_stage
+
+
+@partial(jax.jit, static_argnames=("settings",))
+def simulate(geo, us_bc, ds_bc, h0, Q0, settings: PreissmannSettings) -> SimOutput:
+    """Full run: scan Newton-solved levels 1..nt-1 (ref :101-163 outer loop)."""
+    nt = settings.n_time_levels
+
+    def step(carry, k):
+        h_prev, Q_prev, res_stage_prev = carry
+        prev = prev_level_state(geo, h_prev, Q_prev)
+        h, Q, err, iters, res_stage = newton_solve(
+            geo, us_bc, ds_bc, settings, prev, h_prev, Q_prev, k, res_stage_prev
+        )
+        out = (h, Q, iters, err, err < settings.tolerance, res_stage)
+        return (h, Q, res_stage), out
+
+    ks = jnp.arange(1, nt)
+    (_, _, _), (hs, qs, iters, errs, conv, stages) = jax.lax.scan(
+        step, (h0, Q0, jnp.asarray(jnp.nan, h0.dtype)), ks
+    )
+
+    depth = jnp.concatenate([h0[None], hs], axis=0)
+    flow = jnp.concatenate([Q0[None], qs], axis=0)
+    pad0 = lambda x, v: jnp.concatenate([jnp.asarray([v], dtype=x.dtype), x])
+    return SimOutput(
+        depth=depth,
+        flow=flow,
+        iterations=pad0(iters, 0),
+        error=pad0(errs, 0.0),
+        converged=pad0(conv, True),
+        reservoir_stage=pad0(stages, jnp.nan),
+    )
+
+
+def single_step(geo, us_bc, ds_bc, h, Q, k, reservoir_stage_prev, settings: PreissmannSettings):
+    """Advance one time level (used by benchmarks and __graft_entry__)."""
+    prev = prev_level_state(geo, h, Q)
+    return newton_solve(geo, us_bc, ds_bc, settings, prev, h, Q, k, reservoir_stage_prev)

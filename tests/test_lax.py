@@ -1,0 +1,94 @@
+"""Lax-Friedrichs explicit solver: stability, CFL guard, cross-scheme check.
+
+The reference LaxSolver is bit-rotted (SURVEY.md §2.12) so there is no oracle
+trajectory; the akbari_firoozi case doubles as the cross-scheme benchmark
+(ref cases/akbari_firoozi/main_lax.py: dt=150 s vs Preissmann dt=3600 s).
+"""
+
+import math
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from flowsim_tpu.api import Boundary, Channel, Hydrograph, LaxSolver
+from flowsim_tpu.geometry import TrapezoidStation, interpolate_stations
+from flowsim_tpu.ops.lax_friedrichs import depth_from_area
+from flowsim_tpu.ops import sections as sec
+from tests.test_preissmann_parity import akbari_hydrograph, run_ours_akbari
+
+
+def build_akbari_lax(dt=150):
+    S_0, length, width, roughness = 0.00061, 29000, 120, 0.023
+    us = Boundary(condition="flow_hydrograph", bed_level=S_0 * length, chainage=0,
+                  hydrograph=Hydrograph(function=akbari_hydrograph))
+    ds = Boundary(condition="normal_depth", bed_level=0, chainage=length)
+    channel = Channel(width=width, initial_flow=100, roughness=roughness,
+                      upstream_boundary=us, downstream_boundary=ds,
+                      interpolation_method="steady-state")
+    return LaxSolver(channel=channel, time_step=dt, spatial_step=1000,
+                     simulation_time=20 * 3600, secondary_BC=("constant", "constant"))
+
+
+def test_depth_from_area_roundtrip():
+    sts = [
+        TrapezoidStation(z_bed=0.0, b_main=50.0, m_main=0.0, n_main=0.03),
+        TrapezoidStation(z_bed=0.0, b_main=40.0, m_main=2.0, n_main=0.03),
+        TrapezoidStation(z_bed=0.0, b_main=30.0, m_main=1.5, n_main=0.03,
+                         h_bank=3.0, b_fp_left=20.0, b_fp_right=25.0, m_fp=4.0),
+    ]
+    geo = interpolate_stations(sts, [0.0, 100.0, 200.0], np.array([0.0, 100.0, 200.0]))
+    for depth in [0.5, 2.0, 3.0, 5.5, 12.0]:
+        d = jnp.full(3, depth)
+        A = sec.section_state(geo, d).A
+        back = depth_from_area(geo, A)
+        np.testing.assert_allclose(np.asarray(back), depth, rtol=1e-12)
+
+
+def test_akbari_lax_runs_and_agrees_with_preissmann():
+    lax = build_akbari_lax(dt=150)
+    out = lax.run(verbose=0)
+    assert not bool(out.cfl_violated.any())
+    assert np.all(np.isfinite(lax.depth))
+
+    prs = run_ours_akbari(1e-8)
+    # compare at shared times (every 24th Lax level = Preissmann level)
+    ratio = 3600 // 150
+    d_lax = lax.depth[::ratio]
+    d_prs = prs.depth
+    assert d_lax.shape == d_prs.shape
+    # cross-scheme agreement: different schemes + steps, expect decimeter-level
+    assert np.max(np.abs(d_lax - d_prs)) < 0.1
+    # flow peaks: Lax-Friedrichs attenuates more (first-order diffusion);
+    # observed ~5% below Preissmann on this case
+    np.testing.assert_allclose(lax.flow[:, -1].max(), prs.flow[:, -1].max(), rtol=0.08)
+
+
+def test_cfl_guard_raises():
+    lax = build_akbari_lax(dt=3600)  # dx/dt = 0.28 m/s << wave celerity
+    with pytest.raises(ValueError, match="CFL"):
+        lax.run(verbose=0)
+
+
+def test_mass_conservation():
+    lax = build_akbari_lax(dt=150)
+    lax.run(verbose=0)
+    dt = lax.time_step
+    inflow = lax.flow[:, 0].sum() * dt
+    outflow = lax.flow[:, -1].sum() * dt
+    assert abs(inflow - outflow) / inflow < 0.02
+
+
+def test_secondary_bc_variants():
+    for mode in ["constant", "mirror", "linear"]:
+        S_0, length = 0.00061, 29000
+        us = Boundary(condition="flow_hydrograph", bed_level=S_0 * length, chainage=0,
+                      hydrograph=Hydrograph(function=akbari_hydrograph))
+        ds = Boundary(condition="normal_depth", bed_level=0, chainage=length)
+        channel = Channel(width=120, initial_flow=100, roughness=0.023,
+                          upstream_boundary=us, downstream_boundary=ds,
+                          interpolation_method="steady-state")
+        lax = LaxSolver(channel=channel, time_step=150, spatial_step=1000,
+                        simulation_time=4 * 3600, secondary_BC=(mode, mode))
+        lax.run(verbose=0)
+        assert np.all(np.isfinite(lax.depth))

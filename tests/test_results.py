@@ -1,0 +1,101 @@
+"""Results pipeline + checkpoint/resume parity vs the reference."""
+
+import os
+
+import numpy as np
+import pytest
+
+from tests.oracle import import_reference, reference_available
+from tests.test_preissmann_parity import run_ours_example, run_reference_example
+
+pytestmark = pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+
+
+def test_derived_fields_match_reference(tmp_path):
+    tol = 1e-8
+    # note: ref.run() already called prepare_results(); calling it again would
+    # insert the initial reservoir stage a second time (it is not idempotent).
+    ref = run_reference_example(tol)
+    ours = run_ours_example(tol)
+    res = ours.prepare_results()
+
+    np.testing.assert_allclose(res.bed_profile, ref.bed_profile, rtol=1e-10)
+    np.testing.assert_allclose(res.level, ref.level, rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(res.area, ref.area, rtol=1e-6)
+    np.testing.assert_allclose(res.top_width, ref.top_width, rtol=1e-6)
+    np.testing.assert_allclose(res.froude_number, ref.froude_number, rtol=1e-5)
+    np.testing.assert_allclose(res.velocity, ref.velocity, rtol=1e-5)
+    np.testing.assert_allclose(res.wave_celerity, ref.wave_celerity, rtol=1e-5)
+    np.testing.assert_allclose(res.amplitude, ref.amplitude, rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(res.peak_amplitude, ref.peak_amplitude, rtol=1e-5)
+    np.testing.assert_allclose(res.storage_stage, ref.storage_stage, rtol=1e-6)
+    # the reference outflow reconstruction divides by avg_inflow
+    # (ref solver.py:127); at the level-1 transient avg_inflow ~ 0 and both
+    # implementations produce the same ill-conditioned garbage (~1e11) that
+    # cannot be compared in relative terms — mask those entries.
+    q_ds = np.asarray(ours.flow)[:, -1]
+    avg_in = np.empty_like(q_ds)
+    avg_in[0] = q_ds[0]
+    avg_in[1:] = 0.5 * (q_ds[:-1] + q_ds[1:])
+    ok = np.abs(avg_in) > 1e-3 * np.abs(q_ds).max()
+    assert ok.sum() >= len(q_ds) - 1
+    np.testing.assert_allclose(
+        res.storage_outflow[ok], ref.storage_outflow[ok], rtol=1e-5, atol=1e-6
+    )
+
+
+def test_save_results_writes_sheets_and_summary(tmp_path):
+    ours = run_ours_example(1e-8)
+    ours.save_results(str(tmp_path), file_name="results.xlsx")
+    txt = os.path.join(str(tmp_path), "results.txt")
+    assert os.path.exists(txt)
+    content = open(txt).read()
+    for key in ["Spatial step", "Time step", "Theta", "Mass imbalance", "Peak inflow",
+                "Peak outflow", "Attenuation", "Median volume travel time"]:
+        assert key in content, key
+    # workbook or CSV fallback must exist with all 9 field sheets
+    xlsx = os.path.join(str(tmp_path), "results.xlsx")
+    csv_dir = os.path.join(str(tmp_path), "results")
+    assert os.path.exists(xlsx) or os.path.isdir(csv_dir)
+    if os.path.isdir(csv_dir):
+        names = set(os.listdir(csv_dir))
+        for sheet in ["Level", "Flow", "Depth", "Velocity", "Area", "Top width",
+                      "Wave celerity", "Amplitude", "Froude number",
+                      "Outflow", "Reservoir stage", "Peak amplitude", "Bed level"]:
+            assert f"{sheet}.csv" in names, sheet
+
+
+def test_summary_metrics_match_reference_formulas():
+    from flowsim_tpu.utils.results import summary_metrics
+
+    ours = run_ours_example(1e-8)
+    m = summary_metrics(np.asarray(ours.flow), ours.time_step)
+    Q_in, Q_out = ours.flow[:, 0], ours.flow[:, -1]
+    assert m["mass_imbalance"] == pytest.approx(np.sum(Q_in - Q_out) * 3600)
+    assert m["peak_inflow"] == pytest.approx(Q_in.max())
+    assert m["attenuation_pct"] == pytest.approx((Q_in.max() - Q_out.max()) / Q_in.max() * 100)
+
+
+def test_checkpoint_resume_bitwise(tmp_path):
+    from flowsim_tpu.utils.checkpoint import simulate_with_checkpoints
+
+    tol = 1e-8
+    full = run_ours_example(tol)
+
+    # run with checkpoints, interrupt by only keeping early checkpoints, resume
+    from tests.test_preissmann_parity import run_ours_example as build
+
+    ck_dir = str(tmp_path / "ck")
+    s1 = build(tol)
+    d1, f1 = simulate_with_checkpoints(s1, tolerance=tol, interval=7, directory=ck_dir, resume=False)
+    np.testing.assert_allclose(d1, full.depth, rtol=1e-12)
+
+    # simulate a crash after level 14: delete later checkpoints, resume
+    for name in sorted(os.listdir(ck_dir)):
+        k = int(name[5:-4])
+        if k > 14:
+            os.remove(os.path.join(ck_dir, name))
+    s2 = build(tol)
+    d2, f2 = simulate_with_checkpoints(s2, tolerance=tol, interval=7, directory=ck_dir, resume=True)
+    np.testing.assert_allclose(d2, d1, rtol=0, atol=0)  # bitwise resume
+    np.testing.assert_allclose(f2, f1, rtol=0, atol=0)

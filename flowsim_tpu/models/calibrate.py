@@ -1,0 +1,96 @@
+"""Manning-n calibration: vmapped sweeps and gradient descent through the solver.
+
+The reference calibration (ref: cases/gerd_roseires/n_calibrate.py) re-runs
+the full simulation serially for each candidate roughness (ref :58-62) and
+carries a commented L-BFGS-B scaffold (ref :33-52).  Here the whole sweep is
+**one batched simulation**: roughness enters the geometry pytree, so `vmap`
+over the geometry batches every Newton solve and every PCR sweep, and the
+batch shards across devices (see flowsim_tpu.parallel.ensemble).
+
+Because the fixed-iteration Newton path is reverse-mode differentiable, the
+RMSE objective also admits exact gradients (`jax.grad` through the entire
+solver), upgrading the reference's grid sweep to gradient calibration.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from flowsim_tpu.ops import preissmann as prs
+
+
+def set_main_roughness(geo, n_main):
+    """Return geometry with the main-channel Manning n replaced (scalar or
+    per-node); the calibration parameter of ref n_calibrate.py:5-17."""
+    n = jnp.broadcast_to(jnp.asarray(n_main, dtype=geo.n_main.dtype), geo.n_main.shape)
+    return dataclasses.replace(geo, n_main=n)
+
+
+def simulate_with_roughness(geo, us_bc, ds_bc, h0, Q0, settings, n_main):
+    return prs.simulate(set_main_roughness(geo, n_main), us_bc, ds_bc, h0, Q0, settings)
+
+
+def upstream_stage_at(out: prs.SimOutput, z_bed_us, Q_targets):
+    """Interpolate upstream stage at target discharges (ref model.py:105-113)."""
+    return jnp.interp(jnp.asarray(Q_targets), out.flow[:, 0], out.depth[:, 0] + z_bed_us)
+
+
+def rmse_objective(geo, us_bc, ds_bc, h0, Q0, settings, Q_targets, H_targets):
+    """RMSE of simulated vs target stages as a pure function of n_main
+    (ref n_calibrate.py:55-63)."""
+
+    def f(n_main):
+        out = simulate_with_roughness(geo, us_bc, ds_bc, h0, Q0, settings, n_main)
+        H = upstream_stage_at(out, geo.z_bed[0], Q_targets)
+        return jnp.sqrt(jnp.mean((H - jnp.asarray(H_targets)) ** 2))
+
+    return f
+
+
+def rmse_sweep(geo, us_bc, ds_bc, h0, Q0, settings, Q_targets, H_targets, n_values,
+               sharded: bool = False):
+    """Vectorized replacement for the serial sweep of ref n_calibrate.py:55-75.
+
+    All candidates run as one vmapped batch (optionally sharded over the
+    device mesh ensemble axis).
+    """
+    f = rmse_objective(geo, us_bc, ds_bc, h0, Q0, settings, Q_targets, H_targets)
+    fv = jax.jit(jax.vmap(f))
+    n_values = jnp.asarray(n_values)
+    if sharded:
+        from flowsim_tpu.parallel.ensemble import shard_batch
+
+        n_values = shard_batch(n_values)
+    return fv(n_values)
+
+
+def gradient_calibrate(geo, us_bc, ds_bc, h0, Q0, settings, Q_targets, H_targets,
+                       n0=0.028, lr=2e-4, steps=25, bounds=(0.020, 0.060)):
+    """Gradient descent on the squared-stage objective through the solver.
+
+    Requires settings.newton == 'fixed' (differentiable Newton).  Returns
+    (n_opt, history of (n, loss)).
+    """
+    if settings.newton != "fixed":
+        settings = dataclasses.replace(settings, newton="fixed")
+
+    def loss(n_main):
+        out = simulate_with_roughness(geo, us_bc, ds_bc, h0, Q0, settings, n_main)
+        H = upstream_stage_at(out, geo.z_bed[0], Q_targets)
+        return jnp.sum((H - jnp.asarray(H_targets)) ** 2)
+
+    vg = jax.jit(jax.value_and_grad(loss))
+    n = jnp.asarray(float(n0))
+    history = []
+    for _ in range(steps):
+        v, g = vg(n)
+        history.append((float(n), float(v)))
+        step = jnp.clip(lr * g, -2e-3, 2e-3)  # trust-region cap on the n step
+        n = jnp.clip(n - step, bounds[0], bounds[1])
+    return float(n), history

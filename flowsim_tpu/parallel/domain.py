@@ -1,0 +1,346 @@
+"""Channel-axis domain decomposition (the SP analog; SURVEY.md §2.17).
+
+Long reaches are sharded over the ``space`` mesh axis with ``shard_map``:
+
+* **Assembly** stays the same fused stencil per shard; the only communication
+  is a 2-message halo per Newton iteration — (a) each shard sends its first
+  node's closure state to the left neighbor (for the straddling cell), and
+  (b) sends its last (straddling) cell's momentum-row entries to the right
+  neighbor (whose first block row needs them).  Both ride ICI ``ppermute``.
+* **Linear solve** uses SPIKE substructuring: each shard factors its local
+  2x2-block tridiagonal system once per iteration (shared across 5 RHS:
+  the residual plus two spike columns per side), eliminates its interior
+  unknowns, ``all_gather``s a tiny 4x4-block tridiagonal *reduced* system
+  of size n_shards, solves it redundantly on every shard, and
+  back-substitutes locally.  This is algebraically the global solve, so
+  results match the single-device path to roundoff.
+
+The reference has no distributed anything (ref: SURVEY.md §2.17 —
+single-threaded NumPy loops; `spsolve` per iteration).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:
+    from jax import shard_map as _shard_map
+
+    def shard_map(f, mesh, in_specs, out_specs):
+        return _shard_map(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False)
+except (ImportError, TypeError):  # older API
+    from jax.experimental.shard_map import shard_map as _shard_map_old
+
+    def shard_map(f, mesh, in_specs, out_specs):
+        return _shard_map_old(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_rep=False)
+
+from flowsim_tpu.config import GRAVITY as g
+from flowsim_tpu.ops import boundary as bnd
+from flowsim_tpu.ops import preissmann as prs
+from flowsim_tpu.ops import sections as sec
+from flowsim_tpu.ops import tridiag
+from flowsim_tpu.parallel.mesh import SPACE_AXIS
+
+
+def _pull_right_first(x, axis_name):
+    """Each shard receives the FIRST element of its RIGHT neighbor."""
+    S = lax.axis_size(axis_name)
+    first = jax.tree_util.tree_map(lambda a: a[..., :1] if a.ndim else a, x)
+    perm = [(i, (i - 1) % S) for i in range(S)]
+    return jax.tree_util.tree_map(lambda a: lax.ppermute(a, axis_name, perm), first)
+
+
+def _push_right_last(x, axis_name):
+    """Each shard receives the LAST element of its LEFT neighbor."""
+    S = lax.axis_size(axis_name)
+    last = jax.tree_util.tree_map(lambda a: a[..., -1:] if a.ndim else a, x)
+    perm = [(i, (i + 1) % S) for i in range(S)]
+    return jax.tree_util.tree_map(lambda a: lax.ppermute(a, axis_name, perm), last)
+
+
+class _CellOut(NamedTuple):
+    """Per-cell stencil outputs needed by the two adjacent block rows."""
+
+    Rc: jnp.ndarray
+    Rm: jnp.ndarray
+    dC_dh_i: jnp.ndarray
+    dC_dh_i1: jnp.ndarray
+    dM_dh_i: jnp.ndarray
+    dM_dh_i1: jnp.ndarray
+    dM_dQ_i: jnp.ndarray
+    dM_dQ_i1: jnp.ndarray
+
+
+def _cells(theta, dt, dx, cur, prev):
+    """Fused stencil over the extended (n_loc+1) node arrays -> n_loc cells.
+
+    ``cur``/``prev`` are dicts of extended node arrays (local nodes + right
+    neighbor's first node).  Formulas identical to ops.preissmann.assemble.
+    """
+    A, Y, Se, Q2A, Q = cur["A"], cur["Y"], cur["Se"], cur["Q2A"], cur["Q"]
+    dA_dh, dSe_dA, dSe_dQ, QA = cur["dA_dh"], cur["dSe_dA"], cur["dSe_dQ"], cur["QA"]
+    Ap, Yp, Sep, Q2Ap, Qp = prev["A"], prev["Y"], prev["Se"], prev["Q2A"], prev["Q"]
+
+    tdiff = lambda c, p: (c[1:] + c[:-1] - p[1:] - p[:-1]) / (2.0 * dt)
+    sdiff = lambda c, p: (theta * (c[1:] - c[:-1]) + (1.0 - theta) * (p[1:] - p[:-1])) / dx
+    cavg = lambda c, p: 0.5 * theta * (c[1:] + c[:-1]) + 0.5 * (1.0 - theta) * (p[1:] + p[:-1])
+
+    Rc = tdiff(A, Ap) + sdiff(Q, Qp)
+    avgA = cavg(A, Ap)
+    dYdx = sdiff(Y, Yp)
+    avgSe = cavg(Se, Sep)
+    Rm = tdiff(Q, Qp) + sdiff(Q2A, Q2Ap) + g * avgA * (dYdx + avgSe)
+
+    th_dx = theta / dx
+    inv2dt = 1.0 / (2.0 * dt)
+    geom = dYdx + avgSe
+    return _CellOut(
+        Rc=Rc,
+        Rm=Rm,
+        dC_dh_i=dA_dh[:-1] * inv2dt,
+        dC_dh_i1=dA_dh[1:] * inv2dt,
+        dM_dh_i=(th_dx * QA[:-1] ** 2 * dA_dh[:-1]
+                 + g * (avgA * (-th_dx + 0.5 * theta * dSe_dA[:-1] * dA_dh[:-1])
+                        + 0.5 * theta * dA_dh[:-1] * geom)),
+        dM_dh_i1=(-th_dx * QA[1:] ** 2 * dA_dh[1:]
+                  + g * (avgA * (th_dx + 0.5 * theta * dSe_dA[1:] * dA_dh[1:])
+                         + 0.5 * theta * dA_dh[1:] * geom)),
+        dM_dQ_i=inv2dt - th_dx * 2.0 * QA[:-1] + g * avgA * 0.5 * theta * dSe_dQ[:-1],
+        dM_dQ_i1=inv2dt + th_dx * 2.0 * QA[1:] + g * avgA * 0.5 * theta * dSe_dQ[1:],
+    )
+
+
+def _node_fields(geo, h, Q):
+    st = sec.section_state(geo, h)
+    es = sec.energy_slope(geo, h, Q, st)
+    return dict(
+        A=st.A, Y=geo.z_bed + h, Se=es.Se, Q2A=Q * Q / st.A, Q=Q,
+        dA_dh=st.dA_dh, dSe_dA=es.dSe_dA_eff, dSe_dQ=es.dSe_dQ, QA=Q / st.A,
+    ), st
+
+
+def _extend(fields, axis_name):
+    """Append the right neighbor's first node to every field."""
+    halo = _pull_right_first(fields, axis_name)
+    return {k: jnp.concatenate([v, halo[k]]) for k, v in fields.items()}
+
+
+def _spike_solve(L, D, U, b, axis_name):
+    """Distributed block-tridiagonal solve via SPIKE substructuring.
+
+    L, D, U: [n_loc, 2, 2] with L[0] / U[-1] holding the couplings to the
+    neighbor shards (zero on the global boundary shards).  Returns the local
+    solution block [n_loc, 2].
+    """
+    S = lax.axis_size(axis_name)
+    s_idx = lax.axis_index(axis_name)
+
+    L_ext = L[0]
+    U_ext = U[-1]
+    L_int = L.at[0].set(0.0)
+    U_int = U.at[-1].set(0.0)
+
+    factor = tridiag.block_thomas_factor(L_int, D, U_int)
+    G = tridiag.block_thomas_apply(factor, b)                      # [n, 2]
+    EV = jnp.zeros_like(L).at[0].set(L_ext)                        # [n, 2, 2]
+    EW = jnp.zeros_like(U).at[-1].set(U_ext)
+    V = tridiag.block_thomas_apply(factor, EV)                     # [n, 2, 2]
+    W = tridiag.block_thomas_apply(factor, EW)
+
+    # reduced system over shard-boundary unknowns y_s = [x_first; x_last]
+    pieces = jnp.concatenate(
+        [V[0].reshape(-1), V[-1].reshape(-1), W[0].reshape(-1), W[-1].reshape(-1),
+         G[0], G[-1]], axis=0,
+    )  # [20]
+    allp = lax.all_gather(pieces, axis_name)                        # [S, 20]
+    V0 = allp[:, 0:4].reshape(S, 2, 2)
+    Vl = allp[:, 4:8].reshape(S, 2, 2)
+    W0 = allp[:, 8:12].reshape(S, 2, 2)
+    Wl = allp[:, 12:16].reshape(S, 2, 2)
+    G0 = allp[:, 16:18]
+    Gl = allp[:, 18:20]
+
+    Z = jnp.zeros((S, 2, 2), dtype=D.dtype)
+    Lr = jnp.concatenate(
+        [jnp.concatenate([Z, V0], axis=-1), jnp.concatenate([Z, Vl], axis=-1)], axis=-2
+    )  # [S, 4, 4]: coupling of y_s to y_{s-1} (only its x_last half)
+    Ur = jnp.concatenate(
+        [jnp.concatenate([W0, Z], axis=-1), jnp.concatenate([Wl, Z], axis=-1)], axis=-2
+    )
+    Dr = jnp.broadcast_to(jnp.eye(4, dtype=D.dtype), (S, 4, 4))
+    br = jnp.concatenate([G0, Gl], axis=-1)  # [S, 4]
+
+    # tiny sequential 4x4 block Thomas, solved redundantly on every shard
+    def fwd(carry, inp):
+        Cprev, dprev = carry
+        Li, Di, Ui, bi = inp
+        Dh = Di - Li @ Cprev
+        Ci = jnp.linalg.solve(Dh, Ui)
+        di = jnp.linalg.solve(Dh, bi - Li @ dprev)
+        return (Ci, di), (Ci, di)
+
+    (_, _), (Cr, dr) = lax.scan(fwd, (jnp.zeros((4, 4), D.dtype), jnp.zeros((4,), D.dtype)),
+                                (Lr, Dr, Ur, br))
+
+    def bwd(x_next, inp):
+        Ci, di = inp
+        xi = di - Ci @ x_next
+        return xi, xi
+
+    _, y = lax.scan(bwd, jnp.zeros((4,), D.dtype), (Cr, dr), reverse=True)  # [S, 4]
+
+    x_prev_last = jnp.where(s_idx > 0, 1.0, 0.0) * y[jnp.maximum(s_idx - 1, 0), 2:4]
+    x_next_first = jnp.where(s_idx < S - 1, 1.0, 0.0) * y[jnp.minimum(s_idx + 1, S - 1), 0:2]
+
+    return G - tridiag._mv(V, x_prev_last) - tridiag._mv(W, x_next_first)
+
+
+def _assemble_local(geo, us_bc, ds_bc, settings, prev_fields, h, Q, k,
+                    reservoir_stage_prev, axis_name):
+    """Local rows of the global block-tridiagonal system + residual norm."""
+    theta, dt, dx = settings.theta, settings.time_step, settings.spatial_step
+    S = lax.axis_size(axis_name)
+    s_idx = lax.axis_index(axis_name)
+    first_shard = s_idx == 0
+    last_shard = s_idx == S - 1
+    n = h.shape[0]
+    dtype = h.dtype
+
+    cur, st = _node_fields(geo, h, Q)
+    cur_ext = _extend(cur, axis_name)
+    cells = _cells(theta, dt, dx, cur_ext, prev_fields)
+
+    # halo (b): straddling-cell outputs from the left neighbor
+    from_left = _push_right_last(cells, axis_name)
+    fl = jax.tree_util.tree_map(lambda a: a[0], from_left)
+
+    # boundary rows (evaluated on the owning shard, masked elsewhere)
+    def node_sec(i):
+        return bnd.NodeSection(A=st.A[i], R=st.R[i], K=st.K[i], n_eq=st.n_eq[i],
+                               dA_dh=st.dA_dh[i], dR_dA=st.dR_dA[i], dK_dA=st.dK_dA[i])
+
+    us = bnd.evaluate(us_bc, node_sec(0), h[0], Q[0], k, dt,
+                      Q_prev=prev_fields["Q"][0], reservoir_stage_prev=reservoir_stage_prev)
+    ds = bnd.evaluate(ds_bc, node_sec(-1), h[-1], Q[-1], k, dt,
+                      Q_prev=prev_fields["Q"][n - 1], reservoir_stage_prev=reservoir_stage_prev)
+    # broadcast the last shard's reservoir stage to all shards (NaN-safe)
+    finite = last_shard & jnp.isfinite(ds.reservoir_stage)
+    has_val = lax.psum(finite.astype(dtype), axis_name)
+    val = lax.psum(jnp.where(finite, ds.reservoir_stage, 0.0), axis_name)
+    res_stage = jnp.where(has_val > 0, val, jnp.nan)
+
+    th_dx = theta / dx
+
+    # momentum-row entries per block row i come from cell i-1: locally that is
+    # cells[:-1] shifted, with row 0 taken from the left-neighbor halo.
+    mh_i = jnp.concatenate([fl.dM_dh_i[None], cells.dM_dh_i[:-1]])
+    mq_i = jnp.concatenate([fl.dM_dQ_i[None], cells.dM_dQ_i[:-1]])
+    mh_i1 = jnp.concatenate([fl.dM_dh_i1[None], cells.dM_dh_i1[:-1]])
+    mq_i1 = jnp.concatenate([fl.dM_dQ_i1[None], cells.dM_dQ_i1[:-1]])
+    rm = jnp.concatenate([fl.Rm[None], cells.Rm[:-1]])
+
+    # first shard: block row 0 is the upstream BC row
+    row0_h = jnp.where(first_shard & (jnp.arange(n) == 0), us.df_dh, mh_i1)
+    row0_q = jnp.where(first_shard & (jnp.arange(n) == 0), us.df_dQ, mq_i1)
+    row0_b = jnp.where(first_shard & (jnp.arange(n) == 0), us.residual, rm)
+    L_row0_h = jnp.where(first_shard & (jnp.arange(n) == 0), 0.0, mh_i)
+    L_row0_q = jnp.where(first_shard & (jnp.arange(n) == 0), 0.0, mq_i)
+
+    # last shard: block row n-1's continuity row is the downstream BC row
+    is_last_node = last_shard & (jnp.arange(n) == n - 1)
+    row1_h = jnp.where(is_last_node, ds.df_dh, jnp.concatenate([cells.dC_dh_i[:-1], cells.dC_dh_i[-1:]]))
+    row1_q = jnp.where(is_last_node, ds.df_dQ, jnp.full((n,), -th_dx, dtype))
+    row1_b = jnp.where(is_last_node, ds.residual, cells.Rc)
+    U_row1_h = jnp.where(is_last_node, 0.0, cells.dC_dh_i1)
+    U_row1_q = jnp.where(is_last_node, 0.0, th_dx)
+
+    L = jnp.stack([jnp.stack([L_row0_h, L_row0_q], axis=-1), jnp.zeros((n, 2), dtype)], axis=-2)
+    D = jnp.stack([jnp.stack([row0_h, row0_q], axis=-1),
+                   jnp.stack([row1_h, row1_q], axis=-1)], axis=-2)
+    U = jnp.stack([jnp.zeros((n, 2), dtype),
+                   jnp.stack([U_row1_h, jnp.broadcast_to(U_row1_q, (n,))], axis=-1)], axis=-2)
+    b = -jnp.stack([row0_b, row1_b], axis=-1)
+
+    err = jnp.sqrt(lax.psum(jnp.sum(b * b), axis_name))
+    return L, D, U, b, err, res_stage
+
+
+def simulate_sharded(geo, us_bc, ds_bc, h0, Q0, settings: prs.PreissmannSettings, mesh: Mesh):
+    """Full Preissmann run with the node axis sharded over ``mesh['space']``.
+
+    Requires n_nodes % n_space_shards == 0.  Matches the single-device
+    ``ops.preissmann.simulate`` to roundoff.
+    """
+    n_shards = mesh.shape[SPACE_AXIS]
+    N = geo.n_nodes
+    if N % n_shards != 0:
+        raise ValueError(f"n_nodes={N} not divisible by space shards {n_shards}")
+
+    def shard_fn(geo_loc, h0_loc, Q0_loc, us, ds):
+        axis = SPACE_AXIS
+        nt = settings.n_time_levels
+        tol = settings.tolerance
+
+        def prev_fields_of(h, Q):
+            f, _ = _node_fields(geo_loc, h, Q)
+            return _extend(f, axis)
+
+        def newton(h, Q, k, res_stage_prev, prev_ext):
+            def one(h, Q):
+                L, D, U, b, err, res_stage = _assemble_local(
+                    geo_loc, us, ds, settings, prev_ext, h, Q, k, res_stage_prev, axis
+                )
+                delta = _spike_solve(L, D, U, b, axis)
+                return h + delta[:, 0], Q + delta[:, 1], err, res_stage
+
+            def cond(c):
+                return (c[2] >= tol) & (c[3] < settings.max_iter)
+
+            def body(c):
+                h, Q, _, it, _ = c
+                h2, Q2, err, rs = one(h, Q)
+                return (h2, Q2, err, it + 1, rs)
+
+            h, Q, err, iters, rs = lax.while_loop(
+                cond, body,
+                (h, Q, jnp.asarray(jnp.inf, h.dtype), jnp.asarray(0), jnp.asarray(jnp.nan, h.dtype)),
+            )
+            return h, Q, err, iters, rs
+
+        def step(carry, k):
+            h, Q, rs_prev = carry
+            prev_ext = prev_fields_of(h, Q)
+            h2, Q2, err, iters, rs = newton(h, Q, k, rs_prev, prev_ext)
+            return (h2, Q2, rs), (h2, Q2, iters, err, err < tol, rs)
+
+        ks = jnp.arange(1, nt)
+        _, (hs, qs, iters, errs, conv, stages) = lax.scan(
+            step, (h0_loc, Q0_loc, jnp.asarray(jnp.nan, h0_loc.dtype)), ks
+        )
+        return hs, qs, iters, errs, conv, stages
+
+    geo_specs = jax.tree_util.tree_map(lambda _: P(SPACE_AXIS), geo)
+    bc_spec_us = jax.tree_util.tree_map(lambda _: P(), us_bc)
+    bc_spec_ds = jax.tree_util.tree_map(lambda _: P(), ds_bc)
+    f = shard_map(
+        shard_fn, mesh,
+        in_specs=(geo_specs, P(SPACE_AXIS), P(SPACE_AXIS), bc_spec_us, bc_spec_ds),
+        out_specs=(P(None, SPACE_AXIS), P(None, SPACE_AXIS), P(None), P(None), P(None), P(None)),
+    )
+    hs, qs, iters, errs, conv, stages = jax.jit(f)(geo, h0, Q0, us_bc, ds_bc)
+
+    depth = jnp.concatenate([h0[None], hs], axis=0)
+    flow = jnp.concatenate([Q0[None], qs], axis=0)
+    pad0 = lambda x, v: jnp.concatenate([jnp.asarray([v], dtype=x.dtype), x])
+    return prs.SimOutput(
+        depth=depth, flow=flow,
+        iterations=pad0(iters, 0), error=pad0(errs, 0.0),
+        converged=pad0(conv, True), reservoir_stage=pad0(stages, jnp.nan),
+    )

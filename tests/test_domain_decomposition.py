@@ -1,0 +1,90 @@
+"""Channel-axis domain decomposition: sharded == single-device to roundoff."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from flowsim_tpu.api import Boundary, Channel, Hydrograph, PreissmannSolver
+from flowsim_tpu.ops import preissmann as prs
+from flowsim_tpu.parallel.domain import simulate_sharded
+from flowsim_tpu.parallel.mesh import SPACE_AXIS, make_mesh
+
+
+def build_case(n_nodes=64, simulation_hours=12, storage=False):
+    """Prismatic test reach sized so n_nodes divides the 8-device mesh."""
+    length = (n_nodes - 1) * 1000.0
+
+    def hyd_fn(t):
+        peak_t = 4 * 3600.0
+        base, peak = 300.0, 3000.0
+        if t <= 0:
+            return base
+        if t < peak_t:
+            return base + (peak - base) * t / peak_t
+        if t < 2 * peak_t:
+            return peak - (peak - base) * (t - peak_t) / peak_t
+        return base
+
+    us = Boundary(condition="flow_hydrograph", bed_level=length * 2e-4, chainage=0,
+                  hydrograph=Hydrograph(function=hyd_fn))
+    if storage:
+        from flowsim_tpu.api import LumpedStorage
+
+        ds = Boundary(condition="fixed_depth", initial_depth=4.0, bed_level=0.0, chainage=length)
+        ds.set_lumped_storage(LumpedStorage(surface_area=4000 * 200, min_stage=3,
+                                            solution_boundaries=(0, 200)))
+        method = "GVF_equation"
+    else:
+        ds = Boundary(condition="normal_depth", bed_level=0.0, chainage=length)
+        method = "steady-state"
+    channel = Channel(width=200.0, initial_flow=300.0, roughness=0.03,
+                      upstream_boundary=us, downstream_boundary=ds,
+                      interpolation_method=method)
+    solver = PreissmannSolver(channel=channel, theta=0.7, time_step=900,
+                              spatial_step=1000, simulation_time=simulation_hours * 3600)
+    assert solver.number_of_nodes == n_nodes
+    return solver
+
+
+@pytest.mark.parametrize("storage", [False, True])
+def test_sharded_matches_single_device(storage):
+    solver = build_case(n_nodes=64, storage=storage)
+    sset = solver.settings(tolerance=1e-10, max_iter=100)
+    geo = solver.channel.geometry
+
+    ref = prs.simulate(geo, solver.us_params, solver.ds_params, solver.h0, solver.Q0, sset)
+
+    mesh = make_mesh(n_ensemble=1, n_space=8)
+    out = simulate_sharded(geo, solver.us_params, solver.ds_params,
+                           solver.h0, solver.Q0, sset, mesh)
+
+    assert bool(out.converged.all())
+    np.testing.assert_allclose(np.asarray(out.depth), np.asarray(ref.depth), rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(out.flow), np.asarray(ref.flow), rtol=1e-9, atol=1e-8)
+    np.testing.assert_array_equal(np.asarray(out.iterations), np.asarray(ref.iterations))
+    if storage:
+        np.testing.assert_allclose(np.asarray(out.reservoir_stage[1:]),
+                                   np.asarray(ref.reservoir_stage[1:]), rtol=1e-9)
+
+
+@pytest.mark.parametrize("n_space", [2, 4])
+def test_various_shard_counts(n_space):
+    solver = build_case(n_nodes=64)
+    sset = solver.settings(tolerance=1e-8, max_iter=100)
+    geo = solver.channel.geometry
+    ref = prs.simulate(geo, solver.us_params, solver.ds_params, solver.h0, solver.Q0, sset)
+    mesh = make_mesh(n_ensemble=8 // n_space, n_space=n_space)
+    out = simulate_sharded(geo, solver.us_params, solver.ds_params,
+                           solver.h0, solver.Q0, sset, mesh)
+    np.testing.assert_allclose(np.asarray(out.depth), np.asarray(ref.depth), rtol=1e-8, atol=1e-10)
+
+
+def test_indivisible_raises():
+    solver = build_case(n_nodes=64)
+    sset = solver.settings(tolerance=1e-8, max_iter=50)
+    mesh = make_mesh(n_ensemble=1, n_space=8)
+    geo = jax.tree_util.tree_map(lambda a: a[:63], solver.channel.geometry)
+    with pytest.raises(ValueError, match="divisible"):
+        simulate_sharded(geo, solver.us_params, solver.ds_params,
+                         solver.h0[:63], solver.Q0[:63], sset, mesh)

@@ -110,3 +110,20 @@ def test_preissmann_like_structure(rng):
     for method in ["thomas", "pcr"]:
         x = tridiag.solve_block_tridiag(Lj, Dj, Uj, bj, method=method)
         np.testing.assert_allclose(np.asarray(x), x_ref, rtol=1e-7, atol=1e-12)
+
+
+def test_factor_apply_multi_rhs(rng):
+    from flowsim_tpu.ops.tridiag import block_thomas_factor, block_thomas_apply
+
+    L, D, U, b = random_system(rng, 40)
+    factor = block_thomas_factor(L, D, U)
+    x1 = block_thomas_apply(factor, b)
+    np.testing.assert_allclose(np.asarray(x1), dense_solution(L, D, U, b), rtol=1e-9, atol=1e-10)
+
+    B = jnp.stack([b, 2 * b, b - 1.0], axis=-1)  # [N, 2, 3]
+    X = block_thomas_apply(factor, B)
+    assert X.shape == (40, 2, 3)
+    for m in range(3):
+        np.testing.assert_allclose(
+            np.asarray(X[..., m]), dense_solution(L, D, U, B[..., m]), rtol=1e-9, atol=1e-10
+        )

@@ -40,27 +40,44 @@ def main():
     from flowsim_tpu.models.gerd_roseires import model, settings
     from flowsim_tpu.ops import preissmann as prs
 
-    platform = jax.devices()[0].platform
-    log(f"device: {jax.devices()[0]} ({platform})")
+    device = jax.devices()[0]
+    log(f"device: {device} ({device.platform})")
 
+    # Host-side setup (station interpolation, GERD routing, ICs) is many tiny
+    # eager ops; pin it to the local CPU backend — on the tunneled TPU each op
+    # would be a network round trip.  Only the fused simulate runs on-device.
     t0 = time.time()
-    solver, channel = model.build()
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        solver, channel = model.build()
+        sset = solver.settings(tolerance=settings.tolerance, max_iter=100)
+        geo = solver.channel.geometry
+    args = jax.device_put(
+        (geo, solver.us_params, solver.ds_params, solver.h0, solver.Q0), device
+    )
     log(f"host build: {time.time()-t0:.1f}s  N={solver.number_of_nodes} nt={solver.number_of_time_levels}")
 
-    sset = solver.settings(tolerance=settings.tolerance, max_iter=100)
-    geo = solver.channel.geometry
-    args = (geo, solver.us_params, solver.ds_params, solver.h0, solver.Q0)
+    def sync(x):
+        # the tunneled runtime's block_until_ready can return before remote
+        # execution finishes; a host transfer of a data-dependent scalar is
+        # the reliable completion barrier.
+        return float(jnp.sum(x))
 
     t0 = time.time()
     out = prs.simulate(*args, sset)
-    jax.block_until_ready(out.depth)
+    sync(out.depth)
     log(f"compile+first run: {time.time()-t0:.1f}s")
 
+    # perturb the initial state per repetition: the tunneled runtime caches
+    # results for bit-identical (executable, inputs) pairs, which would make
+    # repeat timings meaningless.
+    geo_, us_, ds_, h0_, Q0_ = args
     best = np.inf
-    for _ in range(3):
+    for rep in range(3):
+        h0p = h0_ * (1.0 + 1e-12 * (rep + 1))
         t0 = time.time()
-        out = prs.simulate(*args, sset)
-        jax.block_until_ready(out.depth)
+        out = prs.simulate(geo_, us_, ds_, h0p, Q0_, sset)
+        sync(out.depth)
         best = min(best, time.time() - t0)
 
     iters = int(np.asarray(out.iterations).sum())

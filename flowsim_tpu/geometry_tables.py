@@ -1,0 +1,316 @@
+"""Irregular (surveyed polyline) sections -> per-node lookup tables.
+
+The reference's ``IrregularSection`` evaluates the wetted polyline per call —
+contiguous wetted-segment discovery, water-surface intersection insertion,
+trapezoid integration, Horton-Einstein composite roughness over the
+left-fp/main/right-fp subsections, and multi-subchannel conveyance
+combination (ref: cross_section.py:207-543).  That is data-dependent control
+flow which cannot live under jit.
+
+Here all of it runs **once on the host** per node over a dense depth grid,
+producing the monotone tables of :class:`flowsim_tpu.geometry.TableGeometry`;
+the device interpolates.  Station-to-node interpolation replicates the
+reference's union-x-grid blend (ref: cross_section.py:933-968).
+
+Derivative tables (dK/dA, dR/dA) use the reference's own finite-difference
+rule (central, dh=1e-6; ref :524-539) so the Jacobian matches.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dfield
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from flowsim_tpu.config import GRAVITY
+from flowsim_tpu.geometry import TableGeometry
+
+
+@dataclass
+class IrregularStation:
+    """One surveyed cross-section polyline (host side).
+
+    Mirrors the reference ``IrregularSection`` constructor surface
+    (ref: cross_section.py:216-237): (x, z) sorted by x; composite-roughness
+    subsection limits default to the section extents.
+    """
+
+    x: np.ndarray
+    z: np.ndarray
+    n_main: float = 0.03
+    n_left: Optional[float] = None
+    n_right: Optional[float] = None
+    left_fp_limit: Optional[float] = None
+    right_fp_limit: Optional[float] = None
+    bed_slope: Optional[float] = None
+    curvature: float = 0.0
+
+    def __post_init__(self):
+        x = np.ascontiguousarray(self.x, dtype=float)
+        z = np.ascontiguousarray(self.z, dtype=float)
+        if x.shape != z.shape or x.ndim != 1:
+            raise ValueError("x and z must be equal-shape 1-D arrays")
+        order = np.argsort(x)
+        self.x, self.z = x[order], z[order]
+        self.n_left = self.n_main if self.n_left is None else self.n_left
+        self.n_right = self.n_main if self.n_right is None else self.n_right
+        self.left_fp_limit = self.x[0] if self.left_fp_limit is None else self.left_fp_limit
+        self.right_fp_limit = self.x[-1] if self.right_fp_limit is None else self.right_fp_limit
+
+    @property
+    def z_min(self) -> float:
+        return float(self.z.min())
+
+    def z_at(self, xq):
+        return np.interp(xq, self.x, self.z, left=self.z[0], right=self.z[-1])
+
+
+# ---------------------------------------------------------------------------
+# Polyline hydraulics (host, NumPy) — reference-equivalent evaluations
+# ---------------------------------------------------------------------------
+
+
+def _wet_segments(x, z, hw):
+    """Contiguous wetted runs incl. water-surface intersections
+    (ref: cross_section.py:269-305)."""
+    below = (hw - z) > 0.0
+    if not below.any() or hw <= z.min():
+        return []
+    segs = []
+    n = len(below)
+    i = 0
+    while i < n:
+        if below[i]:
+            start = i
+            while i + 1 < n and below[i + 1]:
+                i += 1
+            end = i
+            xs = x[start : end + 1].copy()
+            zs = z[start : end + 1].copy()
+            if start > 0 and z[start - 1] > hw:
+                t = (hw - z[start - 1]) / (z[start] - z[start - 1])
+                xs = np.insert(xs, 0, x[start - 1] + t * (x[start] - x[start - 1]))
+                zs = np.insert(zs, 0, hw)
+            if end < n - 1 and z[end + 1] > hw:
+                t = (hw - z[end]) / (z[end + 1] - z[end])
+                xs = np.append(xs, x[end] + t * (x[end + 1] - x[end]))
+                zs = np.append(zs, hw)
+            segs.append((xs, zs))
+        i += 1
+    return segs
+
+
+def polyline_properties(x, z, hw):
+    """(A, P, R, T) of a polyline at water level hw (ref :247-329)."""
+    A = P = T = 0.0
+    for xs, zs in _wet_segments(x, z, hw):
+        d = np.maximum(hw - zs, 0.0)
+        A += float(np.sum(0.5 * (d[:-1] + d[1:]) * np.diff(xs)))
+        P += float(np.sum(np.sqrt(np.diff(xs) ** 2 + np.diff(zs) ** 2)))
+        T += float(xs[-1] - xs[0])
+    R = A / P if P > 0 else 0.0
+    return A, P, R, T
+
+
+def _subsection_AK(x, z, hw, x_min, x_max, n_value):
+    """(A, R, K) of the [x_min, x_max] subsection (ref :450-473)."""
+    mask = (x >= x_min) & (x <= x_max)
+    if mask.sum() < 2:
+        return 0.0, 0.0, 0.0
+    A, P, R, _ = polyline_properties(x[mask], z[mask], hw)
+    if A <= 0 or P <= 0:
+        return 0.0, 0.0, 0.0
+    K = A * R ** (2.0 / 3.0) / n_value
+    return A, R, K
+
+
+def equivalent_n(st: IrregularStation, hw):
+    """Horton-Einstein composite n over left/main/right (ref :443-501)."""
+    A, P, _, _ = polyline_properties(st.x, st.z, hw)
+    if A <= 0 or P <= 0:
+        return st.n_main
+    _, _, K_l = _subsection_AK(st.x, st.z, hw, st.x[0], st.left_fp_limit, st.n_left)
+    _, _, K_m = _subsection_AK(st.x, st.z, hw, st.left_fp_limit, st.right_fp_limit, st.n_main)
+    _, _, K_r = _subsection_AK(st.x, st.z, hw, st.right_fp_limit, st.x[-1], st.n_right)
+    K_tot = (K_l ** 1.5 + K_m ** 1.5 + K_r ** 1.5) ** (2.0 / 3.0)
+    if K_tot <= 0:
+        return st.n_main
+    R = A / P
+    return A * R ** (2.0 / 3.0) / K_tot
+
+
+def conveyance(st: IrregularStation, hw):
+    """Equivalent-n full-section conveyance (ref :503-511)."""
+    A, P, R, _ = polyline_properties(st.x, st.z, hw)
+    if A <= 0:
+        return 0.0
+    return A * R ** (2.0 / 3.0) / equivalent_n(st, hw)
+
+
+def _subchannels(x, z, hw):
+    """Contiguous wetted subchannels, replicating ref get_subchannels
+    (:331-371): raw-node wetness ``z < hw``, runs of >= 2 points kept, and
+    its exact water-surface intersection rules."""
+    wet = z < hw
+    subs = []
+    i = 0
+    n = len(wet)
+    while i < n:
+        if not wet[i]:
+            i += 1
+            continue
+        start = i
+        while i < n and wet[i]:
+            i += 1
+        end = i  # one past last wet index
+        if (end - start) < 2:
+            continue
+        xs = x[start:end].copy()
+        zs = z[start:end].copy()
+        if start > 0 and z[start - 1] > hw:
+            x0 = np.interp(hw, [z[start - 1], z[start]], [x[start - 1], x[start]])
+            xs = np.insert(xs, 0, x0)
+            zs = np.insert(zs, 0, hw)
+        if end < n and z[end - 1] < hw and z[end] > hw:
+            x1 = np.interp(hw, [z[end - 1], z[end]], [x[end - 1], x[end]])
+            xs = np.append(xs, x1)
+            zs = np.append(zs, hw)
+        subs.append((xs, zs))
+    return subs
+
+
+def effective_conveyance(st: IrregularStation, hw):
+    """Friction-law conveyance: multi-subchannel Horton combination when the
+    section splits into several wetted subchannels (ref :373-394), otherwise
+    the plain equivalent-n conveyance."""
+    subs = _subchannels(st.x, st.z, hw)
+    if len(subs) <= 1:
+        return conveyance(st, hw)
+    K_sum = 0.0
+    for xs, zs in subs:
+        sub = IrregularStation(x=xs, z=zs, n_main=st.n_main, n_left=st.n_left,
+                               n_right=st.n_right, left_fp_limit=st.left_fp_limit,
+                               right_fp_limit=st.right_fp_limit)
+        K_sum += conveyance(sub, hw) ** 1.5
+    return K_sum ** (2.0 / 3.0)
+
+
+# ---------------------------------------------------------------------------
+# Station interpolation (union-x blend; ref :933-968)
+# ---------------------------------------------------------------------------
+
+
+def blend_stations(s1: IrregularStation, s2: IrregularStation, w1: float, w2: float) -> IrregularStation:
+    x_master = np.union1d(s1.x, s2.x)
+    z_new = s1.z_at(x_master) * w1 + s2.z_at(x_master) * w2
+    if s1.bed_slope is None or s2.bed_slope is None:
+        bed_slope = None
+    else:
+        bed_slope = s1.bed_slope * w1 + s2.bed_slope * w2
+    return IrregularStation(
+        x=x_master, z=z_new,
+        n_main=s1.n_main * w1 + s2.n_main * w2,
+        n_left=s1.n_left * w1 + s2.n_left * w2,
+        n_right=s1.n_right * w1 + s2.n_right * w2,
+        left_fp_limit=s1.left_fp_limit * w1 + s2.left_fp_limit * w2,
+        right_fp_limit=s1.right_fp_limit * w1 + s2.right_fp_limit * w2,
+        bed_slope=bed_slope,
+        curvature=s1.curvature * w1 + s2.curvature * w2,
+    )
+
+
+def stations_at_nodes(stations, chainages, node_chainages):
+    chainages = np.asarray(chainages, dtype=float)
+    out = []
+    for s in np.asarray(node_chainages, dtype=float):
+        if s <= chainages[0]:
+            out.append(stations[0])
+        elif s >= chainages[-1]:
+            out.append(stations[-1])
+        else:
+            j = int(np.searchsorted(chainages, s)) - 1
+            d1, d2 = s - chainages[j], chainages[j + 1] - s
+            tot = d1 + d2
+            if tot < 1e-9 or d1 < 1e-9:
+                out.append(stations[j])
+            elif d2 < 1e-9:
+                out.append(stations[j + 1])
+            else:
+                out.append(blend_stations(stations[j], stations[j + 1], d2 / tot, d1 / tot))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Rasterization -> TableGeometry
+# ---------------------------------------------------------------------------
+
+
+def build_table_geometry(
+    stations,
+    chainages,
+    node_chainages,
+    depth_max=None,
+    samples: int = 1024,
+    fd_dh: float = 1e-6,
+    dtype=np.float64,
+) -> TableGeometry:
+    """Rasterize per-node irregular sections into device lookup tables.
+
+    ``depth_max``: table span per node (scalar or [N]); defaults to the
+    polyline relief (z.max - z.min) plus 25% freeboard.
+    """
+    node_sts = stations_at_nodes(stations, chainages, node_chainages)
+    N = len(node_sts)
+    M = samples
+
+    dmax = np.empty(N)
+    for i, st in enumerate(node_sts):
+        if depth_max is None:
+            dmax[i] = (st.z.max() - st.z.min()) * 1.25
+        else:
+            dmax[i] = depth_max if np.isscalar(depth_max) else depth_max[i]
+
+    A = np.zeros((N, M))
+    P = np.zeros((N, M))
+    T = np.zeros((N, M))
+    K = np.zeros((N, M))
+    n_eq = np.zeros((N, M))
+    dK_dA = np.zeros((N, M))
+    dR_dA = np.zeros((N, M))
+    z_bed = np.array([st.z_min for st in node_sts])
+    bed_slope = np.array([np.nan if st.bed_slope is None else st.bed_slope for st in node_sts])
+    curvature = np.array([st.curvature for st in node_sts])
+
+    for i, st in enumerate(node_sts):
+        depths = np.linspace(0.0, dmax[i], M)
+        for j, d in enumerate(depths):
+            hw = st.z_min + d
+            a, p, r, t = polyline_properties(st.x, st.z, hw)
+            A[i, j], P[i, j], T[i, j] = a, p, t
+            if a > 0:
+                n_eq[i, j] = equivalent_n(st, hw)
+                K[i, j] = effective_conveyance(st, hw)
+                # reference finite differences (ref :524-539)
+                a1, _, r1, _ = polyline_properties(st.x, st.z, hw - fd_dh)
+                a2, _, r2, _ = polyline_properties(st.x, st.z, hw + fd_dh)
+                drda = (r2 - r1) / (a2 - a1) if a2 != a1 else 0.0
+                dR_dA[i, j] = drda
+                dK_dA[i, j] = (r ** (2.0 / 3.0) + a * (2.0 / 3.0) * r ** (-1.0 / 3.0) * drda) / n_eq[i, j]
+            else:
+                n_eq[i, j] = st.n_main
+
+    return TableGeometry(
+        z_bed=jnp.asarray(z_bed, dtype=dtype),
+        depth_max=jnp.asarray(dmax, dtype=dtype),
+        area=jnp.asarray(A, dtype=dtype),
+        perimeter=jnp.asarray(P, dtype=dtype),
+        top_width=jnp.asarray(T, dtype=dtype),
+        conveyance=jnp.asarray(K, dtype=dtype),
+        n_eq=jnp.asarray(n_eq, dtype=dtype),
+        dK_dA=jnp.asarray(dK_dA, dtype=dtype),
+        dR_dA=jnp.asarray(dR_dA, dtype=dtype),
+        bed_slope=jnp.asarray(bed_slope, dtype=dtype),
+        curvature=jnp.asarray(curvature, dtype=dtype),
+    )

@@ -23,14 +23,49 @@ from flowsim_tpu.config import GRAVITY as g
 _EPS = 1e-30  # guards 0/0 only; never changes well-posed values
 
 
+# -- fractional powers ------------------------------------------------------
+# The TPU backend implements float64 ``pow`` with reduced precision (measured
+# residual floors of ~5e-5 at flood-peak levels vs ~1e-9 on CPU), which can
+# stall the Newton iteration above the reference's 1e-6 tolerance.  All the
+# Manning-law exponents are multiples of 1/6, so they are expressed through
+# sqrt (exact to 0.5 ulp) and a Newton-polished cube root instead.  On CPU
+# these agree with ``x ** p`` to ~1 ulp, preserving reference parity.
+
+
+def _cbrt(x):
+    r = jnp.cbrt(x)
+    # one Newton step restores full-precision roots even if cbrt is sloppy;
+    # multiplicative form is safe at x = 0 (r = 0 stays 0).
+    r2 = r * r
+    r3 = r2 * r
+    return jnp.where(r2 > 0.0, r - (r3 - x) / (3.0 * jnp.where(r2 > 0.0, r2, 1.0)), r)
+
+
+def pow_2_3(x):
+    c = _cbrt(x)
+    return c * c
+
+
+def pow_m1_3(x):
+    return 1.0 / _cbrt(x)
+
+
+def pow_1_6(x):
+    return jnp.sqrt(_cbrt(x))
+
+
+def pow_3_2(x):
+    return x * jnp.sqrt(x)
+
+
 def conveyance(A, n, R):
     """Manning conveyance K = A R^{2/3} / n  (ref: hydraulics.py:15-26)."""
-    return A * R ** (2.0 / 3.0) / n
+    return A * pow_2_3(R) / n
 
 
 def dK_dA(A, n, R, dR_dA):
     """dK/dA (ref: hydraulics.py:28-40)."""
-    return (R ** (2.0 / 3.0) + A * (2.0 / 3.0) * R ** (2.0 / 3.0 - 1.0) * dR_dA) / n
+    return (pow_2_3(R) + A * (2.0 / 3.0) * pow_m1_3(R) * dR_dA) / n
 
 
 def friction_slope(Q, K):
@@ -73,18 +108,20 @@ def dFr_dA(T, A, Q):
     D = A / T
     dV_dA = -Q / (A * A)
     dD_dA = 1.0 / T
-    return -0.5 * V * (g * D) ** (-1.5) * g * dD_dA + dV_dA * (g * D) ** (-0.5)
+    gD = g * D
+    inv_sqrt = 1.0 / jnp.sqrt(gD)
+    return -0.5 * V * (inv_sqrt / gD) * g * dD_dA + dV_dA * inv_sqrt
 
 
 def dFr_dQ(T, A):
     """dFr/dQ (ref: hydraulics.py:189-204)."""
     D = A / T
-    return (1.0 / A) * (g * D) ** (-0.5)
+    return (1.0 / A) / jnp.sqrt(g * D)
 
 
 def darcy_weisbach_f(n, R):
     """f = 8 g n^2 / R^{1/3}  (ref: hydraulics.py:217-229)."""
-    C = R ** (1.0 / 6.0) / n
+    C = pow_1_6(R) / n
     return 8.0 * g / (C * C)
 
 
@@ -107,7 +144,7 @@ def dSc_dA(h, A, Q, n, R, rc, dR_dA, T):
     f = darcy_weisbach_f(n, R)
     dh_dA = 1.0 / T
     dFr = dFr_dA(A=A, Q=Q, T=T)
-    df_dA = -(8.0 / 3.0) * g * n * n * R ** (-4.0 / 3.0) * dR_dA
+    df_dA = -(8.0 / 3.0) * g * n * n * (pow_m1_3(R) / R) * dR_dA
 
     sqrtf = jnp.sqrt(f)
     num = (2.86 * sqrtf + 2.07 * f) * h * h * Fr * Fr

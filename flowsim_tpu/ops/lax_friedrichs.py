@@ -50,6 +50,18 @@ class LaxOutput(NamedTuple):
 
 
 def depth_from_area(geo, A):
+    """Invert the area closure A(h) per node.
+
+    Table geometry: monotone-table inverse interpolation per node."""
+    from flowsim_tpu.geometry import TableGeometry
+
+    if isinstance(geo, TableGeometry):
+        return jax.vmap(lambda arow, dmax, a: jnp.interp(
+            a, arow, jnp.linspace(0.0, 1.0, arow.shape[-1]) * dmax))(geo.area, geo.depth_max, A)
+    return _trapezoid_depth_from_area(geo, A)
+
+
+def _trapezoid_depth_from_area(geo, A):
     """Invert the trapezoid area closure A(h) per node (closed form).
 
     Main-channel regime: A = (b + m h) h.  Overbank regime (replicating the

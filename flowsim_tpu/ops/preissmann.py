@@ -60,7 +60,6 @@ class PrevLevel(NamedTuple):
     h: jnp.ndarray
     Q: jnp.ndarray
     A: jnp.ndarray
-    Y: jnp.ndarray
     Se: jnp.ndarray
     Q2A: jnp.ndarray
 
@@ -84,7 +83,7 @@ def _node_section(st: sec.SectionState, i) -> bnd.NodeSection:
 def prev_level_state(geo, h, Q) -> PrevLevel:
     st = sec.section_state(geo, h)
     es = sec.energy_slope(geo, h, Q, st)
-    return PrevLevel(h=h, Q=Q, A=st.A, Y=geo.z_bed + h, Se=es.Se, Q2A=Q * Q / st.A)
+    return PrevLevel(h=h, Q=Q, A=st.A, Se=es.Se, Q2A=Q * Q / st.A)
 
 
 def assemble(geo, us_bc, ds_bc, settings: PreissmannSettings, prev: PrevLevel, h, Q, k, reservoir_stage_prev):
@@ -100,7 +99,6 @@ def assemble(geo, us_bc, ds_bc, settings: PreissmannSettings, prev: PrevLevel, h
     st = sec.section_state(geo, h)
     es = sec.energy_slope(geo, h, Q, st)
     A = st.A
-    Y = geo.z_bed + h
     Se = es.Se
     Q2A = Q * Q / A
 
@@ -118,7 +116,11 @@ def assemble(geo, us_bc, ds_bc, settings: PreissmannSettings, prev: PrevLevel, h
     dQdt = tdiff(Q, prev.Q)
     dQ2A_dx = sdiff(Q2A, prev.Q2A)
     avgA = cavg(A, prev.A)
-    dYdx = sdiff(Y, prev.Y)
+    # water-level slope as bed slope + theta-weighted depth slope: identical
+    # algebra to sdiff(z+h) but cancellation-free — with z ~ 5e2 and f32 the
+    # direct difference loses ~6 digits and floors the Newton residual.
+    z = geo.z_bed
+    dYdx = (z[1:] - z[:-1]) / dx + sdiff(h, prev.h)
     avgSe = cavg(Se, prev.Se)
     Rm = dQdt + dQ2A_dx + g * avgA * (dYdx + avgSe)
 

@@ -136,8 +136,8 @@ def section_state(g, depth) -> SectionState:
     A, P, R, T = trapezoid_properties(g, depth)
 
     K_l, K_m, K_r = _subsection_conveyances(g, r, A, P, R)
-    ksum = K_l ** 1.5 + K_m ** 1.5 + K_r ** 1.5
-    K_compound = jnp.where(ksum > 0.0, ksum ** (2.0 / 3.0), 0.0)
+    ksum = hyd.pow_3_2(K_l) + hyd.pow_3_2(K_m) + hyd.pow_3_2(K_r)
+    K_compound = jnp.where(ksum > 0.0, hyd.pow_2_3(ksum), 0.0)
     K_simple = hyd.conveyance(A, g.n_main, R)
     K = jnp.where(g.compound, K_compound, K_simple)
 
@@ -145,7 +145,7 @@ def section_state(g, depth) -> SectionState:
     # -> A R^{2/3} / K_total with n_main fallback on degenerate sections.
     n_eq_c = jnp.where(
         (A > 0.0) & (R > 0.0) & (K_compound > 0.0),
-        A * R ** (2.0 / 3.0) / jnp.where(K_compound > 0.0, K_compound, 1.0),
+        A * hyd.pow_2_3(R) / jnp.where(K_compound > 0.0, K_compound, 1.0),
         g.n_main,
     )
     n_eq = jnp.where(g.compound, n_eq_c, g.n_main)

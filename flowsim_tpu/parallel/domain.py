@@ -84,9 +84,9 @@ def _cells(theta, dt, dx, cur, prev):
     ``cur``/``prev`` are dicts of extended node arrays (local nodes + right
     neighbor's first node).  Formulas identical to ops.preissmann.assemble.
     """
-    A, Y, Se, Q2A, Q = cur["A"], cur["Y"], cur["Se"], cur["Q2A"], cur["Q"]
+    A, Se, Q2A, Q, hcur, z = cur["A"], cur["Se"], cur["Q2A"], cur["Q"], cur["h"], cur["z"]
     dA_dh, dSe_dA, dSe_dQ, QA = cur["dA_dh"], cur["dSe_dA"], cur["dSe_dQ"], cur["QA"]
-    Ap, Yp, Sep, Q2Ap, Qp = prev["A"], prev["Y"], prev["Se"], prev["Q2A"], prev["Q"]
+    Ap, Sep, Q2Ap, Qp, hp = prev["A"], prev["Se"], prev["Q2A"], prev["Q"], prev["h"]
 
     tdiff = lambda c, p: (c[1:] + c[:-1] - p[1:] - p[:-1]) / (2.0 * dt)
     sdiff = lambda c, p: (theta * (c[1:] - c[:-1]) + (1.0 - theta) * (p[1:] - p[:-1])) / dx
@@ -94,7 +94,8 @@ def _cells(theta, dt, dx, cur, prev):
 
     Rc = tdiff(A, Ap) + sdiff(Q, Qp)
     avgA = cavg(A, Ap)
-    dYdx = sdiff(Y, Yp)
+    # cancellation-free water-level slope (see ops.preissmann.assemble)
+    dYdx = (z[1:] - z[:-1]) / dx + sdiff(hcur, hp)
     avgSe = cavg(Se, Sep)
     Rm = tdiff(Q, Qp) + sdiff(Q2A, Q2Ap) + g * avgA * (dYdx + avgSe)
 
@@ -121,7 +122,7 @@ def _node_fields(geo, h, Q):
     st = sec.section_state(geo, h)
     es = sec.energy_slope(geo, h, Q, st)
     return dict(
-        A=st.A, Y=geo.z_bed + h, Se=es.Se, Q2A=Q * Q / st.A, Q=Q,
+        A=st.A, z=geo.z_bed, h=h, Se=es.Se, Q2A=Q * Q / st.A, Q=Q,
         dA_dh=st.dA_dh, dSe_dA=es.dSe_dA_eff, dSe_dQ=es.dSe_dQ, QA=Q / st.A,
     ), st
 

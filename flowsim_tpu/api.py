@@ -229,7 +229,7 @@ class Channel:
 
     # -- lowering ----------------------------------------------------------
 
-    def build_geometry(self, n_nodes: int) -> geom.TrapezoidGeometry:
+    def build_geometry(self, n_nodes: int):
         self.ch_at_node = np.linspace(self.upstream_boundary.chainage, self.downstream_boundary.chainage, n_nodes)
         dtype = default_dtype()
         if self.xs_chainages is None:
@@ -243,7 +243,12 @@ class Channel:
                 roughness=self.roughness,
                 dtype=dtype,
             )
-        else:
+            return self.geometry
+
+        from flowsim_tpu.geometry_tables import IrregularStation, build_table_geometry
+
+        kinds = {type(s).__name__ for s in self.input_stations}
+        if kinds == {"TrapezoidStation"}:
             self.geometry = geom.interpolate_stations(
                 self.input_stations,
                 self.xs_chainages,
@@ -251,6 +256,20 @@ class Channel:
                 coords=self.coords,
                 coords_chainages=self.coords_chainages,
                 dtype=dtype,
+            )
+        elif kinds == {"IrregularStation"}:
+            stations = list(self.input_stations)
+            if self.coords is not None and self.coords_chainages is not None:
+                curv = geom.planform_curvature(self.xs_chainages, self.coords_chainages, self.coords)
+                for i in range(1, len(stations) - 1):
+                    stations[i].curvature = float(curv[i])
+            self.geometry = build_table_geometry(
+                stations, self.xs_chainages, self.ch_at_node, dtype=np.dtype(dtype)
+            )
+        else:
+            raise NotImplementedError(
+                "mixed trapezoid/irregular station lists are not supported "
+                "(the reference's blend is ill-defined for unbounded sections)"
             )
         return self.geometry
 
@@ -366,6 +385,7 @@ class PreissmannSolver(_SolverBase):
         self.total_sim_duration = (self.number_of_time_levels - 1) * self.time_step
         if not bool(out.converged.all()):
             bad = int(np.argmin(out.converged))
+            self.check_criticality(level=bad)  # ref preissmann.py:124-125
             if diagnos and (np.isnan(out.error[bad]) or np.isnan(out.depth[bad]).any()):
                 raise ValueError("NaN in system assembly")  # ref preissmann.py:137
             raise ValueError(
@@ -374,6 +394,32 @@ class PreissmannSolver(_SolverBase):
         if verbose >= 1:
             print("Simulation completed successfully.")
         return out
+
+    def check_criticality(self, level=-1):
+        """Froude scan with the reference's warning lines
+        (ref preissmann.py:179-198)."""
+        import jax.numpy as jnp
+
+        from flowsim_tpu.ops import hydraulics as hyd
+        from flowsim_tpu.ops import sections as sec
+
+        geo = self.channel.geometry
+        h = jnp.asarray(self.depth[level])
+        Q = jnp.asarray(self.flow[level])
+        st = sec.section_state(geo, h)
+        fr = np.asarray(hyd.froude(st.T, st.A, Q))
+        fail = False
+        for i, f in enumerate(fr):
+            x = self.channel.ch_at_node[i]
+            if f == 1.0:
+                fail = True
+                print(f"WARNING: Flow goes critical at x = {x} m. Fr = {f}.")
+            elif f > 1.0:
+                fail = True
+                print(f"WARNING: Flow goes supercritical at x = {x} m. Fr = {f}.")
+        if not fail:
+            print("Flow is subcritical.")
+        return fail
 
 
 class LaxSolver(_SolverBase):

@@ -113,15 +113,22 @@ class RoseiresRatingCurve(RatingCurve):
         )
         self._current = self.open_state if initially_open else self.closed_state
 
-        # device curve for the smooth path: the two gate states are exact
-        # quadratics in stage, so fit them through 3 samples.
+        # device curves: the two gate states are exact quadratics in stage,
+        # so fit them through 3 samples.  ``params`` is the smooth blended
+        # curve (the shipped default); ``params_gated`` is the non-smooth
+        # explicit-gate-state variant (scan-carried GateState in the solver).
+        low_q = self._quad_of_state(self.closed_state)
+        high_q = self._quad_of_state(self.open_state)
         self.params = rcurve.make_blended_poly(
-            low_quad=self._quad_of_state(self.closed_state),
-            high_quad=self._quad_of_state(self.open_state),
-            pivot_stage=initial_stage,
-            buffer=buffer,
-            fd_step=1e-3,
+            low_quad=low_q, high_quad=high_q,
+            pivot_stage=initial_stage, buffer=buffer, fd_step=1e-3,
         )
+        self.params_gated = rcurve.make_gated_blend(
+            low_quad=low_q, high_quad=high_q,
+            pivot_stage=initial_stage, max_cooldown=max_cooldown, fd_step=1e-3,
+        )
+        if not smooth:
+            self.params = self.params_gated
 
     # -- state-parameterized releases (ref :84-87,180-200) ------------------
 

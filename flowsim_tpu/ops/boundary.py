@@ -88,6 +88,46 @@ def make_boundary(
     )
 
 
+class BCState(NamedTuple):
+    """Cross-time-level boundary state carried by the solver scan.
+
+    ``reservoir_stage``: previous level's lumped-storage stage (NaN if no
+    storage BC).  The ``gate_*`` fields hold the explicit gate-controller
+    state for a ``gated_blend`` downstream rating curve (SURVEY.md §3.3):
+    open flag (0/1), remaining cooldown [s], last controller time (-1 before
+    the first update), and the stage the controller last saw.
+    """
+
+    reservoir_stage: jnp.ndarray
+    gate_open: jnp.ndarray
+    gate_cooldown: jnp.ndarray
+    gate_prev_time: jnp.ndarray
+    gate_stage: jnp.ndarray
+
+
+def initial_bc_state(dtype, gate_open=0.0, gate_stage=jnp.nan) -> BCState:
+    z = lambda v: jnp.asarray(v, dtype=dtype)
+    return BCState(
+        reservoir_stage=z(jnp.nan),
+        gate_open=z(gate_open),
+        gate_cooldown=z(0.0),
+        gate_prev_time=z(-1.0),
+        gate_stage=z(gate_stage),
+    )
+
+
+def update_gate_level_start(bc: BoundaryParams, state: BCState, time) -> BCState:
+    """Per-level gate-controller update for a gated_blend rating curve;
+    identity otherwise (see rcurve.gate_update)."""
+    if bc.kind != "rating_curve" or bc.rating is None or bc.rating.kind != "gated_blend":
+        return state
+    gate_open, cooldown, prev_time = rcurve.gate_update(
+        bc.rating, state.gate_open, state.gate_cooldown, state.gate_prev_time,
+        state.gate_stage, time,
+    )
+    return state._replace(gate_open=gate_open, gate_cooldown=cooldown, gate_prev_time=prev_time)
+
+
 class BCEval(NamedTuple):
     residual: jnp.ndarray
     df_dh: jnp.ndarray
@@ -104,6 +144,7 @@ def evaluate(
     dt,
     Q_prev=None,
     reservoir_stage_prev=None,
+    bc_state: Optional[BCState] = None,
 ) -> BCEval:
     """Residual + its two Jacobian entries for one boundary.
 
@@ -131,8 +172,14 @@ def evaluate(
 
     if bc.kind == "rating_curve":
         stage = bc.bed_level + h
-        target = rcurve.discharge(bc.rating, stage)
-        df_dh = -rcurve.dQ_dz(bc.rating, stage)  # ref :182-184
+        if bc.rating.kind == "gated_blend":
+            if bc_state is None:
+                raise ValueError("gated_blend rating curve needs a carried BCState")
+            target = rcurve.gated_discharge(bc.rating, stage, bc_state.gate_open)
+            df_dh = -rcurve.gated_dQ_dz(bc.rating, stage, bc_state.gate_open)
+        else:
+            target = rcurve.discharge(bc.rating, stage)
+            df_dh = -rcurve.dQ_dz(bc.rating, stage)  # ref :182-184
         return BCEval(Q - target, df_dh, jnp.ones_like(h), res_stage)
 
     if bc.kind == "fixed_depth":

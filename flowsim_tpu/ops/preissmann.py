@@ -52,6 +52,7 @@ class PreissmannSettings:
     max_iter: int = field(metadata=dict(static=True))
     linear_solver: str = field(default="pcr", metadata=dict(static=True))
     newton: str = field(default="while", metadata=dict(static=True))  # 'while' | 'fixed'
+    gate_initially_open: bool = field(default=False, metadata=dict(static=True))
 
 
 class PrevLevel(NamedTuple):
@@ -71,6 +72,7 @@ class SimOutput(NamedTuple):
     error: jnp.ndarray        # [nt] final pre-update residual norm
     converged: jnp.ndarray    # [nt] bool
     reservoir_stage: jnp.ndarray  # [nt] NaN unless downstream storage BC
+    gate_open: jnp.ndarray    # [nt] gate flag (gated_blend downstream curve)
 
 
 def _node_section(st: sec.SectionState, i) -> bnd.NodeSection:
@@ -86,7 +88,7 @@ def prev_level_state(geo, h, Q) -> PrevLevel:
     return PrevLevel(h=h, Q=Q, A=st.A, Se=es.Se, Q2A=Q * Q / st.A)
 
 
-def assemble(geo, us_bc, ds_bc, settings: PreissmannSettings, prev: PrevLevel, h, Q, k, reservoir_stage_prev):
+def assemble(geo, us_bc, ds_bc, settings: PreissmannSettings, prev: PrevLevel, h, Q, k, reservoir_stage_prev, bc_state=None):
     """Residuals + block-tridiagonal Jacobian at the current Newton iterate.
 
     Returns (L, D, U, b, err_norm, reservoir_stage): the 2x2 block system
@@ -152,9 +154,11 @@ def assemble(geo, us_bc, ds_bc, settings: PreissmannSettings, prev: PrevLevel, h
 
     # -- boundary rows (ref :200-218, :303-320) ----------------------------
     us = bnd.evaluate(us_bc, _node_section(st, 0), h[0], Q[0], k, dt,
-                      Q_prev=prev.Q[0], reservoir_stage_prev=reservoir_stage_prev)
+                      Q_prev=prev.Q[0], reservoir_stage_prev=reservoir_stage_prev,
+                      bc_state=bc_state)
     ds = bnd.evaluate(ds_bc, _node_section(st, -1), h[-1], Q[-1], k, dt,
-                      Q_prev=prev.Q[-1], reservoir_stage_prev=reservoir_stage_prev)
+                      Q_prev=prev.Q[-1], reservoir_stage_prev=reservoir_stage_prev,
+                      bc_state=bc_state)
     reservoir_stage = jnp.where(jnp.isnan(ds.reservoir_stage), us.reservoir_stage, ds.reservoir_stage)
 
     # -- norm of the full residual vector (ref :149) -----------------------
@@ -199,13 +203,13 @@ def assemble(geo, us_bc, ds_bc, settings: PreissmannSettings, prev: PrevLevel, h
     return L, D, U, b, err, reservoir_stage
 
 
-def newton_solve(geo, us_bc, ds_bc, settings, prev: PrevLevel, h, Q, k, reservoir_stage_prev):
+def newton_solve(geo, us_bc, ds_bc, settings, prev: PrevLevel, h, Q, k, reservoir_stage_prev, bc_state=None):
     """One time level: Newton-iterate to tolerance (ref :101-163 inner loop)."""
     tol = settings.tolerance
 
     def one_iteration(h, Q):
         L, D, U, b, err, res_stage = assemble(
-            geo, us_bc, ds_bc, settings, prev, h, Q, k, reservoir_stage_prev
+            geo, us_bc, ds_bc, settings, prev, h, Q, k, reservoir_stage_prev, bc_state
         )
         delta = tridiag.solve_block_tridiag(L, D, U, b, method=settings.linear_solver)
         return h + delta[:, 0], Q + delta[:, 1], err, res_stage
@@ -250,18 +254,29 @@ def simulate(geo, us_bc, ds_bc, h0, Q0, settings: PreissmannSettings) -> SimOutp
     """Full run: scan Newton-solved levels 1..nt-1 (ref :101-163 outer loop)."""
     nt = settings.n_time_levels
 
+    ds_bed = ds_bc.bed_level
+
     def step(carry, k):
-        h_prev, Q_prev, res_stage_prev = carry
+        h_prev, Q_prev, bc_state = carry
+        # per-level gate-controller update (no-op unless gated_blend ds curve)
+        bc_state = bnd.update_gate_level_start(ds_bc, bc_state, k.astype(h_prev.dtype) * settings.time_step)
         prev = prev_level_state(geo, h_prev, Q_prev)
         h, Q, err, iters, res_stage = newton_solve(
-            geo, us_bc, ds_bc, settings, prev, h_prev, Q_prev, k, res_stage_prev
+            geo, us_bc, ds_bc, settings, prev, h_prev, Q_prev, k,
+            bc_state.reservoir_stage, bc_state,
         )
-        out = (h, Q, iters, err, err < settings.tolerance, res_stage)
-        return (h, Q, res_stage), out
+        bc_state = bc_state._replace(
+            reservoir_stage=res_stage,
+            gate_stage=ds_bed + h[-1],
+        )
+        out = (h, Q, iters, err, err < settings.tolerance, res_stage, bc_state.gate_open)
+        return (h, Q, bc_state), out
 
     ks = jnp.arange(1, nt)
-    (_, _, _), (hs, qs, iters, errs, conv, stages) = jax.lax.scan(
-        step, (h0, Q0, jnp.asarray(jnp.nan, h0.dtype)), ks
+    gate_open0 = 1.0 if settings.gate_initially_open else 0.0
+    bc_state0 = bnd.initial_bc_state(h0.dtype, gate_open=gate_open0, gate_stage=ds_bed + h0[-1])
+    (_, _, _), (hs, qs, iters, errs, conv, stages, gates) = jax.lax.scan(
+        step, (h0, Q0, bc_state0), ks
     )
 
     depth = jnp.concatenate([h0[None], hs], axis=0)
@@ -274,10 +289,15 @@ def simulate(geo, us_bc, ds_bc, h0, Q0, settings: PreissmannSettings) -> SimOutp
         error=pad0(errs, 0.0),
         converged=pad0(conv, True),
         reservoir_stage=pad0(stages, jnp.nan),
+        gate_open=pad0(gates, gate_open0),
     )
 
 
-def single_step(geo, us_bc, ds_bc, h, Q, k, reservoir_stage_prev, settings: PreissmannSettings):
+def single_step(geo, us_bc, ds_bc, h, Q, k, reservoir_stage_prev, settings: PreissmannSettings, bc_state=None):
     """Advance one time level (used by benchmarks and __graft_entry__)."""
+    if bc_state is None:
+        bc_state = bnd.initial_bc_state(h.dtype, gate_stage=ds_bc.bed_level + h[-1])
+        bc_state = bc_state._replace(reservoir_stage=jnp.asarray(reservoir_stage_prev, h.dtype))
     prev = prev_level_state(geo, h, Q)
-    return newton_solve(geo, us_bc, ds_bc, settings, prev, h, Q, k, reservoir_stage_prev)
+    return newton_solve(geo, us_bc, ds_bc, settings, prev, h, Q, k,
+                        bc_state.reservoir_stage, bc_state)

@@ -45,6 +45,8 @@ class RatingCurveParams:
     fd_step: jnp.ndarray       # finite-difference step for dQ/dz
     table_stage: jnp.ndarray   # table kind
     table_q: jnp.ndarray
+    # gated_blend kind only: gate-controller cooldown (ref roseires:52-53)
+    max_cooldown: jnp.ndarray = None
 
 
 def _empty():
@@ -83,11 +85,24 @@ def make_power(a, b, stage_shift=0.0) -> RatingCurveParams:
 def make_blended_poly(low_quad, high_quad, pivot_stage, buffer=0.5, fd_step=1e-3) -> RatingCurveParams:
     """Smooth gated-release curve: quadratics in stage for the closed (low)
     and open (high) gate states, blended by the reference's smoothstep
-    (ref roseires_rating_curve.py:98-109)."""
+    (ref roseires_rating_curve.py:98-109).
+
+    The quadratics are re-based around the pivot stage before storage: in the
+    raw basis the three terms are ~1e6 and cancel to ~1e4, which amplifies the
+    TPU f64-emulation rounding (~5e-11 relative) to ~5e-5 absolute — enough to
+    stall a 1e-6 Newton tolerance.  Centered, the terms are O(Q) and the
+    evaluation is exact to ~1e-12 on every backend.
+    """
+
+    def center(quad, s0):
+        c2, c1, c0 = [float(v) for v in quad]
+        return [c2, 2.0 * c2 * s0 + c1, (c2 * s0 + c1) * s0 + c0]
+
+    s0 = float(pivot_stage)
     return RatingCurveParams(
         kind="blended_poly",
-        coeffs=farray(low_quad),
-        coeffs_high=farray(high_quad),
+        coeffs=farray(center(low_quad, s0)),
+        coeffs_high=farray(center(high_quad, s0)),
         stage_shift=jnp.asarray(0.0),
         pivot_stage=farray(pivot_stage),
         buffer=farray(buffer),
@@ -111,6 +126,60 @@ def make_table(stages, discharges, fd_step=1e-3) -> RatingCurveParams:
     )
 
 
+def make_gated_blend(low_quad, high_quad, pivot_stage, max_cooldown=3600 * 5, fd_step=1e-3) -> RatingCurveParams:
+    """Non-smooth gated release: discharge follows the low (closed) or high
+    (open) quadratic depending on an explicit gate state carried across time
+    levels, with the reference's hysteresis thresholds (open at pivot + 0.5,
+    close at pivot - 1) and cooldown (ref roseires_rating_curve.py:111-141).
+
+    The reference mutates the gate state *during* Newton iterations, which is
+    iteration-order-dependent; here (per SURVEY.md §7) the state updates once
+    per time level from the previous level's converged downstream stage —
+    the deterministic, scan-carried formulation.
+    """
+    base = make_blended_poly(low_quad, high_quad, pivot_stage, buffer=0.5, fd_step=fd_step)
+    return RatingCurveParams(
+        kind="gated_blend",
+        coeffs=base.coeffs,
+        coeffs_high=base.coeffs_high,
+        stage_shift=base.stage_shift,
+        pivot_stage=base.pivot_stage,
+        buffer=base.buffer,
+        fd_step=base.fd_step,
+        table_stage=base.table_stage,
+        table_q=base.table_q,
+        max_cooldown=farray(max_cooldown),
+    )
+
+
+def gated_discharge(rc: RatingCurveParams, stage, gate_open):
+    """Release under an explicit gate state (ref roseires:84-96)."""
+    ds = stage - rc.pivot_stage
+    low = _quad(rc.coeffs, ds)
+    high = _quad(rc.coeffs_high, ds)
+    return jnp.where(gate_open > 0.5, high, low)
+
+
+def gated_dQ_dz(rc: RatingCurveParams, stage, gate_open):
+    d = rc.fd_step
+    return (gated_discharge(rc, stage + d, gate_open) - gated_discharge(rc, stage - d, gate_open)) / (2.0 * d)
+
+
+def gate_update(rc: RatingCurveParams, gate_open, cooldown, prev_time, current_stage, time):
+    """One gate-controller step (ref roseires:111-141): decrement cooldown by
+    elapsed time, then open/close on the hysteresis thresholds."""
+    elapsed = jnp.where(prev_time >= 0.0, time - prev_time, 0.0)
+    cooldown = jnp.maximum(0.0, cooldown - elapsed)
+    can_act = cooldown <= 0.0
+    want_open = (current_stage >= rc.pivot_stage + 0.5) & (gate_open < 0.5)
+    want_close = (current_stage <= rc.pivot_stage - 1.0) & (gate_open > 0.5)
+    do_open = can_act & want_open
+    do_close = can_act & want_close
+    gate_open = jnp.where(do_open, 1.0, jnp.where(do_close, 0.0, gate_open))
+    cooldown = jnp.where(do_open | do_close, rc.max_cooldown, cooldown)
+    return gate_open, cooldown, time
+
+
 def _quad(c, x):
     return (c[0] * x + c[1]) * x + c[2]
 
@@ -127,8 +196,9 @@ def discharge(rc: RatingCurveParams, stage):
         return a * x ** b
     if rc.kind == "blended_poly":
         alpha = _alpha_smooth(rc, stage)
-        low = _quad(rc.coeffs, stage)
-        high = _quad(rc.coeffs_high, stage)
+        ds = stage - rc.pivot_stage  # centered basis (see make_blended_poly)
+        low = _quad(rc.coeffs, ds)
+        high = _quad(rc.coeffs_high, ds)
         return (1.0 - alpha) * low + alpha * high
     if rc.kind == "table":
         return jnp.interp(stage, rc.table_stage, rc.table_q)

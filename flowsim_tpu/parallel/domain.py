@@ -283,6 +283,11 @@ def simulate_sharded(geo, us_bc, ds_bc, h0, Q0, settings: prs.PreissmannSettings
     N = geo.n_nodes
     if N % n_shards != 0:
         raise ValueError(f"n_nodes={N} not divisible by space shards {n_shards}")
+    if getattr(ds_bc.rating, "kind", None) == "gated_blend":
+        raise NotImplementedError(
+            "gated (non-smooth) rating curves are not yet supported with "
+            "domain decomposition; use the smooth blended curve"
+        )
 
     def shard_fn(geo_loc, h0_loc, Q0_loc, us, ds):
         axis = SPACE_AXIS
@@ -344,4 +349,5 @@ def simulate_sharded(geo, us_bc, ds_bc, h0, Q0, settings: prs.PreissmannSettings
         depth=depth, flow=flow,
         iterations=pad0(iters, 0), error=pad0(errs, 0.0),
         converged=pad0(conv, True), reservoir_stage=pad0(stages, jnp.nan),
+        gate_open=jnp.zeros_like(pad0(errs, 0.0)),
     )

@@ -31,8 +31,26 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _probe_tpu(timeout_s: int = 240) -> bool:
+    """Check the (tunneled) TPU answers a trivial op, in a subprocess so a
+    wedged tunnel cannot hang the benchmark itself."""
+    import subprocess
+
+    code = "import jax, jax.numpy as jnp; print(float(jnp.sum(jnp.ones(8))))"
+    try:
+        r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
+                           capture_output=True, text=True)
+        return r.returncode == 0 and "8.0" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     import jax
+
+    if os.environ.get("FLOWSIM_BENCH_CPU") == "1" or not _probe_tpu():
+        log("TPU unreachable (tunnel probe failed) — benchmarking on CPU")
+        jax.config.update("jax_platforms", "cpu")
 
     jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp

@@ -10,10 +10,18 @@ Usage: python scripts/bench_scaling.py [longreach|ensemble|ddscale|all]
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+if __name__ == "__main__" and (len(sys.argv) > 1 and sys.argv[1] in ("ddscale",)):
+    # dd scaling needs the virtual multi-device CPU mesh
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 
 def log(*a):

@@ -349,7 +349,15 @@ class PreissmannSolver(_SolverBase):
     _type = "preissmann"
 
     def __init__(self, channel, theta, time_step, spatial_step, simulation_time,
-                 fit_spatial_step=True, linear_solver="pcr", newton="while"):
+                 fit_spatial_step=True, linear_solver="pcr", newton="while",
+                 regularization=False):
+        if regularization:
+            raise NotImplementedError(
+                "regularization (wetting/drying) is a half-finished dead code "
+                "path in the reference (SURVEY.md §2.15: unreachable Jacobian "
+                "branches, broken A_reg call); all shipped cases run "
+                "regularization=False, which is the supported behavior here"
+            )
         super().__init__(channel, time_step, spatial_step, simulation_time, fit_spatial_step)
         self.theta = float(theta)
         self.linear_solver = linear_solver

@@ -261,4 +261,9 @@ def solve_block_tridiag(L, D, U, b, method: str = "pcr"):
         return block_thomas(L, D, U, b)
     elif method == "pcr":
         return block_pcr(L, D, U, b)
+    elif method == "pallas_pcr":
+        # single-VMEM-block TPU kernel (f32); result cast back to b's dtype
+        from flowsim_tpu.ops.pallas.pcr_kernel import pcr_pallas
+
+        return pcr_pallas(L, D, U, b).astype(b.dtype)
     raise ValueError(f"unknown method {method!r}")

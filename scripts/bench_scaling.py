@@ -162,6 +162,10 @@ def bench_ddscale():
 
 if __name__ == "__main__":
     what = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if "--cpu" in sys.argv or what == "ddscale":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     out = {}
     if what in ("longreach", "all"):
         out["longreach"] = bench_longreach()

@@ -283,12 +283,23 @@ def build_table_geometry(
     bed_slope = np.array([np.nan if st.bed_slope is None else st.bed_slope for st in node_sts])
     curvature = np.array([st.curvature for st in node_sts])
 
+    from flowsim_tpu import native
+
+    use_native = native.available()
+
     for i, st in enumerate(node_sts):
         depths = np.linspace(0.0, dmax[i], M)
+        if use_native:
+            # C rasterizer for the A/P/T sweep (the per-sample inner loop)
+            A[i], P[i], T[i] = native.polyline_tables(st.x, st.z, depths)
         for j, d in enumerate(depths):
             hw = st.z_min + d
-            a, p, r, t = polyline_properties(st.x, st.z, hw)
-            A[i, j], P[i, j], T[i, j] = a, p, t
+            if use_native:
+                a, p, t = A[i, j], P[i, j], T[i, j]
+                r = a / p if p > 0 else 0.0
+            else:
+                a, p, r, t = polyline_properties(st.x, st.z, hw)
+                A[i, j], P[i, j], T[i, j] = a, p, t
             if a > 0:
                 n_eq[i, j] = equivalent_n(st, hw)
                 K[i, j] = effective_conveyance(st, hw)

@@ -199,7 +199,11 @@ def discharge(rc: RatingCurveParams, stage):
         ds = stage - rc.pivot_stage  # centered basis (see make_blended_poly)
         low = _quad(rc.coeffs, ds)
         high = _quad(rc.coeffs_high, ds)
-        return (1.0 - alpha) * low + alpha * high
+        # low + a*(high-low), NOT (1-a)*low + a*high: the XLA TPU f64
+        # emulation computes the fused two-product form with ~5e-9 relative
+        # error (measured; enough to stall Newton at tol 1e-6), while the
+        # single-product delta form is exact to ~1e-12.  Same real algebra.
+        return low + alpha * (high - low)
     if rc.kind == "table":
         return jnp.interp(stage, rc.table_stage, rc.table_q)
     raise ValueError(f"unknown rating curve kind {rc.kind!r}")

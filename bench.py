@@ -31,25 +31,38 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def _probe_tpu(timeout_s: int = 240) -> bool:
-    """Check the (tunneled) TPU answers a trivial op, in a subprocess so a
-    wedged tunnel cannot hang the benchmark itself."""
+def main():
+    """Dispatch: try the TPU in a watchdogged subprocess (the tunneled device
+    can hang indefinitely on connect, and a separate probe would itself
+    consume the tunnel session), fall back to an in-process CPU run."""
     import subprocess
 
-    code = "import jax, jax.numpy as jnp; print(float(jnp.sum(jnp.ones(8))))"
+    if os.environ.get("FLOWSIM_BENCH_INNER") == "1":
+        return _run_benchmark(force_cpu=os.environ.get("FLOWSIM_BENCH_CPU") == "1")
+    if os.environ.get("FLOWSIM_BENCH_CPU") == "1":
+        return _run_benchmark(force_cpu=True)
+
+    env = dict(os.environ, FLOWSIM_BENCH_INNER="1")
     try:
-        r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
-                           capture_output=True, text=True)
-        return r.returncode == 0 and "8.0" in r.stdout
-    except subprocess.TimeoutExpired:
-        return False
+        r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                           timeout=int(os.environ.get("FLOWSIM_BENCH_TPU_TIMEOUT", "1500")),
+                           capture_output=True, text=True, env=env)
+        sys.stderr.write(r.stderr)
+        if r.returncode == 0 and '"metric"' in r.stdout:
+            sys.stdout.write(r.stdout)
+            return
+        log("TPU benchmark attempt failed — falling back to CPU")
+    except subprocess.TimeoutExpired as e:
+        if e.stderr:
+            sys.stderr.write(e.stderr.decode() if isinstance(e.stderr, bytes) else e.stderr)
+        log("TPU benchmark attempt timed out (wedged tunnel?) — falling back to CPU")
+    return _run_benchmark(force_cpu=True)
 
 
-def main():
+def _run_benchmark(force_cpu: bool = False):
     import jax
 
-    if os.environ.get("FLOWSIM_BENCH_CPU") == "1" or not _probe_tpu():
-        log("TPU unreachable (tunnel probe failed) — benchmarking on CPU")
+    if force_cpu:
         jax.config.update("jax_platforms", "cpu")
 
     jax.config.update("jax_enable_x64", True)
@@ -120,9 +133,8 @@ def main():
         log(f"TPU residual floor {floor:.2e} > tol at some levels; "
             f"max |depth - CPU f64| = {max_dd:.2e} m")
         if max_dd > 1e-3:
-            log("fields diverge from CPU f64 — falling back to CPU numbers")
-            os.environ["FLOWSIM_BENCH_CPU"] = "1"
-            os.execv(sys.executable, [sys.executable] + sys.argv)
+            log("fields diverge from CPU f64 — rejecting the TPU run")
+            sys.exit(3)  # outer dispatcher falls back to CPU
 
     baseline_path = os.path.join(os.path.dirname(__file__), "scripts", "reference_baseline.json")
     vs = None

@@ -241,13 +241,17 @@ def interpolate_stations(
     node_chainages: np.ndarray,
     coords: Optional[np.ndarray] = None,
     coords_chainages: Optional[np.ndarray] = None,
-    dtype=np.float64,
+    dtype=None,
 ) -> TrapezoidGeometry:
     """Build per-node geometry arrays by interpolating surveyed stations.
 
     Replicates ref channel.py:213-241 (node lookup, distance weights, clamping
     to end stations) and channel.py:243-277 (curvature assignment).
     """
+    if dtype is None:
+        from flowsim_tpu.config import default_dtype
+
+        dtype = default_dtype()
     chainages = np.asarray(chainages, dtype=float)
     node_chainages = np.asarray(node_chainages, dtype=float)
     if not np.all(np.diff(chainages) > 0):
@@ -311,7 +315,7 @@ def build_trapezoid_geometry(
     ds_z_bed: float,
     width: float,
     roughness: float,
-    dtype=np.float64,
+    dtype=None,
 ) -> TrapezoidGeometry:
     """Provisional prismatic rectangular reach (ref: channel.py:282-294).
 

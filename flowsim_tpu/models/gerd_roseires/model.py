@@ -37,6 +37,7 @@ def build(
     jammed_sluice_gates=settings.JAMMED_SLUICEGATES,
     gerd_level=settings.initial_gerd_level,
     with_gerd=True,
+    smooth=True,
     **solver_kw,
 ):
     """Construct the solver (ref model.py:33-87); returns (solver, channel)."""
@@ -78,6 +79,7 @@ def build(
             initial_flow=initial_flow,
             jammed_sluice_gates=jammed_sluice_gates,
             jammed_spillways=jammed_spillways,
+            smooth=smooth,
         ),
         chainage=roseires_ch,
     )

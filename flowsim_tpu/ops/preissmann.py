@@ -167,7 +167,6 @@ def assemble(geo, us_bc, ds_bc, settings: PreissmannSettings, prev: PrevLevel, h
     # -- regroup into 2x2 block-tridiagonal form ---------------------------
     dtype = h.dtype
     N = h.shape[0]
-    zc = jnp.zeros((N - 1,), dtype)
 
     # L[i], i>=1: row0 = dM[i-1]/dx_{i-1}; row1 = 0
     L = jnp.stack(

@@ -399,6 +399,13 @@ class PreissmannSolver(_SolverBase):
             raise ValueError(
                 f"Convergence within {int(out.iterations[bad])} iterations couldn't be achieved."
             )  # ref preissmann.py:126
+        if verbose >= 2:
+            # per-level iteration/error lines (ref preissmann.py:116-159),
+            # emitted post-hoc: logging inside the scan would force a host
+            # sync per level
+            from flowsim_tpu.utils.profiling import StepLogger
+
+            StepLogger(verbose=verbose).report(out)
         if verbose >= 1:
             print("Simulation completed successfully.")
         return out

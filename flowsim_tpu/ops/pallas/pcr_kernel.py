@@ -23,7 +23,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-MAX_VMEM_N = 32768  # 16 rows * 4 B * N * (couple of live copies) << 16 MB
+# Validated on hardware: N=8192 compiles and matches XLA PCR; N=32768 OOMs
+# scoped VMEM (the sweep keeps buf + two rolled copies + concat temporaries
+# live, ~30 MB at 32k).  Larger N needs a two-level (tiled) variant.
+MAX_VMEM_N = 8192
 
 
 def _sweeps(n: int) -> int:

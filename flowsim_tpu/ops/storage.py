@@ -117,6 +117,13 @@ def area_at(sp: StorageParams, stage):
     return sp.surface_area
 
 
+def dA_dY(sp: StorageParams, stage):
+    """d(area)/d(stage) from the tabulated gradient (ref :162-166)."""
+    if sp.has_area_curve:
+        return jnp.interp(stage, sp.area_stage, sp.area_gradient)
+    return jnp.zeros_like(stage)
+
+
 def net_vol_change(sp: StorageParams, Y1, Y2):
     """Volume between stages Y1 -> Y2 (ref :168-179)."""
     if sp.has_area_curve:

@@ -273,6 +273,52 @@ def _assemble_local(geo, us_bc, ds_bc, settings, prev_fields, h, Q, k,
     return L, D, U, b, err, res_stage
 
 
+def _local_time_scan(geo_loc, h0_loc, Q0_loc, us, ds, settings):
+    """Per-shard scan over time levels (runs inside shard_map; uses SPACE
+    collectives for halos, the SPIKE solve, and the global residual norm)."""
+    axis = SPACE_AXIS
+    nt = settings.n_time_levels
+    tol = settings.tolerance
+
+    def prev_fields_of(h, Q):
+        f, _ = _node_fields(geo_loc, h, Q)
+        return _extend(f, axis)
+
+    def newton(h, Q, k, res_stage_prev, prev_ext):
+        def one(h, Q):
+            L, D, U, b, err, res_stage = _assemble_local(
+                geo_loc, us, ds, settings, prev_ext, h, Q, k, res_stage_prev, axis
+            )
+            delta = _spike_solve(L, D, U, b, axis)
+            return h + delta[:, 0], Q + delta[:, 1], err, res_stage
+
+        def cond(c):
+            return (c[2] >= tol) & (c[3] < settings.max_iter)
+
+        def body(c):
+            h, Q, _, it, _ = c
+            h2, Q2, err, rs = one(h, Q)
+            return (h2, Q2, err, it + 1, rs)
+
+        h, Q, err, iters, rs = lax.while_loop(
+            cond, body,
+            (h, Q, jnp.asarray(jnp.inf, h.dtype), jnp.asarray(0), jnp.asarray(jnp.nan, h.dtype)),
+        )
+        return h, Q, err, iters, rs
+
+    def step(carry, k):
+        h, Q, rs_prev = carry
+        prev_ext = prev_fields_of(h, Q)
+        h2, Q2, err, iters, rs = newton(h, Q, k, rs_prev, prev_ext)
+        return (h2, Q2, rs), (h2, Q2, iters, err, err < tol, rs)
+
+    ks = jnp.arange(1, nt)
+    _, (hs, qs, iters, errs, conv, stages) = lax.scan(
+        step, (h0_loc, Q0_loc, jnp.asarray(jnp.nan, h0_loc.dtype)), ks
+    )
+    return hs, qs, iters, errs, conv, stages
+
+
 def simulate_sharded(geo, us_bc, ds_bc, h0, Q0, settings: prs.PreissmannSettings, mesh: Mesh):
     """Full Preissmann run with the node axis sharded over ``mesh['space']``.
 
@@ -290,47 +336,7 @@ def simulate_sharded(geo, us_bc, ds_bc, h0, Q0, settings: prs.PreissmannSettings
         )
 
     def shard_fn(geo_loc, h0_loc, Q0_loc, us, ds):
-        axis = SPACE_AXIS
-        nt = settings.n_time_levels
-        tol = settings.tolerance
-
-        def prev_fields_of(h, Q):
-            f, _ = _node_fields(geo_loc, h, Q)
-            return _extend(f, axis)
-
-        def newton(h, Q, k, res_stage_prev, prev_ext):
-            def one(h, Q):
-                L, D, U, b, err, res_stage = _assemble_local(
-                    geo_loc, us, ds, settings, prev_ext, h, Q, k, res_stage_prev, axis
-                )
-                delta = _spike_solve(L, D, U, b, axis)
-                return h + delta[:, 0], Q + delta[:, 1], err, res_stage
-
-            def cond(c):
-                return (c[2] >= tol) & (c[3] < settings.max_iter)
-
-            def body(c):
-                h, Q, _, it, _ = c
-                h2, Q2, err, rs = one(h, Q)
-                return (h2, Q2, err, it + 1, rs)
-
-            h, Q, err, iters, rs = lax.while_loop(
-                cond, body,
-                (h, Q, jnp.asarray(jnp.inf, h.dtype), jnp.asarray(0), jnp.asarray(jnp.nan, h.dtype)),
-            )
-            return h, Q, err, iters, rs
-
-        def step(carry, k):
-            h, Q, rs_prev = carry
-            prev_ext = prev_fields_of(h, Q)
-            h2, Q2, err, iters, rs = newton(h, Q, k, rs_prev, prev_ext)
-            return (h2, Q2, rs), (h2, Q2, iters, err, err < tol, rs)
-
-        ks = jnp.arange(1, nt)
-        _, (hs, qs, iters, errs, conv, stages) = lax.scan(
-            step, (h0_loc, Q0_loc, jnp.asarray(jnp.nan, h0_loc.dtype)), ks
-        )
-        return hs, qs, iters, errs, conv, stages
+        return _local_time_scan(geo_loc, h0_loc, Q0_loc, us, ds, settings)
 
     geo_specs = jax.tree_util.tree_map(lambda _: P(SPACE_AXIS), geo)
     bc_spec_us = jax.tree_util.tree_map(lambda _: P(), us_bc)
@@ -351,3 +357,128 @@ def simulate_sharded(geo, us_bc, ds_bc, h0, Q0, settings: prs.PreissmannSettings
         converged=pad0(conv, True), reservoir_stage=pad0(stages, jnp.nan),
         gate_open=jnp.zeros_like(pad0(errs, 0.0)),
     )
+
+
+def simulate_sharded_ensemble(geo_batch, us_bc, ds_bc, h0, Q0,
+                              settings: prs.PreissmannSettings, mesh: Mesh):
+    """Ensemble x space: scenario batch sharded over the ``ensemble`` axis,
+    each member domain-decomposed over the ``space`` axis (the full 2-D mesh
+    use of SURVEY.md §2.17 — DP and SP analogs composed).
+
+    ``geo_batch`` leaves and ``h0``/``Q0`` carry a leading batch dimension;
+    boundary params are shared across members.  Requires batch % ensemble
+    shards == 0 and n_nodes % space shards == 0.
+    """
+    from flowsim_tpu.parallel.mesh import ENSEMBLE_AXIS
+
+    E = mesh.shape[ENSEMBLE_AXIS]
+    S = mesh.shape[SPACE_AXIS]
+    B, N = h0.shape
+    if B % E != 0:
+        raise ValueError(f"batch={B} not divisible by ensemble shards {E}")
+    if N % S != 0:
+        raise ValueError(f"n_nodes={N} not divisible by space shards {S}")
+
+    from flowsim_tpu.parallel.mesh import ENSEMBLE_AXIS as EAX
+
+    def shard_fn(geo_loc, h0_loc, Q0_loc, us, ds):
+        return _local_time_scan_batched(geo_loc, h0_loc, Q0_loc, us, ds, settings)
+
+    def geo_spec(leaf):
+        extra = (None,) * (leaf.ndim - 2)  # e.g. TableGeometry [B, N, M]
+        return P(EAX, SPACE_AXIS, *extra)
+
+    geo_specs = jax.tree_util.tree_map(geo_spec, geo_batch)
+    bc_u = jax.tree_util.tree_map(lambda _: P(), us_bc)
+    bc_d = jax.tree_util.tree_map(lambda _: P(), ds_bc)
+    f = shard_map(
+        shard_fn, mesh,
+        in_specs=(geo_specs, P(EAX, SPACE_AXIS), P(EAX, SPACE_AXIS), bc_u, bc_d),
+        out_specs=(P(EAX, None, SPACE_AXIS), P(EAX, None, SPACE_AXIS),
+                   P(EAX, None), P(EAX, None), P(EAX, None), P(EAX, None)),
+    )
+    hs, qs, iters, errs, conv, stages = jax.jit(f)(geo_batch, h0, Q0, us_bc, ds_bc)
+
+    depth = jnp.concatenate([h0[:, None, :], hs], axis=1)
+    flow = jnp.concatenate([Q0[:, None, :], qs], axis=1)
+
+    def pad0(x, v):
+        lead = jnp.full((B, 1), v, dtype=x.dtype)
+        return jnp.concatenate([lead, x], axis=1)
+
+    return prs.SimOutput(
+        depth=depth, flow=flow,
+        iterations=pad0(iters, 0), error=pad0(errs, 0.0),
+        converged=pad0(conv, True), reservoir_stage=pad0(stages, jnp.nan),
+        gate_open=pad0(errs * 0, 0.0),
+    )
+
+
+def _local_time_scan_batched(geo_loc, h0_loc, Q0_loc, us, ds, settings):
+    """Batched variant of :func:`_local_time_scan` for the ensemble x space
+    mesh.
+
+    Every device of the mesh must execute the same number of collectives, but
+    Newton iteration counts differ between ensemble members; a per-row
+    while_loop would deadlock the space-axis ppermute/all_gather rendezvous.
+    The loop condition is therefore synchronized across the WHOLE mesh
+    (pmax over the ensemble axis of "any member still active") and converged
+    members mask their updates — numerically identical to per-member
+    convergence, with trip count = the slowest member's.
+    """
+    from flowsim_tpu.parallel.mesh import ENSEMBLE_AXIS
+
+    axis = SPACE_AXIS
+    nt = settings.n_time_levels
+    tol = settings.tolerance
+    Bloc = h0_loc.shape[0]
+
+    def prev_ext_of(h, Q):
+        def one(g, hh, qq):
+            f, _ = _node_fields(g, hh, qq)
+            return _extend(f, axis)
+
+        return jax.vmap(one)(geo_loc, h, Q)
+
+    def one_iter(g, prev_ext, h, Q, k, rs_prev):
+        L, D, U, b, err, rs = _assemble_local(g, us, ds, settings, prev_ext, h, Q, k, rs_prev, axis)
+        delta = _spike_solve(L, D, U, b, axis)
+        return h + delta[:, 0], Q + delta[:, 1], err, rs
+
+    def newton(h, Q, k, rs_prev, prev_ext):
+        def cond(c):
+            _, _, err, it, _ = c
+            any_active = jnp.any(err >= tol) | (it == 0)
+            return lax.pmax(any_active, ENSEMBLE_AXIS) & (it < settings.max_iter)
+
+        def body(c):
+            h, Q, err, it, rs = c
+            active = (err >= tol) | (it == 0)
+            h2, Q2, err2, rs2 = jax.vmap(one_iter, in_axes=(0, 0, 0, 0, None, 0))(
+                geo_loc, prev_ext, h, Q, k, rs_prev
+            )
+            h = jnp.where(active[:, None], h2, h)
+            Q = jnp.where(active[:, None], Q2, Q)
+            err = jnp.where(active, err2, err)
+            rs = jnp.where(active, rs2, rs)
+            return (h, Q, err, it + 1, rs)
+
+        err0 = jnp.full((Bloc,), jnp.inf, h.dtype)
+        h, Q, err, iters, rs = lax.while_loop(
+            cond, body, (h, Q, err0, jnp.asarray(0), jnp.full((Bloc,), jnp.nan, h.dtype))
+        )
+        return h, Q, err, iters, rs
+
+    def step(carry, k):
+        h, Q, rs_prev = carry
+        prev_ext = prev_ext_of(h, Q)
+        h2, Q2, err, iters, rs = newton(h, Q, k, rs_prev, prev_ext)
+        return (h2, Q2, rs), (h2, Q2, jnp.broadcast_to(iters, (Bloc,)), err, err < tol, rs)
+
+    ks = jnp.arange(1, nt)
+    _, (hs, qs, iters, errs, conv, stages) = lax.scan(
+        step, (h0_loc, Q0_loc, jnp.full((Bloc,), jnp.nan, h0_loc.dtype)), ks
+    )
+    # reorder to [Bloc, nt-1, ...]
+    return (jnp.moveaxis(hs, 1, 0), jnp.moveaxis(qs, 1, 0), jnp.moveaxis(iters, 1, 0),
+            jnp.moveaxis(errs, 1, 0), jnp.moveaxis(conv, 1, 0), jnp.moveaxis(stages, 1, 0))

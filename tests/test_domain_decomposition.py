@@ -88,3 +88,33 @@ def test_indivisible_raises():
     with pytest.raises(ValueError, match="divisible"):
         simulate_sharded(geo, solver.us_params, solver.ds_params,
                          solver.h0[:63], solver.Q0[:63], sset, mesh)
+
+
+def test_ensemble_times_space_mesh():
+    """Scenario batch on the ensemble axis x domain decomposition on the
+    space axis (full 2-D mesh) == serial per-member simulation."""
+    from flowsim_tpu.parallel.domain import simulate_sharded_ensemble
+    from flowsim_tpu.parallel.ensemble import roughness_ensemble
+
+    solver = build_case(n_nodes=64)
+    sset = solver.settings(tolerance=1e-9, max_iter=100)
+    geo = solver.channel.geometry
+    n_vals = np.array([0.024, 0.028, 0.032, 0.036])
+    geo_b = roughness_ensemble(geo, n_vals)
+    B = len(n_vals)
+    h0b = jnp.broadcast_to(solver.h0, (B,) + solver.h0.shape)
+    Q0b = jnp.broadcast_to(solver.Q0, (B,) + solver.Q0.shape)
+
+    mesh = make_mesh(n_ensemble=2, n_space=4)
+    out = simulate_sharded_ensemble(geo_b, solver.us_params, solver.ds_params,
+                                    h0b, Q0b, sset, mesh)
+    assert bool(np.asarray(out.converged).all())
+
+    import dataclasses
+    for j, n in enumerate(n_vals):
+        g = dataclasses.replace(geo, n_main=jnp.full_like(geo.n_main, n))
+        ref = prs.simulate(g, solver.us_params, solver.ds_params, solver.h0, solver.Q0, sset)
+        np.testing.assert_allclose(np.asarray(out.depth[j]), np.asarray(ref.depth),
+                                   rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(out.flow[j]), np.asarray(ref.flow),
+                                   rtol=1e-8, atol=1e-7)

@@ -82,6 +82,12 @@ def _run_benchmark(force_cpu: bool = False):
     with jax.default_device(cpu):
         solver, channel = model.build()
         sset = solver.settings(tolerance=settings.tolerance, max_iter=100)
+        if device.platform == "cpu":
+            # at N=121 the sequential block-Thomas scan beats log-depth PCR
+            # ~3x on CPU; on TPU the PCR's fused parallel sweeps win
+            import dataclasses
+
+            sset = dataclasses.replace(sset, linear_solver="thomas")
         geo = solver.channel.geometry
     args = jax.device_put(
         (geo, solver.us_params, solver.ds_params, solver.h0, solver.Q0), device

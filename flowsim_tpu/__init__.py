@@ -26,6 +26,7 @@ from flowsim_tpu.geometry import (
     trapezoid_station,
     interpolate_stations,
 )
+from flowsim_tpu.geometry_tables import IrregularStation, build_table_geometry
 try:  # high-level API (built after the core ops)
     from flowsim_tpu.api import (
         Boundary,

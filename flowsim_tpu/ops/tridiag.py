@@ -12,7 +12,10 @@ with 2x2 blocks, ``L_0 = U_{N-1} = 0``.  The reference factorizes the
 preissmann.py:146).  Here:
 
 * :func:`block_thomas` — sequential block LU via ``lax.scan`` (O(N) depth);
-  the correctness reference and the best choice for tiny N on CPU.
+  the correctness reference and the best choice for tiny N on CPU (~3x
+  faster than PCR at N=121).  CPU-only in practice: the nested
+  scan-in-while-in-scan variant reproducibly crashes the TPU worker
+  (observed on v5e, jax 0.9) — use PCR on TPU.
 * :func:`block_pcr` — parallel cyclic reduction: ceil(log2 N) sweeps of
   elementwise 2x2 algebra over all nodes, each a fused VPU pass.  O(log N)
   depth, the TPU default, identical results to ~1e-12.

@@ -264,6 +264,14 @@ def solve_block_tridiag(L, D, U, b, method: str = "pcr"):
         return block_thomas(L, D, U, b)
     elif method == "pcr":
         return block_pcr(L, D, U, b)
+    elif method == "pcr_f32":
+        # inexact-Newton inner solve: the increment only needs a few correct
+        # digits for Newton to keep its convergence behavior (measured on the
+        # flagship: identical 4803 iterations at tol 1e-6 on the f64
+        # residual), and f32 PCR is much cheaper than emulated-f64 on TPU.
+        x = block_pcr(L.astype(jnp.float32), D.astype(jnp.float32),
+                      U.astype(jnp.float32), b.astype(jnp.float32))
+        return x.astype(b.dtype)
     elif method == "pallas_pcr":
         # single-VMEM-block TPU kernel (f32); result cast back to b's dtype
         from flowsim_tpu.ops.pallas.pcr_kernel import pcr_pallas

@@ -127,3 +127,13 @@ def test_factor_apply_multi_rhs(rng):
         np.testing.assert_allclose(
             np.asarray(X[..., m]), dense_solution(L, D, U, B[..., m]), rtol=1e-9, atol=1e-10
         )
+
+
+def test_pcr_f32_inexact_newton_converges():
+    """The f32 inner solve keeps the f64 Newton's convergence behavior."""
+    from tests.test_preissmann_parity import run_ours_akbari
+
+    a = run_ours_akbari(1e-8)
+    b = run_ours_akbari(1e-8, linear_solver="pcr_f32")
+    np.testing.assert_array_equal(np.asarray(a.output.iterations), np.asarray(b.output.iterations))
+    np.testing.assert_allclose(a.depth, b.depth, rtol=1e-7, atol=1e-8)

@@ -257,7 +257,11 @@ class Channel:
                 coords_chainages=self.coords_chainages,
                 dtype=dtype,
             )
-        elif kinds == {"IrregularStation"}:
+        else:
+            # irregular-only or mixed trapezoid/irregular lists both lower to
+            # per-node lookup tables: trapezoid-bracketed nodes sample the
+            # analytic closures, pairs involving an irregular station blend on
+            # the union x grid (ref cross_section.py:852-968)
             stations = list(self.input_stations)
             if self.coords is not None and self.coords_chainages is not None:
                 curv = geom.planform_curvature(self.xs_chainages, self.coords_chainages, self.coords)
@@ -265,11 +269,6 @@ class Channel:
                     stations[i].curvature = float(curv[i])
             self.geometry = build_table_geometry(
                 stations, self.xs_chainages, self.ch_at_node, dtype=np.dtype(dtype)
-            )
-        else:
-            raise NotImplementedError(
-                "mixed trapezoid/irregular station lists are not supported "
-                "(the reference's blend is ill-defined for unbounded sections)"
             )
         return self.geometry
 
@@ -369,7 +368,7 @@ class PreissmannSolver(_SolverBase):
         self.us_params = channel.upstream_boundary.build(times, geo.z_bed[0], geo.bed_slope[0])
         self.ds_params = channel.downstream_boundary.build(times, geo.z_bed[-1], geo.bed_slope[-1])
 
-    def settings(self, tolerance, max_iter) -> prs.PreissmannSettings:
+    def settings(self, tolerance, max_iter, diagnos=False) -> prs.PreissmannSettings:
         return prs.PreissmannSettings(
             theta=self.theta,
             time_step=self.time_step,
@@ -379,23 +378,37 @@ class PreissmannSolver(_SolverBase):
             max_iter=int(max_iter),
             linear_solver=self.linear_solver,
             newton=self.newton,
+            diagnos=bool(diagnos),
         )
+
+    RCOND_THRESHOLD = 1e-12  # ref preissmann.py:142
 
     def run(self, tolerance=1e-4, verbose=1, max_iter=100, diagnos=False):
         out = prs.simulate(
             self.channel.geometry, self.us_params, self.ds_params,
-            self.h0, self.Q0, self.settings(tolerance, max_iter),
+            self.h0, self.Q0, self.settings(tolerance, max_iter, diagnos=diagnos),
         )
         out = jax.tree_util.tree_map(np.asarray, out)
         self.output = out
         self.depth = out.depth
         self.flow = out.flow
         self.total_sim_duration = (self.number_of_time_levels - 1) * self.time_step
+        if diagnos:
+            # ref preissmann.py:133-144: NaN and ill-conditioning checks run
+            # inside each iteration and raise regardless of later convergence
+            if np.isnan(out.error).any() or np.isnan(out.depth).any():
+                bad = int(np.argmax(np.isnan(out.error) | np.isnan(out.depth).any(axis=1)))
+                self.check_criticality(level=bad)
+                raise ValueError("NaN in system assembly")  # ref preissmann.py:137
+            if (out.rcond < self.RCOND_THRESHOLD).any():
+                bad = int(np.argmax(out.rcond < self.RCOND_THRESHOLD))
+                self.check_criticality(level=bad)
+                raise ValueError(
+                    "Jacobian is ill-conditioned (rcond too small)"
+                )  # ref preissmann.py:143
         if not bool(out.converged.all()):
             bad = int(np.argmin(out.converged))
             self.check_criticality(level=bad)  # ref preissmann.py:124-125
-            if diagnos and (np.isnan(out.error[bad]) or np.isnan(out.depth[bad]).any()):
-                raise ValueError("NaN in system assembly")  # ref preissmann.py:137
             raise ValueError(
                 f"Convergence within {int(out.iterations[bad])} iterations couldn't be achieved."
             )  # ref preissmann.py:126

@@ -52,7 +52,9 @@ class IrregularStation:
         z = np.ascontiguousarray(self.z, dtype=float)
         if x.shape != z.shape or x.ndim != 1:
             raise ValueError("x and z must be equal-shape 1-D arrays")
-        order = np.argsort(x)
+        # stable sort: vertical walls are expressed as duplicate x values whose
+        # relative order is meaningful (rasterized trapezoid sections)
+        order = np.argsort(x, kind="stable")
         self.x, self.z = x[order], z[order]
         self.n_left = self.n_main if self.n_left is None else self.n_left
         self.n_right = self.n_main if self.n_right is None else self.n_right
@@ -198,27 +200,175 @@ def effective_conveyance(st: IrregularStation, hw):
 
 
 # ---------------------------------------------------------------------------
+# Trapezoid stations as lateral profiles (mixed-pair interpolation support)
+# ---------------------------------------------------------------------------
+
+
+def trapezoid_z_profile(st, xq, z_cap=np.inf):
+    """Bed elevation of a :class:`~flowsim_tpu.geometry.TrapezoidStation` at
+    lateral coordinates ``xq``, centered on the main channel.
+
+    Vectorized replication of the reference's ``TrapezoidalSection.z_at``
+    (ref cross_section.py:795-846).  The reference returns ``inf`` on vertical
+    walls (rectangles; zero-slope outer floodplain walls) which poisons a
+    blended polyline with inf/NaN; ``z_cap`` substitutes a finite wall height
+    instead (deliberate hardening — pass ``np.inf`` for literal parity).
+    """
+    xq = np.asarray(xq, dtype=float)
+    compound = st.h_bank is not None
+    b2 = st.b_main / 2.0
+
+    def wall(dist, m):
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = np.where(m > 0.0, st.z_bed + dist / max(m, 1e-300), z_cap)
+        return np.minimum(z, z_cap)
+
+    if not compound:
+        if st.m_main == 0.0:  # rectangle: vertical walls (ref :799-803)
+            return np.where((xq > -b2) & (xq < b2), st.z_bed, z_cap)
+        inside = (xq >= -b2) & (xq <= b2)
+        return np.where(inside, st.z_bed, wall(np.abs(xq) - b2, st.m_main))
+
+    z_bank = st.z_bed + st.h_bank
+    T_bank = st.b_main + 2.0 * st.m_main * st.h_bank
+    lfl, rfl = -T_bank / 2.0, T_bank / 2.0
+
+    z = np.full_like(xq, z_bank, dtype=float)
+    in_main = (xq >= lfl) & (xq <= rfl)
+    z = np.where(in_main & (np.abs(xq) <= b2), st.z_bed, z)
+    bank = in_main & (np.abs(xq) > b2)
+    z = np.where(bank, wall(np.abs(xq) - b2, st.m_main), z)
+
+    def fp_wall(dist):
+        if st.m_fp > 0.0:
+            return np.minimum(z_bank + dist / st.m_fp, z_cap)
+        return np.full_like(dist, z_cap)
+
+    left_out = xq < lfl - st.b_fp_left
+    right_out = xq > rfl + st.b_fp_right
+    z = np.where(left_out, fp_wall((lfl - st.b_fp_left) - xq), z)
+    z = np.where(right_out, fp_wall(xq - (rfl + st.b_fp_right)), z)
+    return z
+
+
+def trapezoid_as_irregular(st, depth_cap: float) -> IrregularStation:
+    """Exact breakpoint polyline of a trapezoid station up to ``depth_cap``.
+
+    The polyline reproduces the trapezoid's A(h)/T(h) exactly for
+    h <= depth_cap (piecewise-linear geometry); vertical walls become
+    duplicate-x points.  Composite-roughness limits follow the reference
+    (compound: +-T_bank/2, ref cross_section.py:594-595; simple: +-inf,
+    ref :608-609).
+    """
+    compound = st.h_bank is not None
+    b2 = st.b_main / 2.0
+    if compound:
+        depth_cap = max(depth_cap, st.h_bank * 1.5)
+    z_top = st.z_bed + depth_cap
+
+    if not compound:
+        dx_wall = st.m_main * depth_cap
+        x = np.array([-(b2 + dx_wall), -b2, b2, b2 + dx_wall])
+        z = np.array([z_top, st.z_bed, st.z_bed, z_top])
+        lfl, rfl = -np.inf, np.inf
+    else:
+        z_bank = st.z_bed + st.h_bank
+        T_bank = st.b_main + 2.0 * st.m_main * st.h_bank
+        lfl, rfl = -T_bank / 2.0, T_bank / 2.0
+        d_fp = depth_cap - st.h_bank
+        dx_fp_wall = st.m_fp * d_fp
+        x = np.array([
+            lfl - st.b_fp_left - dx_fp_wall, lfl - st.b_fp_left,
+            lfl, -b2, b2, rfl,
+            rfl + st.b_fp_right, rfl + st.b_fp_right + dx_fp_wall,
+        ])
+        z = np.array([z_top, z_bank, z_bank, st.z_bed, st.z_bed, z_bank,
+                      z_bank, z_top])
+    return IrregularStation(
+        x=x, z=z, n_main=st.n_main, n_left=st.n_left, n_right=st.n_right,
+        left_fp_limit=lfl, right_fp_limit=rfl,
+        bed_slope=st.bed_slope, curvature=st.curvature,
+    )
+
+
+def _profile_of(st, x_master, z_cap):
+    if isinstance(st, IrregularStation):
+        return st.z_at(x_master)
+    return trapezoid_z_profile(st, x_master, z_cap=z_cap)
+
+
+def _fp_limits_of(st):
+    if isinstance(st, IrregularStation):
+        return st.left_fp_limit, st.right_fp_limit
+    compound = st.h_bank is not None
+    if compound:
+        T_bank = st.b_main + 2.0 * st.m_main * st.h_bank
+        return -T_bank / 2.0, T_bank / 2.0  # ref cross_section.py:594-595
+    return -np.inf, np.inf                  # ref cross_section.py:608-609
+
+
+# ---------------------------------------------------------------------------
 # Station interpolation (union-x blend; ref :933-968)
 # ---------------------------------------------------------------------------
 
 
-def blend_stations(s1: IrregularStation, s2: IrregularStation, w1: float, w2: float) -> IrregularStation:
-    x_master = np.union1d(s1.x, s2.x)
-    z_new = s1.z_at(x_master) * w1 + s2.z_at(x_master) * w2
+def blend_stations(s1, s2, w1: float, w2: float) -> IrregularStation:
+    """Distance-weighted blend of two stations onto the union x grid
+    (ref cross_section.py:933-968).  Either station may be a
+    :class:`~flowsim_tpu.geometry.TrapezoidStation`; its lateral profile is
+    evaluated analytically (ref's mixed-pair path calls the trapezoid's
+    ``z_at`` on the irregular partner's grid)."""
+    from flowsim_tpu.geometry import TrapezoidStation
+
+    if isinstance(s1, TrapezoidStation) and isinstance(s2, TrapezoidStation):
+        raise TypeError("trapezoid x trapezoid pairs blend analytically; "
+                        "use geometry._blend_station")
+
+    xs = [s.x for s in (s1, s2) if isinstance(s, IrregularStation)]
+    x_master = xs[0] if len(xs) == 1 else np.union1d(*xs)
+
+    # finite wall height for the reference's inf walls: far above any
+    # water level the tables can ever see
+    z_fin = np.concatenate([s.z for s in (s1, s2) if isinstance(s, IrregularStation)])
+    relief = float(z_fin.max() - z_fin.min()) if z_fin.size else 1.0
+    z_cap = float(z_fin.max()) + 10.0 * (relief + 1.0)
+
+    z_new = _profile_of(s1, x_master, z_cap) * w1 + _profile_of(s2, x_master, z_cap) * w2
     if s1.bed_slope is None or s2.bed_slope is None:
         bed_slope = None
     else:
         bed_slope = s1.bed_slope * w1 + s2.bed_slope * w2
+    l1, r1 = _fp_limits_of(s1)
+    l2, r2 = _fp_limits_of(s2)
     return IrregularStation(
         x=x_master, z=z_new,
         n_main=s1.n_main * w1 + s2.n_main * w2,
         n_left=s1.n_left * w1 + s2.n_left * w2,
         n_right=s1.n_right * w1 + s2.n_right * w2,
-        left_fp_limit=s1.left_fp_limit * w1 + s2.left_fp_limit * w2,
-        right_fp_limit=s1.right_fp_limit * w1 + s2.right_fp_limit * w2,
+        left_fp_limit=l1 * w1 + l2 * w2,
+        right_fp_limit=r1 * w1 + r2 * w2,
         bed_slope=bed_slope,
         curvature=s1.curvature * w1 + s2.curvature * w2,
     )
+
+
+def _blend_any(a, b, w1, w2):
+    """Blend two stations of any type (ref interpolate_cross_section
+    dispatch, cross_section.py:898-968): trapezoid x trapezoid stays
+    analytic-trapezoid; any pair involving an irregular becomes irregular."""
+    from flowsim_tpu import geometry as geom
+
+    if isinstance(a, geom.TrapezoidStation) and isinstance(b, geom.TrapezoidStation):
+        d = geom._blend_station(geom._station_to_arrays(a), geom._station_to_arrays(b), w1, w2)
+        return geom.TrapezoidStation(
+            z_bed=d["z_bed"], b_main=d["b_main"], m_main=d["m_main"],
+            n_main=d["n_main"], h_bank=d["h_bank"] if d["compound"] else None,
+            b_fp_left=d["b_fp_left"], b_fp_right=d["b_fp_right"], m_fp=d["m_fp"],
+            n_left=d["n_left"], n_right=d["n_right"],
+            bed_slope=None if np.isnan(d["bed_slope"]) else d["bed_slope"],
+            curvature=d["curvature"],
+        )
+    return blend_stations(a, b, w1, w2)
 
 
 def stations_at_nodes(stations, chainages, node_chainages):
@@ -238,13 +388,34 @@ def stations_at_nodes(stations, chainages, node_chainages):
             elif d2 < 1e-9:
                 out.append(stations[j + 1])
             else:
-                out.append(blend_stations(stations[j], stations[j + 1], d2 / tot, d1 / tot))
+                out.append(_blend_any(stations[j], stations[j + 1], d2 / tot, d1 / tot))
     return out
 
 
 # ---------------------------------------------------------------------------
 # Rasterization -> TableGeometry
 # ---------------------------------------------------------------------------
+
+
+def _trapezoid_station_tables(st, depths):
+    """Table rows for a trapezoid station from the analytic closures of
+    :mod:`flowsim_tpu.ops.sections` (exact parity with the reference's
+    ``TrapezoidalSection``, compound quirks included)."""
+    from flowsim_tpu import geometry as geom
+    from flowsim_tpu.ops import sections as sec
+
+    arrs = geom._station_to_arrays(st)
+    M = len(depths)
+    fields = {}
+    for k, v in arrs.items():
+        if k == "compound":
+            fields[k] = jnp.full((M,), bool(v))
+        else:
+            fields[k] = jnp.full((M,), float(v))
+    g = geom.TrapezoidGeometry(**fields)
+    s = sec.section_state(g, jnp.asarray(depths))
+    return (np.asarray(s.A), np.asarray(s.P), np.asarray(s.T), np.asarray(s.K),
+            np.asarray(s.n_eq), np.asarray(s.dK_dA), np.asarray(s.dR_dA))
 
 
 def build_table_geometry(
@@ -260,17 +431,38 @@ def build_table_geometry(
 
     ``depth_max``: table span per node (scalar or [N]); defaults to the
     polyline relief (z.max - z.min) plus 25% freeboard.
+
+    Mixed station lists are supported (ref cross_section.py:852-968): nodes
+    whose bracketing stations are both trapezoids keep the analytic trapezoid
+    closures (sampled into tables, including the reference's compound-section
+    quirks); nodes involving an irregular station use the union-grid polyline
+    blend.  ``depth_max`` for a pure-trapezoid node defaults to the largest
+    irregular relief in the list.
     """
+    from flowsim_tpu.geometry import TrapezoidStation
+
     node_sts = stations_at_nodes(stations, chainages, node_chainages)
     N = len(node_sts)
     M = samples
 
-    dmax = np.empty(N)
+    dmax = np.full(N, np.nan)
     for i, st in enumerate(node_sts):
-        if depth_max is None:
-            dmax[i] = (st.z.max() - st.z.min()) * 1.25
-        else:
+        if depth_max is not None:
             dmax[i] = depth_max if np.isscalar(depth_max) else depth_max[i]
+        elif isinstance(st, IrregularStation):
+            dmax[i] = (st.z.max() - st.z.min()) * 1.25
+    if np.isnan(dmax).any():
+        fallback = np.nanmax(dmax) if np.isfinite(dmax).any() else None
+        for i, st in enumerate(node_sts):
+            if np.isnan(dmax[i]):
+                if fallback is None:
+                    raise ValueError(
+                        "depth_max is required for a pure-trapezoid station list"
+                    )
+                d = fallback
+                if isinstance(st, TrapezoidStation) and st.h_bank is not None:
+                    d = max(d, st.h_bank * 1.5)
+                dmax[i] = d
 
     A = np.zeros((N, M))
     P = np.zeros((N, M))
@@ -279,7 +471,9 @@ def build_table_geometry(
     n_eq = np.zeros((N, M))
     dK_dA = np.zeros((N, M))
     dR_dA = np.zeros((N, M))
-    z_bed = np.array([st.z_min for st in node_sts])
+    z_bed = np.array([
+        st.z_bed if isinstance(st, TrapezoidStation) else st.z_min for st in node_sts
+    ])
     bed_slope = np.array([np.nan if st.bed_slope is None else st.bed_slope for st in node_sts])
     curvature = np.array([st.curvature for st in node_sts])
 
@@ -289,6 +483,10 @@ def build_table_geometry(
 
     for i, st in enumerate(node_sts):
         depths = np.linspace(0.0, dmax[i], M)
+        if isinstance(st, TrapezoidStation):
+            (A[i], P[i], T[i], K[i], n_eq[i], dK_dA[i], dR_dA[i]) = \
+                _trapezoid_station_tables(st, depths)
+            continue
         if use_native:
             # C rasterizer for the A/P/T sweep (the per-sample inner loop)
             A[i], P[i], T[i] = native.polyline_tables(st.x, st.z, depths)

@@ -53,6 +53,10 @@ class PreissmannSettings:
     linear_solver: str = field(default="pcr", metadata=dict(static=True))
     newton: str = field(default="while", metadata=dict(static=True))  # 'while' | 'fixed'
     gate_initially_open: bool = field(default=False, metadata=dict(static=True))
+    # diagnos=True mirrors the reference's per-iteration ill-conditioning
+    # check (ref preissmann.py:133-144): an in-graph PCR-pivot rcond proxy is
+    # tracked per level and surfaced as SimOutput.rcond.
+    diagnos: bool = field(default=False, metadata=dict(static=True))
 
 
 class PrevLevel(NamedTuple):
@@ -73,6 +77,7 @@ class SimOutput(NamedTuple):
     converged: jnp.ndarray    # [nt] bool
     reservoir_stage: jnp.ndarray  # [nt] NaN unless downstream storage BC
     gate_open: jnp.ndarray    # [nt] gate flag (gated_blend downstream curve)
+    rcond: Optional[jnp.ndarray] = None  # [nt] min pivot-rcond proxy (diagnos)
 
 
 def _node_section(st: sec.SectionState, i) -> bnd.NodeSection:
@@ -202,50 +207,83 @@ def assemble(geo, us_bc, ds_bc, settings: PreissmannSettings, prev: PrevLevel, h
     return L, D, U, b, err, reservoir_stage
 
 
+def _solve_with_diag(L, D, U, b, settings):
+    """Newton increment + (when ``settings.diagnos``) an rcond proxy.
+
+    With diagnos off, rcond is a constant 1.0 and costs nothing.  With it on,
+    the pcr paths reuse their own final pivots; other solvers run an extra
+    diagnostic PCR pass — mirroring the reference, whose diagnos mode also
+    pays an extra factorization (``splu`` purely for rcond, ref
+    preissmann.py:139-141).
+    """
+    method = settings.linear_solver
+    if not settings.diagnos:
+        delta = tridiag.solve_block_tridiag(L, D, U, b, method=method)
+        return delta, jnp.asarray(1.0, b.dtype)
+    if method == "pcr":
+        delta, rc = tridiag.block_pcr_diag(L, D, U, b)
+    elif method == "pcr_f32":
+        f32 = jnp.float32
+        x, rc = tridiag.block_pcr_diag(L.astype(f32), D.astype(f32),
+                                       U.astype(f32), b.astype(f32))
+        delta = x.astype(b.dtype)
+    else:
+        delta = tridiag.solve_block_tridiag(L, D, U, b, method=method)
+        _, rc = tridiag.block_pcr_diag(L, D, U, b)
+    return delta, rc.astype(b.dtype)
+
+
 def newton_solve(geo, us_bc, ds_bc, settings, prev: PrevLevel, h, Q, k, reservoir_stage_prev, bc_state=None):
-    """One time level: Newton-iterate to tolerance (ref :101-163 inner loop)."""
+    """One time level: Newton-iterate to tolerance (ref :101-163 inner loop).
+
+    Returns ``(h, Q, err, iters, reservoir_stage, rcond)`` where rcond is the
+    minimum pivot-rcond proxy across the level's iterations (1.0 when
+    ``settings.diagnos`` is off).
+    """
     tol = settings.tolerance
 
     def one_iteration(h, Q):
         L, D, U, b, err, res_stage = assemble(
             geo, us_bc, ds_bc, settings, prev, h, Q, k, reservoir_stage_prev, bc_state
         )
-        delta = tridiag.solve_block_tridiag(L, D, U, b, method=settings.linear_solver)
-        return h + delta[:, 0], Q + delta[:, 1], err, res_stage
+        delta, rc = _solve_with_diag(L, D, U, b, settings)
+        return h + delta[:, 0], Q + delta[:, 1], err, res_stage, rc
 
     nan = jnp.asarray(jnp.nan, dtype=h.dtype)
+    one = jnp.asarray(1.0, dtype=h.dtype)
 
     if settings.newton == "while":
         def cond(c):
-            _, _, err, it, _ = c
+            _, _, err, it, _, _ = c
             return (err >= tol) & (it < settings.max_iter)
 
         def body(c):
-            h, Q, _, it, _ = c
-            h2, Q2, err, res_stage = one_iteration(h, Q)
-            return (h2, Q2, err, it + 1, res_stage)
+            h, Q, _, it, _, rc_min = c
+            h2, Q2, err, res_stage, rc = one_iteration(h, Q)
+            return (h2, Q2, err, it + 1, res_stage, jnp.minimum(rc_min, rc))
 
-        h, Q, err, iters, res_stage = jax.lax.while_loop(
-            cond, body, (h, Q, jnp.asarray(jnp.inf, h.dtype), jnp.asarray(0), nan)
+        h, Q, err, iters, res_stage, rcond = jax.lax.while_loop(
+            cond, body, (h, Q, jnp.asarray(jnp.inf, h.dtype), jnp.asarray(0), nan, one)
         )
     else:  # fixed-length masked Newton: reverse-mode differentiable
         def body(c, _):
-            h, Q, err, it, res_stage = c
+            h, Q, err, it, res_stage, rc_min = c
             active = err >= tol
-            h2, Q2, err2, res2 = one_iteration(h, Q)
+            h2, Q2, err2, res2, rc = one_iteration(h, Q)
             h = jnp.where(active, h2, h)
             Q = jnp.where(active, Q2, Q)
             err = jnp.where(active, err2, err)
             res_stage = jnp.where(active, res2, res_stage)
+            rc_min = jnp.where(active, jnp.minimum(rc_min, rc), rc_min)
             it = it + active.astype(it.dtype)
-            return (h, Q, err, it, res_stage), None
+            return (h, Q, err, it, res_stage, rc_min), None
 
-        (h, Q, err, iters, res_stage), _ = jax.lax.scan(
-            body, (h, Q, jnp.asarray(jnp.inf, h.dtype), jnp.asarray(0), nan),
+        (h, Q, err, iters, res_stage, rcond), _ = jax.lax.scan(
+            body, (h, Q, jnp.asarray(jnp.inf, h.dtype), jnp.asarray(0), nan, one),
             None, length=settings.max_iter,
         )
 
-    return h, Q, err, iters, res_stage
+    return h, Q, err, iters, res_stage, rcond
 
 
 @partial(jax.jit, static_argnames=("settings",))
@@ -260,7 +298,7 @@ def simulate(geo, us_bc, ds_bc, h0, Q0, settings: PreissmannSettings) -> SimOutp
         # per-level gate-controller update (no-op unless gated_blend ds curve)
         bc_state = bnd.update_gate_level_start(ds_bc, bc_state, k.astype(h_prev.dtype) * settings.time_step)
         prev = prev_level_state(geo, h_prev, Q_prev)
-        h, Q, err, iters, res_stage = newton_solve(
+        h, Q, err, iters, res_stage, rcond = newton_solve(
             geo, us_bc, ds_bc, settings, prev, h_prev, Q_prev, k,
             bc_state.reservoir_stage, bc_state,
         )
@@ -268,13 +306,13 @@ def simulate(geo, us_bc, ds_bc, h0, Q0, settings: PreissmannSettings) -> SimOutp
             reservoir_stage=res_stage,
             gate_stage=ds_bed + h[-1],
         )
-        out = (h, Q, iters, err, err < settings.tolerance, res_stage, bc_state.gate_open)
+        out = (h, Q, iters, err, err < settings.tolerance, res_stage, bc_state.gate_open, rcond)
         return (h, Q, bc_state), out
 
     ks = jnp.arange(1, nt)
     gate_open0 = 1.0 if settings.gate_initially_open else 0.0
     bc_state0 = bnd.initial_bc_state(h0.dtype, gate_open=gate_open0, gate_stage=ds_bed + h0[-1])
-    (_, _, _), (hs, qs, iters, errs, conv, stages, gates) = jax.lax.scan(
+    (_, _, _), (hs, qs, iters, errs, conv, stages, gates, rconds) = jax.lax.scan(
         step, (h0, Q0, bc_state0), ks
     )
 
@@ -289,14 +327,33 @@ def simulate(geo, us_bc, ds_bc, h0, Q0, settings: PreissmannSettings) -> SimOutp
         converged=pad0(conv, True),
         reservoir_stage=pad0(stages, jnp.nan),
         gate_open=pad0(gates, gate_open0),
+        rcond=pad0(rconds, 1.0),
     )
 
 
 def single_step(geo, us_bc, ds_bc, h, Q, k, reservoir_stage_prev, settings: PreissmannSettings, bc_state=None):
-    """Advance one time level (used by benchmarks and __graft_entry__)."""
+    """Advance one time level (benchmarks, __graft_entry__, checkpoint/resume).
+
+    Performs the full per-level semantics of :func:`simulate`'s scan body —
+    gate-controller update at level start, Newton solve, and the BCState
+    carry update — so chunked runs (utils/checkpoint.py) match ``simulate``
+    bitwise, including the gated_blend hysteresis state.
+
+    Returns ``(h, Q, err, iters, bc_state)``.
+    """
     if bc_state is None:
-        bc_state = bnd.initial_bc_state(h.dtype, gate_stage=ds_bc.bed_level + h[-1])
+        gate_open0 = 1.0 if settings.gate_initially_open else 0.0
+        bc_state = bnd.initial_bc_state(h.dtype, gate_open=gate_open0,
+                                        gate_stage=ds_bc.bed_level + h[-1])
         bc_state = bc_state._replace(reservoir_stage=jnp.asarray(reservoir_stage_prev, h.dtype))
+    k = jnp.asarray(k)
+    bc_state = bnd.update_gate_level_start(ds_bc, bc_state, k.astype(h.dtype) * settings.time_step)
     prev = prev_level_state(geo, h, Q)
-    return newton_solve(geo, us_bc, ds_bc, settings, prev, h, Q, k,
-                        bc_state.reservoir_stage, bc_state)
+    h2, Q2, err, iters, res_stage, _ = newton_solve(
+        geo, us_bc, ds_bc, settings, prev, h, Q, k, bc_state.reservoir_stage, bc_state
+    )
+    bc_state = bc_state._replace(
+        reservoir_stage=res_stage,
+        gate_stage=ds_bc.bed_level + h2[-1],
+    )
+    return h2, Q2, err, iters, bc_state

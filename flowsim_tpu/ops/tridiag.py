@@ -21,9 +21,11 @@ preissmann.py:146).  Here:
   depth, the TPU default, identical results to ~1e-12.
 
 Both are batch-friendly (leading batch dims broadcast) and differentiable.
-All 2x2 inverses are closed form; a tiny-pivot guard keeps them finite so a
-singular system yields large-but-finite deltas (Newton diagnostics catch it,
-mirroring the reference's rcond check, ref preissmann.py:139-144).
+All 2x2 inverses are closed form; the PCR paths apply a tiny-pivot guard by
+default (:data:`PIVOT_EPS`) so a singular system yields large-but-finite
+deltas instead of inf/NaN; :func:`block_pcr_diag` additionally returns an
+in-graph reciprocal-condition proxy mirroring the reference's ``diagnos``
+rcond check (ref preissmann.py:139-144).
 """
 
 from __future__ import annotations
@@ -32,6 +34,16 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+
+# Default tiny-pivot guard for the closed-form 2x2 inverses.  Healthy pivot
+# determinants in this application are O(1) and the guard only replaces a
+# determinant whose magnitude is <= eps, so results on well-conditioned
+# systems are bitwise unchanged; a singular pivot gives a finite delta.
+PIVOT_EPS = {jnp.dtype(jnp.float32): 1e-30, jnp.dtype(jnp.float64): 1e-250}
+
+
+def _default_eps(dtype) -> float:
+    return PIVOT_EPS.get(jnp.dtype(dtype), 1e-30)
 
 
 def _inv2(M, eps=0.0):
@@ -186,7 +198,7 @@ def _shift(arr, s, node_axis):
         return padded[tuple(sl)]
 
 
-def block_pcr(L, D, U, b, pivot_eps: float = 0.0):
+def _pcr_core(L, D, U, b, pivot_eps: float | None = None):
     """Parallel cyclic reduction over 2x2 blocks.
 
     Each sweep eliminates the couplings at the current stride: with
@@ -202,7 +214,12 @@ def block_pcr(L, D, U, b, pivot_eps: float = 0.0):
     Complexity: O(N log N) work but O(log N) depth — each sweep is one fused
     elementwise pass, which is how a TPU wants to see this solve (vs the
     O(N)-depth scalar dependency chain of Thomas/spsolve).
+
+    ``pivot_eps=None`` selects the dtype default (:data:`PIVOT_EPS`); pass
+    ``0.0`` to disable the guard entirely.
     """
+    if pivot_eps is None:
+        pivot_eps = _default_eps(D.dtype)
     N = L.shape[-3]
     node_axis = L.ndim - 3
 
@@ -237,12 +254,59 @@ def block_pcr(L, D, U, b, pivot_eps: float = 0.0):
         L, D, U, b = L_new, D_new, U_new, b_new
         s *= 2
 
-    return _mv(_inv2(D, pivot_eps), b)
+    return _mv(_inv2(D, pivot_eps), b), D
 
 
-def interleave_to_blocks(J_rows):
-    """Utility for tests: build (L, D, U, b) from a dense 2N x 2N matrix."""
-    raise NotImplementedError
+def block_pcr(L, D, U, b, pivot_eps: float | None = None):
+    """Parallel cyclic reduction solve (see :func:`_pcr_core`)."""
+    x, _ = _pcr_core(L, D, U, b, pivot_eps)
+    return x
+
+
+def _rel_pivot_det(D):
+    """|det| of each 2x2 pivot relative to its entry scale, [..., N]."""
+    a = D[..., 0, 0]
+    b_ = D[..., 0, 1]
+    c = D[..., 1, 0]
+    d = D[..., 1, 1]
+    det = a * d - b_ * c
+    scale = jnp.maximum(jnp.maximum(jnp.abs(a), jnp.abs(b_)),
+                        jnp.maximum(jnp.abs(c), jnp.abs(d)))
+    tiny = jnp.asarray(jnp.finfo(D.dtype).tiny, D.dtype)
+    return jnp.abs(det) / jnp.maximum(scale * scale, tiny)
+
+
+def block_pcr_diag(L, D, U, b, pivot_eps: float | None = None):
+    """PCR solve plus an in-graph reciprocal-condition proxy.
+
+    Returns ``(x, rcond)`` where ``rcond`` is the minimum over the *final*
+    (fully decoupled) PCR pivots of ``|det| / scale^2`` — a cheap analog of
+    the reference's ``splu(...).rcond < 1e-12`` ill-conditioning check
+    (ref preissmann.py:139-144): a (near-)singular global matrix collapses at
+    least one final pivot determinant toward zero.
+    """
+    x, D_final = _pcr_core(L, D, U, b, pivot_eps)
+    rcond = jnp.min(_rel_pivot_det(D_final), axis=-1)
+    return x, rcond
+
+
+def interleave_to_blocks(A):
+    """Inverse of :func:`blocks_to_dense`: split a dense 2N x 2N banded
+    matrix into its (L, D, U) 2x2 block diagonals (tests / diagnostics)."""
+    twoN = A.shape[-1]
+    if A.shape[-2] != twoN or twoN % 2:
+        raise ValueError("expected a square 2N x 2N matrix")
+    N = twoN // 2
+    A4 = A.reshape(*A.shape[:-2], N, 2, N, 2)
+    A4 = jnp.swapaxes(A4, -3, -2)  # [..., N(row), N(col), 2, 2]
+    idx = jnp.arange(N)
+    D = A4[..., idx, idx, :, :]
+    L = jnp.zeros_like(D)
+    U = jnp.zeros_like(D)
+    if N > 1:
+        L = L.at[..., 1:, :, :].set(A4[..., idx[1:], idx[:-1], :, :])
+        U = U.at[..., :-1, :, :].set(A4[..., idx[:-1], idx[1:], :, :])
+    return L, D, U
 
 
 def blocks_to_dense(L, D, U):

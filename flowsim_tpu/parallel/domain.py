@@ -204,7 +204,7 @@ def _spike_solve(L, D, U, b, axis_name):
 
 
 def _assemble_local(geo, us_bc, ds_bc, settings, prev_fields, h, Q, k,
-                    reservoir_stage_prev, axis_name):
+                    reservoir_stage_prev, axis_name, bc_state=None):
     """Local rows of the global block-tridiagonal system + residual norm."""
     theta, dt, dx = settings.theta, settings.time_step, settings.spatial_step
     S = lax.axis_size(axis_name)
@@ -228,9 +228,11 @@ def _assemble_local(geo, us_bc, ds_bc, settings, prev_fields, h, Q, k,
                                dA_dh=st.dA_dh[i], dR_dA=st.dR_dA[i], dK_dA=st.dK_dA[i])
 
     us = bnd.evaluate(us_bc, node_sec(0), h[0], Q[0], k, dt,
-                      Q_prev=prev_fields["Q"][0], reservoir_stage_prev=reservoir_stage_prev)
+                      Q_prev=prev_fields["Q"][0], reservoir_stage_prev=reservoir_stage_prev,
+                      bc_state=bc_state)
     ds = bnd.evaluate(ds_bc, node_sec(-1), h[-1], Q[-1], k, dt,
-                      Q_prev=prev_fields["Q"][n - 1], reservoir_stage_prev=reservoir_stage_prev)
+                      Q_prev=prev_fields["Q"][n - 1], reservoir_stage_prev=reservoir_stage_prev,
+                      bc_state=bc_state)
     # broadcast the last shard's reservoir stage to all shards (NaN-safe)
     finite = last_shard & jnp.isfinite(ds.reservoir_stage)
     has_val = lax.psum(finite.astype(dtype), axis_name)
@@ -273,21 +275,35 @@ def _assemble_local(geo, us_bc, ds_bc, settings, prev_fields, h, Q, k,
     return L, D, U, b, err, res_stage
 
 
+def _bcast_last_node(x_last, axis_name, dtype):
+    """Broadcast the last shard's boundary-node scalar to every shard."""
+    last = lax.axis_index(axis_name) == lax.axis_size(axis_name) - 1
+    return lax.psum(jnp.where(last, x_last, jnp.zeros_like(x_last)), axis_name)
+
+
 def _local_time_scan(geo_loc, h0_loc, Q0_loc, us, ds, settings):
     """Per-shard scan over time levels (runs inside shard_map; uses SPACE
-    collectives for halos, the SPIKE solve, and the global residual norm)."""
+    collectives for halos, the SPIKE solve, and the global residual norm).
+
+    The cross-level BCState (reservoir stage + gated-curve controller) is
+    carried replicated on every shard: the gate update is a per-level scalar
+    computed identically everywhere, and the downstream stage it watches is
+    the last shard's boundary node, broadcast with a psum.
+    """
     axis = SPACE_AXIS
     nt = settings.n_time_levels
     tol = settings.tolerance
+    dtype = h0_loc.dtype
 
     def prev_fields_of(h, Q):
         f, _ = _node_fields(geo_loc, h, Q)
         return _extend(f, axis)
 
-    def newton(h, Q, k, res_stage_prev, prev_ext):
+    def newton(h, Q, k, bc_state, prev_ext):
         def one(h, Q):
             L, D, U, b, err, res_stage = _assemble_local(
-                geo_loc, us, ds, settings, prev_ext, h, Q, k, res_stage_prev, axis
+                geo_loc, us, ds, settings, prev_ext, h, Q, k,
+                bc_state.reservoir_stage, axis, bc_state=bc_state,
             )
             delta = _spike_solve(L, D, U, b, axis)
             return h + delta[:, 0], Q + delta[:, 1], err, res_stage
@@ -307,16 +323,26 @@ def _local_time_scan(geo_loc, h0_loc, Q0_loc, us, ds, settings):
         return h, Q, err, iters, rs
 
     def step(carry, k):
-        h, Q, rs_prev = carry
+        h, Q, bc_state = carry
+        bc_state = bnd.update_gate_level_start(ds, bc_state, k.astype(dtype) * settings.time_step)
         prev_ext = prev_fields_of(h, Q)
-        h2, Q2, err, iters, rs = newton(h, Q, k, rs_prev, prev_ext)
-        return (h2, Q2, rs), (h2, Q2, iters, err, err < tol, rs)
+        h2, Q2, err, iters, rs = newton(h, Q, k, bc_state, prev_ext)
+        bc_state = bc_state._replace(
+            reservoir_stage=rs,
+            gate_stage=ds.bed_level + _bcast_last_node(h2[-1], axis, dtype),
+        )
+        return (h2, Q2, bc_state), (h2, Q2, iters, err, err < tol, rs, bc_state.gate_open)
 
     ks = jnp.arange(1, nt)
-    _, (hs, qs, iters, errs, conv, stages) = lax.scan(
-        step, (h0_loc, Q0_loc, jnp.asarray(jnp.nan, h0_loc.dtype)), ks
+    gate_open0 = 1.0 if settings.gate_initially_open else 0.0
+    bc_state0 = bnd.initial_bc_state(
+        dtype, gate_open=gate_open0,
+        gate_stage=ds.bed_level + _bcast_last_node(h0_loc[-1], axis, dtype),
     )
-    return hs, qs, iters, errs, conv, stages
+    _, (hs, qs, iters, errs, conv, stages, gates) = lax.scan(
+        step, (h0_loc, Q0_loc, bc_state0), ks
+    )
+    return hs, qs, iters, errs, conv, stages, gates
 
 
 def simulate_sharded(geo, us_bc, ds_bc, h0, Q0, settings: prs.PreissmannSettings, mesh: Mesh):
@@ -329,11 +355,6 @@ def simulate_sharded(geo, us_bc, ds_bc, h0, Q0, settings: prs.PreissmannSettings
     N = geo.n_nodes
     if N % n_shards != 0:
         raise ValueError(f"n_nodes={N} not divisible by space shards {n_shards}")
-    if getattr(ds_bc.rating, "kind", None) == "gated_blend":
-        raise NotImplementedError(
-            "gated (non-smooth) rating curves are not yet supported with "
-            "domain decomposition; use the smooth blended curve"
-        )
 
     def shard_fn(geo_loc, h0_loc, Q0_loc, us, ds):
         return _local_time_scan(geo_loc, h0_loc, Q0_loc, us, ds, settings)
@@ -344,18 +365,20 @@ def simulate_sharded(geo, us_bc, ds_bc, h0, Q0, settings: prs.PreissmannSettings
     f = shard_map(
         shard_fn, mesh,
         in_specs=(geo_specs, P(SPACE_AXIS), P(SPACE_AXIS), bc_spec_us, bc_spec_ds),
-        out_specs=(P(None, SPACE_AXIS), P(None, SPACE_AXIS), P(None), P(None), P(None), P(None)),
+        out_specs=(P(None, SPACE_AXIS), P(None, SPACE_AXIS), P(None), P(None), P(None),
+                   P(None), P(None)),
     )
-    hs, qs, iters, errs, conv, stages = jax.jit(f)(geo, h0, Q0, us_bc, ds_bc)
+    hs, qs, iters, errs, conv, stages, gates = jax.jit(f)(geo, h0, Q0, us_bc, ds_bc)
 
     depth = jnp.concatenate([h0[None], hs], axis=0)
     flow = jnp.concatenate([Q0[None], qs], axis=0)
     pad0 = lambda x, v: jnp.concatenate([jnp.asarray([v], dtype=x.dtype), x])
+    gate_open0 = 1.0 if settings.gate_initially_open else 0.0
     return prs.SimOutput(
         depth=depth, flow=flow,
         iterations=pad0(iters, 0), error=pad0(errs, 0.0),
         converged=pad0(conv, True), reservoir_stage=pad0(stages, jnp.nan),
-        gate_open=jnp.zeros_like(pad0(errs, 0.0)),
+        gate_open=pad0(gates, gate_open0),
     )
 
 
@@ -433,6 +456,8 @@ def _local_time_scan_batched(geo_loc, h0_loc, Q0_loc, us, ds, settings):
     tol = settings.tolerance
     Bloc = h0_loc.shape[0]
 
+    dtype = h0_loc.dtype
+
     def prev_ext_of(h, Q):
         def one(g, hh, qq):
             f, _ = _node_fields(g, hh, qq)
@@ -440,12 +465,15 @@ def _local_time_scan_batched(geo_loc, h0_loc, Q0_loc, us, ds, settings):
 
         return jax.vmap(one)(geo_loc, h, Q)
 
-    def one_iter(g, prev_ext, h, Q, k, rs_prev):
-        L, D, U, b, err, rs = _assemble_local(g, us, ds, settings, prev_ext, h, Q, k, rs_prev, axis)
+    def one_iter(g, prev_ext, h, Q, k, bc_member):
+        L, D, U, b, err, rs = _assemble_local(
+            g, us, ds, settings, prev_ext, h, Q, k,
+            bc_member.reservoir_stage, axis, bc_state=bc_member,
+        )
         delta = _spike_solve(L, D, U, b, axis)
         return h + delta[:, 0], Q + delta[:, 1], err, rs
 
-    def newton(h, Q, k, rs_prev, prev_ext):
+    def newton(h, Q, k, bc, prev_ext):
         def cond(c):
             _, _, err, it, _ = c
             any_active = jnp.any(err >= tol) | (it == 0)
@@ -455,7 +483,7 @@ def _local_time_scan_batched(geo_loc, h0_loc, Q0_loc, us, ds, settings):
             h, Q, err, it, rs = c
             active = (err >= tol) | (it == 0)
             h2, Q2, err2, rs2 = jax.vmap(one_iter, in_axes=(0, 0, 0, 0, None, 0))(
-                geo_loc, prev_ext, h, Q, k, rs_prev
+                geo_loc, prev_ext, h, Q, k, bc
             )
             h = jnp.where(active[:, None], h2, h)
             Q = jnp.where(active[:, None], Q2, Q)
@@ -470,14 +498,24 @@ def _local_time_scan_batched(geo_loc, h0_loc, Q0_loc, us, ds, settings):
         return h, Q, err, iters, rs
 
     def step(carry, k):
-        h, Q, rs_prev = carry
+        h, Q, bc = carry
+        time = k.astype(dtype) * settings.time_step
+        bc = jax.vmap(lambda s: bnd.update_gate_level_start(ds, s, time))(bc)
         prev_ext = prev_ext_of(h, Q)
-        h2, Q2, err, iters, rs = newton(h, Q, k, rs_prev, prev_ext)
-        return (h2, Q2, rs), (h2, Q2, jnp.broadcast_to(iters, (Bloc,)), err, err < tol, rs)
+        h2, Q2, err, iters, rs = newton(h, Q, k, bc, prev_ext)
+        bc = bc._replace(
+            reservoir_stage=rs,
+            gate_stage=ds.bed_level + _bcast_last_node(h2[:, -1], axis, dtype),
+        )
+        return (h2, Q2, bc), (h2, Q2, jnp.broadcast_to(iters, (Bloc,)), err, err < tol, rs)
 
     ks = jnp.arange(1, nt)
+    gate_open0 = 1.0 if settings.gate_initially_open else 0.0
+    bc0 = jax.vmap(
+        lambda gs: bnd.initial_bc_state(dtype, gate_open=gate_open0, gate_stage=gs)
+    )(ds.bed_level + _bcast_last_node(h0_loc[:, -1], axis, dtype))
     _, (hs, qs, iters, errs, conv, stages) = lax.scan(
-        step, (h0_loc, Q0_loc, jnp.full((Bloc,), jnp.nan, h0_loc.dtype)), ks
+        step, (h0_loc, Q0_loc, bc0), ks
     )
     # reorder to [Bloc, nt-1, ...]
     return (jnp.moveaxis(hs, 1, 0), jnp.moveaxis(qs, 1, 0), jnp.moveaxis(iters, 1, 0),

@@ -2,10 +2,17 @@
 
 The reference has no checkpointing (SURVEY.md §5): full state history lives
 in RAM and is dumped once at the end.  Here the minimal restart state
-(time level k, h, Q, reservoir stage) plus the accumulated history can be
-saved every ``interval`` levels and a run resumed from the latest file.
-Plain ``.npz`` files — dependency-free and portable; an orbax-backed variant
-can layer on top for multi-host sharded state.
+(time level k, h, Q, and the full cross-level boundary state — reservoir
+stage plus the gated-rating-curve controller fields) and the accumulated
+history can be saved every ``interval`` levels and a run resumed from the
+latest file.  Plain ``.npz`` files — dependency-free and portable; an
+orbax-backed variant can layer on top for multi-host sharded state.
+
+Chunked advancement goes through :func:`flowsim_tpu.ops.preissmann.single_step`,
+which executes the exact per-level semantics of ``simulate``'s scan body
+(gate update at level start, Newton solve, BCState carry), so a checkpointed
+run of a gated (``gated_blend``) downstream curve reproduces ``simulate``
+bitwise, hysteresis included.
 """
 
 from __future__ import annotations
@@ -19,12 +26,26 @@ import numpy as np
 
 CKPT_RE = re.compile(r"ckpt_(\d+)\.npz$")
 
+_BC_FIELDS = ("reservoir_stage", "gate_open", "gate_cooldown", "gate_prev_time", "gate_stage")
 
-def save_checkpoint(directory: str, k: int, h, Q, reservoir_stage=np.nan, history=None) -> str:
+
+def save_checkpoint(directory: str, k: int, h, Q, bc_state=None, history=None,
+                    reservoir_stage=None) -> str:
+    """Write an atomic checkpoint.
+
+    ``bc_state`` is a :class:`flowsim_tpu.ops.boundary.BCState`; the legacy
+    ``reservoir_stage`` scalar is still accepted when no gate state exists.
+    """
     os.makedirs(directory, exist_ok=True)
     path = os.path.join(directory, f"ckpt_{k:08d}.npz")
-    payload = dict(k=np.asarray(k), h=np.asarray(h), Q=np.asarray(Q),
-                   reservoir_stage=np.asarray(reservoir_stage))
+    payload = dict(k=np.asarray(k), h=np.asarray(h), Q=np.asarray(Q))
+    if bc_state is not None:
+        for name in _BC_FIELDS:
+            payload[name] = np.asarray(getattr(bc_state, name))
+    else:
+        payload["reservoir_stage"] = np.asarray(
+            np.nan if reservoir_stage is None else reservoir_stage
+        )
     if history is not None:
         payload["depth_history"] = np.asarray(history[0])
         payload["flow_history"] = np.asarray(history[1])
@@ -53,6 +74,20 @@ def load_checkpoint(path: str) -> dict:
         return {k: z[k] for k in z.files}
 
 
+def _bc_state_from_payload(z: dict, dtype):
+    """Rebuild a BCState from checkpoint arrays (legacy files lack the gate
+    fields; they restore with the fresh-gate defaults, as before)."""
+    import jax.numpy as jnp
+    from flowsim_tpu.ops import boundary as bnd
+
+    state = bnd.initial_bc_state(dtype)
+    updates = {}
+    for name in _BC_FIELDS:
+        if name in z:
+            updates[name] = jnp.asarray(float(z[name]), dtype=dtype)
+    return state._replace(**updates)
+
+
 def simulate_with_checkpoints(solver, tolerance=1e-4, max_iter=100, interval=50,
                               directory="checkpoints", resume=True, verbose=0):
     """Run a PreissmannSolver in chunks, checkpointing every ``interval`` levels.
@@ -60,6 +95,7 @@ def simulate_with_checkpoints(solver, tolerance=1e-4, max_iter=100, interval=50,
     Resumes from the latest checkpoint in ``directory`` if present.
     """
     import jax.numpy as jnp
+    from flowsim_tpu.ops import boundary as bnd
     from flowsim_tpu.ops import preissmann as prs
 
     nt = solver.number_of_time_levels
@@ -69,34 +105,40 @@ def simulate_with_checkpoints(solver, tolerance=1e-4, max_iter=100, interval=50,
     depth[0] = np.asarray(solver.h0)
     flow[0] = np.asarray(solver.Q0)
 
+    settings = solver.settings(tolerance, max_iter)
+    geo = solver.channel.geometry
+    dtype = jnp.asarray(solver.h0).dtype
+
     start_k = 1
     h, Q = solver.h0, solver.Q0
-    res_stage = jnp.asarray(np.nan, dtype=jnp.asarray(solver.h0).dtype)
+    gate_open0 = 1.0 if settings.gate_initially_open else 0.0
+    bc_state = bnd.initial_bc_state(
+        dtype, gate_open=gate_open0,
+        gate_stage=solver.ds_params.bed_level + jnp.asarray(h)[-1],
+    )
     if resume:
         ck = latest_checkpoint(directory)
         if ck is not None:
             z = load_checkpoint(ck)
             start_k = int(z["k"]) + 1
             h, Q = jnp.asarray(z["h"]), jnp.asarray(z["Q"])
-            res_stage = jnp.asarray(float(z["reservoir_stage"]), dtype=h.dtype)
+            bc_state = _bc_state_from_payload(z, dtype)
             if "depth_history" in z:
                 kk = int(z["k"]) + 1
                 depth[:kk] = z["depth_history"][:kk]
                 flow[:kk] = z["flow_history"][:kk]
 
-    settings = solver.settings(tolerance, max_iter)
-    geo = solver.channel.geometry
     for k in range(start_k, nt):
-        h, Q, err, iters, rs = prs.single_step(
-            geo, solver.us_params, solver.ds_params, h, Q, jnp.asarray(k), res_stage, settings
+        h, Q, err, iters, bc_state = prs.single_step(
+            geo, solver.us_params, solver.ds_params, h, Q, jnp.asarray(k),
+            bc_state.reservoir_stage, settings, bc_state=bc_state,
         )
-        res_stage = rs
         depth[k] = np.asarray(h)
         flow[k] = np.asarray(Q)
         if float(err) >= tolerance:
             raise ValueError(f"Convergence within {int(iters)} iterations couldn't be achieved.")
         if k % interval == 0 or k == nt - 1:
-            save_checkpoint(directory, k, h, Q, float(res_stage), history=(depth, flow))
+            save_checkpoint(directory, k, h, Q, bc_state=bc_state, history=(depth, flow))
         if verbose:
             print(f"level {k}: iters={int(iters)} err={float(err):.2e}")
 

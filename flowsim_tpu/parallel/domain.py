@@ -383,13 +383,18 @@ def simulate_sharded(geo, us_bc, ds_bc, h0, Q0, settings: prs.PreissmannSettings
 
 
 def simulate_sharded_ensemble(geo_batch, us_bc, ds_bc, h0, Q0,
-                              settings: prs.PreissmannSettings, mesh: Mesh):
+                              settings: prs.PreissmannSettings, mesh: Mesh,
+                              us_axes=None, ds_axes=None):
     """Ensemble x space: scenario batch sharded over the ``ensemble`` axis,
     each member domain-decomposed over the ``space`` axis (the full 2-D mesh
     use of SURVEY.md §2.17 — DP and SP analogs composed).
 
-    ``geo_batch`` leaves and ``h0``/``Q0`` carry a leading batch dimension;
-    boundary params are shared across members.  Requires batch % ensemble
+    ``geo_batch`` leaves and ``h0``/``Q0`` carry a leading batch dimension.
+    Boundary params are shared across members by default; per-member forcing
+    (inflow hydrographs, rating coefficients, storage params) is enabled by
+    passing the stacked params + axes from
+    :func:`flowsim_tpu.parallel.ensemble.batch_boundaries` as
+    ``us_bc``/``us_axes`` (likewise downstream).  Requires batch % ensemble
     shards == 0 and n_nodes % space shards == 0.
     """
     from flowsim_tpu.parallel.mesh import ENSEMBLE_AXIS
@@ -405,15 +410,16 @@ def simulate_sharded_ensemble(geo_batch, us_bc, ds_bc, h0, Q0,
     from flowsim_tpu.parallel.mesh import ENSEMBLE_AXIS as EAX
 
     def shard_fn(geo_loc, h0_loc, Q0_loc, us, ds):
-        return _local_time_scan_batched(geo_loc, h0_loc, Q0_loc, us, ds, settings)
+        return _local_time_scan_batched(geo_loc, h0_loc, Q0_loc, us, ds, settings,
+                                        us_axes=us_axes, ds_axes=ds_axes)
 
     def geo_spec(leaf):
         extra = (None,) * (leaf.ndim - 2)  # e.g. TableGeometry [B, N, M]
         return P(EAX, SPACE_AXIS, *extra)
 
     geo_specs = jax.tree_util.tree_map(geo_spec, geo_batch)
-    bc_u = jax.tree_util.tree_map(lambda _: P(), us_bc)
-    bc_d = jax.tree_util.tree_map(lambda _: P(), ds_bc)
+    bc_u = jax.tree_util.tree_map(lambda _: P() if us_axes is None else P(EAX), us_bc)
+    bc_d = jax.tree_util.tree_map(lambda _: P() if ds_axes is None else P(EAX), ds_bc)
     f = shard_map(
         shard_fn, mesh,
         in_specs=(geo_specs, P(EAX, SPACE_AXIS), P(EAX, SPACE_AXIS), bc_u, bc_d),
@@ -437,9 +443,12 @@ def simulate_sharded_ensemble(geo_batch, us_bc, ds_bc, h0, Q0,
     )
 
 
-def _local_time_scan_batched(geo_loc, h0_loc, Q0_loc, us, ds, settings):
+def _local_time_scan_batched(geo_loc, h0_loc, Q0_loc, us, ds, settings,
+                             us_axes=None, ds_axes=None):
     """Batched variant of :func:`_local_time_scan` for the ensemble x space
-    mesh.
+    mesh.  ``us_axes``/``ds_axes`` are vmap axis pytrees (from
+    ``ensemble.batch_boundaries``) when the boundary params carry a leading
+    member axis; None when shared.
 
     Every device of the mesh must execute the same number of collectives, but
     Newton iteration counts differ between ensemble members; a per-row
@@ -465,9 +474,9 @@ def _local_time_scan_batched(geo_loc, h0_loc, Q0_loc, us, ds, settings):
 
         return jax.vmap(one)(geo_loc, h, Q)
 
-    def one_iter(g, prev_ext, h, Q, k, bc_member):
+    def one_iter(g, prev_ext, h, Q, k, bc_member, us_m, ds_m):
         L, D, U, b, err, rs = _assemble_local(
-            g, us, ds, settings, prev_ext, h, Q, k,
+            g, us_m, ds_m, settings, prev_ext, h, Q, k,
             bc_member.reservoir_stage, axis, bc_state=bc_member,
         )
         delta = _spike_solve(L, D, U, b, axis)
@@ -482,9 +491,9 @@ def _local_time_scan_batched(geo_loc, h0_loc, Q0_loc, us, ds, settings):
         def body(c):
             h, Q, err, it, rs = c
             active = (err >= tol) | (it == 0)
-            h2, Q2, err2, rs2 = jax.vmap(one_iter, in_axes=(0, 0, 0, 0, None, 0))(
-                geo_loc, prev_ext, h, Q, k, bc
-            )
+            h2, Q2, err2, rs2 = jax.vmap(
+                one_iter, in_axes=(0, 0, 0, 0, None, 0, us_axes, ds_axes)
+            )(geo_loc, prev_ext, h, Q, k, bc, us, ds)
             h = jnp.where(active[:, None], h2, h)
             Q = jnp.where(active[:, None], Q2, Q)
             err = jnp.where(active, err2, err)
@@ -500,7 +509,10 @@ def _local_time_scan_batched(geo_loc, h0_loc, Q0_loc, us, ds, settings):
     def step(carry, k):
         h, Q, bc = carry
         time = k.astype(dtype) * settings.time_step
-        bc = jax.vmap(lambda s: bnd.update_gate_level_start(ds, s, time))(bc)
+        bc = jax.vmap(
+            lambda s, d: bnd.update_gate_level_start(d, s, time),
+            in_axes=(0, ds_axes),
+        )(bc, ds)
         prev_ext = prev_ext_of(h, Q)
         h2, Q2, err, iters, rs = newton(h, Q, k, bc, prev_ext)
         bc = bc._replace(

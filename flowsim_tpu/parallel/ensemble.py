@@ -29,21 +29,52 @@ def shard_batch(x, mesh: Optional[Mesh] = None):
     return jax.tree_util.tree_map(lambda a: jax.device_put(a, sh), x)
 
 
-def batched_simulate(geo_batch, us_bc, ds_bc, h0, Q0, settings: prs.PreissmannSettings,
-                     mesh: Optional[Mesh] = None, shard: bool = True):
-    """Simulate a batch of scenarios differing in geometry (e.g. roughness).
+def batch_boundaries(bcs):
+    """Stack per-member BoundaryParams into one batched params pytree.
 
-    ``geo_batch`` has a leading batch dim on every leaf; boundary params and
-    ICs may be shared (broadcast) or batched likewise.
+    All members must share the static configuration (kind, presence of
+    rating/storage); array leaves gain a leading batch axis.  Returns
+    ``(stacked_params, in_axes)`` where ``in_axes`` is the pytree to pass as
+    the boundary's vmap axis (0 on every leaf).
+
+    This is what upgrades the reference's serial inflow/roughness sweeps
+    (ref n_calibrate.py:58-62, one full re-simulation per member) to a single
+    batched run with per-member hydrographs, rating coefficients, and storage
+    parameters (BASELINE.md Monte-Carlo target: "10^4 roughness/inflow
+    scenarios").
+    """
+    kinds = {b.kind for b in bcs}
+    if len(kinds) != 1:
+        raise ValueError(f"all members must share the boundary kind, got {kinds}")
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *bcs)
+    axes = jax.tree_util.tree_map(lambda _: 0, bcs[0])
+    return stacked, axes
+
+
+def batched_simulate(geo_batch, us_bc, ds_bc, h0, Q0, settings: prs.PreissmannSettings,
+                     mesh: Optional[Mesh] = None, shard: bool = True,
+                     us_axes=None, ds_axes=None):
+    """Simulate a batch of scenarios differing in geometry (e.g. roughness)
+    and, optionally, boundary forcing.
+
+    ``geo_batch`` has a leading batch dim on every leaf; ICs may be shared
+    (broadcast) or batched likewise.  Per-member boundaries: pass the stacked
+    params + axes from :func:`batch_boundaries` as ``us_bc``/``us_axes``
+    (likewise downstream); with ``us_axes=None`` the boundary is shared.
     """
     if shard:
         geo_batch = shard_batch(geo_batch, mesh)
+        if us_axes is not None:
+            us_bc = shard_batch(us_bc, mesh)
+        if ds_axes is not None:
+            ds_bc = shard_batch(ds_bc, mesh)
 
-    def one(geo, h, Q):
-        return prs.simulate(geo, us_bc, ds_bc, h, Q, settings)
+    def one(geo, us, ds, h, Q):
+        return prs.simulate(geo, us, ds, h, Q, settings)
 
-    in_axes = (0, 0 if jnp.ndim(h0) > 1 else None, 0 if jnp.ndim(Q0) > 1 else None)
-    return jax.jit(jax.vmap(one, in_axes=in_axes))(geo_batch, h0, Q0)
+    in_axes = (0, us_axes, ds_axes,
+               0 if jnp.ndim(h0) > 1 else None, 0 if jnp.ndim(Q0) > 1 else None)
+    return jax.jit(jax.vmap(one, in_axes=in_axes))(geo_batch, us_bc, ds_bc, h0, Q0)
 
 
 def stack_geometries(geos):

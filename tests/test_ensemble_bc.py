@@ -1,0 +1,150 @@
+"""Per-member boundary forcing in ensembles (round-1 VERDICT gap #3).
+
+BASELINE.md's Monte-Carlo target is "10^4 roughness/inflow scenarios": members
+must be able to differ in inflow hydrograph and rating/storage parameters,
+not just geometry.  The reference runs these serially, one full re-simulation
+per member (ref n_calibrate.py:58-62).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from flowsim_tpu.api import Boundary, Channel, Hydrograph, PreissmannSolver, RatingCurve
+from flowsim_tpu.ops import preissmann as prs
+from flowsim_tpu.ops import rating_curve as rcurve
+from flowsim_tpu.parallel.ensemble import (
+    batch_boundaries,
+    batched_simulate,
+    roughness_ensemble,
+)
+from flowsim_tpu.parallel.mesh import make_mesh
+
+
+def _build(n_nodes=32, hours=8, peak=2500.0, rc_b=150.0):
+    length = (n_nodes - 1) * 1000.0
+    bed_ds = 0.0
+    pivot = bed_ds + 4.0
+
+    def hyd_fn(t):
+        return 500.0 + (peak - 500.0) * min(t / (4 * 3600.0), 1.0)
+
+    us = Boundary(condition="flow_hydrograph", bed_level=length * 2e-4, chainage=0,
+                  hydrograph=Hydrograph(function=hyd_fn))
+    rc = RatingCurve(rcurve.make_polynomial(0.0, rc_b, 500.0 - rc_b * pivot))
+    ds = Boundary(condition="rating_curve", bed_level=bed_ds, chainage=length,
+                  initial_depth=4.0, rating_curve=rc)
+    ch = Channel(width=200.0, initial_flow=500.0, roughness=0.03,
+                 upstream_boundary=us, downstream_boundary=ds,
+                 interpolation_method="GVF_equation")
+    return PreissmannSolver(channel=ch, theta=0.7, time_step=900,
+                            spatial_step=1000, simulation_time=hours * 3600)
+
+
+def test_per_member_inflow_and_rating_matches_serial():
+    peaks = [1800.0, 2500.0, 3200.0, 4000.0]
+    rc_bs = [120.0, 150.0, 180.0, 210.0]
+    ns = [0.026, 0.030, 0.034, 0.038]
+    solvers = [_build(peak=p, rc_b=b) for p, b in zip(peaks, rc_bs)]
+    sset = solvers[0].settings(tolerance=1e-8, max_iter=100)
+
+    # serial truth: one full simulation per member with its own n
+    serial = []
+    for s, n in zip(solvers, ns):
+        import dataclasses
+
+        geo = dataclasses.replace(
+            s.channel.geometry,
+            n_main=jnp.full_like(s.channel.geometry.n_main, n),
+        )
+        serial.append(prs.simulate(geo, s.us_params, s.ds_params, s.h0, s.Q0, sset))
+
+    # batched: stacked geometry + per-member us/ds params
+    geo_b = roughness_ensemble(solvers[0].channel.geometry, ns)
+    us_b, us_ax = batch_boundaries([s.us_params for s in solvers])
+    ds_b, ds_ax = batch_boundaries([s.ds_params for s in solvers])
+    h0 = jnp.stack([s.h0 for s in solvers])
+    Q0 = jnp.stack([s.Q0 for s in solvers])
+    out = batched_simulate(geo_b, us_b, ds_b, h0, Q0, sset,
+                           shard=False, us_axes=us_ax, ds_axes=ds_ax)
+
+    for i, ref in enumerate(serial):
+        np.testing.assert_allclose(np.asarray(out.depth[i]), np.asarray(ref.depth),
+                                   rtol=1e-10, atol=1e-12, err_msg=f"member {i}")
+        np.testing.assert_allclose(np.asarray(out.flow[i]), np.asarray(ref.flow),
+                                   rtol=1e-10, atol=1e-9, err_msg=f"member {i}")
+
+
+def test_per_member_storage_matches_serial():
+    """fixed_depth + lumped storage with per-member surface areas."""
+    from flowsim_tpu.api import LumpedStorage
+
+    def build(area):
+        length = 20000.0
+
+        def hyd_fn(t):
+            return 1000.0 + 9000.0 * min(t / (4 * 3600.0), 1.0)
+
+        us = Boundary(condition="flow_hydrograph", bed_level=5, chainage=0,
+                      hydrograph=Hydrograph(function=hyd_fn))
+        ds = Boundary(condition="fixed_depth", initial_depth=5, bed_level=0, chainage=length)
+        ds.set_lumped_storage(LumpedStorage(surface_area=area, min_stage=5,
+                                            solution_boundaries=(0, 200)))
+        ch = Channel(width=250, initial_flow=1000.0, roughness=0.027,
+                     upstream_boundary=us, downstream_boundary=ds)
+        return PreissmannSolver(channel=ch, theta=0.8, time_step=3600,
+                                spatial_step=1000, simulation_time=12 * 3600)
+
+    areas = [4000 * 250.0, 5000 * 250.0, 8000 * 250.0]
+    solvers = [build(a) for a in areas]
+    sset = solvers[0].settings(tolerance=1e-8, max_iter=100)
+
+    serial = [prs.simulate(s.channel.geometry, s.us_params, s.ds_params,
+                           s.h0, s.Q0, sset) for s in solvers]
+
+    from flowsim_tpu.parallel.ensemble import stack_geometries
+
+    geo_b = stack_geometries([s.channel.geometry for s in solvers])
+    us_b, us_ax = batch_boundaries([s.us_params for s in solvers])
+    ds_b, ds_ax = batch_boundaries([s.ds_params for s in solvers])
+    h0 = jnp.stack([s.h0 for s in solvers])
+    Q0 = jnp.stack([s.Q0 for s in solvers])
+    out = batched_simulate(geo_b, us_b, ds_b, h0, Q0, sset,
+                           shard=False, us_axes=us_ax, ds_axes=ds_ax)
+
+    for i, ref in enumerate(serial):
+        np.testing.assert_allclose(np.asarray(out.reservoir_stage[i]),
+                                   np.asarray(ref.reservoir_stage),
+                                   rtol=1e-10, err_msg=f"member {i}")
+        np.testing.assert_allclose(np.asarray(out.flow[i]), np.asarray(ref.flow),
+                                   rtol=1e-9, atol=1e-7, err_msg=f"member {i}")
+
+
+def test_sharded_ensemble_per_member_inflow():
+    """Per-member BCs through the 2-D ensemble x space mesh."""
+    from flowsim_tpu.parallel.domain import simulate_sharded_ensemble
+
+    peaks = [1800.0, 2500.0, 3200.0, 4000.0]
+    solvers = [_build(peak=p) for p in peaks]
+    sset = solvers[0].settings(tolerance=1e-8, max_iter=100)
+
+    geo0 = solvers[0].channel.geometry
+    from flowsim_tpu.parallel.ensemble import stack_geometries
+
+    geo_b = stack_geometries([geo0] * len(peaks))
+    us_b, us_ax = batch_boundaries([s.us_params for s in solvers])
+    ds_b, ds_ax = batch_boundaries([s.ds_params for s in solvers])
+    h0 = jnp.stack([s.h0 for s in solvers])
+    Q0 = jnp.stack([s.Q0 for s in solvers])
+
+    ref = batched_simulate(geo_b, us_b, ds_b, h0, Q0, sset,
+                           shard=False, us_axes=us_ax, ds_axes=ds_ax)
+
+    mesh = make_mesh(n_ensemble=2, n_space=4)
+    out = simulate_sharded_ensemble(geo_b, us_b, ds_b, h0, Q0, sset, mesh,
+                                    us_axes=us_ax, ds_axes=ds_ax)
+    np.testing.assert_allclose(np.asarray(out.depth), np.asarray(ref.depth),
+                               rtol=1e-8, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(out.flow), np.asarray(ref.flow),
+                               rtol=1e-8, atol=1e-6)

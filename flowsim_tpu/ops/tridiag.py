@@ -290,6 +290,36 @@ def block_pcr_diag(L, D, U, b, pivot_eps: float | None = None):
     return x, rcond
 
 
+def dense_block_thomas(L, D, U, b):
+    """Sequential Thomas solve with dense m x m blocks via ``lax.scan``.
+
+    Shapes: L, D, U [S, m, m]; b [S, m].  Used for the tiny *reduced* systems
+    of the SPIKE substructuring (S = number of shards/tiles, m = 4), where a
+    sequential scan of small dense solves is cheap and exact.
+    """
+    m = D.shape[-1]
+
+    def fwd(carry, inp):
+        Cprev, dprev = carry
+        Li, Di, Ui, bi = inp
+        Dh = Di - Li @ Cprev
+        Ci = jnp.linalg.solve(Dh, Ui)
+        di = jnp.linalg.solve(Dh, bi - Li @ dprev)
+        return (Ci, di), (Ci, di)
+
+    (_, _), (C, d) = jax.lax.scan(
+        fwd, (jnp.zeros((m, m), D.dtype), jnp.zeros((m,), D.dtype)), (L, D, U, b)
+    )
+
+    def bwd(x_next, inp):
+        Ci, di = inp
+        xi = di - Ci @ x_next
+        return xi, xi
+
+    _, x = jax.lax.scan(bwd, jnp.zeros((m,), D.dtype), (C, d), reverse=True)
+    return x
+
+
 def interleave_to_blocks(A):
     """Inverse of :func:`blocks_to_dense`: split a dense 2N x 2N banded
     matrix into its (L, D, U) 2x2 block diagonals (tests / diagnostics)."""

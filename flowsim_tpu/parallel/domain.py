@@ -368,18 +368,24 @@ def simulate_sharded(geo, us_bc, ds_bc, h0, Q0, settings: prs.PreissmannSettings
         out_specs=(P(None, SPACE_AXIS), P(None, SPACE_AXIS), P(None), P(None), P(None),
                    P(None), P(None)),
     )
-    hs, qs, iters, errs, conv, stages, gates = jax.jit(f)(geo, h0, Q0, us_bc, ds_bc)
-
-    depth = jnp.concatenate([h0[None], hs], axis=0)
-    flow = jnp.concatenate([Q0[None], qs], axis=0)
-    pad0 = lambda x, v: jnp.concatenate([jnp.asarray([v], dtype=x.dtype), x])
     gate_open0 = 1.0 if settings.gate_initially_open else 0.0
-    return prs.SimOutput(
-        depth=depth, flow=flow,
-        iterations=pad0(iters, 0), error=pad0(errs, 0.0),
-        converged=pad0(conv, True), reservoir_stage=pad0(stages, jnp.nan),
-        gate_open=pad0(gates, gate_open0),
-    )
+
+    # post-processing stays inside jit: on a multi-host mesh the outputs are
+    # not fully addressable per process, so eager concatenation would fail
+    @jax.jit
+    def run(geo, h0, Q0, us_bc, ds_bc):
+        hs, qs, iters, errs, conv, stages, gates = f(geo, h0, Q0, us_bc, ds_bc)
+        depth = jnp.concatenate([h0[None], hs], axis=0)
+        flow = jnp.concatenate([Q0[None], qs], axis=0)
+        pad0 = lambda x, v: jnp.concatenate([jnp.asarray([v], dtype=x.dtype), x])
+        return prs.SimOutput(
+            depth=depth, flow=flow,
+            iterations=pad0(iters, 0), error=pad0(errs, 0.0),
+            converged=pad0(conv, True), reservoir_stage=pad0(stages, jnp.nan),
+            gate_open=pad0(gates, gate_open0),
+        )
+
+    return run(geo, h0, Q0, us_bc, ds_bc)
 
 
 def simulate_sharded_ensemble(geo_batch, us_bc, ds_bc, h0, Q0,
@@ -426,21 +432,25 @@ def simulate_sharded_ensemble(geo_batch, us_bc, ds_bc, h0, Q0,
         out_specs=(P(EAX, None, SPACE_AXIS), P(EAX, None, SPACE_AXIS),
                    P(EAX, None), P(EAX, None), P(EAX, None), P(EAX, None)),
     )
-    hs, qs, iters, errs, conv, stages = jax.jit(f)(geo_batch, h0, Q0, us_bc, ds_bc)
 
-    depth = jnp.concatenate([h0[:, None, :], hs], axis=1)
-    flow = jnp.concatenate([Q0[:, None, :], qs], axis=1)
+    @jax.jit
+    def run(geo_batch, h0, Q0, us_bc, ds_bc):
+        hs, qs, iters, errs, conv, stages = f(geo_batch, h0, Q0, us_bc, ds_bc)
+        depth = jnp.concatenate([h0[:, None, :], hs], axis=1)
+        flow = jnp.concatenate([Q0[:, None, :], qs], axis=1)
 
-    def pad0(x, v):
-        lead = jnp.full((B, 1), v, dtype=x.dtype)
-        return jnp.concatenate([lead, x], axis=1)
+        def pad0(x, v):
+            lead = jnp.full((B, 1), v, dtype=x.dtype)
+            return jnp.concatenate([lead, x], axis=1)
 
-    return prs.SimOutput(
-        depth=depth, flow=flow,
-        iterations=pad0(iters, 0), error=pad0(errs, 0.0),
-        converged=pad0(conv, True), reservoir_stage=pad0(stages, jnp.nan),
-        gate_open=pad0(errs * 0, 0.0),
-    )
+        return prs.SimOutput(
+            depth=depth, flow=flow,
+            iterations=pad0(iters, 0), error=pad0(errs, 0.0),
+            converged=pad0(conv, True), reservoir_stage=pad0(stages, jnp.nan),
+            gate_open=pad0(errs * 0, 0.0),
+        )
+
+    return run(geo_batch, h0, Q0, us_bc, ds_bc)
 
 
 def _local_time_scan_batched(geo_loc, h0_loc, Q0_loc, us, ds, settings,

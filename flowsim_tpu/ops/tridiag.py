@@ -371,4 +371,10 @@ def solve_block_tridiag(L, D, U, b, method: str = "pcr"):
         from flowsim_tpu.ops.pallas.pcr_kernel import pcr_pallas
 
         return pcr_pallas(L, D, U, b).astype(b.dtype)
+    elif method == "pallas_tiled":
+        # two-level SPIKE kernel (f32): in-VMEM PCR per tile + reduced
+        # inter-tile system; any N (the long-reach solver)
+        from flowsim_tpu.ops.pallas.tiled_pcr import tiled_spike_pallas
+
+        return tiled_spike_pallas(L, D, U, b).astype(b.dtype)
     raise ValueError(f"unknown method {method!r}")

@@ -28,7 +28,19 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def build_long_reach(n_nodes, dtype, levels=8):
+def probe_device():
+    """First contact with the (possibly recovering) TPU tunnel: a trivial op
+    that may take minutes after a previous client exited; do it before any
+    real work so compiles aren't conflated with tunnel recovery."""
+    import jax
+    import jax.numpy as jnp
+
+    t0 = time.time()
+    assert float(jnp.sum(jnp.ones(8))) == 8.0
+    log(f"device probe ok in {time.time() - t0:.1f}s ({jax.devices()[0].platform})")
+
+
+def build_long_reach(n_nodes, dtype, levels=8, linear_solver="pcr"):
     """Synthetic long prismatic reach with gerd-like magnitudes."""
     import jax.numpy as jnp
 
@@ -55,6 +67,7 @@ def build_long_reach(n_nodes, dtype, levels=8):
     sset = prs.PreissmannSettings(
         theta=0.7, time_step=600.0, spatial_step=200.0, n_time_levels=nt,
         tolerance=1e-2 if dtype == np.float32 else 1e-6, max_iter=30,
+        linear_solver=linear_solver,
     )
     return geo, us, ds, h0.astype(dtype), Q0.astype(dtype), sset
 
@@ -69,11 +82,18 @@ def bench_longreach():
     import jax
     from flowsim_tpu.ops import preissmann as prs
 
+    # the tiled Pallas SPIKE kernel is the measured-fastest long-reach solver
+    # on TPU (scripts/bench_solvers.py: 2.5x over XLA PCR at N=1e6); XLA PCR
+    # remains the CPU path (Mosaic kernels are TPU-only)
+    on_tpu = jax.devices()[0].platform != "cpu"
+    solver = "pallas_tiled" if on_tpu else "pcr"
+
     results = {}
     for n in [10_000, 100_000, 1_000_000]:
         cpu = jax.devices("cpu")[0]
         with jax.default_device(cpu):
-            geo, us, ds, h0, Q0, sset = build_long_reach(n, np.float32)
+            geo, us, ds, h0, Q0, sset = build_long_reach(n, np.float32,
+                                                         linear_solver=solver)
         dev = jax.devices()[0]
         args = jax.device_put((geo, us, ds, h0, Q0), dev)
         t0 = time.time()
@@ -167,6 +187,8 @@ if __name__ == "__main__":
 
         jax.config.update("jax_platforms", "cpu")
     out = {}
+    if what in ("longreach", "ensemble", "all"):
+        probe_device()
     if what in ("longreach", "all"):
         out["longreach"] = bench_longreach()
     if what in ("ensemble", "all"):

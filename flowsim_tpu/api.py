@@ -383,10 +383,22 @@ class PreissmannSolver(_SolverBase):
 
     RCOND_THRESHOLD = 1e-12  # ref preissmann.py:142
 
-    def run(self, tolerance=1e-4, verbose=1, max_iter=100, diagnos=False):
+    def run(self, tolerance=1e-4, verbose=1, max_iter=100, diagnos=False, live=False):
+        """Run the full simulation.
+
+        ``live=True`` streams the per-level progress lines from *inside* the
+        scan (ref preissmann.py:116-117,151-155 prints as it solves) via a
+        host callback; the default reports post-hoc, which is faster on
+        accelerators (no per-level host sync).
+        """
+        sset = self.settings(tolerance, max_iter, diagnos=diagnos)
+        if live:
+            import dataclasses
+
+            sset = dataclasses.replace(sset, live_progress=True)
         out = prs.simulate(
             self.channel.geometry, self.us_params, self.ds_params,
-            self.h0, self.Q0, self.settings(tolerance, max_iter, diagnos=diagnos),
+            self.h0, self.Q0, sset,
         )
         out = jax.tree_util.tree_map(np.asarray, out)
         self.output = out

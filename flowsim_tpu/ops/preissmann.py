@@ -57,6 +57,12 @@ class PreissmannSettings:
     # check (ref preissmann.py:133-144): an in-graph PCR-pivot rcond proxy is
     # tracked per level and surfaced as SimOutput.rcond.
     diagnos: bool = field(default=False, metadata=dict(static=True))
+    # live_progress=True streams the reference's per-level verbose lines
+    # (ref preissmann.py:116-117,151-155) from inside the scan via
+    # jax.debug.callback — one host callback per time level, so long runs
+    # show progress as they execute.  Off by default: the callback forces a
+    # host round-trip per level (expensive over the tunneled TPU).
+    live_progress: bool = field(default=False, metadata=dict(static=True))
 
 
 class PrevLevel(NamedTuple):
@@ -306,6 +312,12 @@ def simulate(geo, us_bc, ds_bc, h0, Q0, settings: PreissmannSettings) -> SimOutp
             reservoir_stage=res_stage,
             gate_stage=ds_bed + h[-1],
         )
+        if settings.live_progress:
+            jax.debug.callback(
+                lambda k, it, e: print(
+                    f"\n> Time level #{int(k)}\n>> {int(it)} iterations.\n"
+                    f">> Error = {float(e)}", flush=True),
+                k, iters, err, ordered=True)
         out = (h, Q, iters, err, err < settings.tolerance, res_stage, bc_state.gate_open, rcond)
         return (h, Q, bc_state), out
 

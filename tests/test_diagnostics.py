@@ -128,3 +128,15 @@ def test_diagnos_raises_like_reference(monkeypatch):
     monkeypatch.setattr(prs, "simulate", poisoned)
     with pytest.raises(ValueError, match="ill-conditioned"):
         solver.run(tolerance=1e-8, verbose=0, diagnos=True)
+
+
+def test_live_progress_streams_reference_lines(capfd):
+    """live=True emits the reference's per-level verbose lines from inside
+    the scan (ref preissmann.py:116-117,151-155) via jax.debug.callback."""
+    solver = _build_example_solver()
+    solver.run(tolerance=1e-4, verbose=0, live=True)
+    out = capfd.readouterr().out
+    assert "> Time level #1" in out
+    assert "> Time level #24" in out
+    assert ">> Error = " in out
+    assert out.index("#1") < out.index("#24")  # ordered callbacks

@@ -1,0 +1,219 @@
+"""Double-single (two-float32) arithmetic for TPU Pallas kernels.
+
+TPU Mosaic has no float64, but the flagship Newton solve needs ~1e-9
+relative accuracy in its residual path (tol 1e-6 on residual entries built
+from ~1e3-magnitude terms with cancellation).  A double-single number
+``x = hi + lo`` (|lo| <= ulp(hi)/2) carries ~2^-48 ≈ 3.6e-15 relative
+precision — comfortably between f32 (6e-8, too coarse) and f64.
+
+Algorithms are the classic error-free transformations (Dekker 1971, Knuth
+TAOCP v2; the double-double recipes of Hida/Li/Bailey's QD library, public
+domain technique).  Products use Veltkamp splitting rather than FMA so the
+code is exact under plain IEEE-754 f32 multiply — portable across Mosaic,
+XLA CPU (tests run the same code path), and interpret mode.
+
+``DF`` is a NamedTuple of two equal-shaped f32 arrays with operator
+overloads, so closure formulas read like the f64 originals:
+
+    A = (b + m * d) * d        # b, m, d : DF
+
+Use ``df(x)`` to lift an f32/f64 array (splitting f64 exactly), ``.value``
+to collapse back (f32), ``to_f64`` on the host for validation.
+
+All ops are pure jnp and work identically inside Pallas kernels, under jit,
+and eagerly.  Division and roots cost one f32-seeded Newton polish each.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+_SPLIT = jnp.float32(4097.0)  # 2^12 + 1: Veltkamp constant for f32 (24-bit)
+
+
+def _two_sum(a, b):
+    """s + e == a + b exactly (Knuth)."""
+    s = a + b
+    v = s - a
+    e = (a - (s - v)) + (b - v)
+    return s, e
+
+
+def _quick_two_sum(a, b):
+    """s + e == a + b exactly, REQUIRES |a| >= |b| (Dekker)."""
+    s = a + b
+    e = b - (s - a)
+    return s, e
+
+
+def _split(a):
+    """a == hi + lo with hi, lo representable in 12 bits of mantissa."""
+    t = _SPLIT * a
+    hi = t - (t - a)
+    lo = a - hi
+    return hi, lo
+
+
+def _two_prod(a, b):
+    """p + e == a * b exactly (Dekker product, no FMA required)."""
+    p = a * b
+    ahi, alo = _split(a)
+    bhi, blo = _split(b)
+    e = ((ahi * bhi - p) + ahi * blo + alo * bhi) + alo * blo
+    return p, e
+
+
+class DF(NamedTuple):
+    hi: jnp.ndarray
+    lo: jnp.ndarray
+
+    # -- construction / collapse ------------------------------------------
+    @property
+    def value(self):
+        return self.hi + self.lo
+
+    @property
+    def dtype(self):
+        return self.hi.dtype
+
+    @property
+    def shape(self):
+        return self.hi.shape
+
+    def __getitem__(self, idx):
+        return DF(self.hi[idx], self.lo[idx])
+
+    # -- ring ops ----------------------------------------------------------
+    def __add__(self, o):
+        o = df(o)
+        s, e = _two_sum(self.hi, o.hi)
+        e = e + (self.lo + o.lo)
+        s, e = _quick_two_sum(s, e)
+        return DF(s, e)
+
+    __radd__ = __add__
+
+    def __neg__(self):
+        return DF(-self.hi, -self.lo)
+
+    def __sub__(self, o):
+        return self + (-df(o))
+
+    def __rsub__(self, o):
+        return df(o) + (-self)
+
+    def __mul__(self, o):
+        o = df(o)
+        p, e = _two_prod(self.hi, o.hi)
+        e = e + (self.hi * o.lo + self.lo * o.hi)
+        p, e = _quick_two_sum(p, e)
+        return DF(p, e)
+
+    __rmul__ = __mul__
+
+    def __truediv__(self, o):
+        o = df(o)
+        # f32 quotient seed + one df Newton correction; the correction is
+        # below ulp(q0) so it becomes the LO word via two_sum, never a bare
+        # f32 add (which would round it away entirely).
+        q0 = self.hi / o.hi
+        r = self - DF(*_two_prod(q0, o.hi)) - df(q0) * DF(o.lo, jnp.zeros_like(o.lo))
+        corr = r.hi / o.hi
+        s, e = _two_sum(q0, corr)
+        return DF(s, e)
+
+    def __rtruediv__(self, o):
+        return df(o) / self
+
+    # -- comparisons (on the collapsed leading term: hi ordering is exact
+    # for normalized df values whenever the difference exceeds ~ulp(hi)) ---
+    def __lt__(self, o):
+        o = df(o)
+        return (self.hi < o.hi) | ((self.hi == o.hi) & (self.lo < o.lo))
+
+    def __gt__(self, o):
+        o = df(o)
+        return (self.hi > o.hi) | ((self.hi == o.hi) & (self.lo > o.lo))
+
+    def __le__(self, o):
+        return ~self.__gt__(o)
+
+    def __ge__(self, o):
+        return ~self.__lt__(o)
+
+
+def df(x) -> DF:
+    """Lift to DF. f64 input is split exactly; f32/python scalars get lo=0."""
+    if isinstance(x, DF):
+        return x
+    x = jnp.asarray(x)
+    if x.dtype == jnp.float64:
+        hi = x.astype(jnp.float32)
+        lo = (x - hi.astype(jnp.float64)).astype(jnp.float32)
+        return DF(hi, lo)
+    x = x.astype(jnp.float32)
+    return DF(x, jnp.zeros_like(x))
+
+
+def to_f64(x: DF):
+    """Host/validation helper (needs x64 enabled)."""
+    return x.hi.astype(jnp.float64) + x.lo.astype(jnp.float64)
+
+
+def where(cond, a, b) -> DF:
+    a, b = df(a), df(b)
+    return DF(jnp.where(cond, a.hi, b.hi), jnp.where(cond, a.lo, b.lo))
+
+
+def maximum(a, b) -> DF:
+    a, b = df(a), df(b)
+    return where(a > b, a, b)
+
+
+def sqrt(a: DF) -> DF:
+    """df sqrt via f32 seed + one Heron step in df arithmetic.
+
+    One df-precision Newton step squares the f32 seed's 6e-8 relative error
+    to ~4e-15 — at the df32 precision floor.  Domain: a >= 0 (0 maps to 0).
+    """
+    a = df(a)
+    y0 = jnp.sqrt(a.hi)
+    safe = y0 > 0.0
+    y0s = jnp.where(safe, y0, 1.0)
+    y = df(y0s)
+    y = (y + a / y) * df(jnp.float32(0.5))
+    return where(safe, y, df(jnp.zeros_like(y0)))
+
+
+def cbrt(a: DF) -> DF:
+    """df cube root, a >= 0, via f32 seed + one df Newton step."""
+    a = df(a)
+    y0 = jnp.cbrt(a.hi)
+    safe = y0 > 0.0
+    y0s = jnp.where(safe, y0, 1.0)
+    y = df(y0s)
+    # y <- y - (y^3 - a) / (3 y^2) = (2 y + a / y^2) / 3.  NB: divide by the
+    # exact constant 3 — multiplying by f32(1/3) would inject its 2e-8
+    # representation error into the polished root.
+    y = (y * df(jnp.float32(2.0)) + a / (y * y)) / df(jnp.float32(3.0))
+    return where(safe, y, df(jnp.zeros_like(y0)))
+
+
+def pow_2_3(a: DF) -> DF:
+    """a^(2/3) = cbrt(a)^2 (TPU-safe form, matches ops.hydraulics policy)."""
+    c = cbrt(a)
+    return c * c
+
+
+def pow_3_2(a: DF) -> DF:
+    """a^(3/2) = a * sqrt(a)."""
+    a = df(a)
+    return a * sqrt(a)
+
+
+def abs_(a: DF) -> DF:
+    a = df(a)
+    neg = a.hi < 0.0
+    return where(neg, -a, a)

@@ -28,37 +28,87 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
-_SPLIT = jnp.float32(4097.0)  # 2^12 + 1: Veltkamp constant for f32 (24-bit)
+_SPLIT = np.float32(4097.0)  # 2^12 + 1: Veltkamp constant for f32 (24-bit)
+
+
+# ---------------------------------------------------------------------------
+# Compiler fencing.
+#
+# XLA's optimization pipeline rewrites floating-point expressions under
+# real-arithmetic identities (measured on XLA:CPU: the Dekker/Knuth
+# transformations collapse entirely — t-(t-a) -> a etc. — degrading df32 to
+# plain f32; each op in isolation survives, chains do not).
+# ``lax.optimization_barrier`` does NOT protect them: barriers are expanded
+# away before the offending pass (measured: 6 barriers pre-opt, 0 post-opt,
+# EFT folded).  The robust fence is an *opaque runtime zero*: adding an
+# input value the compiler cannot prove to be 0.0 to each critical
+# intermediate blocks every such pattern match while leaving the arithmetic
+# bit-identical (x + 0.0 == x).  Enter ``fenced(z)`` with a traced zero
+# (e.g. read from kernel SMEM or passed as an argument) around any jitted
+# df32 region; eager execution needs no fence.
+# ---------------------------------------------------------------------------
+
+_FENCE = [None]
+
+
+class fenced:
+    """Context manager installing the opaque runtime zero for df32 EFTs."""
+
+    def __init__(self, zero):
+        self.zero = zero
+
+    def __enter__(self):
+        self._old = _FENCE[0]
+        _FENCE[0] = self.zero
+        return self
+
+    def __exit__(self, *exc):
+        _FENCE[0] = self._old
+        return False
+
+
+def _fz(x):
+    z = _FENCE[0]
+    if z is not None:
+        return x + z
+    return jax.lax.optimization_barrier((x,))[0]
 
 
 def _two_sum(a, b):
-    """s + e == a + b exactly (Knuth)."""
-    s = a + b
-    v = s - a
+    """s + e == a + b exactly (Knuth).
+
+    The rounded sum and the intermediate are fenced so the simplifier cannot
+    substitute their defining expressions into the error term (measured: it
+    rewrites e to garbage otherwise — see _fence).
+    """
+    s = _fz(a + b)
+    v = _fz(s - a)
     e = (a - (s - v)) + (b - v)
     return s, e
 
 
 def _quick_two_sum(a, b):
     """s + e == a + b exactly, REQUIRES |a| >= |b| (Dekker)."""
-    s = a + b
+    s = _fz(a + b)
     e = b - (s - a)
     return s, e
 
 
 def _split(a):
     """a == hi + lo with hi, lo representable in 12 bits of mantissa."""
-    t = _SPLIT * a
-    hi = t - (t - a)
+    t = _fz(_SPLIT * a)
+    hi = _fz(t - (t - a))
     lo = a - hi
     return hi, lo
 
 
 def _two_prod(a, b):
     """p + e == a * b exactly (Dekker product, no FMA required)."""
-    p = a * b
+    p = _fz(a * b)
     ahi, alo = _split(a)
     bhi, blo = _split(b)
     e = ((ahi * bhi - p) + ahi * blo + alo * bhi) + alo * blo
@@ -145,9 +195,19 @@ class DF(NamedTuple):
 
 
 def df(x) -> DF:
-    """Lift to DF. f64 input is split exactly; f32/python scalars get lo=0."""
+    """Lift to DF.
+
+    Python/NumPy scalars split exactly through f64 into numpy-scalar hi/lo —
+    these stay jaxpr *literals*, which Pallas kernels require (a materialized
+    jnp constant would be rejected as a captured array).  f64 arrays split
+    exactly; f32 arrays get lo = 0.
+    """
     if isinstance(x, DF):
         return x
+    if isinstance(x, (int, float, np.floating, np.integer)):
+        x64 = np.float64(x)
+        hi = np.float32(x64)
+        return DF(hi, np.float32(x64 - np.float64(hi)))
     x = jnp.asarray(x)
     if x.dtype == jnp.float64:
         hi = x.astype(jnp.float32)
@@ -183,7 +243,7 @@ def sqrt(a: DF) -> DF:
     safe = y0 > 0.0
     y0s = jnp.where(safe, y0, 1.0)
     y = df(y0s)
-    y = (y + a / y) * df(jnp.float32(0.5))
+    y = (y + a / y) * df(0.5)
     return where(safe, y, df(jnp.zeros_like(y0)))
 
 
@@ -197,7 +257,7 @@ def cbrt(a: DF) -> DF:
     # y <- y - (y^3 - a) / (3 y^2) = (2 y + a / y^2) / 3.  NB: divide by the
     # exact constant 3 — multiplying by f32(1/3) would inject its 2e-8
     # representation error into the polished root.
-    y = (y * df(jnp.float32(2.0)) + a / (y * y)) / df(jnp.float32(3.0))
+    y = (y * df(2.0) + a / (y * y)) / df(3.0)
     return where(safe, y, df(jnp.zeros_like(y0)))
 
 

@@ -1,0 +1,645 @@
+"""Fused whole-simulation Pallas kernel for the flagship Preissmann solve.
+
+One ``pallas_call`` runs the ENTIRE simulation — the level loop, each
+level's Newton iteration, the residual/Jacobian stencil, and the in-VMEM
+block-PCR solve — with all state resident in VMEM/registers.  This removes
+the per-iteration XLA fusion/dispatch overhead that dominates the small-N
+flagship run (N=121: ~70 us per Newton iteration on v5e for ~1 us of
+arithmetic; ref hot loop: src/hydromodel/preissmann.py:101-163).
+
+Precision design: Mosaic has no f64, so the residual path — everything that
+is a *function of the iterate* (h, Q) — is evaluated in double-single
+``df32`` arithmetic (~1e-13 relative; see ops/pallas/df32.py).  Problem
+CONSTANTS (widths, slopes, Manning n, rating coefficients, dt, dx, theta)
+are f32: rounding a constant perturbs the problem by ~6e-8 relative but
+keeps the residual an exact smooth function of the iterate, so Newton still
+converges to the 1e-6 tolerance; evaluating any h-dependent quantity in
+plain f32 would instead put ~ulp-sized staircase noise on the residual
+(e.g. the blended rating curve's alpha ramp scales a ~1e4 m3/s flow
+difference) and stall the iteration — the same failure round 1 measured for
+raw f32 on CPU/TPU.  Jacobian entries and the PCR solve are plain f32: the
+increment only needs a few digits (inexact Newton; validated in round 1 by
+the pcr_f32 path's identical iteration counts).
+
+Supported configuration (the flagship + example/akbari shapes):
+TrapezoidGeometry (simple or compound, with planform curvature), upstream
+``flow_hydrograph``, downstream ``rating_curve`` (polynomial or
+blended_poly), ``newton='while'``.  Everything else falls back to the XLA
+path (api dispatch keeps behavior identical).
+
+Formula parity: the df32 math mirrors ops/sections.py / ops/hydraulics.py /
+ops/preissmann.py line for line (which in turn cite the reference); the
+Jacobian reuses ops/hydraulics.py's f32 functions directly.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from flowsim_tpu.config import GRAVITY
+from flowsim_tpu.ops import hydraulics as hyd
+from flowsim_tpu.ops.pallas import df32
+from flowsim_tpu.ops.pallas.df32 import DF, df
+
+MAX_VMEM_N = 8192
+
+# GEO packed rows (f32, [NG, Np])
+_G_B_MAIN, _G_M_MAIN, _G_H_BANK, _G_COMPOUND, _G_B_FPL, _G_B_FPR, _G_M_FP, \
+    _G_N_MAIN, _G_N_LEFT, _G_N_RIGHT, _G_CURV, _G_DZ, _G_SQM, _G_SQFP, \
+    _G_AMF, _G_PMF, _G_TBANK = range(17)
+_NG = 17
+
+# SCAL slots (f32, [16] SMEM)
+_S_THETA, _S_DT, _S_DX, _S_TOL, _S_C2, _S_C1, _S_C0, _S_D2, _S_D1, _S_D0, \
+    _S_STAGEC, _S_BUF, _S_FD, _S_SHIFT, _S_ZERO = range(15)
+_NS = 16  # _S_ZERO holds a literal 0.0: the opaque fence for df32 EFTs
+
+
+def _roll(interpret):
+    if interpret:
+        return lambda x, shift: jnp.roll(x, shift, axis=1)
+    # np.int32 shift: under x64 a python-int shift traces as i64, which
+    # Mosaic's tpu.dynamic_rotate rejects (must be 32-bit)
+    return lambda x, shift: pltpu.roll(x, shift=np.int32(shift), axis=1)
+
+
+def _roll_df(roll, x: DF, shift) -> DF:
+    return DF(roll(x.hi, shift), roll(x.lo, shift))
+
+
+def _section_df(g, h: DF):
+    """df32 section closures, mirroring ops/sections.py:51-165.
+
+    Returns (A, R, K, n_eq, Se-inputs...) as DF plus f32 derivative
+    quantities (dA_dh, dR_dA, dK_dA).
+    """
+    zero = df(jnp.zeros_like(h.hi))
+    depth = df32.where(h.hi > 0.0, h, zero)
+    wet = depth.hi > 0.0
+
+    compound = g[_G_COMPOUND] > 0.5
+    h_bank = jnp.where(compound, g[_G_H_BANK], 1.0)
+    overbank = compound & (depth.hi > h_bank)
+
+    b, m = g[_G_B_MAIN], g[_G_M_MAIN]
+    sq_m, sq_fp = g[_G_SQM], g[_G_SQFP]
+
+    # main-channel / simple regime
+    T_s = df(b) + df(2.0 * m) * depth
+    A_s = (df(b) + df(m) * depth) * depth
+    P_s = df(b) + depth * df(2.0 * sq_m)
+
+    # floodplains above bankfull
+    d_fp = df32.where(overbank, depth - df(h_bank), zero)
+    A_l = (df(g[_G_B_FPL]) + df(0.5 * g[_G_M_FP]) * d_fp) * d_fp
+    P_l = df(g[_G_B_FPL]) + d_fp * df(sq_fp)
+    A_r = (df(g[_G_B_FPR]) + df(0.5 * g[_G_M_FP]) * d_fp) * d_fp
+    P_r = df(g[_G_B_FPR]) + d_fp * df(sq_fp)
+
+    A_mf, P_mf, T_bank = df(g[_G_AMF]), g[_G_PMF], g[_G_TBANK]
+
+    A = df32.where(overbank, A_mf + A_l + A_r, A_s)
+    P = df32.where(overbank, df(P_mf) + P_l + P_r, P_s)
+    T = df32.where(overbank,
+                   df(g[_G_B_FPL] + T_bank + g[_G_B_FPR]) + df(2.0 * g[_G_M_FP]) * d_fp,
+                   T_s)
+    A = df32.where(wet, A, zero)
+    P = df32.where(wet, P, zero)
+    T = df32.where(wet, T, zero)
+    Pok = P.hi > 0.0
+    R = df32.where(Pok, A / df32.where(Pok, P, df(jnp.ones_like(h.hi))), zero)
+
+    # Horton-Einstein compound conveyance (ops/sections.py:104-142)
+    ones = df(jnp.ones_like(h.hi))
+    A_m = df32.where(overbank, A_mf + df(T_bank) * d_fp, A)
+    P_m = df32.where(overbank, df(P_mf), P)  # stays DF: P(h) below bankfull
+    Pm_ok = P_m.hi > 0.0
+    R_m = df32.where(Pm_ok, A_m / df32.where(Pm_ok, P_m, ones), zero)
+    Pl_ok = overbank & (P_l.hi > 0.0)
+    R_l = df32.where(Pl_ok, A_l / df32.where(Pl_ok, P_l, df(jnp.ones_like(h.hi))), zero)
+    Pr_ok = overbank & (P_r.hi > 0.0)
+    R_r = df32.where(Pr_ok, A_r / df32.where(Pr_ok, P_r, df(jnp.ones_like(h.hi))), zero)
+
+    K_m = A_m * df32.pow_2_3(R_m) / df(g[_G_N_MAIN])
+    K_l = df32.where(Pl_ok, A_l * df32.pow_2_3(R_l) / df(g[_G_N_LEFT]), zero)
+    K_r = df32.where(Pr_ok, A_r * df32.pow_2_3(R_r) / df(g[_G_N_RIGHT]), zero)
+
+    ksum = df32.pow_3_2(K_l) + df32.pow_3_2(K_m) + df32.pow_3_2(K_r)
+    ks_ok = ksum.hi > 0.0
+    K_compound = df32.where(ks_ok, df32.pow_2_3(ksum), zero)
+    K_simple = A * df32.pow_2_3(R) / df(g[_G_N_MAIN])
+    K = df32.where(compound, K_compound, K_simple)
+
+    n_eq_ok = (A.hi > 0.0) & (R.hi > 0.0) & (K_compound.hi > 0.0)
+    ones = df(jnp.ones_like(h.hi))
+    n_eq_c = df32.where(
+        n_eq_ok,
+        A * df32.pow_2_3(R) / df32.where(n_eq_ok, K_compound, ones),
+        df(g[_G_N_MAIN]),
+    )
+    n_eq = df32.where(compound, n_eq_c, df(g[_G_N_MAIN]))
+
+    # f32 derivative quantities (Jacobian path; ops/sections.py:153-163)
+    Af, Pf, Tf, Rf = A.value, P.value, T.value, R.value
+    dA_dh = Tf
+    dP_dh = jnp.where(overbank, 2.0 * sq_fp, 2.0 * sq_m)
+    ok = (Pf > 0.0) & (Tf > 0.0)
+    dP_dA = dP_dh / jnp.where(ok, Tf, 1.0)
+    dR_dA = jnp.where(ok, (Pf - Af * dP_dA) / jnp.where(ok, Pf * Pf, 1.0), 0.0)
+    dK_dA = jnp.where(Af > 0.0, hyd.dK_dA(Af, n_eq.value, Rf, dR_dA), 0.0)
+
+    return dict(A=A, P=P, R=R, T=T, K=K, n_eq=n_eq, depth=depth,
+                dA_dh=dA_dh, dR_dA=dR_dA, dK_dA=dK_dA)
+
+
+def _energy_slope_df(g, st, Q: DF):
+    """df32 Se + f32 derivatives, mirroring ops/sections.py:213-252."""
+    zero = df(jnp.zeros_like(Q.hi))
+    ones = df(jnp.ones_like(Q.hi))
+    K, A, R, T, n_eq, depth = st["K"], st["A"], st["R"], st["T"], st["n_eq"], st["depth"]
+    K_ok = K.hi > 0.0
+    Ksafe = df32.where(K_ok, K, ones)
+    Sf = df32.where(K_ok, Q * df32.abs_(Q) / (Ksafe * Ksafe), zero)
+
+    curv = g[_G_CURV]
+    has_curv = curv != 0.0
+    has_curv_d = jnp.abs(curv) > 1e-12
+    rc = 1.0 / jnp.where(has_curv, curv, 1.0)
+    Rsafe = df32.where(R.hi > 0.0, R, ones)
+
+    # df32 Sc (hyd.curvature_slope with the reference clamps on Fr inputs)
+    Asafe = df32.maximum(A, df(1e-6))
+    Tsafe = df32.maximum(T, df(1e-6))
+    V = Q / Asafe
+    D = df32.maximum(Asafe / Tsafe, df(1e-6))
+    Fr = V / df32.sqrt(df(GRAVITY) * D)
+    C = df32.sqrt(df32.cbrt(Rsafe)) / n_eq
+    f_dw = df(8.0 * GRAVITY) / (C * C)
+    sqrtf = df32.sqrt(f_dw)
+    num = (df(2.86) * sqrtf + df(2.07) * f_dw) \
+        * depth * depth * Fr * Fr
+    den = (df(0.565) + sqrtf) * df(rc * rc)
+    Sc = df32.where(has_curv, num / den, zero)
+
+    Se = Sf + Sc
+
+    # f32 derivatives (reusing ops/hydraulics.py on collapsed values)
+    Af, Rf, Tf, nf, hf = A.value, R.value, T.value, n_eq.value, depth.value
+    Kf = jnp.where(K_ok, K.value, 1.0)
+    Qf = Q.value
+    dSf_dA = jnp.where(K_ok, hyd.dSf_dA(Qf, Kf, st["dK_dA"]), 0.0)
+    dSf_dQ = jnp.where(K_ok, hyd.dSf_dQ(Qf, Kf), 0.0)
+    Rsf = jnp.where(Rf > 0.0, Rf, 1.0)
+    dSc_dA = jnp.where(
+        has_curv_d,
+        hyd.dSc_dA(hf, Af, Qf, nf, Rsf, rc, st["dR_dA"], Tf) * st["dA_dh"],
+        0.0,
+    )
+    dSc_dQ = jnp.where(has_curv_d, hyd.dSc_dQ(hf, Tf, Af, Qf, nf, Rsf, rc), 0.0)
+    return Se, dSf_dA + dSc_dA, dSf_dQ + dSc_dQ
+
+
+def _rating_q(scal, stage_c: DF, kind: str):
+    """Q(stage) for the downstream curve in df32 (ops/rating_curve.py:187-211).
+
+    ``stage_c`` is the *centered* stage: for blended_poly, stage - pivot;
+    for polynomial, stage + stage_shift (both host-precomputed offsets).
+    """
+    if kind == "polynomial":
+        c2, c1, c0 = scal[_S_C2], scal[_S_C1], scal[_S_C0]
+        return (df(c2) * stage_c + df(c1)) * stage_c + df(c0)
+    # blended_poly: smoothstep alpha over [0, buffer] + delta-form blend
+    s = stage_c / df(scal[_S_BUF])
+    zero = df(jnp.zeros_like(s.hi))
+    one = df(jnp.ones_like(s.hi))
+    s = df32.where(s.hi < 0.0, zero, df32.where(s.hi > 1.0, one, s))
+    alpha = s * s * (df(3.0) - df(2.0) * s)
+    low = (df(scal[_S_C2]) * stage_c + df(scal[_S_C1])) * stage_c + df(scal[_S_C0])
+    high = (df(scal[_S_D2]) * stage_c + df(scal[_S_D1])) * stage_c + df(scal[_S_D0])
+    return low + alpha * (high - low)
+
+
+def _pcr_solve(buf, idx, n, n_sweeps, roll):
+    """In-register block-PCR on the packed [16, Np] f32 system.
+
+    Same algorithm as ops/pallas/pcr_kernel.py:_pcr_kernel (validated on
+    hardware); `roll` is pltpu.roll in-kernel, jnp.roll in interpret mode.
+    """
+    Np = buf.shape[1]
+
+    def row(b, r):
+        return b[r:r + 1, :]
+
+    def inv2(d00, d01, d10, d11):
+        det = d00 * d11 - d01 * d10
+        inv = 1.0 / det
+        return d11 * inv, -d01 * inv, -d10 * inv, d00 * inv
+
+    s = 1
+    for _ in range(n_sweeps):
+        minus = roll(buf, s)
+        plus = roll(buf, Np - s)
+        vm = (idx - s >= 0).astype(buf.dtype)
+        vp = (idx + s <= n - 1).astype(buf.dtype)
+
+        def nm(r, identity=0.0, minus=minus, vm=vm):
+            return row(minus, r) * vm + (1.0 - vm) * identity
+
+        def np_(r, identity=0.0, plus=plus, vp=vp):
+            return row(plus, r) * vp + (1.0 - vp) * identity
+
+        L00, L01, L10, L11 = (row(buf, r) for r in range(0, 4))
+        D00, D01, D10, D11 = (row(buf, r) for r in range(4, 8))
+        U00, U01, U10, U11 = (row(buf, r) for r in range(8, 12))
+        b0, b1 = row(buf, 12), row(buf, 13)
+
+        mi00, mi01, mi10, mi11 = inv2(nm(4, 1.0), nm(5), nm(6), nm(7, 1.0))
+        pi00, pi01, pi10, pi11 = inv2(np_(4, 1.0), np_(5), np_(6), np_(7, 1.0))
+
+        a00 = -(L00 * mi00 + L01 * mi10)
+        a01 = -(L00 * mi01 + L01 * mi11)
+        a10 = -(L10 * mi00 + L11 * mi10)
+        a11 = -(L10 * mi01 + L11 * mi11)
+        c00 = -(U00 * pi00 + U01 * pi10)
+        c01 = -(U00 * pi01 + U01 * pi11)
+        c10 = -(U10 * pi00 + U11 * pi10)
+        c11 = -(U10 * pi01 + U11 * pi11)
+
+        def mm(a0, a1, a2, a3, b0_, b1_, b2_, b3_):
+            return (a0 * b0_ + a1 * b2_, a0 * b1_ + a1 * b3_,
+                    a2 * b0_ + a3 * b2_, a2 * b1_ + a3 * b3_)
+
+        Ln = mm(a00, a01, a10, a11, nm(0), nm(1), nm(2), nm(3))
+        Un = mm(c00, c01, c10, c11, np_(8), np_(9), np_(10), np_(11))
+        aU = mm(a00, a01, a10, a11, nm(8), nm(9), nm(10), nm(11))
+        cL = mm(c00, c01, c10, c11, np_(0), np_(1), np_(2), np_(3))
+        Dn = (D00 + aU[0] + cL[0], D01 + aU[1] + cL[1],
+              D10 + aU[2] + cL[2], D11 + aU[3] + cL[3])
+        bn0 = b0 + a00 * nm(12) + a01 * nm(13) + c00 * np_(12) + c01 * np_(13)
+        bn1 = b1 + a10 * nm(12) + a11 * nm(13) + c10 * np_(12) + c11 * np_(13)
+
+        buf = jnp.concatenate(
+            [Ln[0], Ln[1], Ln[2], Ln[3],
+             Dn[0], Dn[1], Dn[2], Dn[3],
+             Un[0], Un[1], Un[2], Un[3],
+             bn0, bn1, row(buf, 14), row(buf, 15)],
+            axis=0,
+        )
+        s *= 2
+
+    D00, D01, D10, D11 = (row(buf, r) for r in range(4, 8))
+    b0, b1 = row(buf, 12), row(buf, 13)
+    i00, i01, i10, i11 = inv2(D00, D01, D10, D11)
+    return i00 * b0 + i01 * b1, i10 * b0 + i11 * b1
+
+
+def _level_state(g, h: DF, Q: DF):
+    """Previous-level quantities (A, Se, Q2A), df32."""
+    st = _section_df(g, h)
+    Se, _, _ = _energy_slope_df(g, st, Q)
+    A = st["A"]
+    ok = A.hi > 0.0
+    Q2A = df32.where(ok, Q * Q / df32.where(ok, A, df(jnp.ones_like(A.hi))),
+                     df(jnp.zeros_like(A.hi)))
+    return A, Se, Q2A
+
+
+def _assemble_fused(g, scal, roll, n, ds_kind,
+                    h, Q, prev_h, prev_Q, prev_A, prev_Se, prev_Q2A, tgt):
+    """df32 residual + f32 Jacobian, packed as the [16, Np] PCR system.
+
+    Module-level (not a kernel closure) so tests can drive the exact same
+    math eagerly with jnp.roll.  Returns (buf, err).
+    """
+    Np = h.hi.shape[1]
+    idx = jax.lax.broadcasted_iota(jnp.int32, (1, Np), 1)
+    cell_mask = (idx < n - 1).astype(jnp.float32)
+    is0 = (idx == 0).astype(jnp.float32)
+    isl = (idx == n - 1).astype(jnp.float32)
+    pad = (idx >= n).astype(jnp.float32)
+
+    theta, dt, dx = scal[_S_THETA], scal[_S_DT], scal[_S_DX]
+    gacc = np.float32(GRAVITY)
+    th_dx = theta / dx
+    inv2dt = 1.0 / (2.0 * dt)
+
+    def shift_r(x):
+        return roll(x, 1) * (1.0 - is0)
+
+    def shift_l(x):
+        return roll(x, Np - 1)
+
+    def cdiff_df(x: DF):  # x[i+1] - x[i] at cell i
+        return _roll_df(roll, x, Np - 1) - x
+
+    def csum_df(x: DF):  # x[i+1] + x[i]
+        return _roll_df(roll, x, Np - 1) + x
+
+    half = df(0.5)
+
+    st = _section_df(g, h)
+    Se, dSe_dA, dSe_dQ = _energy_slope_df(g, st, Q)
+    A = st["A"]
+    ok = A.hi > 0.0
+    Q2A = df32.where(ok, Q * Q / df32.where(ok, A, df(jnp.ones_like(A.hi))),
+                     df(jnp.zeros_like(A.hi)))
+
+    # interior residuals, df32 (ops/preissmann.py:112-132)
+    dt_df, dx_df = df(dt), df(dx)
+    th_df = df(theta)
+    one_m_th = df(1.0) - th_df
+
+    def tdiff(cur, prv):
+        return (csum_df(cur) - csum_df(prv)) / (dt_df * df(2.0))
+
+    def sdiff(cur, prv):
+        return (th_df * cdiff_df(cur) + one_m_th * cdiff_df(prv)) / dx_df
+
+    def cavg(cur, prv):
+        return half * (th_df * csum_df(cur) + one_m_th * csum_df(prv))
+
+    Rc = tdiff(A, prev_A) + sdiff(Q, prev_Q)
+    dQdt = tdiff(Q, prev_Q)
+    dQ2A_dx = sdiff(Q2A, prev_Q2A)
+    avgA = cavg(A, prev_A)
+    dYdx = df(g[_G_DZ] / dx) + sdiff(h, prev_h)
+    avgSe = cavg(Se, prev_Se)
+    g_df = df(gacc)
+    geom = dYdx + avgSe
+    Rm = dQdt + dQ2A_dx + g_df * avgA * geom
+
+    # boundary rows (flow hydrograph upstream; rating curve downstream)
+    us_res = DF(Q.hi[0:1, 0:1], Q.lo[0:1, 0:1]) - df(tgt)
+    h_tail = DF(h.hi[0:1, n - 1:n], h.lo[0:1, n - 1:n])
+    Q_tail = DF(Q.hi[0:1, n - 1:n], Q.lo[0:1, n - 1:n])
+    stage_c = h_tail + df(scal[_S_STAGEC])
+    q_curve = _rating_q(scal, stage_c, ds_kind)
+    ds_res = Q_tail - q_curve
+    fd = scal[_S_FD]
+    qp = _rating_q(scal, stage_c + df(fd), ds_kind)
+    qm = _rating_q(scal, stage_c - df(fd), ds_kind)
+    ds_df_dh = -((qp - qm).value) / (2.0 * fd)
+
+    # f32 Jacobian entries (ops/preissmann.py:134-158)
+    Af, dA_dh = A.value, st["dA_dh"]
+    QA = jnp.where(Af > 0.0, Q.value / jnp.where(Af > 0.0, Af, 1.0), 0.0)
+    avgAf, geomf = avgA.value, geom.value
+    QA1, dA1 = shift_l(QA), shift_l(dA_dh)
+    dSe1, dSeQ1 = shift_l(dSe_dA), shift_l(dSe_dQ)
+    dM_dh_i = (th_dx * QA * QA * dA_dh
+               + gacc * (avgAf * (-th_dx + 0.5 * theta * dSe_dA * dA_dh)
+                         + 0.5 * theta * dA_dh * geomf))
+    dM_dh_i1 = (-th_dx * QA1 * QA1 * dA1
+                + gacc * (avgAf * (th_dx + 0.5 * theta * dSe1 * dA1)
+                          + 0.5 * theta * dA1 * geomf))
+    dM_dQ_i = inv2dt - th_dx * 2.0 * QA + gacc * avgAf * 0.5 * theta * dSe_dQ
+    dM_dQ_i1 = inv2dt + th_dx * 2.0 * QA1 + gacc * avgAf * 0.5 * theta * dSeQ1
+
+    # pack the 2x2-block tridiagonal system (ops/preissmann.py:172-205)
+    Rm_f, Rc_f = Rm.value * cell_mask, Rc.value * cell_mask
+    us_f = us_res.value
+    ds_f = ds_res.value
+    zero_row = jnp.zeros_like(Rm_f)
+
+    L00 = shift_r(dM_dh_i * cell_mask)
+    L01 = shift_r(dM_dQ_i * cell_mask)
+    D00 = shift_r(dM_dh_i1 * cell_mask) + pad  # us df_dh = 0; pad identity
+    D01 = shift_r(dM_dQ_i1 * cell_mask) + is0 * 1.0
+    D10 = dA_dh * inv2dt * cell_mask + isl * ds_df_dh
+    D11 = -th_dx * cell_mask + isl * 1.0 + pad
+    U10 = shift_l(dA_dh) * inv2dt * cell_mask
+    U11 = th_dx * cell_mask
+
+    b0 = -(shift_r(Rm_f) + is0 * us_f)
+    b1 = -(Rc_f + isl * ds_f)
+
+    err2 = (jnp.sum(Rm_f * Rm_f) + jnp.sum(Rc_f * Rc_f)
+            + jnp.sum(us_f * us_f) + jnp.sum(ds_f * ds_f))
+    err = jnp.sqrt(err2)
+
+    buf = jnp.concatenate(
+        [L00, L01, zero_row, zero_row,
+         D00, D01, D10, D11,
+         zero_row, zero_row, U10, U11,
+         b0, b1, zero_row, zero_row], axis=0)
+    return buf, err
+
+
+def _kernel(geo_ref, init_ref, tgt_ref, scal_ref,
+            dhi_ref, dlo_ref, fhi_ref, flo_ref, stats_ref,
+            *, nt, n, n_sweeps, max_iter, ds_kind, interpret):
+    roll = _roll(interpret)
+    geo = geo_ref[:]
+    Np = geo.shape[1]
+    g = [geo[r:r + 1, :] for r in range(_NG)]
+    scal = [scal_ref[i] for i in range(_NS)]
+    idx = jax.lax.broadcasted_iota(jnp.int32, (1, Np), 1)
+    node_mask = (idx < n).astype(jnp.float32)
+    tol = scal[_S_TOL]
+
+    def newton_iter(h, Q, prev_h, prev_Q, prev_A, prev_Se, prev_Q2A, tgt):
+        buf, err = _assemble_fused(g, scal, roll, n, ds_kind,
+                                   h, Q, prev_h, prev_Q,
+                                   prev_A, prev_Se, prev_Q2A, tgt)
+        x0, x1 = _pcr_solve(buf, idx, n, n_sweeps, roll)
+        h = h + df(x0 * node_mask)
+        Q = Q + df(x1 * node_mask)
+        return h, Q, err
+
+    def store_level(k, h, Q, iters, err):
+        idx128 = jax.lax.broadcasted_iota(jnp.int32, (1, stats_ref.shape[1]), 1)
+        stats_row = (jnp.where(idx128 == 0, iters.astype(jnp.float32), 0.0)
+                     + jnp.where(idx128 == 1, err, 0.0))
+        dhi_ref[pl.ds(k, 1), :] = h.hi
+        dlo_ref[pl.ds(k, 1), :] = h.lo
+        fhi_ref[pl.ds(k, 1), :] = Q.hi
+        flo_ref[pl.ds(k, 1), :] = Q.lo
+        stats_ref[pl.ds(k, 1), :] = stats_row
+
+    init = init_ref[:]
+    h0 = DF(init[0:1, :], init[1:2, :])
+    Q0 = DF(init[2:3, :], init[3:4, :])
+    store_level(0, h0, Q0, np.int32(0), np.float32(0.0))
+
+    def _run_levels(level_body):
+        # df32 EFT fence (see df32._fz): active for the whole traced body,
+        # released when tracing finishes so no tracer leaks into later traces
+        with df32.fenced(scal[_S_ZERO]):
+            jax.lax.fori_loop(1, nt, level_body, (h0.hi, h0.lo, Q0.hi, Q0.lo))
+
+    def level_body(k, carry):
+        h_hi, h_lo, Q_hi, Q_lo = carry
+        h, Q = DF(h_hi, h_lo), DF(Q_hi, Q_lo)
+        prev_A, prev_Se, prev_Q2A = _level_state(g, h, Q)
+        tgt = tgt_ref[k]
+
+        def cond(c):
+            _, _, _, _, err, it = c
+            return (err >= tol) & (it < max_iter)
+
+        def body(c):
+            hh, hl, qh, ql, _, it = c
+            h2, Q2, err = newton_iter(DF(hh, hl), DF(qh, ql), h, Q,
+                                      prev_A, prev_Se, prev_Q2A, tgt)
+            return h2.hi, h2.lo, Q2.hi, Q2.lo, err, it + 1
+
+        hh, hl, qh, ql, err, iters = jax.lax.while_loop(
+            cond, body,
+            (h.hi, h.lo, Q.hi, Q.lo, np.float32(np.inf), np.int32(0)))
+        store_level(k, DF(hh, hl), DF(qh, ql), iters, err)
+        return hh, hl, qh, ql
+
+    _run_levels(level_body)
+
+
+class FusedUnsupported(Exception):
+    """Raised when the configuration is outside the fused kernel's scope."""
+
+
+def _check_supported(geo, us_bc, ds_bc, settings):
+    from flowsim_tpu.geometry import TrapezoidGeometry
+
+    if not isinstance(geo, TrapezoidGeometry):
+        raise FusedUnsupported("fused kernel supports TrapezoidGeometry only")
+    if us_bc.kind != "flow_hydrograph":
+        raise FusedUnsupported("fused kernel needs a flow_hydrograph upstream BC")
+    if ds_bc.kind != "rating_curve" or ds_bc.rating is None:
+        raise FusedUnsupported("fused kernel needs a rating_curve downstream BC")
+    if ds_bc.rating.kind not in ("polynomial", "blended_poly"):
+        raise FusedUnsupported(f"unsupported rating kind {ds_bc.rating.kind!r}")
+    if settings.newton != "while":
+        raise FusedUnsupported("fused kernel implements the while-Newton only")
+    n = geo.n_nodes
+    if n > MAX_VMEM_N:
+        raise FusedUnsupported(f"N={n} exceeds the VMEM kernel limit {MAX_VMEM_N}")
+
+
+def fused_simulate(geo, us_bc, ds_bc, h0, Q0, settings, interpret: bool = False):
+    """Run the full simulation in one Pallas kernel; returns a SimOutput.
+
+    Raises :class:`FusedUnsupported` for configurations outside the kernel's
+    scope (callers fall back to :func:`ops.preissmann.simulate`).
+    """
+    from flowsim_tpu.ops.preissmann import SimOutput
+
+    _check_supported(geo, us_bc, ds_bc, settings)
+    n = geo.n_nodes
+    nt = settings.n_time_levels
+    Np = max(128, -(-n // 128) * 128)
+    n_sweeps = max(1, (n - 1).bit_length())
+
+    f32 = np.float32
+    a = lambda x: np.asarray(x, np.float64)
+
+    m_main, m_fp = a(geo.m_main), a(geo.m_fp)
+    compound = np.asarray(geo.compound, bool)
+    h_bank = np.where(compound, a(geo.h_bank), 1.0)
+    T_bank = a(geo.b_main) + 2.0 * m_main * h_bank
+    A_mf = (a(geo.b_main) + T_bank) / 2.0 * h_bank
+    P_mf = a(geo.b_main) + 2.0 * h_bank * np.sqrt(1.0 + m_main**2)
+    z = a(geo.z_bed)
+    dz = np.zeros(n)
+    dz[: n - 1] = z[1:] - z[:-1]
+
+    rows = np.zeros((_NG, Np), f32)
+
+    def put(r, v):
+        rows[r, :n] = np.asarray(v, f32)
+
+    put(_G_B_MAIN, geo.b_main); put(_G_M_MAIN, geo.m_main)
+    put(_G_H_BANK, h_bank); put(_G_COMPOUND, compound.astype(f32))
+    put(_G_B_FPL, geo.b_fp_left); put(_G_B_FPR, geo.b_fp_right)
+    put(_G_M_FP, geo.m_fp)
+    put(_G_N_MAIN, geo.n_main); put(_G_N_LEFT, geo.n_left)
+    put(_G_N_RIGHT, geo.n_right); put(_G_CURV, geo.curvature)
+    put(_G_DZ, dz)
+    put(_G_SQM, np.sqrt(1.0 + m_main**2)); put(_G_SQFP, np.sqrt(1.0 + m_fp**2))
+    put(_G_AMF, A_mf); put(_G_PMF, P_mf); put(_G_TBANK, T_bank)
+    # padded Manning n must be nonzero (divisor); geometry rows stay 0
+    rows[_G_N_MAIN, n:] = 1.0
+    rows[_G_N_LEFT, n:] = 1.0
+    rows[_G_N_RIGHT, n:] = 1.0
+
+    def split64(x):
+        x = np.asarray(x, np.float64)
+        hi = x.astype(np.float32)
+        return hi, (x - hi.astype(np.float64)).astype(np.float32)
+
+    init = np.zeros((4, Np), f32)
+    init[0, :n], init[1, :n] = split64(h0)
+    init[2, :n], init[3, :n] = split64(Q0)
+
+    tgt = np.zeros((max(nt, 8),), f32)
+    series = np.asarray(us_bc.target_series, np.float64)
+    tgt[: min(nt, len(series))] = series[:nt].astype(f32)
+
+    scal = np.zeros((_NS,), f32)
+    scal[_S_THETA] = settings.theta
+    scal[_S_DT] = settings.time_step
+    scal[_S_DX] = settings.spatial_step
+    scal[_S_TOL] = settings.tolerance
+    rc = ds_bc.rating
+    bed = float(np.asarray(ds_bc.bed_level, np.float64))
+    if rc.kind == "polynomial":
+        c = np.asarray(rc.coeffs, np.float64)
+        scal[_S_C2], scal[_S_C1], scal[_S_C0] = c
+        # stage_c = (bed + h) + shift  ->  offset = bed + shift
+        scal[_S_STAGEC] = bed + float(np.asarray(rc.stage_shift, np.float64))
+        scal[_S_FD] = 1.0  # unused (analytic path still uses FD; harmless)
+        scal[_S_BUF] = 1.0
+    else:
+        scal[_S_C2], scal[_S_C1], scal[_S_C0] = np.asarray(rc.coeffs, np.float64)
+        scal[_S_D2], scal[_S_D1], scal[_S_D0] = np.asarray(rc.coeffs_high, np.float64)
+        scal[_S_STAGEC] = bed - float(np.asarray(rc.pivot_stage, np.float64))
+        scal[_S_BUF] = float(np.asarray(rc.buffer, np.float64))
+        scal[_S_FD] = float(np.asarray(rc.fd_step, np.float64))
+
+    kern = functools.partial(
+        _kernel, nt=nt, n=n, n_sweeps=n_sweeps, max_iter=settings.max_iter,
+        ds_kind=rc.kind, interpret=interpret)
+
+    out_shapes = [
+        jax.ShapeDtypeStruct((nt, Np), jnp.float32),  # depth hi
+        jax.ShapeDtypeStruct((nt, Np), jnp.float32),  # depth lo
+        jax.ShapeDtypeStruct((nt, Np), jnp.float32),  # flow hi
+        jax.ShapeDtypeStruct((nt, Np), jnp.float32),  # flow lo
+        jax.ShapeDtypeStruct((nt, 128), jnp.float32),  # stats
+    ]
+    dhi, dlo, fhi, flo, stats = pl.pallas_call(
+        kern,
+        out_shape=out_shapes,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+        interpret=interpret,
+    )(jnp.asarray(rows), jnp.asarray(init), jnp.asarray(tgt), jnp.asarray(scal))
+
+    out_dtype = jnp.asarray(h0).dtype
+    if out_dtype == jnp.float64:
+        depth = dhi.astype(jnp.float64) + dlo.astype(jnp.float64)
+        flow = fhi.astype(jnp.float64) + flo.astype(jnp.float64)
+    else:
+        depth, flow = dhi + dlo, fhi + flo
+        depth, flow = depth.astype(out_dtype), flow.astype(out_dtype)
+    depth, flow = depth[:, :n], flow[:, :n]
+    iters = stats[:, 0].astype(jnp.int32)
+    errs = stats[:, 1].astype(out_dtype)
+    nanv = jnp.full((nt,), jnp.nan, out_dtype)
+    converged = (errs < settings.tolerance) | (jnp.arange(nt) == 0)
+    return SimOutput(
+        depth=depth, flow=flow, iterations=iters, error=errs,
+        converged=converged, reservoir_stage=nanv,
+        gate_open=jnp.zeros((nt,), out_dtype),
+        rcond=jnp.ones((nt,), out_dtype),
+    )

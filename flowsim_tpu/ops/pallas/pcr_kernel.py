@@ -20,6 +20,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -48,8 +49,10 @@ def _pcr_kernel(in_ref, out_ref, *, n_sweeps: int, n: int):
 
     s = 1
     for _ in range(n_sweeps):
-        minus = pltpu.roll(buf, shift=s, axis=1)       # index i reads i-s
-        plus = pltpu.roll(buf, shift=N - s, axis=1)    # i reads i+s (shift >= 0)
+        # np.int32: under x64 a python-int shift traces as i64, which
+        # Mosaic's tpu.dynamic_rotate rejects (must be 32-bit)
+        minus = pltpu.roll(buf, shift=np.int32(s), axis=1)     # i reads i-s
+        plus = pltpu.roll(buf, shift=np.int32(N - s), axis=1)  # i reads i+s
         vm = (idx - s >= 0).astype(buf.dtype)
         vp = (idx + s <= n - 1).astype(buf.dtype)
 

@@ -32,6 +32,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -102,8 +103,8 @@ def _tiled_spike_kernel(in_ref, out_ref, *, n_sweeps: int, T: int):
 
     s = 1
     for _ in range(n_sweeps):
-        minus = pltpu.roll(buf, shift=s, axis=1)       # lane i reads i-s
-        plus = pltpu.roll(buf, shift=T - s, axis=1)    # lane i reads i+s
+        minus = pltpu.roll(buf, shift=np.int32(s), axis=1)     # lane i reads i-s
+        plus = pltpu.roll(buf, shift=np.int32(T - s), axis=1)  # lane i reads i+s
         vm = (idx - s >= 0).astype(dtype)
         vp = (idx + s <= T - 1).astype(dtype)
 

@@ -142,9 +142,9 @@ def main():
         c, _ = jax.lax.scan(body, h, None, length=K)
         return c
 
-    # (e) end-to-end
-    def end_to_end(h0):
-        return prs.simulate(geo_d, us_d, ds_d, h0, Q0_d, sset).depth
+    # (e) end-to-end, for each candidate inner solver
+    def end_to_end(h0, s=sset):
+        return prs.simulate(geo_d, us_d, ds_d, h0, Q0_d, s).depth
 
     results = {}
     for name, fn, args in [
@@ -158,12 +158,24 @@ def main():
         results[name] = dict(wall_s=t, per_iter_us=per_iter_us)
         log(f"{name}: {t:.3f}s total, {per_iter_us:.1f} us/iter")
 
-    t = best_of(end_to_end, h0_d)
-    out = prs.simulate(geo_d, us_d, ds_d, h0_d, Q0_d, sset)
-    iters = int(np.asarray(out.iterations).sum())
-    results["end_to_end"] = dict(wall_s=t, iters=iters,
-                                 per_iter_us=t / iters * 1e6)
-    log(f"end_to_end: {t:.3f}s, {iters} iters, {t/iters*1e6:.1f} us/iter")
+    solvers = ["pcr_f32"]
+    if dev.platform != "cpu":
+        solvers.append("pallas_pcr")
+    for method in solvers:
+        s = dataclasses.replace(sset, linear_solver=method)
+        try:
+            t = best_of(lambda h0: end_to_end(h0, s), h0_d)
+            out = prs.simulate(geo_d, us_d, ds_d, h0_d, Q0_d, s)
+            iters = int(np.asarray(out.iterations).sum())
+            conv = bool(np.asarray(out.converged).all())
+            results[f"end_to_end_{method}"] = dict(
+                wall_s=t, iters=iters, converged=conv,
+                per_iter_us=t / iters * 1e6)
+            log(f"end_to_end[{method}]: {t:.3f}s, {iters} iters "
+                f"(converged={conv}), {t/iters*1e6:.1f} us/iter")
+        except Exception as e:  # noqa: BLE001 — report and keep measuring
+            log(f"end_to_end[{method}] failed: {type(e).__name__}: {e}")
+            results[f"end_to_end_{method}"] = dict(error=str(e)[:200])
     print(json.dumps(results))
 
 

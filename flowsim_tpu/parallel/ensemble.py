@@ -53,7 +53,7 @@ def batch_boundaries(bcs):
 
 def batched_simulate(geo_batch, us_bc, ds_bc, h0, Q0, settings: prs.PreissmannSettings,
                      mesh: Optional[Mesh] = None, shard: bool = True,
-                     us_axes=None, ds_axes=None):
+                     us_axes=None, ds_axes=None, chunk_size: Optional[int] = None):
     """Simulate a batch of scenarios differing in geometry (e.g. roughness)
     and, optionally, boundary forcing.
 
@@ -61,7 +61,54 @@ def batched_simulate(geo_batch, us_bc, ds_bc, h0, Q0, settings: prs.PreissmannSe
     (broadcast) or batched likewise.  Per-member boundaries: pass the stacked
     params + axes from :func:`batch_boundaries` as ``us_bc``/``us_axes``
     (likewise downstream); with ``us_axes=None`` the boundary is shared.
+
+    ``chunk_size``: run the batch as sequential vmapped chunks inside one
+    jit (``lax.map``).  Measured on v5e: per-sim throughput is flat from
+    batch 2048 to 8192 (~6.1k sims/s) but degrades ~22% at 16384 in one
+    monolithic vmap; chunking a 16k batch at 8192 recovers the flat rate.
+    Requires the batch size to be a multiple of ``chunk_size``.
     """
+    def one(geo, us, ds, h, Q):
+        return prs.simulate(geo, us, ds, h, Q, settings)
+
+    in_axes = (0, us_axes, ds_axes,
+               0 if jnp.ndim(h0) > 1 else None, 0 if jnp.ndim(Q0) > 1 else None)
+
+    B = jax.tree_util.tree_leaves(geo_batch)[0].shape[0]
+    if chunk_size is not None and B > chunk_size:
+        if B % chunk_size:
+            raise ValueError(f"batch {B} not divisible by chunk_size {chunk_size}")
+        nch = B // chunk_size
+
+        def chunked(tree):
+            return jax.tree_util.tree_map(
+                lambda a: a.reshape((nch, chunk_size) + a.shape[1:]), tree)
+
+        def shard_inner(tree):
+            m = mesh or make_mesh()
+            sh = NamedSharding(m, P(None, ENSEMBLE_AXIS))
+            return jax.tree_util.tree_map(lambda a: jax.device_put(a, sh), tree)
+
+        prep = (lambda t: shard_inner(chunked(t))) if shard else chunked
+        mapped = {"geo": prep(geo_batch)}
+        if us_axes is not None:
+            mapped["us"] = prep(us_bc)
+        if ds_axes is not None:
+            mapped["ds"] = prep(ds_bc)
+        if jnp.ndim(h0) > 1:
+            mapped["h0"] = prep(h0)
+        if jnp.ndim(Q0) > 1:
+            mapped["Q0"] = prep(Q0)
+
+        def run_chunk(m):
+            return jax.vmap(one, in_axes=in_axes)(
+                m["geo"], m.get("us", us_bc), m.get("ds", ds_bc),
+                m.get("h0", h0), m.get("Q0", Q0))
+
+        out = jax.jit(lambda m: jax.lax.map(run_chunk, m))(mapped)
+        return jax.tree_util.tree_map(
+            lambda a: a.reshape((B,) + a.shape[2:]), out)
+
     if shard:
         geo_batch = shard_batch(geo_batch, mesh)
         if us_axes is not None:
@@ -69,11 +116,6 @@ def batched_simulate(geo_batch, us_bc, ds_bc, h0, Q0, settings: prs.PreissmannSe
         if ds_axes is not None:
             ds_bc = shard_batch(ds_bc, mesh)
 
-    def one(geo, us, ds, h, Q):
-        return prs.simulate(geo, us, ds, h, Q, settings)
-
-    in_axes = (0, us_axes, ds_axes,
-               0 if jnp.ndim(h0) > 1 else None, 0 if jnp.ndim(Q0) > 1 else None)
     return jax.jit(jax.vmap(one, in_axes=in_axes))(geo_batch, us_bc, ds_bc, h0, Q0)
 
 

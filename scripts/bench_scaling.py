@@ -64,6 +64,13 @@ def build_long_reach(n_nodes, dtype, levels=8, linear_solver="pcr"):
     series = 1500.0 + 1500.0 * np.minimum(times / 3600.0, 1.0)
     us = bnd.make_boundary("flow_hydrograph", bed_level=float(geo.z_bed[0]), target_series=series)
     ds = bnd.make_boundary("normal_depth", bed_level=0.0, bed_slope=slope)
+    # make_boundary builds leaves in the default dtype (f64 when tests enable
+    # x64); cast to the requested state dtype so f32 runs stay f32 throughout
+    import jax
+
+    cast = lambda t: jax.tree_util.tree_map(
+        lambda a: a.astype(dtype) if hasattr(a, "astype") else a, t)
+    us, ds = cast(us), cast(ds)
     sset = prs.PreissmannSettings(
         theta=0.7, time_step=600.0, spatial_step=200.0, n_time_levels=nt,
         tolerance=1e-2 if dtype == np.float32 else 1e-6, max_iter=30,

@@ -104,6 +104,46 @@ def _run_benchmark(force_cpu: bool = False):
         # the reliable completion barrier.
         return float(jnp.sum(x))
 
+    # --- fused whole-simulation Pallas kernel (TPU fast path) -------------
+    # One dispatch for the entire run; df32 residual arithmetic in VMEM
+    # (ops/pallas/fused_newton.py).  Validated against the CPU f64 fields
+    # below; any failure (unsupported config, Mosaic regression) falls back
+    # to the XLA scan-of-Newton path.
+    fused_result = None
+    if device.platform != "cpu":
+        try:
+            from flowsim_tpu.ops.pallas.fused_newton import fused_simulate
+
+            t0 = time.time()
+            outf = fused_simulate(geo, solver.us_params, solver.ds_params,
+                                  solver.h0, solver.Q0, sset)
+            sync(outf.depth)
+            log(f"fused compile+first run: {time.time()-t0:.1f}s")
+            bestf = np.inf
+            h0np = np.asarray(solver.h0)
+            for rep in range(3):
+                h0p = jnp.asarray(h0np * (1.0 + 1e-12 * (rep + 1)))
+                t0 = time.time()
+                outf = fused_simulate(geo, solver.us_params, solver.ds_params,
+                                      h0p, solver.Q0, sset)
+                sync(outf.depth)
+                bestf = min(bestf, time.time() - t0)
+            with jax.default_device(cpu):
+                out_cpu64 = prs.simulate(geo, solver.us_params, solver.ds_params,
+                                         solver.h0, solver.Q0, sset)
+            max_dd = float(np.abs(np.asarray(outf.depth)
+                                  - np.asarray(out_cpu64.depth)).max())
+            conv = bool(np.asarray(outf.converged).all())
+            log(f"fused: {bestf:.3f}s  converged={conv}  "
+                f"iters={int(np.asarray(outf.iterations).sum())}  "
+                f"max|dh - CPU f64| = {max_dd:.2e} m")
+            if conv and max_dd < 1e-3:
+                fused_result = (bestf, outf)
+            else:
+                log("fused run failed validation — using the XLA path")
+        except Exception as e:  # noqa: BLE001 — any failure means fallback
+            log(f"fused path unavailable ({type(e).__name__}: {e}) — XLA path")
+
     t0 = time.time()
     out = prs.simulate(*args, sset)
     sync(out.depth)
@@ -120,6 +160,10 @@ def _run_benchmark(force_cpu: bool = False):
         out = prs.simulate(geo_, us_, ds_, h0p, Q0_, sset)
         sync(out.depth)
         best = min(best, time.time() - t0)
+
+    if fused_result is not None and fused_result[0] < best:
+        best, out = fused_result
+        log("fused kernel is the fastest validated path — reporting it")
 
     iters = int(np.asarray(out.iterations).sum())
     converged = bool(np.asarray(out.converged).all())

@@ -383,23 +383,45 @@ class PreissmannSolver(_SolverBase):
 
     RCOND_THRESHOLD = 1e-12  # ref preissmann.py:142
 
-    def run(self, tolerance=1e-4, verbose=1, max_iter=100, diagnos=False, live=False):
+    def run(self, tolerance=1e-4, verbose=1, max_iter=100, diagnos=False, live=False,
+            engine="xla"):
         """Run the full simulation.
 
         ``live=True`` streams the per-level progress lines from *inside* the
         scan (ref preissmann.py:116-117,151-155 prints as it solves) via a
         host callback; the default reports post-hoc, which is faster on
         accelerators (no per-level host sync).
+
+        ``engine``: ``"xla"`` (default) runs the scan-of-Newton XLA program;
+        ``"fused"`` runs the whole simulation as one Pallas kernel
+        (ops/pallas/fused_newton.py — df32 residual path, the fast path for
+        flagship-sized trapezoid configs on TPU), falling back to XLA when
+        the configuration is outside the kernel's scope.
         """
         sset = self.settings(tolerance, max_iter, diagnos=diagnos)
         if live:
             import dataclasses
 
             sset = dataclasses.replace(sset, live_progress=True)
-        out = prs.simulate(
-            self.channel.geometry, self.us_params, self.ds_params,
-            self.h0, self.Q0, sset,
-        )
+        out = None
+        if engine == "fused" and not diagnos and not live:
+            from flowsim_tpu.ops.pallas.fused_newton import (FusedUnsupported,
+                                                             fused_simulate)
+
+            try:
+                out = fused_simulate(
+                    self.channel.geometry, self.us_params, self.ds_params,
+                    self.h0, self.Q0, sset,
+                    interpret=jax.devices()[0].platform != "tpu",
+                )
+            except FusedUnsupported as e:
+                if verbose >= 2:
+                    print(f"fused engine unavailable ({e}); using XLA path")
+        if out is None:
+            out = prs.simulate(
+                self.channel.geometry, self.us_params, self.ds_params,
+                self.h0, self.Q0, sset,
+            )
         out = jax.tree_util.tree_map(np.asarray, out)
         self.output = out
         self.depth = out.depth

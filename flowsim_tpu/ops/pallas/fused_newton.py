@@ -58,7 +58,7 @@ _NG = 17
 
 # SCAL slots (f32, [16] SMEM)
 _S_THETA, _S_DT, _S_DX, _S_TOL, _S_C2, _S_C1, _S_C0, _S_D2, _S_D1, _S_D0, \
-    _S_STAGEC, _S_BUF, _S_FD, _S_SHIFT, _S_ZERO = range(15)
+    _S_STAGEC, _S_BUF, _S_FD, _S_SQS0, _S_ZERO = range(15)
 _NS = 16  # _S_ZERO holds a literal 0.0: the opaque fence for df32 EFTs
 
 
@@ -312,7 +312,8 @@ def _level_state(g, h: DF, Q: DF):
 
 
 def _assemble_fused(g, scal, roll, n, ds_kind,
-                    h, Q, prev_h, prev_Q, prev_A, prev_Se, prev_Q2A, tgt):
+                    h, Q, prev_h, prev_Q, prev_A, prev_Se, prev_Q2A, tgt,
+                    us_kind="flow_hydrograph"):
     """df32 residual + f32 Jacobian, packed as the [16, Np] PCR system.
 
     Module-level (not a kernel closure) so tests can drive the exact same
@@ -375,17 +376,31 @@ def _assemble_fused(g, scal, roll, n, ds_kind,
     geom = dYdx + avgSe
     Rm = dQdt + dQ2A_dx + g_df * avgA * geom
 
-    # boundary rows (flow hydrograph upstream; rating curve downstream)
-    us_res = DF(Q.hi[0:1, 0:1], Q.lo[0:1, 0:1]) - df(tgt)
+    # boundary rows (ops/boundary.py:160-183)
+    if us_kind == "flow_hydrograph":
+        us_res = DF(Q.hi[0:1, 0:1], Q.lo[0:1, 0:1]) - df(tgt)
+        us_df_dh, us_df_dQ = np.float32(0.0), np.float32(1.0)
+    else:  # stage_hydrograph: host precomputes target - bed_level into tgt
+        us_res = DF(h.hi[0:1, 0:1], h.lo[0:1, 0:1]) - df(tgt)
+        us_df_dh, us_df_dQ = np.float32(1.0), np.float32(0.0)
     h_tail = DF(h.hi[0:1, n - 1:n], h.lo[0:1, n - 1:n])
     Q_tail = DF(Q.hi[0:1, n - 1:n], Q.lo[0:1, n - 1:n])
-    stage_c = h_tail + df(scal[_S_STAGEC])
-    q_curve = _rating_q(scal, stage_c, ds_kind)
-    ds_res = Q_tail - q_curve
-    fd = scal[_S_FD]
-    qp = _rating_q(scal, stage_c + df(fd), ds_kind)
-    qm = _rating_q(scal, stage_c - df(fd), ds_kind)
-    ds_df_dh = -((qp - qm).value) / (2.0 * fd)
+    if ds_kind == "normal_depth":
+        # Q - K(h) sqrt(S0); df_dh = -dK_dA sqrt(S0) dA_dh (ref boundary
+        # :91-92,179-180; S0 > 0 enforced at pack time)
+        sq = scal[_S_SQS0]
+        K_tail = DF(st["K"].hi[0:1, n - 1:n], st["K"].lo[0:1, n - 1:n])
+        ds_res = Q_tail - K_tail * df(sq)
+        ds_df_dh = -(st["dK_dA"][0:1, n - 1:n] * sq
+                     * st["dA_dh"][0:1, n - 1:n])
+    else:
+        stage_c = h_tail + df(scal[_S_STAGEC])
+        q_curve = _rating_q(scal, stage_c, ds_kind)
+        ds_res = Q_tail - q_curve
+        fd = scal[_S_FD]
+        qp = _rating_q(scal, stage_c + df(fd), ds_kind)
+        qm = _rating_q(scal, stage_c - df(fd), ds_kind)
+        ds_df_dh = -((qp - qm).value) / (2.0 * fd)
 
     # f32 Jacobian entries (ops/preissmann.py:134-158)
     Af, dA_dh = A.value, st["dA_dh"]
@@ -410,8 +425,8 @@ def _assemble_fused(g, scal, roll, n, ds_kind,
 
     L00 = shift_r(dM_dh_i * cell_mask)
     L01 = shift_r(dM_dQ_i * cell_mask)
-    D00 = shift_r(dM_dh_i1 * cell_mask) + pad  # us df_dh = 0; pad identity
-    D01 = shift_r(dM_dQ_i1 * cell_mask) + is0 * 1.0
+    D00 = shift_r(dM_dh_i1 * cell_mask) + is0 * us_df_dh + pad  # pad: identity
+    D01 = shift_r(dM_dQ_i1 * cell_mask) + is0 * us_df_dQ
     D10 = dA_dh * inv2dt * cell_mask + isl * ds_df_dh
     D11 = -th_dx * cell_mask + isl * 1.0 + pad
     U10 = shift_l(dA_dh) * inv2dt * cell_mask
@@ -434,7 +449,7 @@ def _assemble_fused(g, scal, roll, n, ds_kind,
 
 def _kernel(geo_ref, init_ref, tgt_ref, scal_ref,
             dhi_ref, dlo_ref, fhi_ref, flo_ref, stats_ref,
-            *, nt, n, n_sweeps, max_iter, ds_kind, interpret):
+            *, nt, n, n_sweeps, max_iter, ds_kind, us_kind, interpret):
     roll = _roll(interpret)
     geo = geo_ref[:]
     Np = geo.shape[1]
@@ -447,7 +462,8 @@ def _kernel(geo_ref, init_ref, tgt_ref, scal_ref,
     def newton_iter(h, Q, prev_h, prev_Q, prev_A, prev_Se, prev_Q2A, tgt):
         buf, err = _assemble_fused(g, scal, roll, n, ds_kind,
                                    h, Q, prev_h, prev_Q,
-                                   prev_A, prev_Se, prev_Q2A, tgt)
+                                   prev_A, prev_Se, prev_Q2A, tgt,
+                                   us_kind=us_kind)
         x0, x1 = _pcr_solve(buf, idx, n, n_sweeps, roll)
         h = h + df(x0 * node_mask)
         Q = Q + df(x1 * node_mask)
@@ -508,12 +524,18 @@ def _check_supported(geo, us_bc, ds_bc, settings):
 
     if not isinstance(geo, TrapezoidGeometry):
         raise FusedUnsupported("fused kernel supports TrapezoidGeometry only")
-    if us_bc.kind != "flow_hydrograph":
-        raise FusedUnsupported("fused kernel needs a flow_hydrograph upstream BC")
-    if ds_bc.kind != "rating_curve" or ds_bc.rating is None:
-        raise FusedUnsupported("fused kernel needs a rating_curve downstream BC")
-    if ds_bc.rating.kind not in ("polynomial", "blended_poly"):
-        raise FusedUnsupported(f"unsupported rating kind {ds_bc.rating.kind!r}")
+    if us_bc.kind not in ("flow_hydrograph", "stage_hydrograph"):
+        raise FusedUnsupported("fused kernel needs a hydrograph upstream BC")
+    if ds_bc.kind == "normal_depth":
+        s0 = float(np.asarray(ds_bc.bed_slope, np.float64))
+        if not np.isfinite(s0) or s0 <= 0.0:
+            raise FusedUnsupported("normal_depth downstream BC needs S0 > 0")
+    elif ds_bc.kind == "rating_curve" and ds_bc.rating is not None:
+        if ds_bc.rating.kind not in ("polynomial", "blended_poly"):
+            raise FusedUnsupported(f"unsupported rating kind {ds_bc.rating.kind!r}")
+    else:
+        raise FusedUnsupported("fused kernel needs a rating_curve or "
+                               "normal_depth downstream BC")
     if settings.newton != "while":
         raise FusedUnsupported("fused kernel implements the while-Newton only")
     n = geo.n_nodes
@@ -578,6 +600,9 @@ def fused_simulate(geo, us_bc, ds_bc, h0, Q0, settings, interpret: bool = False)
 
     tgt = np.zeros((max(nt, 8),), f32)
     series = np.asarray(us_bc.target_series, np.float64)
+    if us_bc.kind == "stage_hydrograph":
+        # residual is h - (target - bed_level): bake the datum in
+        series = series - float(np.asarray(us_bc.bed_level, np.float64))
     tgt[: min(nt, len(series))] = series[:nt].astype(f32)
 
     scal = np.zeros((_NS,), f32)
@@ -587,7 +612,11 @@ def fused_simulate(geo, us_bc, ds_bc, h0, Q0, settings, interpret: bool = False)
     scal[_S_TOL] = settings.tolerance
     rc = ds_bc.rating
     bed = float(np.asarray(ds_bc.bed_level, np.float64))
-    if rc.kind == "polynomial":
+    if ds_bc.kind == "normal_depth":
+        scal[_S_SQS0] = np.sqrt(float(np.asarray(ds_bc.bed_slope, np.float64)))
+        ds_kind = "normal_depth"
+    elif rc.kind == "polynomial":
+        ds_kind = "polynomial"
         c = np.asarray(rc.coeffs, np.float64)
         scal[_S_C2], scal[_S_C1], scal[_S_C0] = c
         # stage_c = (bed + h) + shift  ->  offset = bed + shift
@@ -595,6 +624,7 @@ def fused_simulate(geo, us_bc, ds_bc, h0, Q0, settings, interpret: bool = False)
         scal[_S_FD] = 1.0  # unused (analytic path still uses FD; harmless)
         scal[_S_BUF] = 1.0
     else:
+        ds_kind = "blended_poly"
         scal[_S_C2], scal[_S_C1], scal[_S_C0] = np.asarray(rc.coeffs, np.float64)
         scal[_S_D2], scal[_S_D1], scal[_S_D0] = np.asarray(rc.coeffs_high, np.float64)
         scal[_S_STAGEC] = bed - float(np.asarray(rc.pivot_stage, np.float64))
@@ -603,7 +633,7 @@ def fused_simulate(geo, us_bc, ds_bc, h0, Q0, settings, interpret: bool = False)
 
     kern = functools.partial(
         _kernel, nt=nt, n=n, n_sweeps=n_sweeps, max_iter=settings.max_iter,
-        ds_kind=rc.kind, interpret=interpret)
+        ds_kind=ds_kind, us_kind=us_bc.kind, interpret=interpret)
 
     out_shapes = [
         jax.ShapeDtypeStruct((nt, Np), jnp.float32),  # depth hi

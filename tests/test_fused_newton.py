@@ -80,3 +80,20 @@ def test_unsupported_configs_raise(gerd):
         fused_simulate(ex_solver.channel.geometry, ex_solver.us_params,
                        ex_solver.ds_params, ex_solver.h0, ex_solver.Q0,
                        ex_sset, interpret=True)
+
+
+def test_normal_depth_downstream_parity():
+    """Fused kernel with flow-hydrograph us + normal-depth ds (the long-reach
+    configuration): iteration counts identical to the f64 path."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from bench_scaling import build_long_reach
+
+    geo, us, ds, h0, Q0, sset = build_long_reach(128, np.float64, levels=12)
+    ref = prs.simulate(geo, us, ds, h0, Q0, sset)
+    fused = fused_simulate(geo, us, ds, h0, Q0, sset, interpret=True)
+    assert (np.asarray(fused.iterations) == np.asarray(ref.iterations)).all()
+    assert bool(np.asarray(fused.converged).all())
+    assert np.abs(np.asarray(fused.depth) - np.asarray(ref.depth)).max() < 1e-5

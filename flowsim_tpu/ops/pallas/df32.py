@@ -248,12 +248,18 @@ def sqrt(a: DF) -> DF:
 
 
 def cbrt(a: DF) -> DF:
-    """df cube root, a >= 0, via f32 seed + one df Newton step."""
+    """df cube root, a >= 0, via exp/log seed + Newton steps.
+
+    Mosaic has no ``cbrt`` primitive, so the f32 seed is exp(log(a)/3)
+    (~1e-7 relative) polished once in f32; the df step below then squares
+    the error to the df32 floor.  a = 0 maps to 0.
+    """
     a = df(a)
-    y0 = jnp.cbrt(a.hi)
-    safe = y0 > 0.0
-    y0s = jnp.where(safe, y0, 1.0)
-    y = df(y0s)
+    safe = a.hi > 0.0
+    ah = jnp.where(safe, a.hi, 1.0)
+    y0 = jnp.exp(jnp.log(ah) * np.float32(1.0 / 3.0))
+    y0 = y0 - (y0 * y0 * y0 - ah) / (3.0 * y0 * y0)
+    y = df(y0)
     # y <- y - (y^3 - a) / (3 y^2) = (2 y + a / y^2) / 3.  NB: divide by the
     # exact constant 3 — multiplying by f32(1/3) would inject its 2e-8
     # representation error into the polished root.

@@ -74,6 +74,50 @@ def _roll_df(roll, x: DF, shift) -> DF:
     return DF(roll(x.hi, shift), roll(x.lo, shift))
 
 
+# -- Mosaic-safe f32 fractional powers (no cbrt primitive on TPU) -----------
+
+
+def _cbrt32(x):
+    """f32 cube root for x >= 0 via exp/log seed + one Newton polish."""
+    safe = x > 0.0
+    xs = jnp.where(safe, x, 1.0)
+    y = jnp.exp(jnp.log(xs) * np.float32(1.0 / 3.0))
+    y = y - (y * y * y - xs) / (3.0 * y * y)
+    return jnp.where(safe, y, 0.0)
+
+
+def _dK_dA32(A, n, R, dR_dA):
+    """hyd.dK_dA with the Mosaic-safe cbrt (formula ref hydraulics.py:28-40)."""
+    c = _cbrt32(R)
+    Rsafe = jnp.where(R > 0.0, R, 1.0)
+    pm13 = jnp.where(R > 0.0, 1.0 / _cbrt32(Rsafe), 0.0)
+    return (c * c + A * np.float32(2.0 / 3.0) * pm13 * dR_dA) / n
+
+
+def _dSc32(h, T, A, Q, n, R, rc, dR_dA):
+    """hyd.dSc_dA / dSc_dQ with Mosaic-safe powers (ref hydraulics.py:119-153)."""
+    Fr = hyd.froude(T, A, Q)
+    c = _cbrt32(R)
+    C = jnp.sqrt(c) / n          # pow_1_6(R)/n
+    f = 8.0 * np.float32(GRAVITY) / (C * C)
+    pm13 = 1.0 / c
+    df_dA = -(8.0 / 3.0) * np.float32(GRAVITY) * n * n * (pm13 / R) * dR_dA
+    dh_dA = 1.0 / T
+    dFrA = hyd.dFr_dA(T, A, Q)
+    dFrQ = hyd.dFr_dQ(T, A)
+    sqrtf = jnp.sqrt(f)
+    num = (2.86 * sqrtf + 2.07 * f) * h * h * Fr * Fr
+    den = (0.565 + sqrtf) * rc * rc
+    dnum_dA = (2.86 / (2.0 * sqrtf) * df_dA + 2.07 * df_dA) * h * h * Fr * Fr + (
+        2.86 * sqrtf + 2.07 * f
+    ) * (2.0 * h * dh_dA * Fr * Fr + h * h * 2.0 * Fr * dFrA)
+    dden_dA = (1.0 / (2.0 * sqrtf) * df_dA) * rc * rc
+    dSc_dA = (dnum_dA * den - num * dden_dA) / (den * den)
+    dnum_dQ = (2.86 * sqrtf + 2.07 * f) * h * h * 2.0 * Fr * dFrQ
+    dSc_dQ = dnum_dQ / den
+    return dSc_dA, dSc_dQ
+
+
 def _section_df(g, h: DF):
     """df32 section closures, mirroring ops/sections.py:51-165.
 
@@ -153,7 +197,7 @@ def _section_df(g, h: DF):
     ok = (Pf > 0.0) & (Tf > 0.0)
     dP_dA = dP_dh / jnp.where(ok, Tf, 1.0)
     dR_dA = jnp.where(ok, (Pf - Af * dP_dA) / jnp.where(ok, Pf * Pf, 1.0), 0.0)
-    dK_dA = jnp.where(Af > 0.0, hyd.dK_dA(Af, n_eq.value, Rf, dR_dA), 0.0)
+    dK_dA = jnp.where(Af > 0.0, _dK_dA32(Af, n_eq.value, Rf, dR_dA), 0.0)
 
     return dict(A=A, P=P, R=R, T=T, K=K, n_eq=n_eq, depth=depth,
                 dA_dh=dA_dh, dR_dA=dR_dA, dK_dA=dK_dA)
@@ -197,12 +241,9 @@ def _energy_slope_df(g, st, Q: DF):
     dSf_dA = jnp.where(K_ok, hyd.dSf_dA(Qf, Kf, st["dK_dA"]), 0.0)
     dSf_dQ = jnp.where(K_ok, hyd.dSf_dQ(Qf, Kf), 0.0)
     Rsf = jnp.where(Rf > 0.0, Rf, 1.0)
-    dSc_dA = jnp.where(
-        has_curv_d,
-        hyd.dSc_dA(hf, Af, Qf, nf, Rsf, rc, st["dR_dA"], Tf) * st["dA_dh"],
-        0.0,
-    )
-    dSc_dQ = jnp.where(has_curv_d, hyd.dSc_dQ(hf, Tf, Af, Qf, nf, Rsf, rc), 0.0)
+    dScA_raw, dScQ_raw = _dSc32(hf, Tf, Af, Qf, nf, Rsf, rc, st["dR_dA"])
+    dSc_dA = jnp.where(has_curv_d, dScA_raw * st["dA_dh"], 0.0)
+    dSc_dQ = jnp.where(has_curv_d, dScQ_raw, 0.0)
     return Se, dSf_dA + dSc_dA, dSf_dQ + dSc_dQ
 
 

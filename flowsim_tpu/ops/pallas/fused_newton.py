@@ -21,11 +21,12 @@ raw f32 on CPU/TPU.  Jacobian entries and the PCR solve are plain f32: the
 increment only needs a few digits (inexact Newton; validated in round 1 by
 the pcr_f32 path's identical iteration counts).
 
-Supported configuration (the flagship + example/akbari shapes):
-TrapezoidGeometry (simple or compound, with planform curvature), upstream
-``flow_hydrograph``, downstream ``rating_curve`` (polynomial or
-blended_poly), ``newton='while'``.  Everything else falls back to the XLA
-path (api dispatch keeps behavior identical).
+Supported configurations (all three reference cases):
+TrapezoidGeometry (simple or compound, with planform curvature); upstream
+``flow_hydrograph`` or ``stage_hydrograph``; downstream ``rating_curve``
+(polynomial or blended_poly), ``normal_depth``, or ``fixed_depth`` with
+constant-area lumped storage; ``newton='while'``.  Everything else falls
+back to the XLA path (api dispatch keeps behavior identical).
 
 Formula parity: the df32 math mirrors ops/sections.py / ops/hydraulics.py /
 ops/preissmann.py line for line (which in turn cite the reference); the
@@ -58,8 +59,9 @@ _NG = 17
 
 # SCAL slots (f32, [16] SMEM)
 _S_THETA, _S_DT, _S_DX, _S_TOL, _S_C2, _S_C1, _S_C0, _S_D2, _S_D1, _S_D0, \
-    _S_STAGEC, _S_BUF, _S_FD, _S_SQS0, _S_ZERO = range(15)
-_NS = 16  # _S_ZERO holds a literal 0.0: the opaque fence for df32 EFTs
+    _S_STAGEC, _S_BUF, _S_FD, _S_SQS0, _S_ZERO, _S_SA, _S_MINSTAGE, \
+    _S_DSBED = range(18)
+_NS = 20  # _S_ZERO holds a literal 0.0: the opaque fence for df32 EFTs
 
 
 def _roll(interpret):
@@ -354,7 +356,7 @@ def _level_state(g, h: DF, Q: DF):
 
 def _assemble_fused(g, scal, roll, n, ds_kind,
                     h, Q, prev_h, prev_Q, prev_A, prev_Se, prev_Q2A, tgt,
-                    us_kind="flow_hydrograph"):
+                    us_kind="flow_hydrograph", y_old=None, k=None):
     """df32 residual + f32 Jacobian, packed as the [16, Np] PCR system.
 
     Module-level (not a kernel closure) so tests can drive the exact same
@@ -426,7 +428,26 @@ def _assemble_fused(g, scal, roll, n, ds_kind,
         us_df_dh, us_df_dQ = np.float32(1.0), np.float32(0.0)
     h_tail = DF(h.hi[0:1, n - 1:n], h.lo[0:1, n - 1:n])
     Q_tail = DF(Q.hi[0:1, n - 1:n], Q.lo[0:1, n - 1:n])
-    if ds_kind == "normal_depth":
+    res_stage = df(jnp.zeros_like(h_tail.hi))  # [1,1]; overwritten by storage
+    ds_df_dQ = np.float32(1.0)
+    if ds_kind == "storage_simple":
+        # fixed_depth + constant-area lumped storage, closed-form mass
+        # balance (ops/boundary.py:185-205; ref boundary.py:97-133 with
+        # surface_area only): Y = max(Y_old + vol_in/SA, min_stage)
+        bed = scal[_S_DSBED]
+        sa, dt_s = scal[_S_SA], scal[_S_DT]
+        Qp_tail = DF(prev_Q.hi[0:1, n - 1:n], prev_Q.lo[0:1, n - 1:n])
+        first = k == 1  # ref boundary.py:104-108: level 1 uses the trial stage
+        Y_old_eff = df32.where(first, h_tail + df(bed), y_old)
+        vol_in = df(0.5) * (Qp_tail + Q_tail) * df(dt_s)
+        Y_new = Y_old_eff + vol_in / df(sa)
+        Y_new = df32.maximum(Y_new, df(scal[_S_MINSTAGE]))
+        ds_res = h_tail - (Y_new - df(bed))
+        ds_df_dh = jnp.ones_like(h_tail.hi)
+        dY_dvol = jnp.where(Y_new.hi <= scal[_S_MINSTAGE], 0.0, 1.0 / sa)
+        ds_df_dQ = -(dY_dvol * 0.5 * dt_s)
+        res_stage = Y_new
+    elif ds_kind == "normal_depth":
         # Q - K(h) sqrt(S0); df_dh = -dK_dA sqrt(S0) dA_dh (ref boundary
         # :91-92,179-180; S0 > 0 enforced at pack time)
         sq = scal[_S_SQS0]
@@ -469,7 +490,7 @@ def _assemble_fused(g, scal, roll, n, ds_kind,
     D00 = shift_r(dM_dh_i1 * cell_mask) + is0 * us_df_dh + pad  # pad: identity
     D01 = shift_r(dM_dQ_i1 * cell_mask) + is0 * us_df_dQ
     D10 = dA_dh * inv2dt * cell_mask + isl * ds_df_dh
-    D11 = -th_dx * cell_mask + isl * 1.0 + pad
+    D11 = -th_dx * cell_mask + isl * ds_df_dQ + pad
     U10 = shift_l(dA_dh) * inv2dt * cell_mask
     U11 = th_dx * cell_mask
 
@@ -485,7 +506,7 @@ def _assemble_fused(g, scal, roll, n, ds_kind,
          D00, D01, D10, D11,
          zero_row, zero_row, U10, U11,
          b0, b1, zero_row, zero_row], axis=0)
-    return buf, err
+    return buf, err, res_stage
 
 
 def _kernel(geo_ref, init_ref, tgt_ref, scal_ref,
@@ -500,20 +521,22 @@ def _kernel(geo_ref, init_ref, tgt_ref, scal_ref,
     node_mask = (idx < n).astype(jnp.float32)
     tol = scal[_S_TOL]
 
-    def newton_iter(h, Q, prev_h, prev_Q, prev_A, prev_Se, prev_Q2A, tgt):
-        buf, err = _assemble_fused(g, scal, roll, n, ds_kind,
-                                   h, Q, prev_h, prev_Q,
-                                   prev_A, prev_Se, prev_Q2A, tgt,
-                                   us_kind=us_kind)
+    def newton_iter(h, Q, prev_h, prev_Q, prev_A, prev_Se, prev_Q2A, tgt,
+                    y_old, k):
+        buf, err, res_stage = _assemble_fused(g, scal, roll, n, ds_kind,
+                                              h, Q, prev_h, prev_Q,
+                                              prev_A, prev_Se, prev_Q2A, tgt,
+                                              us_kind=us_kind, y_old=y_old, k=k)
         x0, x1 = _pcr_solve(buf, idx, n, n_sweeps, roll)
         h = h + df(x0 * node_mask)
         Q = Q + df(x1 * node_mask)
-        return h, Q, err
+        return h, Q, err, res_stage
 
-    def store_level(k, h, Q, iters, err):
+    def store_level(k, h, Q, iters, err, res_stage=np.float32(np.nan)):
         idx128 = jax.lax.broadcasted_iota(jnp.int32, (1, stats_ref.shape[1]), 1)
         stats_row = (jnp.where(idx128 == 0, iters.astype(jnp.float32), 0.0)
-                     + jnp.where(idx128 == 1, err, 0.0))
+                     + jnp.where(idx128 == 1, err, 0.0)
+                     + jnp.where(idx128 == 2, res_stage, 0.0))
         dhi_ref[pl.ds(k, 1), :] = h.hi
         dlo_ref[pl.ds(k, 1), :] = h.lo
         fhi_ref[pl.ds(k, 1), :] = Q.hi
@@ -529,29 +552,38 @@ def _kernel(geo_ref, init_ref, tgt_ref, scal_ref,
         # df32 EFT fence (see df32._fz): active for the whole traced body,
         # released when tracing finishes so no tracer leaks into later traces
         with df32.fenced(scal[_S_ZERO]):
-            jax.lax.fori_loop(1, nt, level_body, (h0.hi, h0.lo, Q0.hi, Q0.lo))
+            zrow = jnp.zeros((1, 1), jnp.float32)
+            jax.lax.fori_loop(1, nt, level_body,
+                              (h0.hi, h0.lo, Q0.hi, Q0.lo, zrow, zrow))
 
     def level_body(k, carry):
-        h_hi, h_lo, Q_hi, Q_lo = carry
+        h_hi, h_lo, Q_hi, Q_lo, y_hi, y_lo = carry
         h, Q = DF(h_hi, h_lo), DF(Q_hi, Q_lo)
+        y_old = DF(y_hi, y_lo)
         prev_A, prev_Se, prev_Q2A = _level_state(g, h, Q)
         tgt = tgt_ref[k]
 
         def cond(c):
-            _, _, _, _, err, it = c
+            err, it = c[4], c[5]
             return (err >= tol) & (it < max_iter)
 
         def body(c):
-            hh, hl, qh, ql, _, it = c
-            h2, Q2, err = newton_iter(DF(hh, hl), DF(qh, ql), h, Q,
-                                      prev_A, prev_Se, prev_Q2A, tgt)
-            return h2.hi, h2.lo, Q2.hi, Q2.lo, err, it + 1
+            hh, hl, qh, ql, _, it, _, _ = c
+            h2, Q2, err, rs = newton_iter(DF(hh, hl), DF(qh, ql), h, Q,
+                                          prev_A, prev_Se, prev_Q2A, tgt,
+                                          y_old, k)
+            return (h2.hi, h2.lo, Q2.hi, Q2.lo, err, it + 1,
+                    rs.hi[0, 0], rs.lo[0, 0])
 
-        hh, hl, qh, ql, err, iters = jax.lax.while_loop(
+        hh, hl, qh, ql, err, iters, rs_hi, rs_lo = jax.lax.while_loop(
             cond, body,
-            (h.hi, h.lo, Q.hi, Q.lo, np.float32(np.inf), np.int32(0)))
-        store_level(k, DF(hh, hl), DF(qh, ql), iters, err)
-        return hh, hl, qh, ql
+            (h.hi, h.lo, Q.hi, Q.lo, np.float32(np.inf), np.int32(0),
+             y_hi[0, 0] * 1.0, y_lo[0, 0] * 1.0))
+        rs_row_hi = jnp.full_like(y_hi, 0.0) + rs_hi
+        rs_row_lo = jnp.full_like(y_lo, 0.0) + rs_lo
+        store_level(k, DF(hh, hl), DF(qh, ql), iters, err,
+                    res_stage=rs_hi + rs_lo)
+        return hh, hl, qh, ql, rs_row_hi, rs_row_lo
 
     _run_levels(level_body)
 
@@ -574,9 +606,16 @@ def _check_supported(geo, us_bc, ds_bc, settings):
     elif ds_bc.kind == "rating_curve" and ds_bc.rating is not None:
         if ds_bc.rating.kind not in ("polynomial", "blended_poly"):
             raise FusedUnsupported(f"unsupported rating kind {ds_bc.rating.kind!r}")
+    elif ds_bc.kind == "fixed_depth" and ds_bc.storage is not None:
+        sp = ds_bc.storage
+        if sp.has_area_curve or sp.has_rating or sp.capture_losses:
+            raise FusedUnsupported(
+                "fused kernel supports constant-area lumped storage without "
+                "rating or entrance losses only")
     else:
-        raise FusedUnsupported("fused kernel needs a rating_curve or "
-                               "normal_depth downstream BC")
+        raise FusedUnsupported("fused kernel needs a rating_curve, "
+                               "normal_depth, or fixed_depth+storage "
+                               "downstream BC")
     if settings.newton != "while":
         raise FusedUnsupported("fused kernel implements the while-Newton only")
     n = geo.n_nodes
@@ -653,7 +692,13 @@ def fused_simulate(geo, us_bc, ds_bc, h0, Q0, settings, interpret: bool = False)
     scal[_S_TOL] = settings.tolerance
     rc = ds_bc.rating
     bed = float(np.asarray(ds_bc.bed_level, np.float64))
-    if ds_bc.kind == "normal_depth":
+    if ds_bc.kind == "fixed_depth":
+        sp = ds_bc.storage
+        scal[_S_SA] = float(np.asarray(sp.surface_area, np.float64))
+        scal[_S_MINSTAGE] = float(np.asarray(sp.min_stage, np.float64))
+        scal[_S_DSBED] = bed
+        ds_kind = "storage_simple"
+    elif ds_bc.kind == "normal_depth":
         scal[_S_SQS0] = np.sqrt(float(np.asarray(ds_bc.bed_slope, np.float64)))
         ds_kind = "normal_depth"
     elif rc.kind == "polynomial":
@@ -707,10 +752,15 @@ def fused_simulate(geo, us_bc, ds_bc, h0, Q0, settings, interpret: bool = False)
     iters = stats[:, 0].astype(jnp.int32)
     errs = stats[:, 1].astype(out_dtype)
     nanv = jnp.full((nt,), jnp.nan, out_dtype)
+    if ds_kind == "storage_simple":
+        res_stage = stats[:, 2].astype(out_dtype)
+        res_stage = jnp.where(jnp.arange(nt) == 0, jnp.nan, res_stage)
+    else:
+        res_stage = nanv
     converged = (errs < settings.tolerance) | (jnp.arange(nt) == 0)
     return SimOutput(
         depth=depth, flow=flow, iterations=iters, error=errs,
-        converged=converged, reservoir_stage=nanv,
+        converged=converged, reservoir_stage=res_stage,
         gate_open=jnp.zeros((nt,), out_dtype),
         rcond=jnp.ones((nt,), out_dtype),
     )

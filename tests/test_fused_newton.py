@@ -71,15 +71,25 @@ def test_unsupported_configs_raise(gerd):
         fused_simulate(geo, solver.us_params, solver.ds_params,
                        solver.h0, solver.Q0, s2, interpret=True)
 
-    # non-rating downstream BC unsupported (example case: storage BC)
+
+def test_example_storage_parity():
+    """Fixed-depth + constant-area lumped-storage downstream (cases/example):
+    iteration counts and reservoir stage match the f64 path."""
     from flowsim_tpu.models import example
 
-    ex_solver, _ = example.build()
-    ex_sset = ex_solver.settings(tolerance=1e-4, max_iter=100)
-    with pytest.raises(FusedUnsupported):
-        fused_simulate(ex_solver.channel.geometry, ex_solver.us_params,
-                       ex_solver.ds_params, ex_solver.h0, ex_solver.Q0,
-                       ex_sset, interpret=True)
+    solver, _ = example.build()
+    sset = solver.settings(tolerance=1e-8, max_iter=100)
+    geo = solver.channel.geometry
+    ref = prs.simulate(geo, solver.us_params, solver.ds_params,
+                       solver.h0, solver.Q0, sset)
+    fused = fused_simulate(geo, solver.us_params, solver.ds_params,
+                           solver.h0, solver.Q0, sset, interpret=True)
+    assert (np.asarray(fused.iterations) == np.asarray(ref.iterations)).all()
+    assert bool(np.asarray(fused.converged).all())
+    assert np.abs(np.asarray(fused.depth) - np.asarray(ref.depth)).max() < 1e-5
+    drs = np.abs(np.asarray(fused.reservoir_stage)
+                 - np.asarray(ref.reservoir_stage))
+    assert np.nanmax(drs) < 1e-4
 
 
 def test_normal_depth_downstream_parity():

@@ -29,3 +29,17 @@ import pytest  # noqa: E402
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bounded_compile_state():
+    """Clear jit executables at every module boundary.
+
+    The XLA CPU compiler segfaults after ~100+ accumulated jit programs in
+    one process (reproducible only in long full-suite runs, never in
+    isolation — an upstream jit-state accumulation issue, not a flowsim
+    defect). Clearing per module keeps the live-executable count bounded at
+    the cost of some cross-module recompilation.
+    """
+    jax.clear_caches()
+    yield

@@ -25,22 +25,6 @@ from tests.oracle import import_reference, reference_available
 pytestmark = pytest.mark.skipif(not reference_available(), reason="reference not mounted")
 
 
-@pytest.fixture(autouse=True, scope="module")
-def _fresh_compile_state():
-    """Drop accumulated jit executables before this module's compiles.
-
-    Late in the full suite the XLA CPU compiler has been observed to segfault
-    compiling this module's simulation (reproducible at ~60+ prior jit
-    programs, never in isolation or after smaller subsets) — an upstream
-    jit-state accumulation issue, not a flowsim defect; clearing the caches
-    avoids it and keeps suite memory bounded.
-    """
-    import jax
-
-    jax.clear_caches()
-    yield
-
-
 def _irr_polyline(width=260.0, relief=10.0, seed=3, n_pts=21):
     rng = np.random.default_rng(seed)
     x = np.sort(rng.uniform(0, width, n_pts))

@@ -588,6 +588,43 @@ def _kernel(geo_ref, init_ref, tgt_ref, scal_ref,
     _run_levels(level_body)
 
 
+@functools.lru_cache(maxsize=64)
+def _build_call(*, nt, n, Np, tgt_len, n_sweeps, max_iter, ds_kind, us_kind,
+                interpret):
+    """Cache the pallas_call wrapper per static configuration.
+
+    Rebuilding the closure per invocation defeats jax's trace cache: every
+    ``fused_simulate`` call would retrace + re-lower the whole 385-level
+    kernel (~5 s on v5e) even though the compiled executable is identical —
+    measured as the entire gap between the 8.5 us/iteration kernel body
+    (scripts/bench_fused_micro.py) and the first end-to-end timing.
+    """
+    kern = functools.partial(
+        _kernel, nt=nt, n=n, n_sweeps=n_sweeps, max_iter=max_iter,
+        ds_kind=ds_kind, us_kind=us_kind, interpret=interpret)
+    out_shapes = [
+        jax.ShapeDtypeStruct((nt, Np), jnp.float32),  # depth hi
+        jax.ShapeDtypeStruct((nt, Np), jnp.float32),  # depth lo
+        jax.ShapeDtypeStruct((nt, Np), jnp.float32),  # flow hi
+        jax.ShapeDtypeStruct((nt, Np), jnp.float32),  # flow lo
+        jax.ShapeDtypeStruct((nt, 128), jnp.float32),  # stats
+    ]
+    # jax.jit so repeat calls hit the executable cache (a bare pallas_call
+    # wrapper re-traces on every invocation)
+    return jax.jit(pl.pallas_call(
+        kern,
+        out_shape=out_shapes,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+        interpret=interpret,
+    ))
+
+
 class FusedUnsupported(Exception):
     """Raised when the configuration is outside the fused kernel's scope."""
 
@@ -717,29 +754,11 @@ def fused_simulate(geo, us_bc, ds_bc, h0, Q0, settings, interpret: bool = False)
         scal[_S_BUF] = float(np.asarray(rc.buffer, np.float64))
         scal[_S_FD] = float(np.asarray(rc.fd_step, np.float64))
 
-    kern = functools.partial(
-        _kernel, nt=nt, n=n, n_sweeps=n_sweeps, max_iter=settings.max_iter,
-        ds_kind=ds_kind, us_kind=us_bc.kind, interpret=interpret)
-
-    out_shapes = [
-        jax.ShapeDtypeStruct((nt, Np), jnp.float32),  # depth hi
-        jax.ShapeDtypeStruct((nt, Np), jnp.float32),  # depth lo
-        jax.ShapeDtypeStruct((nt, Np), jnp.float32),  # flow hi
-        jax.ShapeDtypeStruct((nt, Np), jnp.float32),  # flow lo
-        jax.ShapeDtypeStruct((nt, 128), jnp.float32),  # stats
-    ]
-    dhi, dlo, fhi, flo, stats = pl.pallas_call(
-        kern,
-        out_shape=out_shapes,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
-        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
-        interpret=interpret,
-    )(jnp.asarray(rows), jnp.asarray(init), jnp.asarray(tgt), jnp.asarray(scal))
+    call = _build_call(nt=nt, n=n, Np=Np, tgt_len=len(tgt),
+                       n_sweeps=n_sweeps, max_iter=settings.max_iter,
+                       ds_kind=ds_kind, us_kind=us_bc.kind, interpret=interpret)
+    dhi, dlo, fhi, flo, stats = call(
+        jnp.asarray(rows), jnp.asarray(init), jnp.asarray(tgt), jnp.asarray(scal))
 
     out_dtype = jnp.asarray(h0).dtype
     if out_dtype == jnp.float64:

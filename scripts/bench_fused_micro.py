@@ -156,8 +156,85 @@ def main():
                     q2 = Qc + df(x1 * node_mask * 1e-30)
                     return h2.hi, h2.lo, q2.hi, q2.lo
 
-                hh, hl, qh, ql = jax.lax.fori_loop(
-                    0, K, body, (h.hi, h.lo, Q.hi, Q.lo))
+                if mode == "while_counter":
+                    # lax.while_loop with a pure-counter cond (no vector ->
+                    # scalar dependency): isolates while-lowering cost
+                    def wcond(c):
+                        return c[4] < K
+
+                    def wbody(c):
+                        hh, hl, qh, ql, it = c
+                        hc, Qc = DF(hh, hl), DF(qh, ql)
+                        buf, err, _ = FN._assemble_fused(
+                            g, sc, roll, n, "blended_poly", hc, Qc, h, Q,
+                            prev_A, prev_Se, prev_Q2A, np.float32(10000.0),
+                            y_old=df(jnp.zeros((1, 1), jnp.float32)),
+                            k=np.int32(2))
+                        x0, x1 = FN._pcr_solve(buf, idx, n, n_sweeps, roll)
+                        h2 = hc + df(x0 * node_mask * 1e-30)
+                        q2 = Qc + df(x1 * node_mask * 1e-30)
+                        return h2.hi, h2.lo, q2.hi, q2.lo, c[4] + 1
+
+                    hh, hl, qh, ql, _ = jax.lax.while_loop(
+                        wcond, wbody,
+                        (h.hi, h.lo, Q.hi, Q.lo, np.int32(0)))
+                elif mode == "while_err":
+                    # the real structure: cond reads a scalar err reduced
+                    # from vectors each iteration
+                    def wcond(c):
+                        return (c[4] >= np.float32(1e-30)) & (c[5] < K)
+
+                    def wbody(c):
+                        hh, hl, qh, ql, _, it = c
+                        hc, Qc = DF(hh, hl), DF(qh, ql)
+                        buf, err, _ = FN._assemble_fused(
+                            g, sc, roll, n, "blended_poly", hc, Qc, h, Q,
+                            prev_A, prev_Se, prev_Q2A, np.float32(10000.0),
+                            y_old=df(jnp.zeros((1, 1), jnp.float32)),
+                            k=np.int32(2))
+                        x0, x1 = FN._pcr_solve(buf, idx, n, n_sweeps, roll)
+                        h2 = hc + df(x0 * node_mask * 1e-30)
+                        q2 = Qc + df(x1 * node_mask * 1e-30)
+                        return h2.hi, h2.lo, q2.hi, q2.lo, err, it + 1
+
+                    hh, hl, qh, ql, _, _ = jax.lax.while_loop(
+                        wcond, wbody,
+                        (h.hi, h.lo, Q.hi, Q.lo, np.float32(np.inf),
+                         np.int32(0)))
+                elif mode in ("nested", "nested_store"):
+                    # fori over levels x while over inner iterations — the
+                    # real kernel's loop structure (384 x ~12 = 4608 iters)
+                    inner = max(1, K // 384)
+
+                    def wcond(c):
+                        return c[4] < inner
+
+                    def wbody(c):
+                        hh, hl, qh, ql, it = c
+                        hc, Qc = DF(hh, hl), DF(qh, ql)
+                        buf, err, rs = FN._assemble_fused(
+                            g, sc, roll, n, "blended_poly", hc, Qc, h, Q,
+                            prev_A, prev_Se, prev_Q2A, np.float32(10000.0),
+                            y_old=df(jnp.zeros((1, 1), jnp.float32)),
+                            k=np.int32(2))
+                        x0, x1 = FN._pcr_solve(buf, idx, n, n_sweeps, roll)
+                        h2 = hc + df(x0 * node_mask * 1e-30)
+                        q2 = Qc + df(x1 * node_mask * 1e-30)
+                        return h2.hi, h2.lo, q2.hi, q2.lo, it + 1
+
+                    def lbody(kk, c):
+                        hh, hl, qh, ql = c
+                        hh, hl, qh, ql, _ = jax.lax.while_loop(
+                            wcond, wbody, (hh, hl, qh, ql, np.int32(0)))
+                        if mode == "nested_store":
+                            out_ref[pl.ds(kk, 1), :] = hh + hl
+                        return hh, hl, qh, ql
+
+                    hh, hl, qh, ql = jax.lax.fori_loop(
+                        0, 384, lbody, (h.hi, h.lo, Q.hi, Q.lo))
+                else:
+                    hh, hl, qh, ql = jax.lax.fori_loop(
+                        0, K, body, (h.hi, h.lo, Q.hi, Q.lo))
             out_ref[0:1, :] = hh + hl
             out_ref[1:2, :] = qh + ql
 
@@ -165,9 +242,10 @@ def main():
 
     def run(mode):
         kern = make_kernel(mode)
+        out_rows = 385 if mode == "nested_store" else 2
         call = pl.pallas_call(
             kern,
-            out_shape=jax.ShapeDtypeStruct((2, Np), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((out_rows, Np), jnp.float32),
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
                       pl.BlockSpec(memory_space=pltpu.VMEM),
                       pl.BlockSpec(memory_space=pltpu.SMEM)],
@@ -190,7 +268,7 @@ def main():
         return compile_s, best
 
     results = {}
-    for mode in ["loop_only", "pcr_only", "assemble_only", "newton_body"]:
+    for mode in ["newton_body", "while_err", "nested", "nested_store"]:
         try:
             comp, best = run(mode)
             results[mode] = dict(compile_s=comp, wall_s=best,

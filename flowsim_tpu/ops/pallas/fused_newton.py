@@ -21,12 +21,14 @@ raw f32 on CPU/TPU.  Jacobian entries and the PCR solve are plain f32: the
 increment only needs a few digits (inexact Newton; validated in round 1 by
 the pcr_f32 path's identical iteration counts).
 
-Supported configurations (all three reference cases):
+Supported configurations (all three reference cases, smooth and gated):
 TrapezoidGeometry (simple or compound, with planform curvature); upstream
 ``flow_hydrograph`` or ``stage_hydrograph``; downstream ``rating_curve``
-(polynomial or blended_poly), ``normal_depth``, or ``fixed_depth`` with
-constant-area lumped storage; ``newton='while'``.  Everything else falls
-back to the XLA path (api dispatch keeps behavior identical).
+(polynomial, blended_poly, or the non-smooth gated_blend with the
+gate-controller state machine carried across levels), ``normal_depth``, or
+``fixed_depth`` with constant-area lumped storage; ``newton='while'``.
+Everything else falls back to the XLA path (api dispatch keeps behavior
+identical).
 
 Formula parity: the df32 math mirrors ops/sections.py / ops/hydraulics.py /
 ops/preissmann.py line for line (which in turn cite the reference); the
@@ -60,7 +62,7 @@ _NG = 17
 # SCAL slots (f32, [16] SMEM)
 _S_THETA, _S_DT, _S_DX, _S_TOL, _S_C2, _S_C1, _S_C0, _S_D2, _S_D1, _S_D0, \
     _S_STAGEC, _S_BUF, _S_FD, _S_SQS0, _S_ZERO, _S_SA, _S_MINSTAGE, \
-    _S_DSBED = range(18)
+    _S_DSBED, _S_MAXCD, _S_PIVOT = range(20)
 _NS = 20  # _S_ZERO holds a literal 0.0: the opaque fence for df32 EFTs
 
 
@@ -249,15 +251,21 @@ def _energy_slope_df(g, st, Q: DF):
     return Se, dSf_dA + dSc_dA, dSf_dQ + dSc_dQ
 
 
-def _rating_q(scal, stage_c: DF, kind: str):
+def _rating_q(scal, stage_c: DF, kind: str, gate_open=None):
     """Q(stage) for the downstream curve in df32 (ops/rating_curve.py:187-211).
 
     ``stage_c`` is the *centered* stage: for blended_poly, stage - pivot;
     for polynomial, stage + stage_shift (both host-precomputed offsets).
+    ``gated_blend`` selects the low/high quadratic on the carried gate flag
+    (ops/rating_curve.py:155-160).
     """
     if kind == "polynomial":
         c2, c1, c0 = scal[_S_C2], scal[_S_C1], scal[_S_C0]
         return (df(c2) * stage_c + df(c1)) * stage_c + df(c0)
+    if kind == "gated_blend":
+        low = (df(scal[_S_C2]) * stage_c + df(scal[_S_C1])) * stage_c + df(scal[_S_C0])
+        high = (df(scal[_S_D2]) * stage_c + df(scal[_S_D1])) * stage_c + df(scal[_S_D0])
+        return df32.where(gate_open > 0.5, high, low)
     # blended_poly: smoothstep alpha over [0, buffer] + delta-form blend
     s = stage_c / df(scal[_S_BUF])
     zero = df(jnp.zeros_like(s.hi))
@@ -356,7 +364,8 @@ def _level_state(g, h: DF, Q: DF):
 
 def _assemble_fused(g, scal, roll, n, ds_kind,
                     h, Q, prev_h, prev_Q, prev_A, prev_Se, prev_Q2A, tgt,
-                    us_kind="flow_hydrograph", y_old=None, k=None):
+                    us_kind="flow_hydrograph", y_old=None, k=None,
+                    gate_open=None):
     """df32 residual + f32 Jacobian, packed as the [16, Np] PCR system.
 
     Module-level (not a kernel closure) so tests can drive the exact same
@@ -457,11 +466,11 @@ def _assemble_fused(g, scal, roll, n, ds_kind,
                      * st["dA_dh"][0:1, n - 1:n])
     else:
         stage_c = h_tail + df(scal[_S_STAGEC])
-        q_curve = _rating_q(scal, stage_c, ds_kind)
+        q_curve = _rating_q(scal, stage_c, ds_kind, gate_open=gate_open)
         ds_res = Q_tail - q_curve
         fd = scal[_S_FD]
-        qp = _rating_q(scal, stage_c + df(fd), ds_kind)
-        qm = _rating_q(scal, stage_c - df(fd), ds_kind)
+        qp = _rating_q(scal, stage_c + df(fd), ds_kind, gate_open=gate_open)
+        qm = _rating_q(scal, stage_c - df(fd), ds_kind, gate_open=gate_open)
         ds_df_dh = -((qp - qm).value) / (2.0 * fd)
 
     # f32 Jacobian entries (ops/preissmann.py:134-158)
@@ -511,7 +520,8 @@ def _assemble_fused(g, scal, roll, n, ds_kind,
 
 def _kernel(geo_ref, init_ref, tgt_ref, scal_ref,
             dhi_ref, dlo_ref, fhi_ref, flo_ref, stats_ref,
-            *, nt, n, n_sweeps, max_iter, ds_kind, us_kind, interpret):
+            *, nt, n, n_sweeps, max_iter, ds_kind, us_kind, gate_init,
+            interpret):
     roll = _roll(interpret)
     geo = geo_ref[:]
     Np = geo.shape[1]
@@ -522,21 +532,24 @@ def _kernel(geo_ref, init_ref, tgt_ref, scal_ref,
     tol = scal[_S_TOL]
 
     def newton_iter(h, Q, prev_h, prev_Q, prev_A, prev_Se, prev_Q2A, tgt,
-                    y_old, k):
+                    y_old, k, gate_open):
         buf, err, res_stage = _assemble_fused(g, scal, roll, n, ds_kind,
                                               h, Q, prev_h, prev_Q,
                                               prev_A, prev_Se, prev_Q2A, tgt,
-                                              us_kind=us_kind, y_old=y_old, k=k)
+                                              us_kind=us_kind, y_old=y_old, k=k,
+                                              gate_open=gate_open)
         x0, x1 = _pcr_solve(buf, idx, n, n_sweeps, roll)
         h = h + df(x0 * node_mask)
         Q = Q + df(x1 * node_mask)
         return h, Q, err, res_stage
 
-    def store_level(k, h, Q, iters, err, res_stage=np.float32(np.nan)):
+    def store_level(k, h, Q, iters, err, res_stage=np.float32(np.nan),
+                    gate_open=np.float32(0.0)):
         idx128 = jax.lax.broadcasted_iota(jnp.int32, (1, stats_ref.shape[1]), 1)
         stats_row = (jnp.where(idx128 == 0, iters.astype(jnp.float32), 0.0)
                      + jnp.where(idx128 == 1, err, 0.0)
-                     + jnp.where(idx128 == 2, res_stage, 0.0))
+                     + jnp.where(idx128 == 2, res_stage, 0.0)
+                     + jnp.where(idx128 == 3, gate_open, 0.0))
         dhi_ref[pl.ds(k, 1), :] = h.hi
         dlo_ref[pl.ds(k, 1), :] = h.lo
         fhi_ref[pl.ds(k, 1), :] = Q.hi
@@ -546,20 +559,42 @@ def _kernel(geo_ref, init_ref, tgt_ref, scal_ref,
     init = init_ref[:]
     h0 = DF(init[0:1, :], init[1:2, :])
     Q0 = DF(init[2:3, :], init[3:4, :])
-    store_level(0, h0, Q0, np.int32(0), np.float32(0.0))
+    store_level(0, h0, Q0, np.int32(0), np.float32(0.0),
+                gate_open=np.float32(gate_init))
 
     def _run_levels(level_body):
         # df32 EFT fence (see df32._fz): active for the whole traced body,
         # released when tracing finishes so no tracer leaks into later traces
         with df32.fenced(scal[_S_ZERO]):
             zrow = jnp.zeros((1, 1), jnp.float32)
-            jax.lax.fori_loop(1, nt, level_body,
-                              (h0.hi, h0.lo, Q0.hi, Q0.lo, zrow, zrow))
+            gstage0 = scal[_S_DSBED] + h0.hi[0:1, n - 1:n] + h0.lo[0:1, n - 1:n]
+            jax.lax.fori_loop(
+                1, nt, level_body,
+                (h0.hi, h0.lo, Q0.hi, Q0.lo, zrow, zrow,
+                 zrow + np.float32(gate_init), zrow,
+                 zrow - np.float32(1.0), gstage0))
 
     def level_body(k, carry):
-        h_hi, h_lo, Q_hi, Q_lo, y_hi, y_lo = carry
+        (h_hi, h_lo, Q_hi, Q_lo, y_hi, y_lo,
+         gopen, gcool, gptime, gstage) = carry
         h, Q = DF(h_hi, h_lo), DF(Q_hi, Q_lo)
         y_old = DF(y_hi, y_lo)
+
+        if ds_kind == "gated_blend":
+            # per-level gate-controller update (ops/rating_curve.py:168-182;
+            # ref roseires_rating_curve.py:111-141), on [1,1] vector values
+            time = k.astype(jnp.float32) * scal[_S_DT]
+            elapsed = jnp.where(gptime >= 0.0, time - gptime, 0.0)
+            gcool = jnp.maximum(0.0, gcool - elapsed)
+            can_act = gcool <= 0.0
+            want_open = (gstage >= scal[_S_PIVOT] + 0.5) & (gopen < 0.5)
+            want_close = (gstage <= scal[_S_PIVOT] - 1.0) & (gopen > 0.5)
+            do_open = can_act & want_open
+            do_close = can_act & want_close
+            gopen = jnp.where(do_open, 1.0, jnp.where(do_close, 0.0, gopen))
+            gcool = jnp.where(do_open | do_close, scal[_S_MAXCD], gcool)
+            gptime = jnp.zeros_like(gptime) + time
+
         prev_A, prev_Se, prev_Q2A = _level_state(g, h, Q)
         tgt = tgt_ref[k]
 
@@ -571,7 +606,7 @@ def _kernel(geo_ref, init_ref, tgt_ref, scal_ref,
             hh, hl, qh, ql, _, it, _, _ = c
             h2, Q2, err, rs = newton_iter(DF(hh, hl), DF(qh, ql), h, Q,
                                           prev_A, prev_Se, prev_Q2A, tgt,
-                                          y_old, k)
+                                          y_old, k, gopen)
             return (h2.hi, h2.lo, Q2.hi, Q2.lo, err, it + 1,
                     rs.hi[0, 0], rs.lo[0, 0])
 
@@ -581,16 +616,18 @@ def _kernel(geo_ref, init_ref, tgt_ref, scal_ref,
              y_hi[0, 0] * 1.0, y_lo[0, 0] * 1.0))
         rs_row_hi = jnp.full_like(y_hi, 0.0) + rs_hi
         rs_row_lo = jnp.full_like(y_lo, 0.0) + rs_lo
+        gstage = scal[_S_DSBED] + hh[0:1, n - 1:n] + hl[0:1, n - 1:n]
         store_level(k, DF(hh, hl), DF(qh, ql), iters, err,
-                    res_stage=rs_hi + rs_lo)
-        return hh, hl, qh, ql, rs_row_hi, rs_row_lo
+                    res_stage=rs_hi + rs_lo, gate_open=gopen[0, 0])
+        return (hh, hl, qh, ql, rs_row_hi, rs_row_lo,
+                gopen, gcool, gptime, gstage)
 
     _run_levels(level_body)
 
 
 @functools.lru_cache(maxsize=64)
 def _build_call(*, nt, n, Np, tgt_len, n_sweeps, max_iter, ds_kind, us_kind,
-                interpret):
+                gate_init, interpret):
     """Cache the pallas_call wrapper per static configuration.
 
     Rebuilding the closure per invocation defeats jax's trace cache: every
@@ -601,7 +638,8 @@ def _build_call(*, nt, n, Np, tgt_len, n_sweeps, max_iter, ds_kind, us_kind,
     """
     kern = functools.partial(
         _kernel, nt=nt, n=n, n_sweeps=n_sweeps, max_iter=max_iter,
-        ds_kind=ds_kind, us_kind=us_kind, interpret=interpret)
+        ds_kind=ds_kind, us_kind=us_kind, gate_init=gate_init,
+        interpret=interpret)
     out_shapes = [
         jax.ShapeDtypeStruct((nt, Np), jnp.float32),  # depth hi
         jax.ShapeDtypeStruct((nt, Np), jnp.float32),  # depth lo
@@ -641,7 +679,7 @@ def _check_supported(geo, us_bc, ds_bc, settings):
         if not np.isfinite(s0) or s0 <= 0.0:
             raise FusedUnsupported("normal_depth downstream BC needs S0 > 0")
     elif ds_bc.kind == "rating_curve" and ds_bc.rating is not None:
-        if ds_bc.rating.kind not in ("polynomial", "blended_poly"):
+        if ds_bc.rating.kind not in ("polynomial", "blended_poly", "gated_blend"):
             raise FusedUnsupported(f"unsupported rating kind {ds_bc.rating.kind!r}")
     elif ds_bc.kind == "fixed_depth" and ds_bc.storage is not None:
         sp = ds_bc.storage
@@ -747,16 +785,22 @@ def fused_simulate(geo, us_bc, ds_bc, h0, Q0, settings, interpret: bool = False)
         scal[_S_FD] = 1.0  # unused (analytic path still uses FD; harmless)
         scal[_S_BUF] = 1.0
     else:
-        ds_kind = "blended_poly"
+        ds_kind = rc.kind  # blended_poly | gated_blend
         scal[_S_C2], scal[_S_C1], scal[_S_C0] = np.asarray(rc.coeffs, np.float64)
         scal[_S_D2], scal[_S_D1], scal[_S_D0] = np.asarray(rc.coeffs_high, np.float64)
         scal[_S_STAGEC] = bed - float(np.asarray(rc.pivot_stage, np.float64))
         scal[_S_BUF] = float(np.asarray(rc.buffer, np.float64))
         scal[_S_FD] = float(np.asarray(rc.fd_step, np.float64))
+        if rc.kind == "gated_blend":
+            scal[_S_PIVOT] = float(np.asarray(rc.pivot_stage, np.float64))
+            scal[_S_MAXCD] = float(np.asarray(rc.max_cooldown, np.float64))
+            scal[_S_DSBED] = bed
 
     call = _build_call(nt=nt, n=n, Np=Np, tgt_len=len(tgt),
                        n_sweeps=n_sweeps, max_iter=settings.max_iter,
-                       ds_kind=ds_kind, us_kind=us_bc.kind, interpret=interpret)
+                       ds_kind=ds_kind, us_kind=us_bc.kind,
+                       gate_init=1.0 if settings.gate_initially_open else 0.0,
+                       interpret=interpret)
     dhi, dlo, fhi, flo, stats = call(
         jnp.asarray(rows), jnp.asarray(init), jnp.asarray(tgt), jnp.asarray(scal))
 
@@ -777,9 +821,14 @@ def fused_simulate(geo, us_bc, ds_bc, h0, Q0, settings, interpret: bool = False)
     else:
         res_stage = nanv
     converged = (errs < settings.tolerance) | (jnp.arange(nt) == 0)
+    if ds_kind == "gated_blend":
+        gate_open = stats[:, 3].astype(out_dtype)
+    else:
+        gate_open = jnp.full(
+            (nt,), 1.0 if settings.gate_initially_open else 0.0, out_dtype)
     return SimOutput(
         depth=depth, flow=flow, iterations=iters, error=errs,
         converged=converged, reservoir_stage=res_stage,
-        gate_open=jnp.zeros((nt,), out_dtype),
+        gate_open=gate_open,
         rcond=jnp.ones((nt,), out_dtype),
     )

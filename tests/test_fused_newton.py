@@ -107,3 +107,23 @@ def test_normal_depth_downstream_parity():
     assert (np.asarray(fused.iterations) == np.asarray(ref.iterations)).all()
     assert bool(np.asarray(fused.converged).all())
     assert np.abs(np.asarray(fused.depth) - np.asarray(ref.depth)).max() < 1e-5
+
+
+def test_gated_curve_parity():
+    """Non-smooth (gated_blend) Roseires downstream curve: the fused kernel
+    carries the gate-controller state across levels (open/cooldown/previous
+    time/stage) and reproduces the XLA path's gate trajectory and iteration
+    counts exactly (ops/rating_curve.py:155-182)."""
+    from flowsim_tpu.models.gerd_roseires import model, settings as gsettings
+
+    solver, _ = model.build(sim_duration=3600 * SIM_HOURS, smooth=False)
+    sset = solver.settings(tolerance=gsettings.tolerance, max_iter=100)
+    geo = solver.channel.geometry
+    ref = prs.simulate(geo, solver.us_params, solver.ds_params,
+                       solver.h0, solver.Q0, sset)
+    fused = fused_simulate(geo, solver.us_params, solver.ds_params,
+                           solver.h0, solver.Q0, sset, interpret=True)
+    assert (np.asarray(fused.iterations) == np.asarray(ref.iterations)).all()
+    assert bool(np.asarray(fused.converged).all())
+    assert (np.asarray(fused.gate_open) == np.asarray(ref.gate_open)).all()
+    assert np.abs(np.asarray(fused.depth) - np.asarray(ref.depth)).max() < 1e-4

@@ -38,7 +38,6 @@ Jacobian reuses ops/hydraulics.py's f32 functions directly.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

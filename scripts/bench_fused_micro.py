@@ -12,7 +12,7 @@ with a FIXED total iteration count K inside one pallas_call:
 Usage: python scripts/bench_fused_micro.py [K]
 """
 
-import functools
+
 import json
 import os
 import sys

@@ -275,10 +275,10 @@ def fit(discharges, stages, stage_shift=0.0, type: str = "polynomial", degree: i
 
     if type == "polynomial":
         poly = np.polynomial.polynomial.Polynomial.fit(x=shifted, y=discharges, deg=degree)
-        c0, c1, c2 = poly.convert().coef[: degree + 1] if degree == 2 else (None, None, None)
         if degree != 2:
-            coefs = poly.convert().coef
+            # all reference call sites fit quadratics (ref rating_curve.py:84)
             raise NotImplementedError("only degree-2 device evaluation is supported")
+        c0, c1, c2 = poly.convert().coef[: degree + 1]
         return make_polynomial(a=c2, b=c1, c=c0, stage_shift=stage_shift)
     elif type == "power":
         b, log_a = np.polyfit(np.log(shifted), np.log(discharges), deg=1)

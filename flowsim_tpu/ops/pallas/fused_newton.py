@@ -445,7 +445,9 @@ def _assemble_fused(g, scal, roll, n, ds_kind,
         bed = scal[_S_DSBED]
         sa, dt_s = scal[_S_SA], scal[_S_DT]
         Qp_tail = DF(prev_Q.hi[0:1, n - 1:n], prev_Q.lo[0:1, n - 1:n])
-        first = k == 1  # ref boundary.py:104-108: level 1 uses the trial stage
+        # np.int32 literal: a bare python 1 traces as i64 under x64 and
+        # Mosaic's arith.cmpi rejects mixed i32/i64 operands
+        first = k == np.int32(1)  # ref boundary.py:104-108: trial stage at level 1
         Y_old_eff = df32.where(first, h_tail + df(bed), y_old)
         vol_in = df(0.5) * (Qp_tail + Q_tail) * df(dt_s)
         Y_new = Y_old_eff + vol_in / df(sa)

@@ -445,9 +445,14 @@ def _assemble_fused(g, scal, roll, n, ds_kind,
         bed = scal[_S_DSBED]
         sa, dt_s = scal[_S_SA], scal[_S_DT]
         Qp_tail = DF(prev_Q.hi[0:1, n - 1:n], prev_Q.lo[0:1, n - 1:n])
-        # np.int32 literal: a bare python 1 traces as i64 under x64 and
-        # Mosaic's arith.cmpi rejects mixed i32/i64 operands
-        first = k == np.int32(1)  # ref boundary.py:104-108: trial stage at level 1
+        # Compare in f32: the fori_loop level index `k` is a weak i64 under
+        # x64 (fori lowers to scan, whose index dtype is the canonical int),
+        # and an integer compare against an i32 literal inserts
+        # convert(i64->i32), which Mosaic cannot lower (its _convert_helper
+        # recurses infinitely on 64-bit ints).  i64->f32 DOES lower (the
+        # gated branch's time computation uses it), so route through f32.
+        # ref boundary.py:104-108: trial stage at level 1
+        first = k.astype(jnp.float32) == np.float32(1.0)
         Y_old_eff = df32.where(first, h_tail + df(bed), y_old)
         vol_in = df(0.5) * (Qp_tail + Q_tail) * df(dt_s)
         Y_new = Y_old_eff + vol_in / df(sa)

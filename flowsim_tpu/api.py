@@ -395,7 +395,8 @@ class PreissmannSolver(_SolverBase):
         ``engine``: ``"xla"`` (default) runs the scan-of-Newton XLA program;
         ``"fused"`` runs the whole simulation as one Pallas kernel
         (ops/pallas/fused_newton.py — df32 residual path, the fast path for
-        flagship-sized trapezoid configs on TPU), falling back to XLA when
+        flagship-sized trapezoid and table-geometry configs on TPU),
+        falling back to XLA when
         the configuration is outside the kernel's scope.
         """
         sset = self.settings(tolerance, max_iter, diagnos=diagnos)

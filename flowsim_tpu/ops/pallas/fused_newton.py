@@ -22,7 +22,9 @@ increment only needs a few digits (inexact Newton; validated in round 1 by
 the pcr_f32 path's identical iteration counts).
 
 Supported configurations (all three reference cases, smooth and gated):
-TrapezoidGeometry (simple or compound, with planform curvature); upstream
+TrapezoidGeometry (simple or compound, with planform curvature) or
+TableGeometry (irregular surveyed sections via per-node lookup tables,
+fetched in-kernel with chunked sublane ``tpu.dynamic_gather``); upstream
 ``flow_hydrograph`` or ``stage_hydrograph``; downstream ``rating_curve``
 (polynomial, blended_poly, or the non-smooth gated_blend with the
 gate-controller state machine carried across levels), ``normal_depth``, or
@@ -57,6 +59,13 @@ _G_B_MAIN, _G_M_MAIN, _G_H_BANK, _G_COMPOUND, _G_B_FPL, _G_B_FPR, _G_M_FP, \
     _G_N_MAIN, _G_N_LEFT, _G_N_RIGHT, _G_CURV, _G_DZ, _G_SQM, _G_SQFP, \
     _G_AMF, _G_PMF, _G_TBANK = range(17)
 _NG = 17
+
+# Table mode (TableGeometry): the geo row tensor re-purposes row 0 for the
+# per-node reciprocal depth-grid (M-1)/depth_max; only _G_CURV and _G_DZ keep
+# their trapezoid meaning.  The 7 lookup tables ride a separate VMEM input.
+_TG_INVDG = 0
+_T_A, _T_P, _T_T, _T_K, _T_NEQ, _T_DK, _T_DR = range(7)
+_NT = 7
 
 # SCAL slots (f32, [16] SMEM)
 _S_THETA, _S_DT, _S_DX, _S_TOL, _S_C2, _S_C1, _S_C0, _S_D2, _S_D1, _S_D0, \
@@ -206,6 +215,86 @@ def _section_df(g, h: DF):
                 dA_dh=dA_dh, dR_dA=dR_dA, dK_dA=dK_dA)
 
 
+def _gather_vreg8(tab8, idx_row):
+    """``out[0, lane] = tab8[idx_row[0, lane], lane]`` for an [8, Np] block.
+
+    Lowers to a single ``tpu.dynamic_gather`` across sublanes.  Mosaic only
+    supports the within-vreg form (operand <= 8 sublanes; larger shapes crash
+    the backend — probed on v5e), hence the chunked loop in
+    :func:`_section_df_table`.
+    """
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(), collapsed_slice_dims=(0,), start_index_map=(0,),
+        operand_batching_dims=(1,), start_indices_batching_dims=(1,))
+    idx_full = jnp.broadcast_to(idx_row, tab8.shape)[..., None]
+    out = jax.lax.gather(tab8, idx_full, dnums, (1, 1),
+                         mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+    return out[0:1]
+
+
+def _section_df_table(g, tab_ref, h: DF, *, M, stride):
+    """df32 section closures from per-node lookup tables.
+
+    Mirrors ops/sections.py:179-199 (``_table_section_state``) exactly: the
+    raw (possibly negative) depth drives the lookup, the bracketing index is
+    clipped to [0, M-2] (so beyond-table depths extrapolate on the last
+    interval and negative depths on the first), only A/P/T/K are wet-masked,
+    and n_eq/dK_dA/dR_dA keep their extrapolated values.  Table VALUES are
+    f32 problem constants; the interpolation weight is df32 so the residual
+    stays a smooth function of the iterate (see module docstring).
+
+    ``tab_ref`` holds 7 tables of ``stride`` rows each (``stride >= M + 1``,
+    last rows replicated) so the shifted j+1 window of the final chunk stays
+    in bounds.  Per 8-row chunk, one sublane ``tpu.dynamic_gather`` fetches
+    the j value and one (on the row-shifted window) the j+1 value; the chunk
+    mask is shared across all 7 tables.
+    """
+    invdg = g[_TG_INVDG]
+    x = h * df(invdg)
+    jf = jnp.clip(jnp.floor(x.hi), 0.0, np.float32(M - 2))
+    j0 = jf.astype(jnp.int32)
+    frac = x - df(jf)  # df32; may exceed [0, 1): linear extrapolation
+    c0 = j0 >> np.int32(3)
+    s0 = j0 & np.int32(7)
+    n_chunks = -(-(M - 1) // 8)  # j0 <= M-2
+    # Two-stage lookup: (1) mask-accumulate each node's winning 8-row window
+    # (plain vreg FMAs, chunk masks shared across tables — values land exactly
+    # since exactly one chunk mask is 1), (2) ONE sublane gather per table per
+    # bracket.  A gather per chunk instead measured ~60x slower on v5e
+    # (Mosaic expands each sublane dynamic_gather into a long select chain).
+    zrow = jnp.zeros_like(h.hi)
+    W0 = [zrow * jnp.zeros((8, 1), jnp.float32) for _ in range(_NT)]
+    W1 = [zrow * jnp.zeros((8, 1), jnp.float32) for _ in range(_NT)]
+    for c in range(n_chunks):
+        m = (c0 == np.int32(c)).astype(jnp.float32)
+        for t in range(_NT):
+            base = t * stride + 8 * c
+            W0[t] = W0[t] + m * tab_ref[base:base + 8, :]
+            # j+1 lives at row base+s0+1: the one-row-shifted window
+            W1[t] = W1[t] + m * tab_ref[base + 1:base + 9, :]
+    v0 = [_gather_vreg8(W0[t], s0) for t in range(_NT)]
+    v1 = [_gather_vreg8(W1[t], s0) for t in range(_NT)]
+
+    def lerp_df(t):
+        return df(v0[t]) + frac * df(v1[t] - v0[t])
+
+    zero = df(jnp.zeros_like(h.hi))
+    wet = h.hi > 0.0
+    A = df32.where(wet, lerp_df(_T_A), zero)
+    P = df32.where(wet, lerp_df(_T_P), zero)
+    T = df32.where(wet, lerp_df(_T_T), zero)
+    K = df32.where(wet, lerp_df(_T_K), zero)
+    n_eq = lerp_df(_T_NEQ)
+    Pok = P.hi > 0.0
+    R = df32.where(Pok, A / df32.where(Pok, P, df(jnp.ones_like(h.hi))), zero)
+
+    fr = frac.hi  # f32 is enough for the Jacobian path
+    dK_dA = v0[_T_DK] + fr * (v1[_T_DK] - v0[_T_DK])
+    dR_dA = v0[_T_DR] + fr * (v1[_T_DR] - v0[_T_DR])
+    return dict(A=A, P=P, R=R, T=T, K=K, n_eq=n_eq, depth=h,
+                dA_dh=T.value, dR_dA=dR_dA, dK_dA=dK_dA)
+
+
 def _energy_slope_df(g, st, Q: DF):
     """df32 Se + f32 derivatives, mirroring ops/sections.py:213-252."""
     zero = df(jnp.zeros_like(Q.hi))
@@ -350,9 +439,9 @@ def _pcr_solve(buf, idx, n, n_sweeps, roll):
     return i00 * b0 + i01 * b1, i10 * b0 + i11 * b1
 
 
-def _level_state(g, h: DF, Q: DF):
+def _level_state(g, h: DF, Q: DF, section_fn=None):
     """Previous-level quantities (A, Se, Q2A), df32."""
-    st = _section_df(g, h)
+    st = section_fn(h) if section_fn is not None else _section_df(g, h)
     Se, _, _ = _energy_slope_df(g, st, Q)
     A = st["A"]
     ok = A.hi > 0.0
@@ -364,7 +453,7 @@ def _level_state(g, h: DF, Q: DF):
 def _assemble_fused(g, scal, roll, n, ds_kind,
                     h, Q, prev_h, prev_Q, prev_A, prev_Se, prev_Q2A, tgt,
                     us_kind="flow_hydrograph", y_old=None, k=None,
-                    gate_open=None):
+                    gate_open=None, section_fn=None):
     """df32 residual + f32 Jacobian, packed as the [16, Np] PCR system.
 
     Module-level (not a kernel closure) so tests can drive the exact same
@@ -396,7 +485,7 @@ def _assemble_fused(g, scal, roll, n, ds_kind,
 
     half = df(0.5)
 
-    st = _section_df(g, h)
+    st = section_fn(h) if section_fn is not None else _section_df(g, h)
     Se, dSe_dA, dSe_dQ = _energy_slope_df(g, st, Q)
     A = st["A"]
     ok = A.hi > 0.0
@@ -524,10 +613,14 @@ def _assemble_fused(g, scal, roll, n, ds_kind,
     return buf, err, res_stage
 
 
-def _kernel(geo_ref, init_ref, tgt_ref, scal_ref,
-            dhi_ref, dlo_ref, fhi_ref, flo_ref, stats_ref,
-            *, nt, n, n_sweeps, max_iter, ds_kind, us_kind, gate_init,
-            interpret):
+def _kernel(*refs, nt, n, n_sweeps, max_iter, ds_kind, us_kind, gate_init,
+            geo_kind, tab_M, tab_stride, interpret):
+    if geo_kind == "table":
+        (geo_ref, tab_ref, init_ref, tgt_ref, scal_ref,
+         dhi_ref, dlo_ref, fhi_ref, flo_ref, stats_ref) = refs
+    else:
+        (geo_ref, init_ref, tgt_ref, scal_ref,
+         dhi_ref, dlo_ref, fhi_ref, flo_ref, stats_ref) = refs
     roll = _roll(interpret)
     geo = geo_ref[:]
     Np = geo.shape[1]
@@ -536,6 +629,13 @@ def _kernel(geo_ref, init_ref, tgt_ref, scal_ref,
     idx = jax.lax.broadcasted_iota(jnp.int32, (1, Np), 1)
     node_mask = (idx < n).astype(jnp.float32)
     tol = scal[_S_TOL]
+    if geo_kind == "table":
+        # pass the ref: each chunk loads only its 8-row window from VMEM
+        # (ref[a:b, :] is a load; plain arrays slice identically in tests)
+        section_fn = functools.partial(_section_df_table, g, tab_ref,
+                                       M=tab_M, stride=tab_stride)
+    else:
+        section_fn = None
 
     def newton_iter(h, Q, prev_h, prev_Q, prev_A, prev_Se, prev_Q2A, tgt,
                     y_old, k, gate_open):
@@ -543,7 +643,8 @@ def _kernel(geo_ref, init_ref, tgt_ref, scal_ref,
                                               h, Q, prev_h, prev_Q,
                                               prev_A, prev_Se, prev_Q2A, tgt,
                                               us_kind=us_kind, y_old=y_old, k=k,
-                                              gate_open=gate_open)
+                                              gate_open=gate_open,
+                                              section_fn=section_fn)
         x0, x1 = _pcr_solve(buf, idx, n, n_sweeps, roll)
         h = h + df(x0 * node_mask)
         Q = Q + df(x1 * node_mask)
@@ -601,7 +702,7 @@ def _kernel(geo_ref, init_ref, tgt_ref, scal_ref,
             gcool = jnp.where(do_open | do_close, scal[_S_MAXCD], gcool)
             gptime = jnp.zeros_like(gptime) + time
 
-        prev_A, prev_Se, prev_Q2A = _level_state(g, h, Q)
+        prev_A, prev_Se, prev_Q2A = _level_state(g, h, Q, section_fn=section_fn)
         tgt = tgt_ref[k]
 
         def cond(c):
@@ -647,7 +748,7 @@ def _kernel(geo_ref, init_ref, tgt_ref, scal_ref,
 
 @functools.lru_cache(maxsize=64)
 def _build_call(*, nt, n, Np, tgt_len, n_sweeps, max_iter, ds_kind, us_kind,
-                gate_init, interpret):
+                gate_init, interpret, geo_kind="trap", tab_M=0, tab_stride=0):
     """Cache the pallas_call wrapper per static configuration.
 
     Rebuilding the closure per invocation defeats jax's trace cache: every
@@ -659,6 +760,7 @@ def _build_call(*, nt, n, Np, tgt_len, n_sweeps, max_iter, ds_kind, us_kind,
     kern = functools.partial(
         _kernel, nt=nt, n=n, n_sweeps=n_sweeps, max_iter=max_iter,
         ds_kind=ds_kind, us_kind=us_kind, gate_init=gate_init,
+        geo_kind=geo_kind, tab_M=tab_M, tab_stride=tab_stride,
         interpret=interpret)
     out_shapes = [
         jax.ShapeDtypeStruct((nt, Np), jnp.float32),  # depth hi
@@ -672,12 +774,16 @@ def _build_call(*, nt, n, Np, tgt_len, n_sweeps, max_iter, ds_kind, us_kind,
     return jax.jit(pl.pallas_call(
         kern,
         out_shape=out_shapes,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
+        in_specs=(
+            [pl.BlockSpec(memory_space=pltpu.VMEM)]
+            + ([pl.BlockSpec(memory_space=pltpu.VMEM)]
+               if geo_kind == "table" else [])
+            + [
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ]
+        ),
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
         interpret=interpret,
     ))
@@ -687,11 +793,24 @@ class FusedUnsupported(Exception):
     """Raised when the configuration is outside the fused kernel's scope."""
 
 
-def _check_supported(geo, us_bc, ds_bc, settings):
-    from flowsim_tpu.geometry import TrapezoidGeometry
+_TAB_VMEM_BYTES = 6 * 1024 * 1024  # budget for the 7 lookup tables
 
-    if not isinstance(geo, TrapezoidGeometry):
-        raise FusedUnsupported("fused kernel supports TrapezoidGeometry only")
+
+def _check_supported(geo, us_bc, ds_bc, settings):
+    from flowsim_tpu.geometry import TableGeometry, TrapezoidGeometry
+
+    if isinstance(geo, TableGeometry):
+        if geo.area.ndim != 2:
+            raise FusedUnsupported("batched TableGeometry is not supported")
+        M = geo.area.shape[-1]
+        Np = max(128, -(-geo.n_nodes // 128) * 128)
+        if _NT * M * Np * 4 > _TAB_VMEM_BYTES:
+            raise FusedUnsupported(
+                f"lookup tables ({_NT}x{M}x{Np} f32) exceed the VMEM budget; "
+                "rebuild with fewer samples or a shorter reach")
+    elif not isinstance(geo, TrapezoidGeometry):
+        raise FusedUnsupported(
+            "fused kernel supports TrapezoidGeometry and TableGeometry only")
     if us_bc.kind not in ("flow_hydrograph", "stage_hydrograph"):
         raise FusedUnsupported("fused kernel needs a hydrograph upstream BC")
     if ds_bc.kind == "normal_depth":
@@ -735,12 +854,9 @@ def fused_simulate(geo, us_bc, ds_bc, h0, Q0, settings, interpret: bool = False)
     f32 = np.float32
     a = lambda x: np.asarray(x, np.float64)
 
-    m_main, m_fp = a(geo.m_main), a(geo.m_fp)
-    compound = np.asarray(geo.compound, bool)
-    h_bank = np.where(compound, a(geo.h_bank), 1.0)
-    T_bank = a(geo.b_main) + 2.0 * m_main * h_bank
-    A_mf = (a(geo.b_main) + T_bank) / 2.0 * h_bank
-    P_mf = a(geo.b_main) + 2.0 * h_bank * np.sqrt(1.0 + m_main**2)
+    from flowsim_tpu.geometry import TableGeometry
+
+    is_table = isinstance(geo, TableGeometry)
     z = a(geo.z_bed)
     dz = np.zeros(n)
     dz[: n - 1] = z[1:] - z[:-1]
@@ -750,19 +866,49 @@ def fused_simulate(geo, us_bc, ds_bc, h0, Q0, settings, interpret: bool = False)
     def put(r, v):
         rows[r, :n] = np.asarray(v, f32)
 
-    put(_G_B_MAIN, geo.b_main); put(_G_M_MAIN, geo.m_main)
-    put(_G_H_BANK, h_bank); put(_G_COMPOUND, compound.astype(f32))
-    put(_G_B_FPL, geo.b_fp_left); put(_G_B_FPR, geo.b_fp_right)
-    put(_G_M_FP, geo.m_fp)
-    put(_G_N_MAIN, geo.n_main); put(_G_N_LEFT, geo.n_left)
-    put(_G_N_RIGHT, geo.n_right); put(_G_CURV, geo.curvature)
-    put(_G_DZ, dz)
-    put(_G_SQM, np.sqrt(1.0 + m_main**2)); put(_G_SQFP, np.sqrt(1.0 + m_fp**2))
-    put(_G_AMF, A_mf); put(_G_PMF, P_mf); put(_G_TBANK, T_bank)
-    # padded Manning n must be nonzero (divisor); geometry rows stay 0
-    rows[_G_N_MAIN, n:] = 1.0
-    rows[_G_N_LEFT, n:] = 1.0
-    rows[_G_N_RIGHT, n:] = 1.0
+    if is_table:
+        tab_M = geo.area.shape[-1]
+        # stride: M rounded up to a vreg (8 rows) plus one extra vreg so the
+        # j+1 shifted window of the last chunk stays inside this table
+        tab_stride = -(-tab_M // 8) * 8 + 8
+        put(_TG_INVDG, (tab_M - 1) / a(geo.depth_max))
+        put(_G_CURV, geo.curvature)
+        put(_G_DZ, dz)
+        # pad lanes/rows benignly: unit A/P/T/K/n_eq (finite closures on dry
+        # padded nodes), zero derivative tables
+        benign = (1.0, 1.0, 1.0, 1.0, 1.0, 0.0, 0.0)
+        tabs = np.zeros((_NT * tab_stride, Np), f32)
+        for t, arr in enumerate((geo.area, geo.perimeter, geo.top_width,
+                                 geo.conveyance, geo.n_eq,
+                                 geo.dK_dA, geo.dR_dA)):
+            block = np.full((tab_stride, Np), benign[t], f32)
+            a2 = np.asarray(arr, np.float64).T.astype(f32)  # [M, N]
+            block[:tab_M, :n] = a2
+            block[tab_M:, :n] = a2[-1]  # replicate the last sample row
+            tabs[t * tab_stride:(t + 1) * tab_stride] = block
+    else:
+        tab_M = tab_stride = 0
+        m_main, m_fp = a(geo.m_main), a(geo.m_fp)
+        compound = np.asarray(geo.compound, bool)
+        h_bank = np.where(compound, a(geo.h_bank), 1.0)
+        T_bank = a(geo.b_main) + 2.0 * m_main * h_bank
+        A_mf = (a(geo.b_main) + T_bank) / 2.0 * h_bank
+        P_mf = a(geo.b_main) + 2.0 * h_bank * np.sqrt(1.0 + m_main**2)
+
+        put(_G_B_MAIN, geo.b_main); put(_G_M_MAIN, geo.m_main)
+        put(_G_H_BANK, h_bank); put(_G_COMPOUND, compound.astype(f32))
+        put(_G_B_FPL, geo.b_fp_left); put(_G_B_FPR, geo.b_fp_right)
+        put(_G_M_FP, geo.m_fp)
+        put(_G_N_MAIN, geo.n_main); put(_G_N_LEFT, geo.n_left)
+        put(_G_N_RIGHT, geo.n_right); put(_G_CURV, geo.curvature)
+        put(_G_DZ, dz)
+        put(_G_SQM, np.sqrt(1.0 + m_main**2))
+        put(_G_SQFP, np.sqrt(1.0 + m_fp**2))
+        put(_G_AMF, A_mf); put(_G_PMF, P_mf); put(_G_TBANK, T_bank)
+        # padded Manning n must be nonzero (divisor); geometry rows stay 0
+        rows[_G_N_MAIN, n:] = 1.0
+        rows[_G_N_LEFT, n:] = 1.0
+        rows[_G_N_RIGHT, n:] = 1.0
 
     def split64(x):
         x = np.asarray(x, np.float64)
@@ -820,9 +966,14 @@ def fused_simulate(geo, us_bc, ds_bc, h0, Q0, settings, interpret: bool = False)
                        n_sweeps=n_sweeps, max_iter=settings.max_iter,
                        ds_kind=ds_kind, us_kind=us_bc.kind,
                        gate_init=1.0 if settings.gate_initially_open else 0.0,
+                       geo_kind="table" if is_table else "trap",
+                       tab_M=tab_M, tab_stride=tab_stride,
                        interpret=interpret)
-    dhi, dlo, fhi, flo, stats = call(
-        jnp.asarray(rows), jnp.asarray(init), jnp.asarray(tgt), jnp.asarray(scal))
+    ins = [jnp.asarray(rows)]
+    if is_table:
+        ins.append(jnp.asarray(tabs))
+    ins += [jnp.asarray(init), jnp.asarray(tgt), jnp.asarray(scal)]
+    dhi, dlo, fhi, flo, stats = call(*ins)
 
     out_dtype = jnp.asarray(h0).dtype
     if out_dtype == jnp.float64:

@@ -127,3 +127,46 @@ def test_gated_curve_parity():
     assert bool(np.asarray(fused.converged).all())
     assert (np.asarray(fused.gate_open) == np.asarray(ref.gate_open)).all()
     assert np.abs(np.asarray(fused.depth) - np.asarray(ref.depth)).max() < 1e-4
+
+
+def test_table_geometry_parity():
+    """Irregular (TableGeometry) sections in the fused kernel: the chunked
+    sublane-gather lookup (ops/pallas/fused_newton.py:_section_df_table)
+    reproduces the XLA table path (ops/sections.py:179-199) with identical
+    iteration counts."""
+    from flowsim_tpu.geometry_tables import IrregularStation, build_table_geometry
+    from flowsim_tpu.ops import boundary as bnd
+    from flowsim_tpu.ops import initial_conditions as ic
+
+    length, slope = 8000.0, 2e-4
+
+    def section_pts(seed, z0):
+        rng = np.random.default_rng(seed)
+        x = np.linspace(0, 220, 21)
+        z = z0 + 8.0 * ((x - 110) / 110) ** 2 + rng.uniform(0, 0.5, x.size)
+        return x, z
+
+    x1, z1 = section_pts(1, slope * length)
+    x2, z2 = section_pts(2, 0.0)
+    n_nodes, nt = 9, 17
+    node_ch = np.linspace(0, length, n_nodes)
+    sts = [IrregularStation(x=x1, z=z1, n_main=0.03, bed_slope=slope),
+           IrregularStation(x=x2, z=z2, n_main=0.03, bed_slope=slope)]
+    geo = build_table_geometry(sts, [0.0, length], node_ch, samples=512)
+    h0, Q0 = ic.initial_conditions(geo, "steady-state", 400.0, 1000.0)
+    times = np.arange(nt) * 1800.0
+    us_p = bnd.make_boundary(
+        "flow_hydrograph", bed_level=float(geo.z_bed[0]),
+        target_series=[400.0 + 600.0 * min(t / (4 * 3600.0), 1.0)
+                       for t in times])
+    ds_p = bnd.make_boundary("normal_depth", bed_level=float(geo.z_bed[-1]),
+                             bed_slope=float(geo.bed_slope[-1]))
+    sset = prs.PreissmannSettings(theta=0.7, time_step=1800.0,
+                                  spatial_step=1000.0, n_time_levels=nt,
+                                  tolerance=1e-8, max_iter=100)
+    ref = prs.simulate(geo, us_p, ds_p, h0, Q0, sset)
+    fused = fused_simulate(geo, us_p, ds_p, h0, Q0, sset, interpret=True)
+    assert (np.asarray(fused.iterations) == np.asarray(ref.iterations)).all()
+    assert bool(np.asarray(fused.converged).all())
+    assert np.abs(np.asarray(fused.depth) - np.asarray(ref.depth)).max() < 1e-5
+    assert np.abs(np.asarray(fused.flow) - np.asarray(ref.flow)).max() < 1e-3

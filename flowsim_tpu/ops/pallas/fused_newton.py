@@ -25,12 +25,14 @@ Supported configurations (all three reference cases, smooth and gated):
 TrapezoidGeometry (simple or compound, with planform curvature) or
 TableGeometry (irregular surveyed sections via per-node lookup tables,
 fetched in-kernel with chunked sublane ``tpu.dynamic_gather``); upstream
-``flow_hydrograph`` or ``stage_hydrograph``; downstream ``rating_curve``
-(polynomial, blended_poly, or the non-smooth gated_blend with the
-gate-controller state machine carried across levels), ``normal_depth``, or
-``fixed_depth`` with constant-area lumped storage; ``newton='while'``.
-Everything else falls back to the XLA path (api dispatch keeps behavior
-identical).
+``flow_hydrograph``, ``stage_hydrograph``, ``fixed_depth``, or
+``normal_depth``; downstream ``rating_curve`` (polynomial, blended_poly, or
+the non-smooth gated_blend with the gate-controller state machine carried
+across levels), ``normal_depth``, ``stage_hydrograph``, ``fixed_depth``
+plain, or ``fixed_depth`` with constant-area lumped storage;
+``newton='while'``.  Everything else (rating_curve upstream, storage with
+area curves/losses, batched geometry) falls back to the XLA path (api
+dispatch keeps behavior identical).
 
 Formula parity: the df32 math mirrors ops/sections.py / ops/hydraulics.py /
 ops/preissmann.py line for line (which in turn cite the reference); the
@@ -70,8 +72,8 @@ _NT = 7
 # SCAL slots (f32, [16] SMEM)
 _S_THETA, _S_DT, _S_DX, _S_TOL, _S_C2, _S_C1, _S_C0, _S_D2, _S_D1, _S_D0, \
     _S_STAGEC, _S_BUF, _S_FD, _S_SQS0, _S_ZERO, _S_SA, _S_MINSTAGE, \
-    _S_DSBED, _S_MAXCD, _S_PIVOT = range(20)
-_NS = 20  # _S_ZERO holds a literal 0.0: the opaque fence for df32 EFTs
+    _S_DSBED, _S_MAXCD, _S_PIVOT, _S_SQS0_US = range(21)
+_NS = 21  # _S_ZERO holds a literal 0.0: the opaque fence for df32 EFTs
 
 
 def _roll(interpret):
@@ -453,7 +455,7 @@ def _level_state(g, h: DF, Q: DF, section_fn=None):
 def _assemble_fused(g, scal, roll, n, ds_kind,
                     h, Q, prev_h, prev_Q, prev_A, prev_Se, prev_Q2A, tgt,
                     us_kind="flow_hydrograph", y_old=None, k=None,
-                    gate_open=None, section_fn=None):
+                    gate_open=None, section_fn=None, ds_tgt=None):
     """df32 residual + f32 Jacobian, packed as the [16, Np] PCR system.
 
     Module-level (not a kernel closure) so tests can drive the exact same
@@ -520,14 +522,29 @@ def _assemble_fused(g, scal, roll, n, ds_kind,
     if us_kind == "flow_hydrograph":
         us_res = DF(Q.hi[0:1, 0:1], Q.lo[0:1, 0:1]) - df(tgt)
         us_df_dh, us_df_dQ = np.float32(0.0), np.float32(1.0)
-    else:  # stage_hydrograph: host precomputes target - bed_level into tgt
+    elif us_kind == "normal_depth":
+        # Q - K(h) sqrt(S0) at the head node (ops/boundary.py:178-183)
+        sq = scal[_S_SQS0_US]
+        K_head = DF(st["K"].hi[0:1, 0:1], st["K"].lo[0:1, 0:1])
+        Q_head = DF(Q.hi[0:1, 0:1], Q.lo[0:1, 0:1])
+        us_res = Q_head - K_head * df(sq)
+        us_df_dh = -(st["dK_dA"][0:1, 0:1] * sq * st["dA_dh"][0:1, 0:1])
+        us_df_dQ = np.float32(1.0)
+    else:  # stage_hydrograph / fixed_depth: host bakes the datum into tgt
         us_res = DF(h.hi[0:1, 0:1], h.lo[0:1, 0:1]) - df(tgt)
         us_df_dh, us_df_dQ = np.float32(1.0), np.float32(0.0)
     h_tail = DF(h.hi[0:1, n - 1:n], h.lo[0:1, n - 1:n])
     Q_tail = DF(Q.hi[0:1, n - 1:n], Q.lo[0:1, n - 1:n])
     res_stage = df(jnp.zeros_like(h_tail.hi))  # [1,1]; overwritten by storage
     ds_df_dQ = np.float32(1.0)
-    if ds_kind == "storage_simple":
+    if ds_kind == "fixed_h":
+        # plain fixed_depth (constant series) or a ds stage_hydrograph; the
+        # host bakes the datum/constant into ds_tgt (ops/boundary.py:185-187,
+        # 211-213; ref boundary.py:97-99,135-139)
+        ds_res = h_tail - df(ds_tgt)
+        ds_df_dh = jnp.ones_like(h_tail.hi)
+        ds_df_dQ = np.float32(0.0)
+    elif ds_kind == "storage_simple":
         # fixed_depth + constant-area lumped storage, closed-form mass
         # balance (ops/boundary.py:185-205; ref boundary.py:97-133 with
         # surface_area only): Y = max(Y_old + vol_in/SA, min_stage)
@@ -616,10 +633,10 @@ def _assemble_fused(g, scal, roll, n, ds_kind,
 def _kernel(*refs, nt, n, n_sweeps, max_iter, ds_kind, us_kind, gate_init,
             geo_kind, tab_M, tab_stride, interpret):
     if geo_kind == "table":
-        (geo_ref, tab_ref, init_ref, tgt_ref, scal_ref,
+        (geo_ref, tab_ref, init_ref, tgt_ref, ds_tgt_ref, scal_ref,
          dhi_ref, dlo_ref, fhi_ref, flo_ref, stats_ref) = refs
     else:
-        (geo_ref, init_ref, tgt_ref, scal_ref,
+        (geo_ref, init_ref, tgt_ref, ds_tgt_ref, scal_ref,
          dhi_ref, dlo_ref, fhi_ref, flo_ref, stats_ref) = refs
     roll = _roll(interpret)
     geo = geo_ref[:]
@@ -638,13 +655,14 @@ def _kernel(*refs, nt, n, n_sweeps, max_iter, ds_kind, us_kind, gate_init,
         section_fn = None
 
     def newton_iter(h, Q, prev_h, prev_Q, prev_A, prev_Se, prev_Q2A, tgt,
-                    y_old, k, gate_open):
+                    y_old, k, gate_open, ds_tgt):
         buf, err, res_stage = _assemble_fused(g, scal, roll, n, ds_kind,
                                               h, Q, prev_h, prev_Q,
                                               prev_A, prev_Se, prev_Q2A, tgt,
                                               us_kind=us_kind, y_old=y_old, k=k,
                                               gate_open=gate_open,
-                                              section_fn=section_fn)
+                                              section_fn=section_fn,
+                                              ds_tgt=ds_tgt)
         x0, x1 = _pcr_solve(buf, idx, n, n_sweeps, roll)
         h = h + df(x0 * node_mask)
         Q = Q + df(x1 * node_mask)
@@ -704,6 +722,7 @@ def _kernel(*refs, nt, n, n_sweeps, max_iter, ds_kind, us_kind, gate_init,
 
         prev_A, prev_Se, prev_Q2A = _level_state(g, h, Q, section_fn=section_fn)
         tgt = tgt_ref[k]
+        ds_tgt = ds_tgt_ref[k]
 
         def cond(c):
             err, it = c[4], c[5]
@@ -719,11 +738,11 @@ def _kernel(*refs, nt, n, n_sweeps, max_iter, ds_kind, us_kind, gate_init,
             hh, hl, qh, ql, _, it, _, _ = c
             h1, Q1, e1, rs1 = newton_iter(DF(hh, hl), DF(qh, ql), h, Q,
                                           prev_A, prev_Se, prev_Q2A, tgt,
-                                          y_old, k, gopen)
+                                          y_old, k, gopen, ds_tgt)
             cont = (e1 >= tol) & (it + np.int32(1) < max_iter)
             h2, Q2, e2, rs2 = newton_iter(h1, Q1, h, Q,
                                           prev_A, prev_Se, prev_Q2A, tgt,
-                                          y_old, k, gopen)
+                                          y_old, k, gopen, ds_tgt)
             pick = lambda a, b: jnp.where(cont, a, b)
             return (pick(h2.hi, h1.hi), pick(h2.lo, h1.lo),
                     pick(Q2.hi, Q1.hi), pick(Q2.lo, Q1.lo),
@@ -780,8 +799,9 @@ def _build_call(*, nt, n, Np, tgt_len, n_sweeps, max_iter, ds_kind, us_kind,
                if geo_kind == "table" else [])
             + [
                 pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # us target series
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # ds target series
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # scalars
             ]
         ),
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
@@ -811,8 +831,17 @@ def _check_supported(geo, us_bc, ds_bc, settings):
     elif not isinstance(geo, TrapezoidGeometry):
         raise FusedUnsupported(
             "fused kernel supports TrapezoidGeometry and TableGeometry only")
-    if us_bc.kind not in ("flow_hydrograph", "stage_hydrograph"):
-        raise FusedUnsupported("fused kernel needs a hydrograph upstream BC")
+    if us_bc.kind not in ("flow_hydrograph", "stage_hydrograph",
+                          "fixed_depth", "normal_depth"):
+        raise FusedUnsupported(
+            "fused kernel supports flow/stage hydrograph, fixed_depth, or "
+            "normal_depth upstream BCs (rating_curve upstream falls back)")
+    if us_bc.kind == "normal_depth":
+        s0 = float(np.asarray(us_bc.bed_slope, np.float64))
+        if not np.isfinite(s0) or s0 <= 0.0:
+            raise FusedUnsupported("normal_depth upstream BC needs S0 > 0")
+    if us_bc.kind == "fixed_depth" and us_bc.storage is not None:
+        raise FusedUnsupported("lumped storage upstream is not supported")
     if ds_bc.kind == "normal_depth":
         s0 = float(np.asarray(ds_bc.bed_slope, np.float64))
         if not np.isfinite(s0) or s0 <= 0.0:
@@ -826,10 +855,12 @@ def _check_supported(geo, us_bc, ds_bc, settings):
             raise FusedUnsupported(
                 "fused kernel supports constant-area lumped storage without "
                 "rating or entrance losses only")
+    elif ds_bc.kind in ("fixed_depth", "stage_hydrograph"):
+        pass  # plain fixed depth / ds stage series: the "fixed_h" kernel path
     else:
         raise FusedUnsupported("fused kernel needs a rating_curve, "
-                               "normal_depth, or fixed_depth+storage "
-                               "downstream BC")
+                               "normal_depth, stage_hydrograph, or "
+                               "fixed_depth downstream BC")
     if settings.newton != "while":
         raise FusedUnsupported("fused kernel implements the while-Newton only")
     n = geo.n_nodes
@@ -920,25 +951,44 @@ def fused_simulate(geo, us_bc, ds_bc, h0, Q0, settings, interpret: bool = False)
     init[2, :n], init[3, :n] = split64(Q0)
 
     tgt = np.zeros((max(nt, 8),), f32)
-    series = np.asarray(us_bc.target_series, np.float64)
-    if us_bc.kind == "stage_hydrograph":
-        # residual is h - (target - bed_level): bake the datum in
-        series = series - float(np.asarray(us_bc.bed_level, np.float64))
+    if us_bc.kind == "fixed_depth":
+        # constant target (ops/boundary.py:185-187): a constant series
+        series = np.full(nt, float(np.asarray(us_bc.initial_depth, np.float64)))
+    elif us_bc.kind == "normal_depth":
+        series = np.zeros(nt)  # no target; residual uses K(h) sqrt(S0)
+    else:
+        series = np.asarray(us_bc.target_series, np.float64)
+        if us_bc.kind == "stage_hydrograph":
+            # residual is h - (target - bed_level): bake the datum in
+            series = series - float(np.asarray(us_bc.bed_level, np.float64))
     tgt[: min(nt, len(series))] = series[:nt].astype(f32)
+
+    ds_tgt = np.zeros((max(nt, 8),), f32)
 
     scal = np.zeros((_NS,), f32)
     scal[_S_THETA] = settings.theta
     scal[_S_DT] = settings.time_step
     scal[_S_DX] = settings.spatial_step
     scal[_S_TOL] = settings.tolerance
+    if us_bc.kind == "normal_depth":
+        scal[_S_SQS0_US] = np.sqrt(
+            float(np.asarray(us_bc.bed_slope, np.float64)))
     rc = ds_bc.rating
     bed = float(np.asarray(ds_bc.bed_level, np.float64))
-    if ds_bc.kind == "fixed_depth":
+    if ds_bc.kind == "fixed_depth" and ds_bc.storage is not None:
         sp = ds_bc.storage
         scal[_S_SA] = float(np.asarray(sp.surface_area, np.float64))
         scal[_S_MINSTAGE] = float(np.asarray(sp.min_stage, np.float64))
         scal[_S_DSBED] = bed
         ds_kind = "storage_simple"
+    elif ds_bc.kind == "fixed_depth":
+        ds_kind = "fixed_h"
+        ds_tgt[:nt] = np.float32(
+            float(np.asarray(ds_bc.initial_depth, np.float64)))
+    elif ds_bc.kind == "stage_hydrograph":
+        ds_kind = "fixed_h"
+        ds_series = np.asarray(ds_bc.target_series, np.float64) - bed
+        ds_tgt[: min(nt, len(ds_series))] = ds_series[:nt].astype(f32)
     elif ds_bc.kind == "normal_depth":
         scal[_S_SQS0] = np.sqrt(float(np.asarray(ds_bc.bed_slope, np.float64)))
         ds_kind = "normal_depth"
@@ -972,7 +1022,8 @@ def fused_simulate(geo, us_bc, ds_bc, h0, Q0, settings, interpret: bool = False)
     ins = [jnp.asarray(rows)]
     if is_table:
         ins.append(jnp.asarray(tabs))
-    ins += [jnp.asarray(init), jnp.asarray(tgt), jnp.asarray(scal)]
+    ins += [jnp.asarray(init), jnp.asarray(tgt), jnp.asarray(ds_tgt),
+            jnp.asarray(scal)]
     dhi, dlo, fhi, flo, stats = call(*ins)
 
     out_dtype = jnp.asarray(h0).dtype

@@ -170,3 +170,75 @@ def test_table_geometry_parity():
     assert bool(np.asarray(fused.converged).all())
     assert np.abs(np.asarray(fused.depth) - np.asarray(ref.depth)).max() < 1e-5
     assert np.abs(np.asarray(fused.flow) - np.asarray(ref.flow)).max() < 1e-3
+
+
+def _rect_reach(n=30, slope=0.00061):
+    from flowsim_tpu.geometry import TrapezoidGeometry
+
+    z = np.linspace(slope * (n - 1) * 1000.0, 0.0, n)
+    ones, zeros = np.ones(n), np.zeros(n)
+    return TrapezoidGeometry(
+        z_bed=jnp.asarray(z), b_main=jnp.asarray(120.0 * ones),
+        m_main=jnp.asarray(zeros), n_main=jnp.asarray(0.023 * ones),
+        compound=jnp.asarray(np.zeros(n, bool)),
+        h_bank=jnp.asarray(1e30 * ones),
+        b_fp_left=jnp.asarray(zeros), b_fp_right=jnp.asarray(zeros),
+        m_fp=jnp.asarray(zeros), n_left=jnp.asarray(0.023 * ones),
+        n_right=jnp.asarray(0.023 * ones),
+        bed_slope=jnp.asarray(slope * ones), curvature=jnp.asarray(zeros))
+
+
+def test_bc_surface_combinations():
+    """The fused kernel's extended BC surface (plain fixed_depth and
+    stage_hydrograph downstream; fixed_depth and normal_depth upstream)
+    matches the XLA path (ops/boundary.py:160-213)."""
+    from flowsim_tpu.ops import boundary as bnd
+    from flowsim_tpu.ops import initial_conditions as ic
+
+    slope, nt, dx, dt = 0.00061, 21, 1000.0, 3600.0
+    geo = _rect_reach(slope=slope)
+    z = np.asarray(geo.z_bed)
+    h0, Q0 = ic.initial_conditions(geo, "steady-state", 100.0, dx)
+    times = np.arange(nt) * dt
+    inflow = [100.0 + 200.0 * np.sin(np.pi * min(t / (12 * 3600), 1.0))
+              for t in times]
+    bed_us, bed_ds = float(z[0]), float(z[-1])
+    sset = prs.PreissmannSettings(theta=0.6, time_step=dt, spatial_step=dx,
+                                  n_time_levels=nt, tolerance=1e-6,
+                                  max_iter=100)
+    us_hyd = bnd.make_boundary("flow_hydrograph", bed_level=bed_us,
+                               target_series=inflow)
+    stage_series = (bed_ds + float(np.asarray(h0)[-1])
+                    + 0.2 * np.sin(np.linspace(0, np.pi, nt)))
+    combos = {
+        "ds_fixed_plain": (us_hyd, bnd.make_boundary(
+            "fixed_depth", bed_level=bed_ds,
+            initial_depth=float(np.asarray(h0)[-1]))),
+        "ds_stage_hyd": (us_hyd, bnd.make_boundary(
+            "stage_hydrograph", bed_level=bed_ds,
+            target_series=stage_series)),
+        "us_fixed": (bnd.make_boundary(
+            "fixed_depth", bed_level=bed_us,
+            initial_depth=float(np.asarray(h0)[0])), bnd.make_boundary(
+            "normal_depth", bed_level=bed_ds, bed_slope=slope)),
+        "us_normal": (bnd.make_boundary(
+            "normal_depth", bed_level=bed_us, bed_slope=slope),
+            bnd.make_boundary("stage_hydrograph", bed_level=bed_ds,
+                              target_series=stage_series)),
+    }
+    for name, (us_p, ds_p) in combos.items():
+        ref = prs.simulate(geo, us_p, ds_p, h0, Q0, sset)
+        out = fused_simulate(geo, us_p, ds_p, h0, Q0, sset, interpret=True)
+        it_r = np.asarray(ref.iterations)
+        it_f = np.asarray(out.iterations)
+        if name == "us_fixed":
+            # fully-steady configuration: the reference's residual is exactly
+            # ~1e-14 at the f64 steady state while the fused kernel's
+            # f32-rounded constants put level 1's first pre-update residual
+            # in the tolerance band (docs/PRECISION.md) -> within-1 bar
+            assert (np.abs(it_r - it_f) <= 1).all(), name
+        else:
+            assert (it_r == it_f).all(), name
+        assert bool(np.asarray(out.converged).all()), name
+        dd = np.abs(np.asarray(out.depth) - np.asarray(ref.depth)).max()
+        assert dd < 1e-4, (name, dd)

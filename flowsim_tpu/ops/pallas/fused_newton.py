@@ -264,17 +264,21 @@ def _section_df_table(g, tab_ref, h: DF, *, M, stride):
     # since exactly one chunk mask is 1), (2) ONE sublane gather per table per
     # bracket.  A gather per chunk instead measured ~60x slower on v5e
     # (Mosaic expands each sublane dynamic_gather into a long select chain).
+    # The j+1 window reuses the j window shifted up one sublane, with only
+    # its missing last row (base+8) accumulated separately — the scan reads
+    # each table ~once per evaluation instead of twice (cost is VMEM-read
+    # bound and scales with M; see BASELINE.md).
     zrow = jnp.zeros_like(h.hi)
     W0 = [zrow * jnp.zeros((8, 1), jnp.float32) for _ in range(_NT)]
-    W1 = [zrow * jnp.zeros((8, 1), jnp.float32) for _ in range(_NT)]
+    r8 = [zrow for _ in range(_NT)]
     for c in range(n_chunks):
         m = (c0 == np.int32(c)).astype(jnp.float32)
         for t in range(_NT):
             base = t * stride + 8 * c
             W0[t] = W0[t] + m * tab_ref[base:base + 8, :]
-            # j+1 lives at row base+s0+1: the one-row-shifted window
-            W1[t] = W1[t] + m * tab_ref[base + 1:base + 9, :]
+            r8[t] = r8[t] + m * tab_ref[base + 8:base + 9, :]
     v0 = [_gather_vreg8(W0[t], s0) for t in range(_NT)]
+    W1 = [jnp.concatenate([W0[t][1:8, :], r8[t]], axis=0) for t in range(_NT)]
     v1 = [_gather_vreg8(W1[t], s0) for t in range(_NT)]
 
     def lerp_df(t):

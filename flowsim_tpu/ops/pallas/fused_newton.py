@@ -21,18 +21,21 @@ raw f32 on CPU/TPU.  Jacobian entries and the PCR solve are plain f32: the
 increment only needs a few digits (inexact Newton; validated in round 1 by
 the pcr_f32 path's identical iteration counts).
 
-Supported configurations (all three reference cases, smooth and gated):
+Supported configurations — the full Boundary surface of ops/boundary.py:
 TrapezoidGeometry (simple or compound, with planform curvature) or
 TableGeometry (irregular surveyed sections via per-node lookup tables,
 fetched in-kernel with chunked sublane ``tpu.dynamic_gather``); upstream
-``flow_hydrograph``, ``stage_hydrograph``, ``fixed_depth``, or
-``normal_depth``; downstream ``rating_curve`` (polynomial, blended_poly, or
-the non-smooth gated_blend with the gate-controller state machine carried
-across levels), ``normal_depth``, ``stage_hydrograph``, ``fixed_depth``
-plain, or ``fixed_depth`` with constant-area lumped storage;
-``newton='while'``.  Everything else (rating_curve upstream, storage with
-area curves/losses, batched geometry) falls back to the XLA path (api
-dispatch keeps behavior identical).
+``flow_hydrograph``, ``stage_hydrograph``, ``fixed_depth`` (plain or with
+lumped storage), ``normal_depth``, or ``rating_curve`` (polynomial /
+blended_poly); downstream any of those plus the non-smooth ``gated_blend``
+rating with the gate-controller state machine carried across levels.
+Lumped storage on either end covers the general StorageParams surface —
+stage-area curves, a rating on the storage, and entrance losses — via
+pack-time split-f64 stage-grid tables and an in-kernel vectorized monotone
+inverse of the mass balance (see ``_storage_curve_eval``); only
+storage-on-both-ends, a gated storage rating, non-quadratic rating
+polynomials, batched geometry, and ``newton='fixed'`` fall back to the XLA
+path (api dispatch keeps behavior identical).
 
 Formula parity: the df32 math mirrors ops/sections.py / ops/hydraulics.py /
 ops/preissmann.py line for line (which in turn cite the reference); the
@@ -69,11 +72,29 @@ _TG_INVDG = 0
 _T_A, _T_P, _T_T, _T_K, _T_NEQ, _T_DK, _T_DR = range(7)
 _NT = 7
 
-# SCAL slots (f32, [16] SMEM)
+# SCAL slots (f32 SMEM)
 _S_THETA, _S_DT, _S_DX, _S_TOL, _S_C2, _S_C1, _S_C0, _S_D2, _S_D1, _S_D0, \
     _S_STAGEC, _S_BUF, _S_FD, _S_SQS0, _S_ZERO, _S_SA, _S_MINSTAGE, \
-    _S_DSBED, _S_MAXCD, _S_PIVOT, _S_SQS0_US = range(21)
-_NS = 21  # _S_ZERO holds a literal 0.0: the opaque fence for df32 EFTs
+    _S_DSBED, _S_MAXCD, _S_PIVOT, _S_SQS0_US, \
+    _S_UC2, _S_UC1, _S_UC0, _S_UD2, _S_UD1, _S_UD0, \
+    _S_USTAGEC, _S_UBUF, _S_UFD, _S_USBED, \
+    _S_STG_YMIN, _S_STG_INVDY, _S_STG_DY, _S_STG_LRES, _S_STG_KQ = range(36)
+_NS = 36  # _S_ZERO holds a literal 0.0: the opaque fence for df32 EFTs
+
+# rating-coefficient slot blocks: (c2, c1, c0, d2, d1, d0, stagec, buf, fd)
+_DS_RC_SLOTS = (_S_C2, _S_C1, _S_C0, _S_D2, _S_D1, _S_D0,
+                _S_STAGEC, _S_BUF, _S_FD)
+_US_RC_SLOTS = (_S_UC2, _S_UC1, _S_UC0, _S_UD2, _S_UD1, _S_UD0,
+                _S_USTAGEC, _S_UBUF, _S_UFD)
+
+# storage-curve tables (rows of the stg input, each `stg_rows` sublanes of
+# the flattened stage grid): df32 cumulative volume V(Y), df32 storage-rating
+# discharge q(Y), df32 g(Y) = V(Y) + dt/2 q(Y) (the mass-balance monotone
+# inverse target), f32 surface area A(Y)
+_STG_VHI, _STG_VLO, _STG_QHI, _STG_QLO, _STG_GHI, _STG_GLO, _STG_A = range(7)
+_NSTG = 7
+_STG_P = 2048  # stage-grid resolution (16 sublanes x 128 lanes)
+_STG_SR = _STG_P // 128
 
 
 def _roll(interpret):
@@ -345,30 +366,169 @@ def _energy_slope_df(g, st, Q: DF):
     return Se, dSf_dA + dSc_dA, dSf_dQ + dSc_dQ
 
 
-def _rating_q(scal, stage_c: DF, kind: str, gate_open=None):
-    """Q(stage) for the downstream curve in df32 (ops/rating_curve.py:187-211).
+def _rating_q(scal, stage_c: DF, kind: str, gate_open=None,
+              slots=_DS_RC_SLOTS):
+    """Q(stage) for a rating curve in df32 (ops/rating_curve.py:187-211).
 
     ``stage_c`` is the *centered* stage: for blended_poly, stage - pivot;
     for polynomial, stage + stage_shift (both host-precomputed offsets).
     ``gated_blend`` selects the low/high quadratic on the carried gate flag
-    (ops/rating_curve.py:155-160).
+    (ops/rating_curve.py:155-160).  ``slots`` picks the coefficient block
+    (downstream or upstream boundary).
     """
+    s_c2, s_c1, s_c0, s_d2, s_d1, s_d0, _, s_buf, _ = slots
     if kind == "polynomial":
-        c2, c1, c0 = scal[_S_C2], scal[_S_C1], scal[_S_C0]
+        c2, c1, c0 = scal[s_c2], scal[s_c1], scal[s_c0]
         return (df(c2) * stage_c + df(c1)) * stage_c + df(c0)
     if kind == "gated_blend":
-        low = (df(scal[_S_C2]) * stage_c + df(scal[_S_C1])) * stage_c + df(scal[_S_C0])
-        high = (df(scal[_S_D2]) * stage_c + df(scal[_S_D1])) * stage_c + df(scal[_S_D0])
+        low = (df(scal[s_c2]) * stage_c + df(scal[s_c1])) * stage_c + df(scal[s_c0])
+        high = (df(scal[s_d2]) * stage_c + df(scal[s_d1])) * stage_c + df(scal[s_d0])
         return df32.where(gate_open > 0.5, high, low)
     # blended_poly: smoothstep alpha over [0, buffer] + delta-form blend
-    s = stage_c / df(scal[_S_BUF])
+    s = stage_c / df(scal[s_buf])
     zero = df(jnp.zeros_like(s.hi))
     one = df(jnp.ones_like(s.hi))
     s = df32.where(s.hi < 0.0, zero, df32.where(s.hi > 1.0, one, s))
     alpha = s * s * (df(3.0) - df(2.0) * s)
-    low = (df(scal[_S_C2]) * stage_c + df(scal[_S_C1])) * stage_c + df(scal[_S_C0])
-    high = (df(scal[_S_D2]) * stage_c + df(scal[_S_D1])) * stage_c + df(scal[_S_D0])
+    low = (df(scal[s_c2]) * stage_c + df(scal[s_c1])) * stage_c + df(scal[s_c0])
+    high = (df(scal[s_d2]) * stage_c + df(scal[s_d1])) * stage_c + df(scal[s_d0])
     return low + alpha * (high - low)
+
+
+def _stg_row(stg, t):
+    """(SR, 128) block of storage table ``t`` (works on refs and arrays)."""
+    return stg[t * _STG_SR:(t + 1) * _STG_SR, :]
+
+
+def _stg_flat():
+    """f32 flattened grid index over the (SR, 128) storage-table block."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (_STG_SR, 128), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (_STG_SR, 128), 1)
+    return (r * np.int32(128) + c).astype(jnp.float32)
+
+
+def _stg_pick(tab, mask):
+    """Scalar ``tab[j]`` as a [1,1] vector via a masked reduction (exactly
+    one mask element is 1)."""
+    return jnp.zeros((1, 1), jnp.float32) + jnp.sum(tab * mask)
+
+
+def _stg_lookup_df(stg, thi, tlo, scal, Y: DF) -> DF:
+    """df32 linear interpolation of the (hi, lo) table pair at stage Y.
+
+    Table VALUES are split-f64 constants; the interpolation weight is df32 in
+    the iterate, so the result is a smooth df32 function of Y (same design as
+    :func:`_section_df_table`).  Out-of-range stages extrapolate on the first
+    or last cell — callers clamp Y to the grid range first where the XLA
+    bisection would have clamped to its bracket (ops/storage.py:150-166).
+    """
+    flat = _stg_flat()
+    u = (Y - df(scal[_S_STG_YMIN])) * df(scal[_S_STG_INVDY])
+    jf = jnp.clip(jnp.floor(u.hi), 0.0, np.float32(_STG_P - 2))
+    frac = u - df(jf)
+    # compare against the extracted SCALAR: Mosaic cannot broadcast a [1,1]
+    # vector in both sublanes and lanes, but scalar broadcasts lower fine
+    jfs = jf[0, 0]
+    m0 = (flat == jfs).astype(jnp.float32)
+    m1 = (flat == jfs + 1.0).astype(jnp.float32)
+    hi_t, lo_t = _stg_row(stg, thi), _stg_row(stg, tlo)
+    v0 = df(_stg_pick(hi_t, m0)) + df(_stg_pick(lo_t, m0))
+    v1 = df(_stg_pick(hi_t, m1)) + df(_stg_pick(lo_t, m1))
+    return v0 + frac * (v1 - v0)
+
+
+def _stg_lookup32(stg, t, scal, y):
+    """f32 linear interpolation of a single-row table at f32 stage ``y``."""
+    flat = _stg_flat()
+    u = (y - scal[_S_STG_YMIN]) * scal[_S_STG_INVDY]
+    jf = jnp.clip(jnp.floor(u), 0.0, np.float32(_STG_P - 2))
+    frac = u - jf
+    jfs = jf[0, 0]  # scalar: [1,1]-vector broadcasts don't lower (see above)
+    m0 = (flat == jfs).astype(jnp.float32)
+    m1 = (flat == jfs + 1.0).astype(jnp.float32)
+    tab = _stg_row(stg, t)
+    v0, v1 = _stg_pick(tab, m0), _stg_pick(tab, m1)
+    return v0 + frac * (v1 - v0)
+
+
+def _storage_curve_eval(scal, stg, h_node: DF, Q_node: DF, Qp_node: DF,
+                        y_old: DF, k, bed, losses: bool, node):
+    """Generalized lumped-storage boundary row (ops/boundary.py:185-205).
+
+    Solves the implicit trapezoidal mass balance on the pack-time stage grid:
+    with g(Y) := V(Y) + dt/2 q(Y) (strictly increasing: g' = A + dt/2 dq/dY),
+    the new stage satisfies  g(Y) = V(Y_old) + vol_in - dt/2 q(Y_old) =: C.
+    A vectorized sign count over the grid brackets the root and one linear
+    interpolation finds it — the same piecewise-linear root the XLA path's
+    bisection of the interpolated tables converges to (ops/storage.py:
+    135-166).  ``node`` carries the boundary node's [1,1] section values for
+    the optional entrance-loss terms (ops/storage.py:180-210).
+
+    Returns (residual, df_dh, df_dQ, res_stage), all [1,1].
+    """
+    dt = scal[_S_DT]
+    first = k.astype(jnp.float32) == np.float32(1.0)
+    # ref boundary.py:104-108: trial stage at the first solved level
+    Y_old_eff = df32.where(first, h_node + df(bed), y_old)
+    vol_in = df(0.5) * (Qp_node + Q_node) * df(dt)
+    V_old = _stg_lookup_df(stg, _STG_VHI, _STG_VLO, scal, Y_old_eff)
+    q_old = _stg_lookup_df(stg, _STG_QHI, _STG_QLO, scal, Y_old_eff)
+    C = V_old + vol_in - df(0.5) * df(dt) * q_old
+
+    # monotone inverse of g on the grid: count cells below C, then lerp
+    # (scalar broadcasts only — a [1,1] vector broadcast does not lower)
+    flat = _stg_flat()
+    ghi, glo = _stg_row(stg, _STG_GHI), _stg_row(stg, _STG_GLO)
+    below = ((ghi + glo) < C.value[0, 0]).astype(jnp.float32)
+    jfs = jnp.clip(jnp.sum(below) - 1.0, 0.0, np.float32(_STG_P - 2))
+    jf = jnp.zeros((1, 1), jnp.float32) + jfs
+    m0 = (flat == jfs).astype(jnp.float32)
+    m1 = (flat == jfs + 1.0).astype(jnp.float32)
+    g0 = df(_stg_pick(ghi, m0)) + df(_stg_pick(glo, m0))
+    g1 = df(_stg_pick(ghi, m1)) + df(_stg_pick(glo, m1))
+    dy = scal[_S_STG_DY]
+    slope = dy / jnp.maximum((g1 - g0).value, np.float32(1e-30))
+    ymin = scal[_S_STG_YMIN]
+    Y_new = df(ymin) + df(jf) * df(dy) + (C - g0) * df(slope)
+    # clamp to the solution bracket (bisection stays inside [y_min, y_max])
+    ymax = ymin + dy * np.float32(_STG_P - 1)
+    Y_new = df32.maximum(Y_new, df(ymin))
+    Y_new = df32.where(Y_new.hi > ymax, df(ymax) + df(jnp.zeros_like(Y_new.hi)),
+                       Y_new)
+    Y_new = df32.maximum(Y_new, df(scal[_S_MINSTAGE]))
+
+    # optional entrance losses, df32 in the iterate (ops/storage.py:180-188)
+    if losses:
+        A, K = node["A"], node["K"]
+        lres, kq = scal[_S_STG_LRES], scal[_S_STG_KQ]
+        inv2g = np.float32(1.0 / (2.0 * GRAVITY))
+        hf = Q_node * df32.abs_(Q_node) / (K * K) * df(lres)
+        Vel = Q_node / A
+        h_emp = df(kq * inv2g) * Vel * Vel
+        head_loss = hf + h_emp
+    else:
+        head_loss = df(jnp.zeros_like(h_node.hi))
+
+    res = h_node - (Y_new + head_loss - df(bed))
+    res_stage = Y_new
+
+    # f32 Jacobian entries (ops/boundary.py:200-205)
+    A_new = jnp.maximum(_stg_lookup32(stg, _STG_A, scal, Y_new.value),
+                        np.float32(1e-30))
+    dY_dvol = jnp.where(Y_new.hi <= scal[_S_MINSTAGE], 0.0, 1.0 / A_new)
+    if losses:
+        Af, Kf = node["A"].value, node["K"].value
+        Qf = Q_node.value
+        d_hl_dA = (hyd.dSf_dA(Qf, Kf, node["dK_dA"]) * lres
+                   + kq * 2.0 * (Qf / Af) * (-Qf / (Af * Af)) * inv2g)
+        d_hl_dQ = (hyd.dSf_dQ(Qf, Kf) * lres
+                   + kq * 2.0 * (Qf / Af) * (1.0 / Af) * inv2g)
+        df_dh = 1.0 - d_hl_dA * node["dA_dh"]
+        df_dQ = -(dY_dvol * 0.5 * dt + d_hl_dQ)
+    else:
+        df_dh = jnp.ones_like(h_node.hi)
+        df_dQ = -(dY_dvol * 0.5 * dt)
+    return res, df_dh, df_dQ, res_stage
 
 
 def _pcr_solve(buf, idx, n, n_sweeps, roll):
@@ -459,7 +619,7 @@ def _level_state(g, h: DF, Q: DF, section_fn=None):
 def _assemble_fused(g, scal, roll, n, ds_kind,
                     h, Q, prev_h, prev_Q, prev_A, prev_Se, prev_Q2A, tgt,
                     us_kind="flow_hydrograph", y_old=None, k=None,
-                    gate_open=None, section_fn=None, ds_tgt=None):
+                    gate_open=None, section_fn=None, ds_tgt=None, stg=None):
     """df32 residual + f32 Jacobian, packed as the [16, Np] PCR system.
 
     Module-level (not a kernel closure) so tests can drive the exact same
@@ -522,7 +682,8 @@ def _assemble_fused(g, scal, roll, n, ds_kind,
     geom = dYdx + avgSe
     Rm = dQdt + dQ2A_dx + g_df * avgA * geom
 
-    # boundary rows (ops/boundary.py:160-183)
+    # boundary rows (ops/boundary.py:160-205)
+    us_res_stage = None
     if us_kind == "flow_hydrograph":
         us_res = DF(Q.hi[0:1, 0:1], Q.lo[0:1, 0:1]) - df(tgt)
         us_df_dh, us_df_dQ = np.float32(0.0), np.float32(1.0)
@@ -534,6 +695,48 @@ def _assemble_fused(g, scal, roll, n, ds_kind,
         us_res = Q_head - K_head * df(sq)
         us_df_dh = -(st["dK_dA"][0:1, 0:1] * sq * st["dA_dh"][0:1, 0:1])
         us_df_dQ = np.float32(1.0)
+    elif us_kind in ("rating_poly", "rating_blend"):
+        # Q - RC(bed + h) at the head node (ops/boundary.py:173-183), with
+        # the upstream coefficient block; central-difference dQ/dz (exact
+        # for the quadratics at fd=1, matching the ds rating row)
+        rkind = "polynomial" if us_kind == "rating_poly" else "blended_poly"
+        h_head = DF(h.hi[0:1, 0:1], h.lo[0:1, 0:1])
+        Q_head = DF(Q.hi[0:1, 0:1], Q.lo[0:1, 0:1])
+        stage_c = h_head + df(scal[_S_USTAGEC])
+        us_res = Q_head - _rating_q(scal, stage_c, rkind, slots=_US_RC_SLOTS)
+        ufd = scal[_S_UFD]
+        qp_ = _rating_q(scal, stage_c + df(ufd), rkind, slots=_US_RC_SLOTS)
+        qm_ = _rating_q(scal, stage_c - df(ufd), rkind, slots=_US_RC_SLOTS)
+        us_df_dh = -((qp_ - qm_).value) / (2.0 * ufd)
+        us_df_dQ = np.float32(1.0)
+    elif us_kind == "storage_simple":
+        # fixed_depth + constant-area storage at the head (mirror of the
+        # ds storage_simple row; ops/boundary.py:185-205)
+        h_head = DF(h.hi[0:1, 0:1], h.lo[0:1, 0:1])
+        Q_head = DF(Q.hi[0:1, 0:1], Q.lo[0:1, 0:1])
+        Qp_head = DF(prev_Q.hi[0:1, 0:1], prev_Q.lo[0:1, 0:1])
+        bed_u = scal[_S_USBED]
+        sa_u, dt_u = scal[_S_SA], scal[_S_DT]
+        first_u = k.astype(jnp.float32) == np.float32(1.0)
+        Y_old_u = df32.where(first_u, h_head + df(bed_u), y_old)
+        vol_in_u = df(0.5) * (Qp_head + Q_head) * df(dt_u)
+        Y_new_u = Y_old_u + vol_in_u / df(sa_u)
+        Y_new_u = df32.maximum(Y_new_u, df(scal[_S_MINSTAGE]))
+        us_res = h_head - (Y_new_u - df(bed_u))
+        us_df_dh = jnp.ones_like(h_head.hi)
+        dY_dvol_u = jnp.where(Y_new_u.hi <= scal[_S_MINSTAGE], 0.0, 1.0 / sa_u)
+        us_df_dQ = -(dY_dvol_u * 0.5 * dt_u)
+        us_res_stage = Y_new_u
+    elif us_kind in ("storage_curve", "storage_curve_hl"):
+        h_head = DF(h.hi[0:1, 0:1], h.lo[0:1, 0:1])
+        Q_head = DF(Q.hi[0:1, 0:1], Q.lo[0:1, 0:1])
+        Qp_head = DF(prev_Q.hi[0:1, 0:1], prev_Q.lo[0:1, 0:1])
+        node_u = {kk: (DF(st[kk].hi[0:1, 0:1], st[kk].lo[0:1, 0:1])
+                       if isinstance(st[kk], DF) else st[kk][0:1, 0:1])
+                  for kk in ("A", "K", "dK_dA", "dA_dh")}
+        us_res, us_df_dh, us_df_dQ, us_res_stage = _storage_curve_eval(
+            scal, stg, h_head, Q_head, Qp_head, y_old, k,
+            scal[_S_USBED], us_kind == "storage_curve_hl", node_u)
     else:  # stage_hydrograph / fixed_depth: host bakes the datum into tgt
         us_res = DF(h.hi[0:1, 0:1], h.lo[0:1, 0:1]) - df(tgt)
         us_df_dh, us_df_dQ = np.float32(1.0), np.float32(0.0)
@@ -572,6 +775,20 @@ def _assemble_fused(g, scal, roll, n, ds_kind,
         dY_dvol = jnp.where(Y_new.hi <= scal[_S_MINSTAGE], 0.0, 1.0 / sa)
         ds_df_dQ = -(dY_dvol * 0.5 * dt_s)
         res_stage = Y_new
+    elif ds_kind in ("storage_curve", "storage_curve_hl"):
+        # generalized lumped storage: stage-area curve / storage rating /
+        # entrance losses via the pack-time stage-grid tables
+        Qp_tail = DF(prev_Q.hi[0:1, n - 1:n], prev_Q.lo[0:1, n - 1:n])
+        node_d = {kk: (DF(st[kk].hi[0:1, n - 1:n], st[kk].lo[0:1, n - 1:n])
+                       if isinstance(st[kk], DF) else st[kk][0:1, n - 1:n])
+                  for kk in ("A", "K", "dK_dA", "dA_dh")}
+        ds_res, ds_df_dh, ds_df_dQ, res_stage = _storage_curve_eval(
+            scal, stg, h_tail, Q_tail, Qp_tail, y_old, k,
+            scal[_S_DSBED], ds_kind == "storage_curve_hl", node_d)
+    elif ds_kind == "flow_q":
+        # downstream flow hydrograph: Q - target (ops/boundary.py:160-162)
+        ds_res = Q_tail - df(ds_tgt)
+        ds_df_dh = jnp.zeros_like(h_tail.hi)
     elif ds_kind == "normal_depth":
         # Q - K(h) sqrt(S0); df_dh = -dK_dA sqrt(S0) dA_dh (ref boundary
         # :91-92,179-180; S0 > 0 enforced at pack time)
@@ -626,6 +843,11 @@ def _assemble_fused(g, scal, roll, n, ds_kind,
             + jnp.sum(us_f * us_f) + jnp.sum(ds_f * ds_f))
     err = jnp.sqrt(err2)
 
+    if us_res_stage is not None:
+        # only one boundary may carry storage (_check_supported), so the
+        # upstream stage takes the single reservoir-stage slot
+        res_stage = us_res_stage
+
     buf = jnp.concatenate(
         [L00, L01, zero_row, zero_row,
          D00, D01, D10, D11,
@@ -635,13 +857,13 @@ def _assemble_fused(g, scal, roll, n, ds_kind,
 
 
 def _kernel(*refs, nt, n, n_sweeps, max_iter, ds_kind, us_kind, gate_init,
-            geo_kind, tab_M, tab_stride, interpret):
-    if geo_kind == "table":
-        (geo_ref, tab_ref, init_ref, tgt_ref, ds_tgt_ref, scal_ref,
-         dhi_ref, dlo_ref, fhi_ref, flo_ref, stats_ref) = refs
-    else:
-        (geo_ref, init_ref, tgt_ref, ds_tgt_ref, scal_ref,
-         dhi_ref, dlo_ref, fhi_ref, flo_ref, stats_ref) = refs
+            geo_kind, tab_M, tab_stride, has_stg, interpret):
+    refs = list(refs)
+    geo_ref = refs.pop(0)
+    tab_ref = refs.pop(0) if geo_kind == "table" else None
+    stg_ref = refs.pop(0) if has_stg else None
+    (init_ref, tgt_ref, ds_tgt_ref, scal_ref,
+     dhi_ref, dlo_ref, fhi_ref, flo_ref, stats_ref) = refs
     roll = _roll(interpret)
     geo = geo_ref[:]
     Np = geo.shape[1]
@@ -666,7 +888,7 @@ def _kernel(*refs, nt, n, n_sweeps, max_iter, ds_kind, us_kind, gate_init,
                                               us_kind=us_kind, y_old=y_old, k=k,
                                               gate_open=gate_open,
                                               section_fn=section_fn,
-                                              ds_tgt=ds_tgt)
+                                              ds_tgt=ds_tgt, stg=stg_ref)
         x0, x1 = _pcr_solve(buf, idx, n, n_sweeps, roll)
         h = h + df(x0 * node_mask)
         Q = Q + df(x1 * node_mask)
@@ -771,7 +993,8 @@ def _kernel(*refs, nt, n, n_sweeps, max_iter, ds_kind, us_kind, gate_init,
 
 @functools.lru_cache(maxsize=64)
 def _build_call(*, nt, n, Np, tgt_len, n_sweeps, max_iter, ds_kind, us_kind,
-                gate_init, interpret, geo_kind="trap", tab_M=0, tab_stride=0):
+                gate_init, interpret, geo_kind="trap", tab_M=0, tab_stride=0,
+                has_stg=False):
     """Cache the pallas_call wrapper per static configuration.
 
     Rebuilding the closure per invocation defeats jax's trace cache: every
@@ -784,7 +1007,7 @@ def _build_call(*, nt, n, Np, tgt_len, n_sweeps, max_iter, ds_kind, us_kind,
         _kernel, nt=nt, n=n, n_sweeps=n_sweeps, max_iter=max_iter,
         ds_kind=ds_kind, us_kind=us_kind, gate_init=gate_init,
         geo_kind=geo_kind, tab_M=tab_M, tab_stride=tab_stride,
-        interpret=interpret)
+        has_stg=has_stg, interpret=interpret)
     out_shapes = [
         jax.ShapeDtypeStruct((nt, Np), jnp.float32),  # depth hi
         jax.ShapeDtypeStruct((nt, Np), jnp.float32),  # depth lo
@@ -801,6 +1024,7 @@ def _build_call(*, nt, n, Np, tgt_len, n_sweeps, max_iter, ds_kind, us_kind,
             [pl.BlockSpec(memory_space=pltpu.VMEM)]
             + ([pl.BlockSpec(memory_space=pltpu.VMEM)]
                if geo_kind == "table" else [])
+            + ([pl.BlockSpec(memory_space=pltpu.VMEM)] if has_stg else [])
             + [
                 pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),  # us target series
@@ -836,16 +1060,33 @@ def _check_supported(geo, us_bc, ds_bc, settings):
         raise FusedUnsupported(
             "fused kernel supports TrapezoidGeometry and TableGeometry only")
     if us_bc.kind not in ("flow_hydrograph", "stage_hydrograph",
-                          "fixed_depth", "normal_depth"):
-        raise FusedUnsupported(
-            "fused kernel supports flow/stage hydrograph, fixed_depth, or "
-            "normal_depth upstream BCs (rating_curve upstream falls back)")
+                          "fixed_depth", "normal_depth", "rating_curve"):
+        raise FusedUnsupported(f"unknown upstream BC kind {us_bc.kind!r}")
     if us_bc.kind == "normal_depth":
         s0 = float(np.asarray(us_bc.bed_slope, np.float64))
         if not np.isfinite(s0) or s0 <= 0.0:
             raise FusedUnsupported("normal_depth upstream BC needs S0 > 0")
-    if us_bc.kind == "fixed_depth" and us_bc.storage is not None:
-        raise FusedUnsupported("lumped storage upstream is not supported")
+    if us_bc.kind == "rating_curve":
+        if us_bc.rating is None or us_bc.rating.kind not in ("polynomial",
+                                                             "blended_poly"):
+            raise FusedUnsupported(
+                "upstream rating curve must be polynomial or blended_poly "
+                "(the gate controller is downstream-only)")
+        if np.asarray(us_bc.rating.coeffs).shape[-1] != 3:
+            raise FusedUnsupported("fused rating rows pack quadratics "
+                                   "(3 coefficients)")
+    us_sp = us_bc.storage if us_bc.kind == "fixed_depth" else None
+    ds_sp = ds_bc.storage if ds_bc.kind == "fixed_depth" else None
+    if us_sp is not None and ds_sp is not None:
+        raise FusedUnsupported(
+            "lumped storage on both boundaries is not supported (a single "
+            "reservoir-stage state is carried; the XLA path shares the same "
+            "single-slot BCState, ops/boundary.py:91-105)")
+    for sp in (us_sp, ds_sp):
+        if sp is not None and sp.has_rating and sp.rating.kind == "gated_blend":
+            raise FusedUnsupported(
+                "a gated_blend rating on the storage itself is unsupported "
+                "(the XLA mass balance cannot evaluate it either)")
     if ds_bc.kind == "normal_depth":
         s0 = float(np.asarray(ds_bc.bed_slope, np.float64))
         if not np.isfinite(s0) or s0 <= 0.0:
@@ -853,23 +1094,86 @@ def _check_supported(geo, us_bc, ds_bc, settings):
     elif ds_bc.kind == "rating_curve" and ds_bc.rating is not None:
         if ds_bc.rating.kind not in ("polynomial", "blended_poly", "gated_blend"):
             raise FusedUnsupported(f"unsupported rating kind {ds_bc.rating.kind!r}")
-    elif ds_bc.kind == "fixed_depth" and ds_bc.storage is not None:
-        sp = ds_bc.storage
-        if sp.has_area_curve or sp.has_rating or sp.capture_losses:
-            raise FusedUnsupported(
-                "fused kernel supports constant-area lumped storage without "
-                "rating or entrance losses only")
-    elif ds_bc.kind in ("fixed_depth", "stage_hydrograph"):
-        pass  # plain fixed depth / ds stage series: the "fixed_h" kernel path
+        if np.asarray(ds_bc.rating.coeffs).shape[-1] != 3:
+            raise FusedUnsupported("fused rating rows pack quadratics "
+                                   "(3 coefficients)")
+    elif ds_bc.kind in ("fixed_depth", "stage_hydrograph", "flow_hydrograph"):
+        pass  # fixed_h / flow_q kernel paths (storage handled above)
     else:
-        raise FusedUnsupported("fused kernel needs a rating_curve, "
-                               "normal_depth, stage_hydrograph, or "
-                               "fixed_depth downstream BC")
+        raise FusedUnsupported(f"unknown downstream BC kind {ds_bc.kind!r}")
     if settings.newton != "while":
         raise FusedUnsupported("fused kernel implements the while-Newton only")
     n = geo.n_nodes
     if n > MAX_VMEM_N:
         raise FusedUnsupported(f"N={n} exceeds the VMEM kernel limit {MAX_VMEM_N}")
+
+
+def _storage_mode(sp) -> str:
+    """Kernel path for a StorageParams: closed-form constant-area
+    ("storage_simple") or the tabulated general path ("storage_curve[_hl]")."""
+    if sp.has_area_curve or sp.has_rating:
+        return "storage_curve_hl" if sp.capture_losses else "storage_curve"
+    return "storage_curve_hl" if sp.capture_losses else "storage_simple"
+
+
+def _pack_storage_tables(sp, dt: float):
+    """Tabulate V(Y), q(Y), g(Y) = V + dt/2 q, and A(Y) on a uniform
+    ``_STG_P``-point stage grid over the solution bracket (split-f64 rows
+    for the df32 residual path, f32 for the area).
+
+    Constant-area storages get the exact linear V = SA (Y - y_min), so the
+    kernel's piecewise-linear inverse is exact for them; curve storages
+    resample the dense pack-time tables of :func:`ops.storage.make_storage`.
+    Returns (rows[_NSTG*_STG_SR, 128] f32, scalars dict).
+    """
+    from flowsim_tpu.ops import rating_curve as rcurve
+
+    y_min = float(np.asarray(sp.y_min, np.float64))
+    y_max = float(np.asarray(sp.y_max, np.float64))
+    grid = np.linspace(y_min, y_max, _STG_P)
+    if sp.has_area_curve:
+        V = np.interp(grid, np.asarray(sp.vol_stage, np.float64),
+                      np.asarray(sp.vol_table, np.float64))
+        A = np.interp(grid + float(np.asarray(sp.beta, np.float64)),
+                      np.asarray(sp.area_stage, np.float64),
+                      np.asarray(sp.area_table, np.float64))
+    else:
+        sa = float(np.asarray(sp.surface_area, np.float64))
+        V = sa * (grid - y_min)
+        A = np.full(_STG_P, sa)
+    if sp.has_rating:
+        q = np.asarray(jax.device_get(rcurve.discharge(sp.rating,
+                                                       jnp.asarray(grid))),
+                       np.float64)
+    else:
+        q = np.zeros(_STG_P)
+    gtab = V + 0.5 * dt * q
+    if not np.all(np.diff(gtab) > 0.0):
+        raise FusedUnsupported(
+            "storage mass-balance function g(Y) = V(Y) + dt/2 q(Y) is not "
+            "strictly increasing on the solution bracket (check the storage "
+            "rating curve's sign)")
+
+    def split(x):
+        hi = x.astype(np.float32)
+        return hi, (x - hi.astype(np.float64)).astype(np.float32)
+
+    rows = np.zeros((_NSTG * _STG_SR, 128), np.float32)
+    for t_hi, t_lo, arr in ((_STG_VHI, _STG_VLO, V), (_STG_QHI, _STG_QLO, q),
+                            (_STG_GHI, _STG_GLO, gtab)):
+        hi, lo = split(arr)
+        rows[t_hi * _STG_SR:(t_hi + 1) * _STG_SR] = hi.reshape(_STG_SR, 128)
+        rows[t_lo * _STG_SR:(t_lo + 1) * _STG_SR] = lo.reshape(_STG_SR, 128)
+    rows[_STG_A * _STG_SR:(_STG_A + 1) * _STG_SR] = \
+        A.astype(np.float32).reshape(_STG_SR, 128)
+    dy = (y_max - y_min) / (_STG_P - 1)
+    scalars = {
+        _S_STG_YMIN: y_min, _S_STG_INVDY: 1.0 / dy, _S_STG_DY: dy,
+        _S_STG_LRES: float(np.asarray(sp.reservoir_length, np.float64)),
+        _S_STG_KQ: float(np.asarray(sp.K_q, np.float64)),
+        _S_MINSTAGE: float(np.asarray(sp.min_stage, np.float64)),
+    }
+    return rows, scalars
 
 
 def fused_simulate(geo, us_bc, ds_bc, h0, Q0, settings, interpret: bool = False):
@@ -955,11 +1259,11 @@ def fused_simulate(geo, us_bc, ds_bc, h0, Q0, settings, interpret: bool = False)
     init[2, :n], init[3, :n] = split64(Q0)
 
     tgt = np.zeros((max(nt, 8),), f32)
-    if us_bc.kind == "fixed_depth":
+    if us_bc.kind == "fixed_depth" and us_bc.storage is None:
         # constant target (ops/boundary.py:185-187): a constant series
         series = np.full(nt, float(np.asarray(us_bc.initial_depth, np.float64)))
-    elif us_bc.kind == "normal_depth":
-        series = np.zeros(nt)  # no target; residual uses K(h) sqrt(S0)
+    elif us_bc.kind in ("normal_depth", "rating_curve", "fixed_depth"):
+        series = np.zeros(nt)  # no target series for these residuals
     else:
         series = np.asarray(us_bc.target_series, np.float64)
         if us_bc.kind == "stage_hydrograph":
@@ -979,12 +1283,22 @@ def fused_simulate(geo, us_bc, ds_bc, h0, Q0, settings, interpret: bool = False)
             float(np.asarray(us_bc.bed_slope, np.float64)))
     rc = ds_bc.rating
     bed = float(np.asarray(ds_bc.bed_level, np.float64))
+    stg_rows = None
     if ds_bc.kind == "fixed_depth" and ds_bc.storage is not None:
         sp = ds_bc.storage
-        scal[_S_SA] = float(np.asarray(sp.surface_area, np.float64))
-        scal[_S_MINSTAGE] = float(np.asarray(sp.min_stage, np.float64))
         scal[_S_DSBED] = bed
-        ds_kind = "storage_simple"
+        ds_kind = _storage_mode(sp)
+        if ds_kind == "storage_simple":
+            scal[_S_SA] = float(np.asarray(sp.surface_area, np.float64))
+            scal[_S_MINSTAGE] = float(np.asarray(sp.min_stage, np.float64))
+        else:
+            stg_rows, s_stg = _pack_storage_tables(sp, settings.time_step)
+            for slot, v in s_stg.items():
+                scal[slot] = v
+    elif ds_bc.kind == "flow_hydrograph":
+        ds_kind = "flow_q"
+        ds_series = np.asarray(ds_bc.target_series, np.float64)
+        ds_tgt[: min(nt, len(ds_series))] = ds_series[:nt].astype(f32)
     elif ds_bc.kind == "fixed_depth":
         ds_kind = "fixed_h"
         ds_tgt[:nt] = np.float32(
@@ -1016,16 +1330,51 @@ def fused_simulate(geo, us_bc, ds_bc, h0, Q0, settings, interpret: bool = False)
             scal[_S_MAXCD] = float(np.asarray(rc.max_cooldown, np.float64))
             scal[_S_DSBED] = bed
 
+    us_kind_str = us_bc.kind
+    if us_bc.kind == "rating_curve":
+        rcu = us_bc.rating
+        ubed = float(np.asarray(us_bc.bed_level, np.float64))
+        c = np.asarray(rcu.coeffs, np.float64)
+        scal[_S_UC2], scal[_S_UC1], scal[_S_UC0] = c
+        if rcu.kind == "polynomial":
+            us_kind_str = "rating_poly"
+            scal[_S_USTAGEC] = ubed + float(np.asarray(rcu.stage_shift,
+                                                       np.float64))
+            scal[_S_UFD] = 1.0  # central diff is exact for the quadratic
+            scal[_S_UBUF] = 1.0
+        else:
+            us_kind_str = "rating_blend"
+            ch = np.asarray(rcu.coeffs_high, np.float64)
+            scal[_S_UD2], scal[_S_UD1], scal[_S_UD0] = ch
+            scal[_S_USTAGEC] = ubed - float(np.asarray(rcu.pivot_stage,
+                                                       np.float64))
+            scal[_S_UBUF] = float(np.asarray(rcu.buffer, np.float64))
+            scal[_S_UFD] = float(np.asarray(rcu.fd_step, np.float64))
+    elif us_bc.kind == "fixed_depth" and us_bc.storage is not None:
+        sp = us_bc.storage
+        us_kind_str = _storage_mode(sp)
+        scal[_S_USBED] = float(np.asarray(us_bc.bed_level, np.float64))
+        if us_kind_str == "storage_simple":
+            scal[_S_SA] = float(np.asarray(sp.surface_area, np.float64))
+            scal[_S_MINSTAGE] = float(np.asarray(sp.min_stage, np.float64))
+        else:
+            stg_rows, s_stg = _pack_storage_tables(sp, settings.time_step)
+            for slot, v in s_stg.items():
+                scal[slot] = v
+
     call = _build_call(nt=nt, n=n, Np=Np, tgt_len=len(tgt),
                        n_sweeps=n_sweeps, max_iter=settings.max_iter,
-                       ds_kind=ds_kind, us_kind=us_bc.kind,
+                       ds_kind=ds_kind, us_kind=us_kind_str,
                        gate_init=1.0 if settings.gate_initially_open else 0.0,
                        geo_kind="table" if is_table else "trap",
                        tab_M=tab_M, tab_stride=tab_stride,
+                       has_stg=stg_rows is not None,
                        interpret=interpret)
     ins = [jnp.asarray(rows)]
     if is_table:
         ins.append(jnp.asarray(tabs))
+    if stg_rows is not None:
+        ins.append(jnp.asarray(stg_rows))
     ins += [jnp.asarray(init), jnp.asarray(tgt), jnp.asarray(ds_tgt),
             jnp.asarray(scal)]
     dhi, dlo, fhi, flo, stats = call(*ins)
@@ -1041,7 +1390,7 @@ def fused_simulate(geo, us_bc, ds_bc, h0, Q0, settings, interpret: bool = False)
     iters = stats[:, 0].astype(jnp.int32)
     errs = stats[:, 1].astype(out_dtype)
     nanv = jnp.full((nt,), jnp.nan, out_dtype)
-    if ds_kind == "storage_simple":
+    if ds_kind.startswith("storage") or us_kind_str.startswith("storage"):
         res_stage = stats[:, 2].astype(out_dtype)
         res_stage = jnp.where(jnp.arange(nt) == 0, jnp.nan, res_stage)
     else:

@@ -86,6 +86,86 @@ def main():
             us_params=us_p, ds_params=ds_p, h0=h0, Q0=Q0)
         return solver, sset
 
+    def build_extended_bc_cases():
+        """Round-2 BC-surface completion: general storage (area curve +
+        storage rating + entrance losses), upstream rating, upstream
+        storage (tests/test_fused_newton.py::test_bc_surface_extended)."""
+        from types import SimpleNamespace
+
+        from flowsim_tpu.geometry import TrapezoidGeometry
+        from flowsim_tpu.ops import boundary as bnd
+        from flowsim_tpu.ops import initial_conditions as ic
+        from flowsim_tpu.ops import rating_curve as rcurve
+        from flowsim_tpu.ops import storage as stg
+
+        slope, nt, dx, dt = 0.00061, 21, 1000.0, 3600.0
+        n = 30
+        z = np.linspace(slope * (n - 1) * 1000.0, 0.0, n)
+        ones, zeros = np.ones(n), np.zeros(n)
+        geo = TrapezoidGeometry(
+            z_bed=jnp.asarray(z), b_main=jnp.asarray(120.0 * ones),
+            m_main=jnp.asarray(zeros), n_main=jnp.asarray(0.023 * ones),
+            compound=jnp.asarray(np.zeros(n, bool)),
+            h_bank=jnp.asarray(1e30 * ones),
+            b_fp_left=jnp.asarray(zeros), b_fp_right=jnp.asarray(zeros),
+            m_fp=jnp.asarray(zeros), n_left=jnp.asarray(0.023 * ones),
+            n_right=jnp.asarray(0.023 * ones),
+            bed_slope=jnp.asarray(slope * ones),
+            curvature=jnp.asarray(zeros))
+        h0, Q0 = ic.initial_conditions(geo, "steady-state", 100.0, dx)
+        bed_us, bed_ds = float(z[0]), float(z[-1])
+        sset = prs.PreissmannSettings(
+            theta=0.6, time_step=dt, spatial_step=dx, n_time_levels=nt,
+            tolerance=1e-6, max_iter=100)
+        inflow = 100.0 + 200.0 * np.sin(np.linspace(0, np.pi, nt))
+        us_hyd = bnd.make_boundary("flow_hydrograph", bed_level=bed_us,
+                                   target_series=inflow)
+        ds_normal = bnd.make_boundary("normal_depth", bed_level=bed_ds,
+                                      bed_slope=slope)
+        ac_stages = bed_ds + np.linspace(-2.0, 20.0, 12)
+        sp_curve = stg.make_storage(
+            area_curve=np.stack(
+                [ac_stages, 4.0e5 * (1.0 + 0.08 * np.arange(12))], axis=1),
+            min_stage=bed_ds - 1.0,
+            rating=rcurve.make_polynomial(0.0, 30.0, -30.0 * (bed_ds - 1.0)),
+            capture_losses=True, reservoir_length=1500.0, K_q=0.2)
+        ds_storage_curve = bnd.make_boundary(
+            "fixed_depth", bed_level=bed_ds, storage=sp_curve)
+        stage0 = bed_us + float(np.asarray(h0)[0])
+        q0 = float(np.asarray(Q0)[0])
+        us_rating_blend = bnd.make_boundary(
+            "rating_curve", bed_level=bed_us,
+            rating=rcurve.make_blended_poly(
+                low_quad=np.array([0.0, -25.0, q0 + 25.0 * stage0]),
+                high_quad=np.array([0.0, -20.0, q0 + 20.0 * stage0]),
+                pivot_stage=stage0 - 0.3, buffer=0.5))
+        stage_pool = bed_us + 2.0
+        pool_h0 = jnp.asarray(stage_pool - z)
+        pool_Q0 = jnp.zeros_like(Q0)
+        ds_stage_pool = bnd.make_boundary(
+            "stage_hydrograph", bed_level=bed_ds,
+            target_series=stage_pool
+            + 0.05 * np.sin(np.linspace(0, np.pi, nt)))
+        us_storage_curve = bnd.make_boundary(
+            "fixed_depth", bed_level=bed_us,
+            storage=stg.make_storage(
+                area_curve=np.stack(
+                    [bed_us + np.linspace(-2.0, 30.0, 10),
+                     8.0e6 * (1.0 + 0.05 * np.arange(10))], axis=1),
+                min_stage=bed_us - 1.0))
+
+        def ns(us_p, ds_p, ih, iq):
+            return (SimpleNamespace(channel=SimpleNamespace(geometry=geo),
+                                    us_params=us_p, ds_params=ds_p,
+                                    h0=ih, Q0=iq), sset)
+
+        return {
+            "ds_storage_curve_hl": ns(us_hyd, ds_storage_curve, h0, Q0),
+            "us_rating_blend": ns(us_rating_blend, ds_normal, h0, Q0),
+            "us_storage_curve": ns(us_storage_curve, ds_stage_pool,
+                                   pool_h0, pool_Q0),
+        }
+
     def build_cases():
         from flowsim_tpu.models import akbari_firoozi, example
         from flowsim_tpu.models.gerd_roseires import model, settings as gs
@@ -100,6 +180,7 @@ def main():
         s, _ = akbari_firoozi.build()
         cases["akbari_normal_depth"] = (s, s.settings(tolerance=1e-4, max_iter=100))
         cases["irregular_table"] = build_irregular_case()
+        cases.update(build_extended_bc_cases())
         return cases
 
     with jax.default_device(cpu):
@@ -144,9 +225,9 @@ def main():
                 r["gate_identical"] = bool(
                     (np.asarray(out.gate_open)
                      == np.asarray(ref.gate_open)).all())
-            if name == "example_storage":
-                drs = np.abs(np.asarray(out.reservoir_stage)
-                             - np.asarray(ref.reservoir_stage))
+            rs_ref = np.asarray(ref.reservoir_stage)
+            if np.isfinite(rs_ref[1:]).any():
+                drs = np.abs(np.asarray(out.reservoir_stage) - rs_ref)
                 r["max_dstage_m"] = float(np.nanmax(drs))
             results[name] = r
             log(f"{name}: {best:.3f}s iters={r['iters']} "

@@ -242,3 +242,146 @@ def test_bc_surface_combinations():
         assert bool(np.asarray(out.converged).all()), name
         dd = np.abs(np.asarray(out.depth) - np.asarray(ref.depth)).max()
         assert dd < 1e-4, (name, dd)
+
+
+def test_bc_surface_extended():
+    """The round-2 completion of the fused BC surface: downstream flow
+    hydrograph, upstream rating curves, generalized lumped storage
+    (stage-area curve, storage rating, entrance losses) on either end —
+    each vs the XLA path (ops/boundary.py:160-205, ops/storage.py).
+
+    Config notes: upstream rating curves use gate-style negative dQ/dz
+    (backpressure — positive-slope inlet ratings are dynamically unstable
+    and diverge identically in the XLA path); storage ends use a quiescent
+    pool start because the reference's level-1 trial-stage rule
+    (ref boundary.py:104-108) forces avg Q -> 0 at the first level.
+    """
+    from flowsim_tpu.ops import boundary as bnd
+    from flowsim_tpu.ops import initial_conditions as ic
+    from flowsim_tpu.ops import rating_curve as rcurve
+    from flowsim_tpu.ops import storage as stg
+
+    slope, nt, dx, dt = 0.00061, 21, 1000.0, 3600.0
+    geo = _rect_reach(slope=slope)
+    z = np.asarray(geo.z_bed)
+    h0, Q0 = ic.initial_conditions(geo, "steady-state", 100.0, dx)
+    bed_us, bed_ds = float(z[0]), float(z[-1])
+    sset = prs.PreissmannSettings(theta=0.6, time_step=dt, spatial_step=dx,
+                                  n_time_levels=nt, tolerance=1e-6,
+                                  max_iter=100)
+    inflow = 100.0 + 200.0 * np.sin(np.linspace(0, np.pi, nt))
+    us_hyd = bnd.make_boundary("flow_hydrograph", bed_level=bed_us,
+                               target_series=inflow)
+    ds_stage = bnd.make_boundary(
+        "stage_hydrograph", bed_level=bed_ds,
+        target_series=(bed_ds + float(np.asarray(h0)[-1])
+                       + 0.2 * np.sin(np.linspace(0, np.pi, nt))))
+    ds_normal = bnd.make_boundary("normal_depth", bed_level=bed_ds,
+                                  bed_slope=slope)
+
+    # upstream gate-style ratings anchored exactly at the IC
+    stage0 = bed_us + float(np.asarray(h0)[0])
+    q0 = float(np.asarray(Q0)[0])
+    us_rating_poly = bnd.make_boundary(
+        "rating_curve", bed_level=bed_us,
+        rating=rcurve.make_polynomial(
+            0.5, -30.0 - stage0, q0 + 30.0 * stage0 + 0.5 * stage0 * stage0))
+    us_rating_blend = bnd.make_boundary(
+        "rating_curve", bed_level=bed_us,
+        rating=rcurve.make_blended_poly(
+            low_quad=np.array([0.0, -25.0, q0 + 25.0 * stage0]),
+            high_quad=np.array([0.0, -20.0, q0 + 20.0 * stage0]),
+            pivot_stage=stage0 - 0.3, buffer=0.5))
+
+    # downstream general storage: area curve + storage rating + losses
+    ac_stages = bed_ds + np.linspace(-2.0, 20.0, 12)
+    sp_curve = stg.make_storage(
+        area_curve=np.stack([ac_stages,
+                             4.0e5 * (1.0 + 0.08 * np.arange(12))], axis=1),
+        min_stage=bed_ds - 1.0,
+        rating=rcurve.make_polynomial(0.0, 30.0, -30.0 * (bed_ds - 1.0)),
+        capture_losses=True, reservoir_length=1500.0, K_q=0.2)
+    ds_storage_curve = bnd.make_boundary("fixed_depth", bed_level=bed_ds,
+                                         storage=sp_curve)
+    # constant-area + losses only (exercises the synthesized-linear V table)
+    sp_hl = stg.make_storage(
+        surface_area=5.0e5, min_stage=bed_ds - 1.0,
+        solution_boundaries=(bed_ds - 2.0, bed_ds + 30.0),
+        capture_losses=True, reservoir_length=1500.0, K_q=0.2)
+    ds_storage_hl = bnd.make_boundary("fixed_depth", bed_level=bed_ds,
+                                      storage=sp_hl)
+
+    # quiescent pool for the storage/flow-forced ends
+    stage_pool = bed_us + 2.0
+    pool_h0 = jnp.asarray(stage_pool - z)
+    pool_Q0 = jnp.zeros_like(Q0)
+    ds_flow = bnd.make_boundary(
+        "flow_hydrograph", bed_level=bed_ds,
+        target_series=10.0 * np.sin(np.linspace(0, np.pi, nt)))
+    ds_stage_pool = bnd.make_boundary(
+        "stage_hydrograph", bed_level=bed_ds,
+        target_series=stage_pool + 0.05 * np.sin(np.linspace(0, np.pi, nt)))
+    us_stage_pool = bnd.make_boundary(
+        "stage_hydrograph", bed_level=bed_us,
+        target_series=np.full(nt, stage_pool))
+    us_storage = bnd.make_boundary(
+        "fixed_depth", bed_level=bed_us,
+        storage=stg.make_storage(
+            surface_area=8.0e6, min_stage=bed_us - 1.0,
+            solution_boundaries=(bed_us - 2.0, bed_us + 30.0)))
+    us_storage_curve = bnd.make_boundary(
+        "fixed_depth", bed_level=bed_us,
+        storage=stg.make_storage(
+            area_curve=np.stack(
+                [bed_us + np.linspace(-2.0, 30.0, 10),
+                 8.0e6 * (1.0 + 0.05 * np.arange(10))], axis=1),
+            min_stage=bed_us - 1.0))
+
+    combos = {
+        "ds_flow_q": (us_stage_pool, ds_flow, pool_h0, pool_Q0),
+        "us_rating_poly": (us_rating_poly, ds_stage, h0, Q0),
+        "us_rating_blend": (us_rating_blend, ds_normal, h0, Q0),
+        "ds_storage_curve_hl": (us_hyd, ds_storage_curve, h0, Q0),
+        "ds_storage_const_hl": (us_hyd, ds_storage_hl, h0, Q0),
+        "us_storage_simple": (us_storage, ds_stage_pool, pool_h0, pool_Q0),
+        "us_storage_curve": (us_storage_curve, ds_stage_pool,
+                             pool_h0, pool_Q0),
+    }
+    for name, (us_p, ds_p, ich, icq) in combos.items():
+        ref = prs.simulate(geo, us_p, ds_p, ich, icq, sset)
+        out = fused_simulate(geo, us_p, ds_p, ich, icq, sset, interpret=True)
+        it_r, it_f = np.asarray(ref.iterations), np.asarray(out.iterations)
+        # within-1: blend-ramp levels can sit in the f32-constant tolerance
+        # band (docs/PRECISION.md); every other combo matches exactly
+        assert (np.abs(it_r - it_f) <= 1).all(), (name, it_r, it_f)
+        dd = np.abs(np.asarray(out.depth) - np.asarray(ref.depth)).max()
+        assert dd < 1e-4, (name, dd)
+        # both engines agree on convergence level by level (the us_storage
+        # combos plateau identically at a few levels: the level-1 rule makes
+        # the Jacobian inconsistent there, in both engines alike)
+        conv_r = np.asarray(ref.converged)
+        conv_f = np.asarray(out.converged)
+        assert (conv_r == conv_f).all(), name
+        rs_r = np.asarray(ref.reservoir_stage)
+        if np.isfinite(rs_r[1:]).any():
+            drs = np.nanmax(np.abs(np.asarray(out.reservoir_stage) - rs_r))
+            assert drs < 1e-4, (name, drs)
+
+
+def test_storage_both_ends_raises():
+    from flowsim_tpu.ops import boundary as bnd
+    from flowsim_tpu.ops import initial_conditions as ic
+    from flowsim_tpu.ops import storage as stg
+
+    geo = _rect_reach()
+    z = np.asarray(geo.z_bed)
+    h0, Q0 = ic.initial_conditions(geo, "steady-state", 100.0, 1000.0)
+    sset = prs.PreissmannSettings(theta=0.6, time_step=3600.0,
+                                  spatial_step=1000.0, n_time_levels=4,
+                                  tolerance=1e-6, max_iter=100)
+    mk = lambda bed: bnd.make_boundary(
+        "fixed_depth", bed_level=bed,
+        storage=stg.make_storage(surface_area=1e6))
+    with pytest.raises(FusedUnsupported):
+        fused_simulate(geo, mk(float(z[0])), mk(float(z[-1])),
+                       h0, Q0, sset, interpret=True)

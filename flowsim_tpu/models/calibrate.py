@@ -74,15 +74,32 @@ def rmse_objective(geo, us_bc, ds_bc, h0, Q0, settings, Q_targets, H_targets, ic
 
 
 def rmse_sweep(geo, us_bc, ds_bc, h0, Q0, settings, Q_targets, H_targets, n_values,
-               sharded: bool = False):
+               sharded: bool = False, engine: str = "xla", ic_fn=None):
     """Vectorized replacement for the serial sweep of ref n_calibrate.py:55-75.
 
     All candidates run as one vmapped batch (optionally sharded over the
-    device mesh ensemble axis).
+    device mesh ensemble axis).  ``engine="fused"`` routes the whole sweep
+    through the batched fused Pallas kernel (members on the VPU sublane
+    axis, one dispatch per VMEM chunk — see parallel/ensemble.py); pass
+    ``ic_fn`` (e.g. :func:`gvf_ic_fn`) to recompute per-candidate initial
+    conditions, as the reference's per-candidate model rebuild does.
     """
-    f = rmse_objective(geo, us_bc, ds_bc, h0, Q0, settings, Q_targets, H_targets)
-    fv = jax.jit(jax.vmap(f))
     n_values = jnp.asarray(n_values)
+    if engine == "fused":
+        from flowsim_tpu.parallel.ensemble import (batched_simulate,
+                                                   roughness_ensemble)
+
+        geob = roughness_ensemble(geo, n_values)
+        if ic_fn is not None:
+            h0, Q0 = jax.vmap(ic_fn)(geob)
+        out = batched_simulate(geob, us_bc, ds_bc, h0, Q0, settings,
+                               shard=False, engine="fused")
+        H = jax.vmap(lambda o: upstream_stage_at(o, geo.z_bed[0], Q_targets))(out)
+        return jnp.sqrt(jnp.mean((H - jnp.asarray(H_targets)) ** 2, axis=1))
+
+    obj = rmse_objective(geo, us_bc, ds_bc, h0, Q0, settings, Q_targets,
+                         H_targets, ic_fn=ic_fn)
+    fv = jax.jit(jax.vmap(obj))
     if sharded:
         from flowsim_tpu.parallel.ensemble import shard_batch
 

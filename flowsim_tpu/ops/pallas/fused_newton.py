@@ -532,15 +532,19 @@ def _storage_curve_eval(scal, stg, h_node: DF, Q_node: DF, Qp_node: DF,
 
 
 def _pcr_solve(buf, idx, n, n_sweeps, roll):
-    """In-register block-PCR on the packed [16, Np] f32 system.
+    """In-register block-PCR on the packed [16*B, Np] f32 system.
 
     Same algorithm as ops/pallas/pcr_kernel.py:_pcr_kernel (validated on
     hardware); `roll` is pltpu.roll in-kernel, jnp.roll in interpret mode.
+    The 16 system rows may each carry ``B`` sublanes (one independent system
+    per sublane — the ensemble batch axis); every op is elementwise across
+    sublanes, so the batched solve is the same vreg program.
     """
     Np = buf.shape[1]
+    bs = buf.shape[0] // 16
 
     def row(b, r):
-        return b[r:r + 1, :]
+        return b[r * bs:(r + 1) * bs, :]
 
     def inv2(d00, d01, d10, d11):
         det = d00 * d11 - d01 * d10
@@ -685,23 +689,23 @@ def _assemble_fused(g, scal, roll, n, ds_kind,
     # boundary rows (ops/boundary.py:160-205)
     us_res_stage = None
     if us_kind == "flow_hydrograph":
-        us_res = DF(Q.hi[0:1, 0:1], Q.lo[0:1, 0:1]) - df(tgt)
+        us_res = DF(Q.hi[:, 0:1], Q.lo[:, 0:1]) - df(tgt)
         us_df_dh, us_df_dQ = np.float32(0.0), np.float32(1.0)
     elif us_kind == "normal_depth":
         # Q - K(h) sqrt(S0) at the head node (ops/boundary.py:178-183)
         sq = scal[_S_SQS0_US]
-        K_head = DF(st["K"].hi[0:1, 0:1], st["K"].lo[0:1, 0:1])
-        Q_head = DF(Q.hi[0:1, 0:1], Q.lo[0:1, 0:1])
+        K_head = DF(st["K"].hi[:, 0:1], st["K"].lo[:, 0:1])
+        Q_head = DF(Q.hi[:, 0:1], Q.lo[:, 0:1])
         us_res = Q_head - K_head * df(sq)
-        us_df_dh = -(st["dK_dA"][0:1, 0:1] * sq * st["dA_dh"][0:1, 0:1])
+        us_df_dh = -(st["dK_dA"][:, 0:1] * sq * st["dA_dh"][:, 0:1])
         us_df_dQ = np.float32(1.0)
     elif us_kind in ("rating_poly", "rating_blend"):
         # Q - RC(bed + h) at the head node (ops/boundary.py:173-183), with
         # the upstream coefficient block; central-difference dQ/dz (exact
         # for the quadratics at fd=1, matching the ds rating row)
         rkind = "polynomial" if us_kind == "rating_poly" else "blended_poly"
-        h_head = DF(h.hi[0:1, 0:1], h.lo[0:1, 0:1])
-        Q_head = DF(Q.hi[0:1, 0:1], Q.lo[0:1, 0:1])
+        h_head = DF(h.hi[:, 0:1], h.lo[:, 0:1])
+        Q_head = DF(Q.hi[:, 0:1], Q.lo[:, 0:1])
         stage_c = h_head + df(scal[_S_USTAGEC])
         us_res = Q_head - _rating_q(scal, stage_c, rkind, slots=_US_RC_SLOTS)
         ufd = scal[_S_UFD]
@@ -712,9 +716,9 @@ def _assemble_fused(g, scal, roll, n, ds_kind,
     elif us_kind == "storage_simple":
         # fixed_depth + constant-area storage at the head (mirror of the
         # ds storage_simple row; ops/boundary.py:185-205)
-        h_head = DF(h.hi[0:1, 0:1], h.lo[0:1, 0:1])
-        Q_head = DF(Q.hi[0:1, 0:1], Q.lo[0:1, 0:1])
-        Qp_head = DF(prev_Q.hi[0:1, 0:1], prev_Q.lo[0:1, 0:1])
+        h_head = DF(h.hi[:, 0:1], h.lo[:, 0:1])
+        Q_head = DF(Q.hi[:, 0:1], Q.lo[:, 0:1])
+        Qp_head = DF(prev_Q.hi[:, 0:1], prev_Q.lo[:, 0:1])
         bed_u = scal[_S_USBED]
         sa_u, dt_u = scal[_S_SA], scal[_S_DT]
         first_u = k.astype(jnp.float32) == np.float32(1.0)
@@ -728,20 +732,20 @@ def _assemble_fused(g, scal, roll, n, ds_kind,
         us_df_dQ = -(dY_dvol_u * 0.5 * dt_u)
         us_res_stage = Y_new_u
     elif us_kind in ("storage_curve", "storage_curve_hl"):
-        h_head = DF(h.hi[0:1, 0:1], h.lo[0:1, 0:1])
-        Q_head = DF(Q.hi[0:1, 0:1], Q.lo[0:1, 0:1])
-        Qp_head = DF(prev_Q.hi[0:1, 0:1], prev_Q.lo[0:1, 0:1])
-        node_u = {kk: (DF(st[kk].hi[0:1, 0:1], st[kk].lo[0:1, 0:1])
-                       if isinstance(st[kk], DF) else st[kk][0:1, 0:1])
+        h_head = DF(h.hi[:, 0:1], h.lo[:, 0:1])
+        Q_head = DF(Q.hi[:, 0:1], Q.lo[:, 0:1])
+        Qp_head = DF(prev_Q.hi[:, 0:1], prev_Q.lo[:, 0:1])
+        node_u = {kk: (DF(st[kk].hi[:, 0:1], st[kk].lo[:, 0:1])
+                       if isinstance(st[kk], DF) else st[kk][:, 0:1])
                   for kk in ("A", "K", "dK_dA", "dA_dh")}
         us_res, us_df_dh, us_df_dQ, us_res_stage = _storage_curve_eval(
             scal, stg, h_head, Q_head, Qp_head, y_old, k,
             scal[_S_USBED], us_kind == "storage_curve_hl", node_u)
     else:  # stage_hydrograph / fixed_depth: host bakes the datum into tgt
-        us_res = DF(h.hi[0:1, 0:1], h.lo[0:1, 0:1]) - df(tgt)
+        us_res = DF(h.hi[:, 0:1], h.lo[:, 0:1]) - df(tgt)
         us_df_dh, us_df_dQ = np.float32(1.0), np.float32(0.0)
-    h_tail = DF(h.hi[0:1, n - 1:n], h.lo[0:1, n - 1:n])
-    Q_tail = DF(Q.hi[0:1, n - 1:n], Q.lo[0:1, n - 1:n])
+    h_tail = DF(h.hi[:, n - 1:n], h.lo[:, n - 1:n])
+    Q_tail = DF(Q.hi[:, n - 1:n], Q.lo[:, n - 1:n])
     res_stage = df(jnp.zeros_like(h_tail.hi))  # [1,1]; overwritten by storage
     ds_df_dQ = np.float32(1.0)
     if ds_kind == "fixed_h":
@@ -757,7 +761,7 @@ def _assemble_fused(g, scal, roll, n, ds_kind,
         # surface_area only): Y = max(Y_old + vol_in/SA, min_stage)
         bed = scal[_S_DSBED]
         sa, dt_s = scal[_S_SA], scal[_S_DT]
-        Qp_tail = DF(prev_Q.hi[0:1, n - 1:n], prev_Q.lo[0:1, n - 1:n])
+        Qp_tail = DF(prev_Q.hi[:, n - 1:n], prev_Q.lo[:, n - 1:n])
         # Compare in f32: the fori_loop level index `k` is a weak i64 under
         # x64 (fori lowers to scan, whose index dtype is the canonical int),
         # and an integer compare against an i32 literal inserts
@@ -778,9 +782,9 @@ def _assemble_fused(g, scal, roll, n, ds_kind,
     elif ds_kind in ("storage_curve", "storage_curve_hl"):
         # generalized lumped storage: stage-area curve / storage rating /
         # entrance losses via the pack-time stage-grid tables
-        Qp_tail = DF(prev_Q.hi[0:1, n - 1:n], prev_Q.lo[0:1, n - 1:n])
-        node_d = {kk: (DF(st[kk].hi[0:1, n - 1:n], st[kk].lo[0:1, n - 1:n])
-                       if isinstance(st[kk], DF) else st[kk][0:1, n - 1:n])
+        Qp_tail = DF(prev_Q.hi[:, n - 1:n], prev_Q.lo[:, n - 1:n])
+        node_d = {kk: (DF(st[kk].hi[:, n - 1:n], st[kk].lo[:, n - 1:n])
+                       if isinstance(st[kk], DF) else st[kk][:, n - 1:n])
                   for kk in ("A", "K", "dK_dA", "dA_dh")}
         ds_res, ds_df_dh, ds_df_dQ, res_stage = _storage_curve_eval(
             scal, stg, h_tail, Q_tail, Qp_tail, y_old, k,
@@ -793,10 +797,10 @@ def _assemble_fused(g, scal, roll, n, ds_kind,
         # Q - K(h) sqrt(S0); df_dh = -dK_dA sqrt(S0) dA_dh (ref boundary
         # :91-92,179-180; S0 > 0 enforced at pack time)
         sq = scal[_S_SQS0]
-        K_tail = DF(st["K"].hi[0:1, n - 1:n], st["K"].lo[0:1, n - 1:n])
+        K_tail = DF(st["K"].hi[:, n - 1:n], st["K"].lo[:, n - 1:n])
         ds_res = Q_tail - K_tail * df(sq)
-        ds_df_dh = -(st["dK_dA"][0:1, n - 1:n] * sq
-                     * st["dA_dh"][0:1, n - 1:n])
+        ds_df_dh = -(st["dK_dA"][:, n - 1:n] * sq
+                     * st["dA_dh"][:, n - 1:n])
     else:
         stage_c = h_tail + df(scal[_S_STAGEC])
         q_curve = _rating_q(scal, stage_c, ds_kind, gate_open=gate_open)
@@ -839,8 +843,10 @@ def _assemble_fused(g, scal, roll, n, ds_kind,
     b0 = -(shift_r(Rm_f) + is0 * us_f)
     b1 = -(Rc_f + isl * ds_f)
 
-    err2 = (jnp.sum(Rm_f * Rm_f) + jnp.sum(Rc_f * Rc_f)
-            + jnp.sum(us_f * us_f) + jnp.sum(ds_f * ds_f))
+    # per-member (per-sublane) pre-update residual norm, [B, 1]
+    err2 = (jnp.sum(Rm_f * Rm_f, axis=1, keepdims=True)
+            + jnp.sum(Rc_f * Rc_f, axis=1, keepdims=True)
+            + us_f * us_f + ds_f * ds_f)
     err = jnp.sqrt(err2)
 
     if us_res_stage is not None:
@@ -848,11 +854,16 @@ def _assemble_fused(g, scal, roll, n, ds_kind,
         # upstream stage takes the single reservoir-stage slot
         res_stage = us_res_stage
 
+    # broadcast every group to the full member batch: rows built purely from
+    # scalars x [1,Np] masks (e.g. U11, or D11 under a scalar ds_df_dQ) have
+    # no member axis of their own
+    bshape = Rm_f.shape
     buf = jnp.concatenate(
-        [L00, L01, zero_row, zero_row,
-         D00, D01, D10, D11,
-         zero_row, zero_row, U10, U11,
-         b0, b1, zero_row, zero_row], axis=0)
+        [jnp.broadcast_to(r, bshape)
+         for r in (L00, L01, zero_row, zero_row,
+                   D00, D01, D10, D11,
+                   zero_row, zero_row, U10, U11,
+                   b0, b1, zero_row, zero_row)], axis=0)
     return buf, err, res_stage
 
 
@@ -892,7 +903,7 @@ def _kernel(*refs, nt, n, n_sweeps, max_iter, ds_kind, us_kind, gate_init,
         x0, x1 = _pcr_solve(buf, idx, n, n_sweeps, roll)
         h = h + df(x0 * node_mask)
         Q = Q + df(x1 * node_mask)
-        return h, Q, err, res_stage
+        return h, Q, err[0, 0], res_stage
 
     def store_level(k, h, Q, iters, err, res_stage=np.float32(np.nan),
                     gate_open=np.float32(0.0)):
@@ -1176,114 +1187,77 @@ def _pack_storage_tables(sp, dt: float):
     return rows, scalars
 
 
-def fused_simulate(geo, us_bc, ds_bc, h0, Q0, settings, interpret: bool = False):
-    """Run the full simulation in one Pallas kernel; returns a SimOutput.
+def _split64(x):
+    x = np.asarray(x, np.float64)
+    hi = x.astype(np.float32)
+    return hi, (x - hi.astype(np.float64)).astype(np.float32)
 
-    Raises :class:`FusedUnsupported` for configurations outside the kernel's
-    scope (callers fall back to :func:`ops.preissmann.simulate`).
-    """
-    from flowsim_tpu.ops.preissmann import SimOutput
 
-    _check_supported(geo, us_bc, ds_bc, settings)
-    n = geo.n_nodes
-    nt = settings.n_time_levels
-    Np = max(128, -(-n // 128) * 128)
-    n_sweeps = max(1, (n - 1).bit_length())
-
+def _pack_trap_rows(geo, n, Np):
+    """numpy ``[_NG, Np]`` f32 geometry rows for one TrapezoidGeometry."""
     f32 = np.float32
     a = lambda x: np.asarray(x, np.float64)
-
-    from flowsim_tpu.geometry import TableGeometry
-
-    is_table = isinstance(geo, TableGeometry)
     z = a(geo.z_bed)
     dz = np.zeros(n)
     dz[: n - 1] = z[1:] - z[:-1]
-
     rows = np.zeros((_NG, Np), f32)
 
     def put(r, v):
         rows[r, :n] = np.asarray(v, f32)
 
-    if is_table:
-        tab_M = geo.area.shape[-1]
-        # stride: M rounded up to a vreg (8 rows) plus one extra vreg so the
-        # j+1 shifted window of the last chunk stays inside this table
-        tab_stride = -(-tab_M // 8) * 8 + 8
-        put(_TG_INVDG, (tab_M - 1) / a(geo.depth_max))
-        put(_G_CURV, geo.curvature)
-        put(_G_DZ, dz)
-        # pad lanes/rows benignly: unit A/P/T/K/n_eq (finite closures on dry
-        # padded nodes), zero derivative tables
-        benign = (1.0, 1.0, 1.0, 1.0, 1.0, 0.0, 0.0)
-        tabs = np.zeros((_NT * tab_stride, Np), f32)
-        for t, arr in enumerate((geo.area, geo.perimeter, geo.top_width,
-                                 geo.conveyance, geo.n_eq,
-                                 geo.dK_dA, geo.dR_dA)):
-            block = np.full((tab_stride, Np), benign[t], f32)
-            a2 = np.asarray(arr, np.float64).T.astype(f32)  # [M, N]
-            block[:tab_M, :n] = a2
-            block[tab_M:, :n] = a2[-1]  # replicate the last sample row
-            tabs[t * tab_stride:(t + 1) * tab_stride] = block
-    else:
-        tab_M = tab_stride = 0
-        m_main, m_fp = a(geo.m_main), a(geo.m_fp)
-        compound = np.asarray(geo.compound, bool)
-        h_bank = np.where(compound, a(geo.h_bank), 1.0)
-        T_bank = a(geo.b_main) + 2.0 * m_main * h_bank
-        A_mf = (a(geo.b_main) + T_bank) / 2.0 * h_bank
-        P_mf = a(geo.b_main) + 2.0 * h_bank * np.sqrt(1.0 + m_main**2)
+    m_main, m_fp = a(geo.m_main), a(geo.m_fp)
+    compound = np.asarray(geo.compound, bool)
+    h_bank = np.where(compound, a(geo.h_bank), 1.0)
+    T_bank = a(geo.b_main) + 2.0 * m_main * h_bank
+    A_mf = (a(geo.b_main) + T_bank) / 2.0 * h_bank
+    P_mf = a(geo.b_main) + 2.0 * h_bank * np.sqrt(1.0 + m_main**2)
 
-        put(_G_B_MAIN, geo.b_main); put(_G_M_MAIN, geo.m_main)
-        put(_G_H_BANK, h_bank); put(_G_COMPOUND, compound.astype(f32))
-        put(_G_B_FPL, geo.b_fp_left); put(_G_B_FPR, geo.b_fp_right)
-        put(_G_M_FP, geo.m_fp)
-        put(_G_N_MAIN, geo.n_main); put(_G_N_LEFT, geo.n_left)
-        put(_G_N_RIGHT, geo.n_right); put(_G_CURV, geo.curvature)
-        put(_G_DZ, dz)
-        put(_G_SQM, np.sqrt(1.0 + m_main**2))
-        put(_G_SQFP, np.sqrt(1.0 + m_fp**2))
-        put(_G_AMF, A_mf); put(_G_PMF, P_mf); put(_G_TBANK, T_bank)
-        # padded Manning n must be nonzero (divisor); geometry rows stay 0
-        rows[_G_N_MAIN, n:] = 1.0
-        rows[_G_N_LEFT, n:] = 1.0
-        rows[_G_N_RIGHT, n:] = 1.0
+    put(_G_B_MAIN, geo.b_main); put(_G_M_MAIN, geo.m_main)
+    put(_G_H_BANK, h_bank); put(_G_COMPOUND, compound.astype(f32))
+    put(_G_B_FPL, geo.b_fp_left); put(_G_B_FPR, geo.b_fp_right)
+    put(_G_M_FP, geo.m_fp)
+    put(_G_N_MAIN, geo.n_main); put(_G_N_LEFT, geo.n_left)
+    put(_G_N_RIGHT, geo.n_right); put(_G_CURV, geo.curvature)
+    put(_G_DZ, dz)
+    put(_G_SQM, np.sqrt(1.0 + m_main**2))
+    put(_G_SQFP, np.sqrt(1.0 + m_fp**2))
+    put(_G_AMF, A_mf); put(_G_PMF, P_mf); put(_G_TBANK, T_bank)
+    # padded Manning n must be nonzero (divisor); geometry rows stay 0
+    rows[_G_N_MAIN, n:] = 1.0
+    rows[_G_N_LEFT, n:] = 1.0
+    rows[_G_N_RIGHT, n:] = 1.0
+    return rows
 
-    def split64(x):
-        x = np.asarray(x, np.float64)
-        hi = x.astype(np.float32)
-        return hi, (x - hi.astype(np.float64)).astype(np.float32)
 
-    init = np.zeros((4, Np), f32)
-    init[0, :n], init[1, :n] = split64(h0)
-    init[2, :n], init[3, :n] = split64(Q0)
+def _pack_init(h0, Q0, n, Np):
+    init = np.zeros((4, Np), np.float32)
+    init[0, :n], init[1, :n] = _split64(h0)
+    init[2, :n], init[3, :n] = _split64(Q0)
+    return init
 
-    tgt = np.zeros((max(nt, 8),), f32)
+
+def _pack_us_series(us_bc, nt):
+    """Per-level upstream target series as numpy f64 ``[nt]``."""
     if us_bc.kind == "fixed_depth" and us_bc.storage is None:
         # constant target (ops/boundary.py:185-187): a constant series
-        series = np.full(nt, float(np.asarray(us_bc.initial_depth, np.float64)))
-    elif us_bc.kind in ("normal_depth", "rating_curve", "fixed_depth"):
-        series = np.zeros(nt)  # no target series for these residuals
-    else:
-        series = np.asarray(us_bc.target_series, np.float64)
-        if us_bc.kind == "stage_hydrograph":
-            # residual is h - (target - bed_level): bake the datum in
-            series = series - float(np.asarray(us_bc.bed_level, np.float64))
-    tgt[: min(nt, len(series))] = series[:nt].astype(f32)
+        return np.full(nt, float(np.asarray(us_bc.initial_depth, np.float64)))
+    if us_bc.kind in ("normal_depth", "rating_curve", "fixed_depth"):
+        return np.zeros(nt)  # no target series for these residuals
+    series = np.asarray(us_bc.target_series, np.float64)[:nt]
+    if us_bc.kind == "stage_hydrograph":
+        # residual is h - (target - bed_level): bake the datum in
+        series = series - float(np.asarray(us_bc.bed_level, np.float64))
+    out = np.zeros(nt)
+    out[: len(series)] = series
+    return out
 
-    ds_tgt = np.zeros((max(nt, 8),), f32)
 
-    scal = np.zeros((_NS,), f32)
-    scal[_S_THETA] = settings.theta
-    scal[_S_DT] = settings.time_step
-    scal[_S_DX] = settings.spatial_step
-    scal[_S_TOL] = settings.tolerance
-    if us_bc.kind == "normal_depth":
-        scal[_S_SQS0_US] = np.sqrt(
-            float(np.asarray(us_bc.bed_slope, np.float64)))
+def _pack_ds_config(ds_bc, settings, scal, nt):
+    """Fill the downstream scal slots; returns (ds_kind, series[nt], stg)."""
     rc = ds_bc.rating
     bed = float(np.asarray(ds_bc.bed_level, np.float64))
     stg_rows = None
+    ds_series = np.zeros(nt)
     if ds_bc.kind == "fixed_depth" and ds_bc.storage is not None:
         sp = ds_bc.storage
         scal[_S_DSBED] = bed
@@ -1297,16 +1271,15 @@ def fused_simulate(geo, us_bc, ds_bc, h0, Q0, settings, interpret: bool = False)
                 scal[slot] = v
     elif ds_bc.kind == "flow_hydrograph":
         ds_kind = "flow_q"
-        ds_series = np.asarray(ds_bc.target_series, np.float64)
-        ds_tgt[: min(nt, len(ds_series))] = ds_series[:nt].astype(f32)
+        series = np.asarray(ds_bc.target_series, np.float64)[:nt]
+        ds_series[: len(series)] = series
     elif ds_bc.kind == "fixed_depth":
         ds_kind = "fixed_h"
-        ds_tgt[:nt] = np.float32(
-            float(np.asarray(ds_bc.initial_depth, np.float64)))
+        ds_series[:] = float(np.asarray(ds_bc.initial_depth, np.float64))
     elif ds_bc.kind == "stage_hydrograph":
         ds_kind = "fixed_h"
-        ds_series = np.asarray(ds_bc.target_series, np.float64) - bed
-        ds_tgt[: min(nt, len(ds_series))] = ds_series[:nt].astype(f32)
+        series = np.asarray(ds_bc.target_series, np.float64)[:nt] - bed
+        ds_series[: len(series)] = series
     elif ds_bc.kind == "normal_depth":
         scal[_S_SQS0] = np.sqrt(float(np.asarray(ds_bc.bed_slope, np.float64)))
         ds_kind = "normal_depth"
@@ -1329,9 +1302,17 @@ def fused_simulate(geo, us_bc, ds_bc, h0, Q0, settings, interpret: bool = False)
             scal[_S_PIVOT] = float(np.asarray(rc.pivot_stage, np.float64))
             scal[_S_MAXCD] = float(np.asarray(rc.max_cooldown, np.float64))
             scal[_S_DSBED] = bed
+    return ds_kind, ds_series, stg_rows
 
+
+def _pack_us_config(us_bc, settings, scal):
+    """Fill the upstream scal slots; returns (us_kind_str, stg_rows)."""
     us_kind_str = us_bc.kind
-    if us_bc.kind == "rating_curve":
+    stg_rows = None
+    if us_bc.kind == "normal_depth":
+        scal[_S_SQS0_US] = np.sqrt(
+            float(np.asarray(us_bc.bed_slope, np.float64)))
+    elif us_bc.kind == "rating_curve":
         rcu = us_bc.rating
         ubed = float(np.asarray(us_bc.bed_level, np.float64))
         c = np.asarray(rcu.coeffs, np.float64)
@@ -1361,6 +1342,78 @@ def fused_simulate(geo, us_bc, ds_bc, h0, Q0, settings, interpret: bool = False)
             stg_rows, s_stg = _pack_storage_tables(sp, settings.time_step)
             for slot, v in s_stg.items():
                 scal[slot] = v
+    return us_kind_str, stg_rows
+
+
+def fused_simulate(geo, us_bc, ds_bc, h0, Q0, settings, interpret: bool = False):
+    """Run the full simulation in one Pallas kernel; returns a SimOutput.
+
+    Raises :class:`FusedUnsupported` for configurations outside the kernel's
+    scope (callers fall back to :func:`ops.preissmann.simulate`).
+    """
+    from flowsim_tpu.ops.preissmann import SimOutput
+
+    _check_supported(geo, us_bc, ds_bc, settings)
+    n = geo.n_nodes
+    nt = settings.n_time_levels
+    Np = max(128, -(-n // 128) * 128)
+    n_sweeps = max(1, (n - 1).bit_length())
+
+    f32 = np.float32
+
+    from flowsim_tpu.geometry import TableGeometry
+
+    is_table = isinstance(geo, TableGeometry)
+    if is_table:
+        a = lambda x: np.asarray(x, np.float64)
+        z = a(geo.z_bed)
+        dz = np.zeros(n)
+        dz[: n - 1] = z[1:] - z[:-1]
+
+        rows = np.zeros((_NG, Np), f32)
+
+        def put(r, v):
+            rows[r, :n] = np.asarray(v, f32)
+
+        tab_M = geo.area.shape[-1]
+        # stride: M rounded up to a vreg (8 rows) plus one extra vreg so the
+        # j+1 shifted window of the last chunk stays inside this table
+        tab_stride = -(-tab_M // 8) * 8 + 8
+        put(_TG_INVDG, (tab_M - 1) / a(geo.depth_max))
+        put(_G_CURV, geo.curvature)
+        put(_G_DZ, dz)
+        # pad lanes/rows benignly: unit A/P/T/K/n_eq (finite closures on dry
+        # padded nodes), zero derivative tables
+        benign = (1.0, 1.0, 1.0, 1.0, 1.0, 0.0, 0.0)
+        tabs = np.zeros((_NT * tab_stride, Np), f32)
+        for t, arr in enumerate((geo.area, geo.perimeter, geo.top_width,
+                                 geo.conveyance, geo.n_eq,
+                                 geo.dK_dA, geo.dR_dA)):
+            block = np.full((tab_stride, Np), benign[t], f32)
+            a2 = np.asarray(arr, np.float64).T.astype(f32)  # [M, N]
+            block[:tab_M, :n] = a2
+            block[tab_M:, :n] = a2[-1]  # replicate the last sample row
+            tabs[t * tab_stride:(t + 1) * tab_stride] = block
+    else:
+        tab_M = tab_stride = 0
+        rows = _pack_trap_rows(geo, n, Np)
+
+    init = _pack_init(h0, Q0, n, Np)
+
+    tgt = np.zeros((max(nt, 8),), f32)
+    tgt[:nt] = _pack_us_series(us_bc, nt).astype(f32)
+
+    scal = np.zeros((_NS,), f32)
+    scal[_S_THETA] = settings.theta
+    scal[_S_DT] = settings.time_step
+    scal[_S_DX] = settings.spatial_step
+    scal[_S_TOL] = settings.tolerance
+    ds_kind, ds_series, stg_rows = _pack_ds_config(ds_bc, settings, scal, nt)
+    ds_tgt = np.zeros((max(nt, 8),), f32)
+    ds_tgt[:nt] = ds_series.astype(f32)
+    us_kind_str, stg_us = _pack_us_config(us_bc, settings, scal)
+    if stg_us is not None:
+        stg_rows = stg_us
 
     call = _build_call(nt=nt, n=n, Np=Np, tgt_len=len(tgt),
                        n_sweeps=n_sweeps, max_iter=settings.max_iter,
@@ -1406,4 +1459,318 @@ def fused_simulate(geo, us_bc, ds_bc, h0, Q0, settings, interpret: bool = False)
         converged=converged, reservoir_stage=res_stage,
         gate_open=gate_open,
         rcond=jnp.ones((nt,), out_dtype),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batched (ensemble) fused kernel: B members across VPU sublanes.
+#
+# The single-run kernel's state rows are [1, Np] — one sublane of each 8x128
+# vreg does useful work.  Stacking B ensemble members as the SUBLANE axis
+# ([B, Np] rows, PCR buffer [16*B, Np]) runs the identical vreg program on
+# all members at once: every op in the assembly and the PCR solve is
+# elementwise across sublanes, and the lane rolls (spatial stencil) don't
+# touch the member axis.  At B <= 8 the per-iteration vreg count is the
+# SAME as a single run, so the batch is near-free; beyond 8 it scales
+# ~B/8.  This is the fused-engine counterpart of parallel/ensemble.py's
+# vmapped XLA path (the DP analog of SURVEY.md §2.17; ref n_calibrate.py
+# :58-62 runs one full serial re-simulation per member).
+#
+# Per-member Newton parity: each member applies Newton increments only
+# while its OWN pre-update residual is >= tol (plus the final increment of
+# the converging iteration), masked per sublane — reproducing each member's
+# sequential trajectory and iteration count exactly (same semantics as the
+# single-run while loop; ref preissmann.py:149-153).
+# ---------------------------------------------------------------------------
+
+
+def _kernel_batched(geo_ref, init_ref, tgt_ref, ds_tgt_ref, scal_ref,
+                    dhi_ref, dlo_ref, fhi_ref, flo_ref, stats_ref,
+                    *, nt, n, B, n_sweeps, max_iter, ds_kind, us_kind,
+                    gate_init, interpret):
+    roll = _roll(interpret)
+    geo = geo_ref[:]
+    Np = geo.shape[1]
+    g = [geo[r * B:(r + 1) * B, :] for r in range(_NG)]
+    scal = [scal_ref[i] for i in range(_NS)]
+    idx = jax.lax.broadcasted_iota(jnp.int32, (1, Np), 1)
+    node_mask = (idx < n).astype(jnp.float32)
+    tol = scal[_S_TOL]
+    riota = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
+    zcol = jnp.zeros((B, 1), jnp.float32)
+
+    def member_col(ref, k):
+        """[B, 1] column of the SMEM [B, nt] series at level k."""
+        col = zcol
+        for m in range(B):
+            col = col + jnp.where(riota == m, ref[m, k], 0.0)
+        return col
+
+    init = init_ref[:]
+    h0 = DF(init[0 * B:1 * B, :], init[1 * B:2 * B, :])
+    Q0 = DF(init[2 * B:3 * B, :], init[3 * B:4 * B, :])
+
+    def store_level(k, h, Q, iters, err, res_stage, gate_open):
+        idx128 = jax.lax.broadcasted_iota(jnp.int32, (1, stats_ref.shape[1]), 1)
+        stats_rows = (jnp.where(idx128 == 0, iters, 0.0)
+                      + jnp.where(idx128 == 1, err, 0.0)
+                      + jnp.where(idx128 == 2, res_stage, 0.0)
+                      + jnp.where(idx128 == 3, gate_open, 0.0))
+        dhi_ref[pl.ds(k * B, B), :] = h.hi
+        dlo_ref[pl.ds(k * B, B), :] = h.lo
+        fhi_ref[pl.ds(k * B, B), :] = Q.hi
+        flo_ref[pl.ds(k * B, B), :] = Q.lo
+        stats_ref[pl.ds(k * B, B), :] = stats_rows
+
+    store_level(0, h0, Q0, zcol, zcol, zcol, zcol + np.float32(gate_init))
+
+    def level_body(k, carry):
+        (h_hi, h_lo, Q_hi, Q_lo, y_hi, y_lo,
+         gopen, gcool, gptime, gstage) = carry
+        h, Q = DF(h_hi, h_lo), DF(Q_hi, Q_lo)
+        y_old = DF(y_hi, y_lo)
+
+        if ds_kind == "gated_blend":
+            # per-member gate controller on [B,1] columns (the state machine
+            # of ops/rating_curve.py:168-182; ref roseires_rating_curve.py
+            # :111-141)
+            time = k.astype(jnp.float32) * scal[_S_DT]
+            elapsed = jnp.where(gptime >= 0.0, time - gptime, 0.0)
+            gcool = jnp.maximum(0.0, gcool - elapsed)
+            can_act = gcool <= 0.0
+            want_open = (gstage >= scal[_S_PIVOT] + 0.5) & (gopen < 0.5)
+            want_close = (gstage <= scal[_S_PIVOT] - 1.0) & (gopen > 0.5)
+            do_open = can_act & want_open
+            do_close = can_act & want_close
+            gopen = jnp.where(do_open, 1.0, jnp.where(do_close, 0.0, gopen))
+            gcool = jnp.where(do_open | do_close, scal[_S_MAXCD], gcool)
+            gptime = jnp.zeros_like(gptime) + time
+
+        prev_A, prev_Se, prev_Q2A = _level_state(g, h, Q)
+        tgt = member_col(tgt_ref, k)
+        ds_tgt = member_col(ds_tgt_ref, k)
+
+        def cond(c):
+            return jnp.sum(c[4]) > 0.0
+
+        def body(c):
+            hh, hl, qh, ql, active, iters, errf, rs_hi, rs_lo = c
+            buf, errb, res_stage = _assemble_fused(
+                g, scal, roll, n, ds_kind, DF(hh, hl), DF(qh, ql), h, Q,
+                prev_A, prev_Se, prev_Q2A, tgt, us_kind=us_kind,
+                y_old=y_old, k=k, gate_open=gopen, ds_tgt=ds_tgt)
+            x0, x1 = _pcr_solve(buf, idx, n, n_sweeps, roll)
+            upd = active  # [B,1] f32 mask: members still iterating
+            hn = DF(hh, hl) + df(x0 * node_mask * upd)
+            qn = DF(qh, ql) + df(x1 * node_mask * upd)
+            iters = iters + upd
+            errf = jnp.where(upd > 0.0, errb, errf)
+            rs_hi = jnp.where(upd > 0.0, res_stage.hi, rs_hi)
+            rs_lo = jnp.where(upd > 0.0, res_stage.lo, rs_lo)
+            active = (upd * (errb >= tol).astype(jnp.float32)
+                      * (iters < np.float32(max_iter)).astype(jnp.float32))
+            return (hn.hi, hn.lo, qn.hi, qn.lo, active, iters, errf,
+                    rs_hi, rs_lo)
+
+        hh, hl, qh, ql, _, iters, errf, rs_hi, rs_lo = jax.lax.while_loop(
+            cond, body,
+            (h.hi, h.lo, Q.hi, Q.lo, zcol + 1.0, zcol,
+             zcol + np.float32(np.inf), y_hi * 1.0, y_lo * 1.0))
+
+        gstage = scal[_S_DSBED] + hh[:, n - 1:n] + hl[:, n - 1:n]
+        store_level(k, DF(hh, hl), DF(qh, ql), iters, errf,
+                    rs_hi + rs_lo, gopen)
+        return (hh, hl, qh, ql, rs_hi, rs_lo, gopen, gcool, gptime, gstage)
+
+    with df32.fenced(scal[_S_ZERO]):
+        gstage0 = scal[_S_DSBED] + h0.hi[:, n - 1:n] + h0.lo[:, n - 1:n]
+        jax.lax.fori_loop(
+            1, nt, level_body,
+            (h0.hi, h0.lo, Q0.hi, Q0.lo, zcol, zcol,
+             zcol + np.float32(gate_init), zcol, zcol - 1.0, gstage0))
+
+
+@functools.lru_cache(maxsize=64)
+def _build_call_batched(*, nt, n, B, Np, n_sweeps, max_iter, ds_kind,
+                        us_kind, gate_init, interpret):
+    kern = functools.partial(
+        _kernel_batched, nt=nt, n=n, B=B, n_sweeps=n_sweeps,
+        max_iter=max_iter, ds_kind=ds_kind, us_kind=us_kind,
+        gate_init=gate_init, interpret=interpret)
+    out_shapes = [
+        jax.ShapeDtypeStruct((nt * B, Np), jnp.float32),  # depth hi
+        jax.ShapeDtypeStruct((nt * B, Np), jnp.float32),  # depth lo
+        jax.ShapeDtypeStruct((nt * B, Np), jnp.float32),  # flow hi
+        jax.ShapeDtypeStruct((nt * B, Np), jnp.float32),  # flow lo
+        jax.ShapeDtypeStruct((nt * B, 128), jnp.float32),  # stats
+    ]
+    return jax.jit(pl.pallas_call(
+        kern,
+        out_shape=out_shapes,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # geometry rows
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # init state
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # us target series [B, nt]
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # ds target series [B, nt]
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # scalars
+        ],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+        interpret=interpret,
+    ))
+
+
+_BATCH_VMEM_BYTES = 12 * 1024 * 1024  # budget for the per-level outputs
+
+
+def max_fused_batch(n_nodes: int, n_time_levels: int) -> int:
+    """Largest member count one batched kernel call can hold in VMEM
+    (callers chunk bigger ensembles; multiples of 8 fill whole vregs)."""
+    Np = max(128, -(-n_nodes // 128) * 128)
+    per_member = n_time_levels * (4 * Np + 128) * 4
+    return max(8, (_BATCH_VMEM_BYTES // per_member) // 8 * 8)
+
+
+def fused_simulate_batched(geo_batch, us_bc, ds_bc, h0, Q0, settings,
+                           interpret: bool = False,
+                           us_batched: bool = False, ds_batched: bool = False):
+    """Run a member-batch of full simulations in ONE Pallas kernel call.
+
+    ``geo_batch``: TrapezoidGeometry with a leading member axis on every
+    leaf (see parallel/ensemble.py ``stack_geometries``/``roughness_ensemble``).
+    ``us_bc``/``ds_bc``: either shared BoundaryParams, or (with
+    ``us_batched``/``ds_batched``) stacked per-member params from
+    ``ensemble.batch_boundaries`` — per-member ``target_series`` and
+    ``initial_depth`` are supported; rating/storage parameters must be
+    identical across members (they live in shared kernel scalars).
+    ``h0``/``Q0``: [N] shared or [B, N] per-member initial state.
+
+    Supported BC surface: everything the single-run kernel supports except
+    the tabulated storage paths (``storage_curve*`` — their stage lookup is
+    scalar-only) and TableGeometry; constant-area lumped storage
+    (``storage_simple``) carries a per-member reservoir stage.
+
+    Returns a SimOutput whose fields carry a leading member axis (the same
+    shapes as ``vmap(prs.simulate)``).
+    """
+    from flowsim_tpu.ops.preissmann import SimOutput
+    from flowsim_tpu.geometry import TrapezoidGeometry
+
+    if not isinstance(geo_batch, TrapezoidGeometry):
+        raise FusedUnsupported(
+            "batched fused kernel supports TrapezoidGeometry only")
+    if np.ndim(geo_batch.z_bed) != 2:
+        raise FusedUnsupported("geo_batch needs a leading member axis")
+    B0 = geo_batch.z_bed.shape[0]
+    n = geo_batch.n_nodes
+    nt = settings.n_time_levels
+    Np = max(128, -(-n // 128) * 128)
+    n_sweeps = max(1, (n - 1).bit_length())
+    B = -(-B0 // 8) * 8  # pad to whole vregs of sublanes
+
+    # hoist the device->host conversion: one np.asarray per leaf, then
+    # per-member slicing is a cheap numpy view
+    tonp = lambda tree: jax.tree_util.tree_map(np.asarray, tree)
+    geo_batch = tonp(geo_batch)
+    if us_batched:
+        us_bc = tonp(us_bc)
+    if ds_batched:
+        ds_bc = tonp(ds_bc)
+
+    def member(tree, m):
+        return jax.tree_util.tree_map(lambda x: x[m], tree)
+
+    geo0 = member(geo_batch, 0)
+    us0 = member(us_bc, 0) if us_batched else us_bc
+    ds0 = member(ds_bc, 0) if ds_batched else ds_bc
+    _check_supported(geo0, us0, ds0, settings)
+    for bc, end in ((us0, "upstream"), (ds0, "downstream")):
+        sp = bc.storage if bc.kind == "fixed_depth" else None
+        if sp is not None and _storage_mode(sp) != "storage_simple":
+            raise FusedUnsupported(
+                f"batched kernel supports constant-area storage only "
+                f"({end} storage uses the scalar stage-grid lookup)")
+    per_member = nt * (4 * Np + 128) * 4
+    if B * per_member > _BATCH_VMEM_BYTES:
+        raise FusedUnsupported(
+            f"batch {B0} x {nt} levels exceeds the output-VMEM budget; "
+            f"chunk at <= {max_fused_batch(n, nt)} members")
+
+    f32 = np.float32
+    geo_rows = np.zeros((_NG * B, Np), f32)
+    init_rows = np.zeros((4 * B, Np), f32)
+    nt_pad = max(nt, 8)
+    tgt_b = np.zeros((B, nt_pad), f32)
+    ds_tgt_b = np.zeros((B, nt_pad), f32)
+
+    h0_nd, Q0_nd = np.asarray(h0), np.asarray(Q0)
+    scal = np.zeros((_NS,), f32)
+    scal[_S_THETA] = settings.theta
+    scal[_S_DT] = settings.time_step
+    scal[_S_DX] = settings.spatial_step
+    scal[_S_TOL] = settings.tolerance
+    ds_kind = us_kind_str = None
+    for m in range(B):
+        mm = min(m, B0 - 1)  # pad members replicate the last real member
+        gm = member(geo_batch, mm)
+        geo_rows.reshape(_NG, B, Np)[:, m, :] = _pack_trap_rows(gm, n, Np)
+        h0_m = h0_nd[mm] if h0_nd.ndim > 1 else h0_nd
+        Q0_m = Q0_nd[mm] if Q0_nd.ndim > 1 else Q0_nd
+        init_rows.reshape(4, B, Np)[:, m, :] = _pack_init(h0_m, Q0_m, n, Np)
+        us_m = member(us_bc, mm) if us_batched else us_bc
+        ds_m = member(ds_bc, mm) if ds_batched else ds_bc
+        scal_m = scal.copy() if m else scal
+        ds_kind_m, ds_series, _ = _pack_ds_config(ds_m, settings, scal_m, nt)
+        us_kind_m, _ = _pack_us_config(us_m, settings, scal_m)
+        tgt_b[m, :nt] = _pack_us_series(us_m, nt).astype(f32)
+        ds_tgt_b[m, :nt] = ds_series.astype(f32)
+        if m == 0:
+            ds_kind, us_kind_str = ds_kind_m, us_kind_m
+        elif (ds_kind_m != ds_kind or us_kind_m != us_kind_str
+              or not np.array_equal(scal_m, scal)):
+            raise FusedUnsupported(
+                "per-member rating/storage parameters are not supported in "
+                "the batched kernel (only target series, initial depths, "
+                "geometry, and initial state may vary across members)")
+
+    call = _build_call_batched(
+        nt=nt, n=n, B=B, Np=Np, n_sweeps=n_sweeps,
+        max_iter=settings.max_iter, ds_kind=ds_kind, us_kind=us_kind_str,
+        gate_init=1.0 if settings.gate_initially_open else 0.0,
+        interpret=interpret)
+    dhi, dlo, fhi, flo, stats = call(
+        jnp.asarray(geo_rows), jnp.asarray(init_rows), jnp.asarray(tgt_b),
+        jnp.asarray(ds_tgt_b), jnp.asarray(scal))
+
+    out_dtype = jnp.asarray(h0).dtype
+
+    def unpack(hi, lo):
+        hi = hi.reshape(nt, B, Np)[:, :B0, :n]
+        lo = lo.reshape(nt, B, Np)[:, :B0, :n]
+        if out_dtype == jnp.float64:
+            v = hi.astype(jnp.float64) + lo.astype(jnp.float64)
+        else:
+            v = (hi + lo).astype(out_dtype)
+        return jnp.moveaxis(v, 1, 0)  # [B0, nt, n]
+
+    depth = unpack(dhi, dlo)
+    flow = unpack(fhi, flo)
+    stats = stats.reshape(nt, B, 128)[:, :B0, :]
+    iters = jnp.moveaxis(stats[:, :, 0], 1, 0).astype(jnp.int32)
+    errs = jnp.moveaxis(stats[:, :, 1], 1, 0).astype(out_dtype)
+    lvl = jnp.arange(nt)[None, :]
+    if ds_kind.startswith("storage") or us_kind_str.startswith("storage"):
+        res_stage = jnp.moveaxis(stats[:, :, 2], 1, 0).astype(out_dtype)
+        res_stage = jnp.where(lvl == 0, jnp.nan, res_stage)
+    else:
+        res_stage = jnp.full((B0, nt), jnp.nan, out_dtype)
+    converged = (errs < settings.tolerance) | (lvl == 0)
+    if ds_kind == "gated_blend":
+        gate_open = jnp.moveaxis(stats[:, :, 3], 1, 0).astype(out_dtype)
+    else:
+        gate_open = jnp.full(
+            (B0, nt), 1.0 if settings.gate_initially_open else 0.0, out_dtype)
+    return SimOutput(
+        depth=depth, flow=flow, iterations=iters, error=errs,
+        converged=converged, reservoir_stage=res_stage, gate_open=gate_open,
+        rcond=jnp.ones((B0, nt), out_dtype),
     )

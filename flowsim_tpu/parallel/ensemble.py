@@ -53,7 +53,8 @@ def batch_boundaries(bcs):
 
 def batched_simulate(geo_batch, us_bc, ds_bc, h0, Q0, settings: prs.PreissmannSettings,
                      mesh: Optional[Mesh] = None, shard: bool = True,
-                     us_axes=None, ds_axes=None, chunk_size: Optional[int] = None):
+                     us_axes=None, ds_axes=None, chunk_size: Optional[int] = None,
+                     engine: str = "xla"):
     """Simulate a batch of scenarios differing in geometry (e.g. roughness)
     and, optionally, boundary forcing.
 
@@ -67,7 +68,18 @@ def batched_simulate(geo_batch, us_bc, ds_bc, h0, Q0, settings: prs.PreissmannSe
     batch 2048 to 8192 (~6.1k sims/s) but degrades ~22% at 16384 in one
     monolithic vmap; chunking a 16k batch at 8192 recovers the flat rate.
     Requires the batch size to be a multiple of ``chunk_size``.
+
+    ``engine="fused"`` runs the members through the batched fused Pallas
+    kernel (ops/pallas/fused_newton.py: members on the VPU sublane axis, one
+    kernel dispatch per VMEM-sized chunk) — the fast path for small/medium
+    ensembles and calibration sweeps on TPU.  Raises ``FusedUnsupported``
+    outside the kernel's BC/geometry surface; single-device only (``shard``
+    and ``mesh`` are ignored).
     """
+    if engine == "fused":
+        return _fused_batched_simulate(geo_batch, us_bc, ds_bc, h0, Q0,
+                                       settings, us_axes, ds_axes, chunk_size)
+
     def one(geo, us, ds, h, Q):
         return prs.simulate(geo, us, ds, h, Q, settings)
 
@@ -117,6 +129,38 @@ def batched_simulate(geo_batch, us_bc, ds_bc, h0, Q0, settings: prs.PreissmannSe
             ds_bc = shard_batch(ds_bc, mesh)
 
     return jax.jit(jax.vmap(one, in_axes=in_axes))(geo_batch, us_bc, ds_bc, h0, Q0)
+
+
+def _fused_batched_simulate(geo_batch, us_bc, ds_bc, h0, Q0, settings,
+                            us_axes, ds_axes, chunk_size):
+    """Drive :func:`fused_simulate_batched` in VMEM-sized member chunks."""
+    from flowsim_tpu.ops.pallas.fused_newton import (fused_simulate_batched,
+                                                     max_fused_batch)
+
+    B = jax.tree_util.tree_leaves(geo_batch)[0].shape[0]
+    n = geo_batch.n_nodes
+    cap = chunk_size or max_fused_batch(n, settings.n_time_levels)
+    # same convention as api.Solver.run: Mosaic on TPU, interpret elsewhere
+    interpret = jax.devices()[0].platform != "tpu"
+    h0b = jnp.ndim(h0) > 1
+    Q0b = jnp.ndim(Q0) > 1
+
+    outs = []
+    for s in range(0, B, cap):
+        e = min(B, s + cap)
+        sl = lambda x: x[s:e]
+        out = fused_simulate_batched(
+            jax.tree_util.tree_map(sl, geo_batch),
+            jax.tree_util.tree_map(sl, us_bc) if us_axes is not None else us_bc,
+            jax.tree_util.tree_map(sl, ds_bc) if ds_axes is not None else ds_bc,
+            sl(h0) if h0b else h0, sl(Q0) if Q0b else Q0, settings,
+            interpret=interpret,
+            us_batched=us_axes is not None, ds_batched=ds_axes is not None)
+        outs.append(out)
+    if len(outs) == 1:
+        return outs[0]
+    return jax.tree_util.tree_map(
+        lambda *xs: jnp.concatenate(xs, axis=0), *outs)
 
 
 def stack_geometries(geos):

@@ -1,0 +1,188 @@
+"""Batched (ensemble) fused kernel: members across VPU sublanes.
+
+The batched kernel runs B full simulations in ONE pallas_call with the
+member axis on the sublane dimension (ops/pallas/fused_newton.py
+``fused_simulate_batched``).  Bar: bitwise identity with per-member
+single-run fused kernels (same f32 vreg program, masked per-member Newton),
+and the usual tolerance parity vs the vmapped f64 XLA path.  This is the
+fused-engine counterpart of the reference's serial calibration loop
+(ref n_calibrate.py:58-62).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flowsim_tpu.ops import preissmann as prs
+from flowsim_tpu.ops.pallas.fused_newton import (FusedUnsupported,
+                                                 fused_simulate,
+                                                 fused_simulate_batched,
+                                                 max_fused_batch)
+from flowsim_tpu.parallel.ensemble import batch_boundaries, roughness_ensemble
+
+
+@pytest.fixture(scope="module")
+def example_ensemble():
+    from flowsim_tpu.models import example
+
+    solver, channel = example.build()
+    sset = solver.settings(tolerance=1e-6, max_iter=100)
+    geo = channel.geometry
+    geob = roughness_ensemble(geo, [0.024, 0.027, 0.031])
+    us_members = []
+    for f in (0.9, 1.0, 1.1):
+        ts = jnp.asarray(np.asarray(solver.us_params.target_series) * f)
+        us_members.append(dataclasses.replace(solver.us_params,
+                                              target_series=ts))
+    us_stacked, _ = batch_boundaries(us_members)
+    return solver, sset, geob, us_members, us_stacked
+
+
+@pytest.fixture(scope="module")
+def batched_out(example_ensemble):
+    solver, sset, geob, us_members, us_stacked = example_ensemble
+    return fused_simulate_batched(geob, us_stacked, solver.ds_params,
+                                  solver.h0, solver.Q0, sset,
+                                  interpret=True, us_batched=True)
+
+
+def test_batched_bitwise_vs_single_fused(example_ensemble, batched_out):
+    """Per-member roughness AND inflow; constant-area storage downstream.
+    Each member of the batched run must match its own single-run fused
+    simulation bitwise (identical vreg program, masked increments)."""
+    solver, sset, geob, us_members, _ = example_ensemble
+    outb = batched_out
+    assert outb.depth.shape[0] == 3
+    for m in range(3):
+        gm = jax.tree_util.tree_map(lambda x: x[m], geob)
+        outs = fused_simulate(gm, us_members[m], solver.ds_params,
+                              solver.h0, solver.Q0, sset, interpret=True)
+        assert (np.asarray(outb.depth[m]) == np.asarray(outs.depth)).all()
+        assert (np.asarray(outb.flow[m]) == np.asarray(outs.flow)).all()
+        assert (np.asarray(outb.iterations[m])
+                == np.asarray(outs.iterations)).all()
+        rs_b = np.asarray(outb.reservoir_stage[m])[1:]
+        rs_s = np.asarray(outs.reservoir_stage)[1:]
+        assert (rs_b == rs_s).all()
+        assert bool(np.asarray(outb.converged[m]).all())
+
+
+def test_batched_vs_xla_vmap(example_ensemble, batched_out):
+    """Tolerance parity vs the vmapped f64 XLA path (same bar as the
+    single-run fused kernel: iteration counts identical, fields close)."""
+    solver, sset, geob, us_members, us_stacked = example_ensemble
+    outb = batched_out
+    axes = jax.tree_util.tree_map(lambda _: 0, us_members[0])
+    ref = jax.vmap(
+        lambda g, us: prs.simulate(g, us, solver.ds_params,
+                                   solver.h0, solver.Q0, sset),
+        in_axes=(0, axes))(geob, us_stacked)
+    assert (np.asarray(outb.iterations) == np.asarray(ref.iterations)).all()
+    assert np.abs(np.asarray(outb.depth) - np.asarray(ref.depth)).max() < 1e-4
+    assert np.abs(np.asarray(outb.flow) - np.asarray(ref.flow)).max() < 1.0
+
+
+def test_batched_gated_per_member_state():
+    """Per-member gate-controller state: members with different inflows run
+    in one kernel; each must reproduce its own single-run gate trajectory
+    (hysteresis + cooldown carried per sublane)."""
+    from flowsim_tpu.models.gerd_roseires import model, settings as gsettings
+
+    solver, _ = model.build(sim_duration=3600 * 24, smooth=False)
+    sset = solver.settings(tolerance=gsettings.tolerance, max_iter=100)
+    geo = solver.channel.geometry
+    geob = jax.tree_util.tree_map(lambda x: jnp.stack([x, x]), geo)
+    us_members = []
+    for f in (1.0, 0.2):
+        ts = jnp.asarray(np.asarray(solver.us_params.target_series) * f)
+        us_members.append(dataclasses.replace(solver.us_params,
+                                              target_series=ts))
+    us_stacked, _ = batch_boundaries(us_members)
+    outb = fused_simulate_batched(geob, us_stacked, solver.ds_params,
+                                  solver.h0, solver.Q0, sset,
+                                  interpret=True, us_batched=True)
+    for m in range(2):
+        outs = fused_simulate(geo, us_members[m], solver.ds_params,
+                              solver.h0, solver.Q0, sset, interpret=True)
+        assert (np.asarray(outb.gate_open[m])
+                == np.asarray(outs.gate_open)).all()
+        assert (np.asarray(outb.iterations[m])
+                == np.asarray(outs.iterations)).all()
+        assert (np.asarray(outb.depth[m]) == np.asarray(outs.depth)).all()
+
+
+def test_batched_unsupported_configs(example_ensemble):
+    solver, sset, geob, us_members, us_stacked = example_ensemble
+
+    # unbatched geometry
+    geo0 = jax.tree_util.tree_map(lambda x: x[0], geob)
+    with pytest.raises(FusedUnsupported):
+        fused_simulate_batched(geo0, solver.us_params, solver.ds_params,
+                               solver.h0, solver.Q0, sset, interpret=True)
+
+    # per-member rating/storage scalars (surface_area differs across members)
+    ds_members = []
+    for sa in (1.25e6, 1.30e6, 1.25e6):
+        sp = dataclasses.replace(solver.ds_params.storage,
+                                 surface_area=jnp.asarray(sa))
+        ds_members.append(dataclasses.replace(solver.ds_params, storage=sp))
+    ds_stacked, _ = batch_boundaries(ds_members)
+    with pytest.raises(FusedUnsupported):
+        fused_simulate_batched(geob, us_stacked, ds_stacked,
+                               solver.h0, solver.Q0, sset,
+                               interpret=True, us_batched=True,
+                               ds_batched=True)
+
+    # output-VMEM budget: a batch far beyond the cap must be rejected
+    big = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x[:1], (4096,) + x.shape[1:]), geob)
+    with pytest.raises(FusedUnsupported):
+        fused_simulate_batched(big, solver.us_params, solver.ds_params,
+                               solver.h0, solver.Q0, sset, interpret=True)
+
+
+def test_max_fused_batch_bounds():
+    b = max_fused_batch(121, 385)
+    assert b >= 8 and b % 8 == 0
+    # budget respected: B members of per-level output rows fit in 12 MB
+    assert 385 * (4 * 128 + 128) * 4 * b <= 12 * 1024 * 1024 or b == 8
+    assert max_fused_batch(256, 25) >= 64
+
+
+def test_ensemble_engine_fused_chunked(example_ensemble):
+    """parallel.ensemble.batched_simulate(engine='fused'): chunked dispatch
+    (two kernel calls) concatenates to the same results as one call."""
+    from flowsim_tpu.parallel.ensemble import batched_simulate
+
+    solver, sset, geob, us_members, us_stacked = example_ensemble
+    axes = jax.tree_util.tree_map(lambda _: 0, us_members[0])
+    one = batched_simulate(geob, us_stacked, solver.ds_params,
+                           solver.h0, solver.Q0, sset,
+                           us_axes=axes, engine="fused")
+    two = batched_simulate(geob, us_stacked, solver.ds_params,
+                           solver.h0, solver.Q0, sset,
+                           us_axes=axes, engine="fused", chunk_size=2)
+    for a, b in zip(jax.tree_util.tree_leaves(one),
+                    jax.tree_util.tree_leaves(two)):
+        # reservoir_stage is NaN at level 0 by design
+        assert np.array_equal(np.asarray(a), np.asarray(b), equal_nan=True)
+
+
+def test_calibration_sweep_fused_engine(example_ensemble):
+    """models.calibrate.rmse_sweep(engine='fused') matches the XLA sweep
+    (the vectorized form of ref n_calibrate.py:55-75)."""
+    from flowsim_tpu.models.calibrate import rmse_sweep
+
+    solver, sset, geob, _, _ = example_ensemble
+    geo = jax.tree_util.tree_map(lambda x: x[0], geob)
+    nv = [0.022, 0.027, 0.033]
+    Qt = [3000.0, 6000.0, 9000.0]
+    Ht = [9.0, 12.0, 15.0]
+    r_x = rmse_sweep(geo, solver.us_params, solver.ds_params,
+                     solver.h0, solver.Q0, sset, Qt, Ht, nv)
+    r_f = rmse_sweep(geo, solver.us_params, solver.ds_params,
+                     solver.h0, solver.Q0, sset, Qt, Ht, nv, engine="fused")
+    assert np.abs(np.asarray(r_x) - np.asarray(r_f)).max() < 1e-5

@@ -63,6 +63,14 @@ class PreissmannSettings:
     # show progress as they execute.  Off by default: the callback forces a
     # host round-trip per level (expensive over the tunneled TPU).
     live_progress: bool = field(default=False, metadata=dict(static=True))
+    # store="boundaries" keeps only the two boundary nodes of each level's
+    # (h, Q) fields (SimOutput.depth/flow become [nt, 2] = [upstream,
+    # downstream]) — for Monte-Carlo ensembles where the per-member outputs
+    # are hydrograph/stage series, this cuts the stacked-output working set
+    # by N/2 and lifts the large-batch sims/s ceiling (BASELINE.md ensemble
+    # notes).  "full" (default) stores every node, as the reference does
+    # (ref solver.py:43-44).
+    store: str = field(default="full", metadata=dict(static=True))
 
 
 class PrevLevel(NamedTuple):
@@ -318,7 +326,11 @@ def simulate(geo, us_bc, ds_bc, h0, Q0, settings: PreissmannSettings) -> SimOutp
                     f"\n> Time level #{int(k)}\n>> {int(it)} iterations.\n"
                     f">> Error = {float(e)}", flush=True),
                 k, iters, err, ordered=True)
-        out = (h, Q, iters, err, err < settings.tolerance, res_stage, bc_state.gate_open, rcond)
+        if settings.store == "boundaries":
+            h_out, Q_out = h[jnp.array([0, -1])], Q[jnp.array([0, -1])]
+        else:
+            h_out, Q_out = h, Q
+        out = (h_out, Q_out, iters, err, err < settings.tolerance, res_stage, bc_state.gate_open, rcond)
         return (h, Q, bc_state), out
 
     ks = jnp.arange(1, nt)
@@ -328,8 +340,12 @@ def simulate(geo, us_bc, ds_bc, h0, Q0, settings: PreissmannSettings) -> SimOutp
         step, (h0, Q0, bc_state0), ks
     )
 
-    depth = jnp.concatenate([h0[None], hs], axis=0)
-    flow = jnp.concatenate([Q0[None], qs], axis=0)
+    if settings.store == "boundaries":
+        h0_out, Q0_out = h0[jnp.array([0, -1])], Q0[jnp.array([0, -1])]
+    else:
+        h0_out, Q0_out = h0, Q0
+    depth = jnp.concatenate([h0_out[None], hs], axis=0)
+    flow = jnp.concatenate([Q0_out[None], qs], axis=0)
     pad0 = lambda x, v: jnp.concatenate([jnp.asarray([v], dtype=x.dtype), x])
     return SimOutput(
         depth=depth,

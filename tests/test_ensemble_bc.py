@@ -171,3 +171,36 @@ def test_chunked_batch_matches_monolithic():
 
     with pytest.raises(ValueError, match="not divisible"):
         batched_simulate(gb, us, ds, h0, Q0, sset, shard=False, chunk_size=7)
+
+
+def test_store_boundaries_matches_full():
+    """settings.store='boundaries' keeps only the two boundary nodes of the
+    stacked (h, Q) outputs — bitwise equal to the full run's boundary
+    columns (same scan carry, only the stacked ys shrink), including under
+    vmap.  This is the Monte-Carlo output mode (BASELINE.md ensemble notes:
+    the 16k-batch decay is a stacked-output working-set effect)."""
+    import dataclasses
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from bench_scaling import build_long_reach
+    from flowsim_tpu.ops import preissmann as prs
+    from flowsim_tpu.parallel.ensemble import batched_simulate, roughness_ensemble
+
+    geo, us, ds, h0, Q0, sset = build_long_reach(64, np.float32, levels=4)
+    sset_b = dataclasses.replace(sset, store="boundaries")
+
+    full = prs.simulate(geo, us, ds, h0, Q0, sset)
+    bnd_only = prs.simulate(geo, us, ds, h0, Q0, sset_b)
+    assert bnd_only.depth.shape == (sset.n_time_levels, 2)
+    cols = np.asarray(full.depth)[:, [0, -1]]
+    assert (np.asarray(bnd_only.depth) == cols).all()
+    assert (np.asarray(bnd_only.flow) == np.asarray(full.flow)[:, [0, -1]]).all()
+    assert (np.asarray(bnd_only.iterations) == np.asarray(full.iterations)).all()
+
+    n_vals = np.linspace(0.02, 0.06, 8).astype(np.float32)
+    gb = roughness_ensemble(geo, n_vals)
+    fb = batched_simulate(gb, us, ds, h0, Q0, sset, shard=False)
+    bb = batched_simulate(gb, us, ds, h0, Q0, sset_b, shard=False)
+    assert bb.depth.shape == (8, sset.n_time_levels, 2)
+    assert (np.asarray(bb.depth) == np.asarray(fb.depth)[:, :, [0, -1]]).all()
+    assert (np.asarray(bb.flow) == np.asarray(fb.flow)[:, :, [0, -1]]).all()

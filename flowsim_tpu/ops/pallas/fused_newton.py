@@ -1487,15 +1487,13 @@ def fused_simulate(geo, us_bc, ds_bc, h0, Q0, settings, interpret: bool = False)
 def _kernel_batched(geo_ref, init_ref, tgt_ref, ds_tgt_ref, scal_ref,
                     dhi_ref, dlo_ref, fhi_ref, flo_ref, stats_ref,
                     *, nt, n, B, n_sweeps, max_iter, ds_kind, us_kind,
-                    gate_init, interpret):
+                    gate_init, varying, interpret):
     roll = _roll(interpret)
     geo = geo_ref[:]
     Np = geo.shape[1]
     g = [geo[r * B:(r + 1) * B, :] for r in range(_NG)]
-    scal = [scal_ref[i] for i in range(_NS)]
     idx = jax.lax.broadcasted_iota(jnp.int32, (1, Np), 1)
     node_mask = (idx < n).astype(jnp.float32)
-    tol = scal[_S_TOL]
     riota = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
     zcol = jnp.zeros((B, 1), jnp.float32)
 
@@ -1505,6 +1503,16 @@ def _kernel_batched(geo_ref, init_ref, tgt_ref, ds_tgt_ref, scal_ref,
         for m in range(B):
             col = col + jnp.where(riota == m, ref[m, k], 0.0)
         return col
+
+    # per-member scalar slots: the SMEM scal input is [B, _NS]; slots in
+    # `varying` (static) are lifted to [B, 1] sublane columns, which
+    # broadcast through the whole assembly exactly like the node rows —
+    # everything else reads member 0's (shared) scalar.  Built once, loop-
+    # invariant.  _S_ZERO/_S_TOL/theta/dt/dx come from shared settings and
+    # are never in `varying`.
+    scal = [member_col(scal_ref, i) if i in varying else scal_ref[0, i]
+            for i in range(_NS)]
+    tol = scal[_S_TOL]
 
     init = init_ref[:]
     h0 = DF(init[0 * B:1 * B, :], init[1 * B:2 * B, :])
@@ -1592,11 +1600,11 @@ def _kernel_batched(geo_ref, init_ref, tgt_ref, ds_tgt_ref, scal_ref,
 
 @functools.lru_cache(maxsize=64)
 def _build_call_batched(*, nt, n, B, Np, n_sweeps, max_iter, ds_kind,
-                        us_kind, gate_init, interpret):
+                        us_kind, gate_init, varying, interpret):
     kern = functools.partial(
         _kernel_batched, nt=nt, n=n, B=B, n_sweeps=n_sweeps,
         max_iter=max_iter, ds_kind=ds_kind, us_kind=us_kind,
-        gate_init=gate_init, interpret=interpret)
+        gate_init=gate_init, varying=varying, interpret=interpret)
     out_shapes = [
         jax.ShapeDtypeStruct((nt * B, Np), jnp.float32),  # depth hi
         jax.ShapeDtypeStruct((nt * B, Np), jnp.float32),  # depth lo
@@ -1639,9 +1647,11 @@ def fused_simulate_batched(geo_batch, us_bc, ds_bc, h0, Q0, settings,
     leaf (see parallel/ensemble.py ``stack_geometries``/``roughness_ensemble``).
     ``us_bc``/``ds_bc``: either shared BoundaryParams, or (with
     ``us_batched``/``ds_batched``) stacked per-member params from
-    ``ensemble.batch_boundaries`` — per-member ``target_series`` and
-    ``initial_depth`` are supported; rating/storage parameters must be
-    identical across members (they live in shared kernel scalars).
+    ``ensemble.batch_boundaries`` — per-member ``target_series``,
+    ``initial_depth``, rating-curve coefficients/pivots, gate-controller
+    thresholds, and constant-area storage scalars are all supported (scalar
+    slots that differ across members are lifted to per-sublane columns);
+    the BC *kinds* must match across members.
     ``h0``/``Q0``: [N] shared or [B, N] per-member initial state.
 
     Supported BC surface: everything the single-run kernel supports except
@@ -1703,11 +1713,12 @@ def fused_simulate_batched(geo_batch, us_bc, ds_bc, h0, Q0, settings,
     ds_tgt_b = np.zeros((B, nt_pad), f32)
 
     h0_nd, Q0_nd = np.asarray(h0), np.asarray(Q0)
-    scal = np.zeros((_NS,), f32)
-    scal[_S_THETA] = settings.theta
-    scal[_S_DT] = settings.time_step
-    scal[_S_DX] = settings.spatial_step
-    scal[_S_TOL] = settings.tolerance
+    base = np.zeros((_NS,), f32)
+    base[_S_THETA] = settings.theta
+    base[_S_DT] = settings.time_step
+    base[_S_DX] = settings.spatial_step
+    base[_S_TOL] = settings.tolerance
+    scal_rows = np.zeros((B, _NS), f32)
     ds_kind = us_kind_str = None
     for m in range(B):
         mm = min(m, B0 - 1)  # pad members replicate the last real member
@@ -1718,28 +1729,33 @@ def fused_simulate_batched(geo_batch, us_bc, ds_bc, h0, Q0, settings,
         init_rows.reshape(4, B, Np)[:, m, :] = _pack_init(h0_m, Q0_m, n, Np)
         us_m = member(us_bc, mm) if us_batched else us_bc
         ds_m = member(ds_bc, mm) if ds_batched else ds_bc
-        scal_m = scal.copy() if m else scal
+        scal_m = base.copy()
         ds_kind_m, ds_series, _ = _pack_ds_config(ds_m, settings, scal_m, nt)
         us_kind_m, _ = _pack_us_config(us_m, settings, scal_m)
+        scal_rows[m] = scal_m
         tgt_b[m, :nt] = _pack_us_series(us_m, nt).astype(f32)
         ds_tgt_b[m, :nt] = ds_series.astype(f32)
         if m == 0:
             ds_kind, us_kind_str = ds_kind_m, us_kind_m
-        elif (ds_kind_m != ds_kind or us_kind_m != us_kind_str
-              or not np.array_equal(scal_m, scal)):
+        elif ds_kind_m != ds_kind or us_kind_m != us_kind_str:
             raise FusedUnsupported(
-                "per-member rating/storage parameters are not supported in "
-                "the batched kernel (only target series, initial depths, "
-                "geometry, and initial state may vary across members)")
+                "members must share the same BC kinds (per-member values of "
+                "rating coefficients, storage scalars, targets, geometry, "
+                "and state are supported; per-member kernel paths are not)")
+
+    # slots that differ across members are lifted to [B, 1] sublane columns
+    # in the kernel; everything else stays a shared scalar
+    varying = tuple(int(i) for i in range(_NS)
+                    if not np.all(scal_rows[:, i] == scal_rows[0, i]))
 
     call = _build_call_batched(
         nt=nt, n=n, B=B, Np=Np, n_sweeps=n_sweeps,
         max_iter=settings.max_iter, ds_kind=ds_kind, us_kind=us_kind_str,
         gate_init=1.0 if settings.gate_initially_open else 0.0,
-        interpret=interpret)
+        varying=varying, interpret=interpret)
     dhi, dlo, fhi, flo, stats = call(
         jnp.asarray(geo_rows), jnp.asarray(init_rows), jnp.asarray(tgt_b),
-        jnp.asarray(ds_tgt_b), jnp.asarray(scal))
+        jnp.asarray(ds_tgt_b), jnp.asarray(scal_rows))
 
     out_dtype = jnp.asarray(h0).dtype
 

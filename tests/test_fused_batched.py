@@ -123,18 +123,13 @@ def test_batched_unsupported_configs(example_ensemble):
         fused_simulate_batched(geo0, solver.us_params, solver.ds_params,
                                solver.h0, solver.Q0, sset, interpret=True)
 
-    # per-member rating/storage scalars (surface_area differs across members)
-    ds_members = []
-    for sa in (1.25e6, 1.30e6, 1.25e6):
-        sp = dataclasses.replace(solver.ds_params.storage,
-                                 surface_area=jnp.asarray(sa))
-        ds_members.append(dataclasses.replace(solver.ds_params, storage=sp))
-    ds_stacked, _ = batch_boundaries(ds_members)
+    # non-constant-area storage (the stage-grid lookup is scalar-only)
+    sp = dataclasses.replace(solver.ds_params.storage, capture_losses=True)
+    ds_hl = dataclasses.replace(solver.ds_params, storage=sp)
     with pytest.raises(FusedUnsupported):
-        fused_simulate_batched(geob, us_stacked, ds_stacked,
+        fused_simulate_batched(geob, us_stacked, ds_hl,
                                solver.h0, solver.Q0, sset,
-                               interpret=True, us_batched=True,
-                               ds_batched=True)
+                               interpret=True, us_batched=True)
 
     # output-VMEM budget: a batch far beyond the cap must be rejected
     big = jax.tree_util.tree_map(
@@ -142,6 +137,65 @@ def test_batched_unsupported_configs(example_ensemble):
     with pytest.raises(FusedUnsupported):
         fused_simulate_batched(big, solver.us_params, solver.ds_params,
                                solver.h0, solver.Q0, sset, interpret=True)
+
+
+def test_batched_per_member_storage_scalars(example_ensemble):
+    """Per-member reservoir surface area (a kernel SCALAR slot, not a
+    series): varying slots are lifted to per-sublane columns; each member
+    must match its own single-run fused simulation bitwise, including the
+    carried reservoir stage."""
+    solver, sset, geob, us_members, us_stacked = example_ensemble
+    ds_members = []
+    for sa in (1.0e6, 1.25e6, 1.5e6):
+        sp = dataclasses.replace(solver.ds_params.storage,
+                                 surface_area=jnp.asarray(sa))
+        ds_members.append(dataclasses.replace(solver.ds_params, storage=sp))
+    ds_stacked, _ = batch_boundaries(ds_members)
+    outb = fused_simulate_batched(geob, us_stacked, ds_stacked,
+                                  solver.h0, solver.Q0, sset,
+                                  interpret=True, us_batched=True,
+                                  ds_batched=True)
+    for m in range(3):
+        gm = jax.tree_util.tree_map(lambda x: x[m], geob)
+        outs = fused_simulate(gm, us_members[m], ds_members[m],
+                              solver.h0, solver.Q0, sset, interpret=True)
+        assert (np.asarray(outb.depth[m]) == np.asarray(outs.depth)).all()
+        assert (np.asarray(outb.flow[m]) == np.asarray(outs.flow)).all()
+        assert (np.asarray(outb.iterations[m])
+                == np.asarray(outs.iterations)).all()
+        assert (np.asarray(outb.reservoir_stage[m])[1:]
+                == np.asarray(outs.reservoir_stage)[1:]).all()
+
+
+def test_batched_per_member_rating_coeffs():
+    """Per-member downstream rating-curve coefficients (gerd smooth
+    blended_poly): both quadratic blocks live in kernel scalar slots; each
+    member must reproduce its own single-run trajectory bitwise."""
+    from flowsim_tpu.models.gerd_roseires import model, settings as gsettings
+
+    solver, _ = model.build(sim_duration=3600 * 24)
+    sset = solver.settings(tolerance=gsettings.tolerance, max_iter=100)
+    geo = solver.channel.geometry
+    geob = jax.tree_util.tree_map(lambda x: jnp.stack([x, x]), geo)
+    ds_members = []
+    for f in (1.0, 1.03):
+        rc = solver.ds_params.rating
+        rc2 = dataclasses.replace(rc, coeffs=rc.coeffs * f,
+                                  coeffs_high=rc.coeffs_high * f)
+        ds_members.append(dataclasses.replace(solver.ds_params, rating=rc2))
+    ds_stacked, _ = batch_boundaries(ds_members)
+    outb = fused_simulate_batched(geob, solver.us_params, ds_stacked,
+                                  solver.h0, solver.Q0, sset,
+                                  interpret=True, ds_batched=True)
+    for m in range(2):
+        outs = fused_simulate(geo, solver.us_params, ds_members[m],
+                              solver.h0, solver.Q0, sset, interpret=True)
+        assert (np.asarray(outb.depth[m]) == np.asarray(outs.depth)).all()
+        assert (np.asarray(outb.flow[m]) == np.asarray(outs.flow)).all()
+        assert (np.asarray(outb.iterations[m])
+                == np.asarray(outs.iterations)).all()
+    # members genuinely diverge (the coefficient change is live)
+    assert np.abs(np.asarray(outb.flow[0]) - np.asarray(outb.flow[1])).max() > 1e-3
 
 
 def test_max_fused_batch_bounds():

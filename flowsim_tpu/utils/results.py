@@ -144,6 +144,50 @@ def summary_metrics(flow: np.ndarray, dt: float) -> dict:
     )
 
 
+def ensemble_summary(flow: np.ndarray, dt: float,
+                     quantiles=(0.05, 0.5, 0.95)) -> dict:
+    """Vectorized :func:`summary_metrics` over a member batch, plus
+    cross-member quantiles — the Monte-Carlo reduction of the reference's
+    per-run acceptance scalars (ref solver.py:203-233).
+
+    ``flow``: ``[B, nt, N]`` (or ``[B, nt, 2]`` from
+    ``settings.store="boundaries"``).  Returns ``{"members": {metric: [B]},
+    "quantiles": {metric: {q: value}}}``; each member's row equals
+    :func:`summary_metrics` on that member exactly.
+    """
+    flow = np.asarray(flow)
+    Q_in = flow[:, :, 0]    # [B, nt]
+    Q_out = flow[:, :, -1]
+    mass_imbalance = np.sum(Q_in - Q_out, axis=1) * dt
+    mass_imbalance_pct = mass_imbalance / dt / np.sum(Q_in, axis=1) * 100.0
+    peak_in = np.max(Q_in, axis=1)
+    peak_out = np.max(Q_out, axis=1)
+    attenuation_pct = (peak_in - peak_out) / peak_in * 100.0
+
+    def median_time(Q):
+        # exclusive cumulative volume, as summary_metrics' sum(Q[:i])
+        cum = np.concatenate(
+            [np.zeros((Q.shape[0], 1)), np.cumsum(Q, axis=1)[:, :-1]], axis=1)
+        idx = np.argmax(cum >= 0.5 * cum[:, -1:], axis=1)
+        return idx * dt
+
+    entry = median_time(Q_in)
+    arrival = median_time(Q_out)
+    members = dict(
+        mass_imbalance=mass_imbalance,
+        mass_imbalance_pct=mass_imbalance_pct,
+        peak_inflow=peak_in,
+        peak_outflow=peak_out,
+        attenuation_pct=attenuation_pct,
+        median_vol_entry_time=entry.astype(np.float64),
+        median_vol_arrival_time=arrival.astype(np.float64),
+        median_vol_travel_time=(arrival - entry).astype(np.float64),
+    )
+    qs = {name: {float(q): float(np.quantile(v, q)) for q in quantiles}
+          for name, v in members.items()}
+    return {"members": members, "quantiles": qs}
+
+
 def save_results(solver, folder_path: str, file_name: str = None) -> None:
     """Workbook + TXT summary (ref solver.py:129-233).
 

@@ -99,3 +99,31 @@ def test_checkpoint_resume_bitwise(tmp_path):
     d2, f2 = simulate_with_checkpoints(s2, tolerance=tol, interval=7, directory=ck_dir, resume=True)
     np.testing.assert_allclose(d2, d1, rtol=0, atol=0)  # bitwise resume
     np.testing.assert_allclose(f2, f1, rtol=0, atol=0)
+
+
+def test_ensemble_summary_matches_per_member():
+    """ensemble_summary vectorizes summary_metrics over the member axis:
+    each member's row must equal the per-run scalars exactly, and the
+    boundaries-only [B, nt, 2] layout must give the same answers."""
+    import numpy as np
+    from flowsim_tpu.utils.results import ensemble_summary, summary_metrics
+
+    rng = np.random.default_rng(7)
+    B, nt, N = 5, 30, 11
+    base = 1000.0 + 400.0 * np.sin(np.linspace(0, np.pi, nt))
+    flow = (base[None, :, None]
+            * (1.0 + 0.2 * rng.random((B, 1, N)))
+            * np.linspace(1.0, 0.8, N)[None, None, :])
+    dt = 600.0
+    out = ensemble_summary(flow, dt)
+    for m in range(B):
+        ref = summary_metrics(flow[m], dt)
+        for k, v in ref.items():
+            assert np.isclose(out["members"][k][m], v, rtol=1e-12), (k, m)
+    # quantile bookkeeping
+    med = out["quantiles"]["attenuation_pct"][0.5]
+    assert (np.quantile(out["members"]["attenuation_pct"], 0.5) == med)
+    # boundaries-only layout gives identical metrics
+    out2 = ensemble_summary(flow[:, :, [0, -1]], dt)
+    for k in out["members"]:
+        assert np.allclose(out2["members"][k], out["members"][k], rtol=1e-14)

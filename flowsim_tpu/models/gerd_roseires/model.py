@@ -128,3 +128,13 @@ def run(
         z0 = float(channel.geometry.z_bed[0])
         return np.interp(np.asarray(Q), solver.flow[:, 0], solver.depth[:, 0] + z0)
     return solver
+
+
+if __name__ == "__main__":
+    # Mirrors ref cases/gerd_roseires/main.py:1-7: regulated (GERD releases)
+    # vs natural (inflow passed straight through) scenarios back to back.
+    print("Start.")
+    run(verbose=0, file="gerd.xlsx", inflow_hyd_func=None)
+    print("Finished regulated scenario.")
+    run(verbose=0, file="no_gerd.xlsx", inflow_hyd_func=None, with_gerd=False)
+    print("Finished natural scenario.")

@@ -125,6 +125,10 @@ def darcy_weisbach_f(n, R):
     return 8.0 * g / (C * C)
 
 
+# migration alias: the reference spells it "darcey" (ref hydraulics.py:217)
+darcey_weisbach_f = darcy_weisbach_f
+
+
 def curvature_slope(h, T, A, Q, n, R, rc):
     """Transverse-circulation energy slope Sc (ref: hydraulics.py:94-117).
 

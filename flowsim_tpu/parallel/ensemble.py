@@ -178,3 +178,28 @@ def roughness_ensemble(geo, n_values):
         )
 
     return jax.vmap(set_n)(n_values)
+
+
+def table_roughness_ensemble(geo, n_values, n_base):
+    """Batched :class:`TableGeometry` with per-member uniform roughness.
+
+    Irregular-section tables bake Manning n into the conveyance columns at
+    build time (geometry_tables.build_table_geometry), so a per-member
+    roughness is applied as an exact rescale: with ``s = n / n_base``,
+    Manning K = A R^(2/3) / n gives ``K -> K/s``, ``dK_dA -> dK_dA/s`` and
+    the Horton-Einstein equivalent n (linear in the subsection n's when all
+    scale together, ref cross_section.py:443-501) gives ``n_eq -> s*n_eq``.
+    A/P/R/T columns are pure geometry and are shared across members.
+    """
+    n_values = jnp.asarray(n_values)
+
+    def set_n(n):
+        s = (n / n_base).astype(geo.conveyance.dtype)
+        return dataclasses.replace(
+            geo,
+            conveyance=geo.conveyance / s,
+            dK_dA=geo.dK_dA / s,
+            n_eq=geo.n_eq * s,
+        )
+
+    return jax.vmap(set_n)(n_values)

@@ -121,6 +121,66 @@ def test_per_member_storage_matches_serial():
                                    rtol=1e-9, atol=1e-7, err_msg=f"member {i}")
 
 
+def test_table_geometry_ensemble_matches_serial():
+    """Batched irregular (TableGeometry) members: per-member roughness via the
+    exact conveyance rescale + per-member inflow, vs one serial run each."""
+    from flowsim_tpu.geometry_tables import IrregularStation, build_table_geometry
+    from flowsim_tpu.ops import boundary as bnd
+    from flowsim_tpu.ops import initial_conditions as ic
+    from flowsim_tpu.parallel.ensemble import table_roughness_ensemble
+
+    length = 6000.0
+    slope = 2e-4
+    rng = np.random.default_rng(7)
+    x = np.linspace(0, 240, 19)
+
+    def station(z0):
+        z = z0 + 7.0 * ((x - 120) / 120) ** 2 + rng.uniform(0, 0.4, x.size)
+        return IrregularStation(x=x, z=z, n_main=0.03, bed_slope=slope)
+
+    sts = [station(slope * length), station(0.0)]
+    node_ch = np.linspace(0, length, 7)
+    geo = build_table_geometry(sts, [0.0, length], node_ch, samples=800)
+
+    n_levels = 9
+    times = np.arange(n_levels) * 1800.0
+    sset = prs.PreissmannSettings(theta=0.7, time_step=1800.0, spatial_step=1000.0,
+                                  n_time_levels=n_levels, tolerance=1e-8, max_iter=100)
+    h0, Q0 = ic.initial_conditions(geo, "steady-state", 400.0, 1000.0)
+    ds_p = bnd.make_boundary("normal_depth", bed_level=float(geo.z_bed[-1]),
+                             bed_slope=float(geo.bed_slope[-1]))
+
+    ns = [0.024, 0.030, 0.037]
+    peaks = [800.0, 1000.0, 1300.0]
+    us_list = [
+        bnd.make_boundary(
+            "flow_hydrograph", bed_level=float(geo.z_bed[0]),
+            target_series=[400.0 + (p - 400.0) * min(t / (3 * 3600.0), 1.0) for t in times])
+        for p in peaks
+    ]
+
+    # serial truth: rescaled tables per member (same transform, unbatched)
+    serial = []
+    for n, us_p in zip(ns, us_list):
+        geo_n = jax.tree_util.tree_map(
+            lambda a: a[0], table_roughness_ensemble(geo, [n], 0.03))
+        serial.append(prs.simulate(geo_n, us_p, ds_p, h0, Q0, sset))
+
+    geo_b = table_roughness_ensemble(geo, ns, 0.03)
+    us_b, us_ax = batch_boundaries(us_list)
+    out = batched_simulate(geo_b, us_b, ds_p, h0, Q0, sset,
+                           shard=False, us_axes=us_ax)
+
+    assert bool(np.asarray(out.converged).all())
+    for i, ref in enumerate(serial):
+        np.testing.assert_allclose(np.asarray(out.depth[i]), np.asarray(ref.depth),
+                                   rtol=1e-10, atol=1e-12, err_msg=f"member {i}")
+        np.testing.assert_allclose(np.asarray(out.flow[i]), np.asarray(ref.flow),
+                                   rtol=1e-10, atol=1e-9, err_msg=f"member {i}")
+    # members genuinely differ (roughness moves the steady profile)
+    assert np.abs(np.asarray(out.depth[0]) - np.asarray(out.depth[2])).max() > 1e-3
+
+
 def test_sharded_ensemble_per_member_inflow():
     """Per-member BCs through the 2-D ensemble x space mesh."""
     from flowsim_tpu.parallel.domain import simulate_sharded_ensemble

@@ -45,7 +45,7 @@ def main():
     env = dict(os.environ, FLOWSIM_BENCH_INNER="1")
     try:
         r = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                           timeout=int(os.environ.get("FLOWSIM_BENCH_TPU_TIMEOUT", "1500")),
+                           timeout=int(os.environ.get("FLOWSIM_BENCH_TPU_TIMEOUT", "2400")),
                            capture_output=True, text=True, env=env)
         sys.stderr.write(r.stderr)
         if r.returncode == 0 and '"metric"' in r.stdout:

@@ -1440,6 +1440,11 @@ def fused_simulate(geo, us_bc, ds_bc, h0, Q0, settings, interpret: bool = False)
         depth, flow = dhi + dlo, fhi + flo
         depth, flow = depth.astype(out_dtype), flow.astype(out_dtype)
     depth, flow = depth[:, :n], flow[:, :n]
+    if getattr(settings, "store", "full") == "boundaries":
+        # same output contract as prs.simulate (ops/preissmann.py store=
+        # "boundaries"): keep only the two boundary nodes of each level
+        depth = depth[:, jnp.array([0, n - 1])]
+        flow = flow[:, jnp.array([0, n - 1])]
     iters = stats[:, 0].astype(jnp.int32)
     errs = stats[:, 1].astype(out_dtype)
     nanv = jnp.full((nt,), jnp.nan, out_dtype)
@@ -1485,9 +1490,13 @@ def fused_simulate(geo, us_bc, ds_bc, h0, Q0, settings, interpret: bool = False)
 
 
 def _kernel_batched(geo_ref, init_ref, tgt_ref, ds_tgt_ref, scal_ref,
-                    dhi_ref, dlo_ref, fhi_ref, flo_ref, stats_ref,
-                    *, nt, n, B, n_sweeps, max_iter, ds_kind, us_kind,
-                    gate_init, varying, interpret):
+                    *out_refs, nt, n, B, n_sweeps, max_iter, ds_kind, us_kind,
+                    gate_init, varying, store, interpret):
+    if store == "boundaries":
+        (stats_ref,) = out_refs
+        dhi_ref = dlo_ref = fhi_ref = flo_ref = None
+    else:
+        dhi_ref, dlo_ref, fhi_ref, flo_ref, stats_ref = out_refs
     roll = _roll(interpret)
     geo = geo_ref[:]
     Np = geo.shape[1]
@@ -1524,6 +1533,18 @@ def _kernel_batched(geo_ref, init_ref, tgt_ref, ds_tgt_ref, scal_ref,
                       + jnp.where(idx128 == 1, err, 0.0)
                       + jnp.where(idx128 == 2, res_stage, 0.0)
                       + jnp.where(idx128 == 3, gate_open, 0.0))
+        if store == "boundaries":
+            # boundary-node (h, Q) df32 halves ride lanes 4-11 of the stats
+            # row — the per-level output shrinks from (4*Np + 128) to 128
+            # lanes/member, raising the VMEM member cap ~(4*Np+128)/128 x
+            # (settings.store="boundaries", the Monte-Carlo output mode)
+            for lane, val in ((4, h.hi[:, 0:1]), (5, h.lo[:, 0:1]),
+                              (6, h.hi[:, n - 1:n]), (7, h.lo[:, n - 1:n]),
+                              (8, Q.hi[:, 0:1]), (9, Q.lo[:, 0:1]),
+                              (10, Q.hi[:, n - 1:n]), (11, Q.lo[:, n - 1:n])):
+                stats_rows = stats_rows + jnp.where(idx128 == lane, val, 0.0)
+            stats_ref[pl.ds(k * B, B), :] = stats_rows
+            return
         dhi_ref[pl.ds(k * B, B), :] = h.hi
         dlo_ref[pl.ds(k * B, B), :] = h.lo
         fhi_ref[pl.ds(k * B, B), :] = Q.hi
@@ -1600,18 +1621,24 @@ def _kernel_batched(geo_ref, init_ref, tgt_ref, ds_tgt_ref, scal_ref,
 
 @functools.lru_cache(maxsize=64)
 def _build_call_batched(*, nt, n, B, Np, n_sweeps, max_iter, ds_kind,
-                        us_kind, gate_init, varying, interpret):
+                        us_kind, gate_init, varying, store, interpret):
     kern = functools.partial(
         _kernel_batched, nt=nt, n=n, B=B, n_sweeps=n_sweeps,
         max_iter=max_iter, ds_kind=ds_kind, us_kind=us_kind,
-        gate_init=gate_init, varying=varying, interpret=interpret)
-    out_shapes = [
-        jax.ShapeDtypeStruct((nt * B, Np), jnp.float32),  # depth hi
-        jax.ShapeDtypeStruct((nt * B, Np), jnp.float32),  # depth lo
-        jax.ShapeDtypeStruct((nt * B, Np), jnp.float32),  # flow hi
-        jax.ShapeDtypeStruct((nt * B, Np), jnp.float32),  # flow lo
-        jax.ShapeDtypeStruct((nt * B, 128), jnp.float32),  # stats
-    ]
+        gate_init=gate_init, varying=varying, store=store,
+        interpret=interpret)
+    if store == "boundaries":
+        out_shapes = [
+            jax.ShapeDtypeStruct((nt * B, 128), jnp.float32),  # stats+bnd
+        ]
+    else:
+        out_shapes = [
+            jax.ShapeDtypeStruct((nt * B, Np), jnp.float32),  # depth hi
+            jax.ShapeDtypeStruct((nt * B, Np), jnp.float32),  # depth lo
+            jax.ShapeDtypeStruct((nt * B, Np), jnp.float32),  # flow hi
+            jax.ShapeDtypeStruct((nt * B, Np), jnp.float32),  # flow lo
+            jax.ShapeDtypeStruct((nt * B, 128), jnp.float32),  # stats
+        ]
     return jax.jit(pl.pallas_call(
         kern,
         out_shape=out_shapes,
@@ -1622,7 +1649,7 @@ def _build_call_batched(*, nt, n, B, Np, n_sweeps, max_iter, ds_kind,
             pl.BlockSpec(memory_space=pltpu.SMEM),  # ds target series [B, nt]
             pl.BlockSpec(memory_space=pltpu.SMEM),  # scalars
         ],
-        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(out_shapes),
         interpret=interpret,
     ))
 
@@ -1630,11 +1657,15 @@ def _build_call_batched(*, nt, n, B, Np, n_sweeps, max_iter, ds_kind,
 _BATCH_VMEM_BYTES = 12 * 1024 * 1024  # budget for the per-level outputs
 
 
-def max_fused_batch(n_nodes: int, n_time_levels: int) -> int:
+def max_fused_batch(n_nodes: int, n_time_levels: int,
+                    store: str = "full") -> int:
     """Largest member count one batched kernel call can hold in VMEM
-    (callers chunk bigger ensembles; multiples of 8 fill whole vregs)."""
+    (callers chunk bigger ensembles; multiples of 8 fill whole vregs).
+    ``store="boundaries"`` keeps only the 128-lane stats+boundary row per
+    level, raising the cap ~(4*Np + 128)/128 x."""
     Np = max(128, -(-n_nodes // 128) * 128)
-    per_member = n_time_levels * (4 * Np + 128) * 4
+    lanes = 128 if store == "boundaries" else 4 * Np + 128
+    per_member = n_time_levels * lanes * 4
     return max(8, (_BATCH_VMEM_BYTES // per_member) // 8 * 8)
 
 
@@ -1660,7 +1691,10 @@ def fused_simulate_batched(geo_batch, us_bc, ds_bc, h0, Q0, settings,
     (``storage_simple``) carries a per-member reservoir stage.
 
     Returns a SimOutput whose fields carry a leading member axis (the same
-    shapes as ``vmap(prs.simulate)``).
+    shapes as ``vmap(prs.simulate)``).  ``settings.store="boundaries"``
+    stores only the two boundary nodes per level (packed into the stats
+    row's lanes in-kernel), which raises the VMEM member cap
+    ~(4*Np + 128)/128 x — see :func:`max_fused_batch`.
     """
     from flowsim_tpu.ops.preissmann import SimOutput
     from flowsim_tpu.geometry import TrapezoidGeometry
@@ -1699,11 +1733,13 @@ def fused_simulate_batched(geo_batch, us_bc, ds_bc, h0, Q0, settings,
             raise FusedUnsupported(
                 f"batched kernel supports constant-area storage only "
                 f"({end} storage uses the scalar stage-grid lookup)")
-    per_member = nt * (4 * Np + 128) * 4
+    store = getattr(settings, "store", "full")
+    out_lanes = 128 if store == "boundaries" else 4 * Np + 128
+    per_member = nt * out_lanes * 4
     if B * per_member > _BATCH_VMEM_BYTES:
         raise FusedUnsupported(
             f"batch {B0} x {nt} levels exceeds the output-VMEM budget; "
-            f"chunk at <= {max_fused_batch(n, nt)} members")
+            f"chunk at <= {max_fused_batch(n, nt, store)} members")
 
     f32 = np.float32
     geo_rows = np.zeros((_NG * B, Np), f32)
@@ -1752,25 +1788,39 @@ def fused_simulate_batched(geo_batch, us_bc, ds_bc, h0, Q0, settings,
         nt=nt, n=n, B=B, Np=Np, n_sweeps=n_sweeps,
         max_iter=settings.max_iter, ds_kind=ds_kind, us_kind=us_kind_str,
         gate_init=1.0 if settings.gate_initially_open else 0.0,
-        varying=varying, interpret=interpret)
-    dhi, dlo, fhi, flo, stats = call(
+        varying=varying, store=store, interpret=interpret)
+    outs = call(
         jnp.asarray(geo_rows), jnp.asarray(init_rows), jnp.asarray(tgt_b),
         jnp.asarray(ds_tgt_b), jnp.asarray(scal_rows))
 
     out_dtype = jnp.asarray(h0).dtype
 
-    def unpack(hi, lo):
-        hi = hi.reshape(nt, B, Np)[:, :B0, :n]
-        lo = lo.reshape(nt, B, Np)[:, :B0, :n]
+    def df_sum(hi, lo):
         if out_dtype == jnp.float64:
-            v = hi.astype(jnp.float64) + lo.astype(jnp.float64)
-        else:
-            v = (hi + lo).astype(out_dtype)
-        return jnp.moveaxis(v, 1, 0)  # [B0, nt, n]
+            return hi.astype(jnp.float64) + lo.astype(jnp.float64)
+        return (hi + lo).astype(out_dtype)
 
-    depth = unpack(dhi, dlo)
-    flow = unpack(fhi, flo)
-    stats = stats.reshape(nt, B, 128)[:, :B0, :]
+    if store == "boundaries":
+        (stats,) = outs
+        stats = stats.reshape(nt, B, 128)[:, :B0, :]
+        # lanes 4-11: (h, Q) df32 halves at nodes 0 and n-1 (see store_level)
+        depth = jnp.stack([df_sum(stats[:, :, 4], stats[:, :, 5]),
+                           df_sum(stats[:, :, 6], stats[:, :, 7])], axis=-1)
+        flow = jnp.stack([df_sum(stats[:, :, 8], stats[:, :, 9]),
+                          df_sum(stats[:, :, 10], stats[:, :, 11])], axis=-1)
+        depth = jnp.moveaxis(depth, 1, 0)  # [B0, nt, 2]
+        flow = jnp.moveaxis(flow, 1, 0)
+    else:
+        dhi, dlo, fhi, flo, stats = outs
+
+        def unpack(hi, lo):
+            hi = hi.reshape(nt, B, Np)[:, :B0, :n]
+            lo = lo.reshape(nt, B, Np)[:, :B0, :n]
+            return jnp.moveaxis(df_sum(hi, lo), 1, 0)  # [B0, nt, n]
+
+        depth = unpack(dhi, dlo)
+        flow = unpack(fhi, flo)
+        stats = stats.reshape(nt, B, 128)[:, :B0, :]
     iters = jnp.moveaxis(stats[:, :, 0], 1, 0).astype(jnp.int32)
     errs = jnp.moveaxis(stats[:, :, 1], 1, 0).astype(out_dtype)
     lvl = jnp.arange(nt)[None, :]

@@ -240,3 +240,41 @@ def test_calibration_sweep_fused_engine(example_ensemble):
     r_f = rmse_sweep(geo, solver.us_params, solver.ds_params,
                      solver.h0, solver.Q0, sset, Qt, Ht, nv, engine="fused")
     assert np.abs(np.asarray(r_x) - np.asarray(r_f)).max() < 1e-5
+
+
+def test_batched_store_boundaries(example_ensemble, batched_out):
+    """settings.store='boundaries' packs the boundary (h, Q) into the stats
+    row in-kernel: bitwise-equal to the full run's boundary columns, and the
+    VMEM member cap rises (the Monte-Carlo dispatch-count lever)."""
+    solver, sset, geob, us_members, us_stacked = example_ensemble
+    sset_b = dataclasses.replace(sset, store="boundaries")
+    outb = fused_simulate_batched(geob, us_stacked, solver.ds_params,
+                                  solver.h0, solver.Q0, sset_b,
+                                  interpret=True, us_batched=True)
+    full = batched_out
+    nt = sset.n_time_levels
+    assert outb.depth.shape == (3, nt, 2)
+    assert (np.asarray(outb.depth) == np.asarray(full.depth)[:, :, [0, -1]]).all()
+    assert (np.asarray(outb.flow) == np.asarray(full.flow)[:, :, [0, -1]]).all()
+    assert (np.asarray(outb.iterations) == np.asarray(full.iterations)).all()
+    assert (np.asarray(outb.error) == np.asarray(full.error)).all()
+    rs_b, rs_f = np.asarray(outb.reservoir_stage), np.asarray(full.reservoir_stage)
+    assert (rs_b[:, 1:] == rs_f[:, 1:]).all()
+
+    from flowsim_tpu.ops.pallas.fused_newton import max_fused_batch
+    assert max_fused_batch(121, 385, "boundaries") > max_fused_batch(121, 385)
+
+
+def test_single_fused_store_boundaries(example_ensemble):
+    """Single-run fused path honors store='boundaries' (same contract as
+    prs.simulate: the two boundary nodes of every level)."""
+    solver, sset, geob, us_members, _ = example_ensemble
+    gm = jax.tree_util.tree_map(lambda x: x[0], geob)
+    full = fused_simulate(gm, us_members[0], solver.ds_params,
+                          solver.h0, solver.Q0, sset, interpret=True)
+    sset_b = dataclasses.replace(sset, store="boundaries")
+    bnd = fused_simulate(gm, us_members[0], solver.ds_params,
+                         solver.h0, solver.Q0, sset_b, interpret=True)
+    assert bnd.depth.shape == (sset.n_time_levels, 2)
+    assert (np.asarray(bnd.depth) == np.asarray(full.depth)[:, [0, -1]]).all()
+    assert (np.asarray(bnd.flow) == np.asarray(full.flow)[:, [0, -1]]).all()

@@ -92,6 +92,10 @@ def rmse_sweep(geo, us_bc, ds_bc, h0, Q0, settings, Q_targets, H_targets, n_valu
         geob = roughness_ensemble(geo, n_values)
         if ic_fn is not None:
             h0, Q0 = jax.vmap(ic_fn)(geob)
+        # the objective reads only the upstream node (column 0 in both the
+        # full and boundaries layouts), so boundaries-only storage is exact
+        # and raises the per-dispatch VMEM member cap ~7x at flagship size
+        settings = dataclasses.replace(settings, store="boundaries")
         out = batched_simulate(geob, us_bc, ds_bc, h0, Q0, settings,
                                shard=False, engine="fused")
         H = jax.vmap(lambda o: upstream_stage_at(o, geo.z_bed[0], Q_targets))(out)

@@ -55,19 +55,27 @@ def main():
     f_xla = jax.jit(jax.vmap(
         lambda g: prs.simulate(g, us_d, ds_d, h0_d, Q0_d, sset)))
 
+    # store="boundaries" raises the fused VMEM member cap (~104 -> ~976 at
+    # this size), cutting the number of 30 ms kernel dispatches ~9x for
+    # large Monte-Carlo batches; "fused_bnd" measures that mode (validated
+    # below against the full run's boundary columns).
+    sset_bnd = dataclasses.replace(sset, store="boundaries")
+
     results = {"throughput": {}, "calibration": {}}
-    for batch in [8, 32, 104, 512]:
+    for batch in [8, 32, 104, 512, 2048]:
         n_vals = np.linspace(0.02, 0.06, batch).astype(np.float32)
         with jax.default_device(cpu):
             geo_b = roughness_ensemble(geo, n_vals)
         geo_b = jax.device_put(geo_b, dev)
         row = {}
-        for engine in ("xla", "fused"):
+        for engine in ("xla", "fused", "fused_bnd"):
             def run(gb):
                 if engine == "xla":
                     return f_xla(gb)
-                return batched_simulate(gb, us, ds, h0, Q0, sset,
-                                        shard=False, engine="fused")
+                return batched_simulate(
+                    gb, us, ds, h0, Q0,
+                    sset_bnd if engine == "fused_bnd" else sset,
+                    shard=False, engine="fused")
 
             try:
                 out = run(geo_b)
@@ -93,13 +101,19 @@ def main():
                 f"({batch/best:,.0f} sims/s, "
                 f"iters={row[engine]['iters']})")
         if row.get("xla") and row.get("fused"):
-            dd = float(np.abs(row.pop("xla_depth")
-                              - row.pop("fused_depth")).max())
+            dd = float(np.abs(row["xla_depth"]
+                              - row["fused_depth"]).max())
             row["max_depth_delta_m"] = dd
             log(f"batch {batch:5d} cross-check: max|dh xla-fused| = {dd:.2e} m")
-        else:
-            row.pop("xla_depth", None)
-            row.pop("fused_depth", None)
+        if row.get("fused") and row.get("fused_bnd"):
+            # boundaries mode must be bitwise-equal to the full run's
+            # boundary columns (same kernel arithmetic, smaller stores)
+            db = float(np.abs(row["fused_depth"][:, :, [0, -1]]
+                              - row["fused_bnd_depth"]).max())
+            row["bnd_vs_full_delta_m"] = db
+            log(f"batch {batch:5d} bnd-check: max|dh full-bnd| = {db:.2e} m")
+        for k in ("xla_depth", "fused_depth", "fused_bnd_depth"):
+            row.pop(k, None)
         results["throughput"][batch] = row
 
     # -- calibration regime: gerd small-inflow 10-candidate sweep ----------

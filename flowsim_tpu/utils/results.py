@@ -98,11 +98,14 @@ def prepare_results(solver) -> Results:
             outflow[0] = 0.0
         else:
             outflow[0] = min(flow[0, -1], rc.discharge(stage=stages[0], time=0))
-        for k in range(1, nt):  # ref solver.py:121-127
-            avg_in = 0.5 * (flow[k - 1, -1] + flow[k, -1])
-            dvol = float(storage_mod.net_vol_change(sp, stages[k - 1], stages[k]))
-            avg_out = avg_in - dvol / dt
-            outflow[k] = avg_out * flow[k, -1] / avg_in
+        # ref solver.py:121-127, vectorized: net_vol_change is elementwise in
+        # (Y1, Y2), so one call covers all levels (nt eager per-step calls
+        # each cost a dispatch + host sync — seconds on a tunneled device)
+        Q_bnd = flow[:, -1]
+        avg_in = 0.5 * (Q_bnd[:-1] + Q_bnd[1:])
+        dvol = np.asarray(storage_mod.net_vol_change(
+            sp, jnp.asarray(stages[:-1]), jnp.asarray(stages[1:])))
+        outflow[1:] = (avg_in - dvol / dt) * Q_bnd[1:] / avg_in
         res.storage_stage = stages
         res.storage_outflow = outflow
     return res

@@ -80,6 +80,97 @@ def test_various_shard_counts(n_space):
     np.testing.assert_allclose(np.asarray(out.depth), np.asarray(ref.depth), rtol=1e-8, atol=1e-10)
 
 
+def test_sharded_upstream_storage_matches_single_device():
+    """Upstream fixed_depth + lumped storage: the sharded assemble must fall
+    back to the FIRST shard's reservoir stage (the single-device assemble
+    uses us.reservoir_stage when ds has none) — without it the run is NaN
+    from level 2."""
+    from flowsim_tpu.ops import boundary as bnd
+    from flowsim_tpu.ops import initial_conditions as ic
+    from flowsim_tpu.ops import storage as stg
+
+    n, slope, dx, dt, nt = 64, 6e-4, 1000.0, 3600.0, 13
+    z = np.linspace(slope * (n - 1) * dx, 0.0, n)
+    from flowsim_tpu.geometry import TrapezoidGeometry
+    ones, zeros = np.ones(n), np.zeros(n)
+    geo = TrapezoidGeometry(
+        z_bed=jnp.asarray(z), b_main=jnp.asarray(150.0 * ones),
+        m_main=jnp.asarray(zeros), n_main=jnp.asarray(0.025 * ones),
+        compound=jnp.asarray(np.zeros(n, bool)), h_bank=jnp.asarray(1e30 * ones),
+        b_fp_left=jnp.asarray(zeros), b_fp_right=jnp.asarray(zeros),
+        m_fp=jnp.asarray(zeros), n_left=jnp.asarray(0.025 * ones),
+        n_right=jnp.asarray(0.025 * ones), bed_slope=jnp.asarray(slope * ones),
+        curvature=jnp.asarray(zeros))
+    bed_us, bed_ds = float(z[0]), float(z[-1])
+    stage_pool = bed_us + 3.0
+    h0 = jnp.asarray(stage_pool - z)
+    Q0 = jnp.zeros(n, h0.dtype)
+    us = bnd.make_boundary(
+        "fixed_depth", bed_level=bed_us,
+        storage=stg.make_storage(surface_area=6.0e6, min_stage=bed_us - 1.0))
+    ds = bnd.make_boundary(
+        "stage_hydrograph", bed_level=bed_ds,
+        target_series=stage_pool + 0.05 * np.sin(np.linspace(0, np.pi, nt)))
+    sset = prs.PreissmannSettings(theta=0.6, time_step=dt, spatial_step=dx,
+                                  n_time_levels=nt, tolerance=1e-9, max_iter=100)
+
+    ref = prs.simulate(geo, us, ds, h0, Q0, sset)
+    assert np.isfinite(np.asarray(ref.depth)).all()
+
+    mesh = make_mesh(n_ensemble=1, n_space=8)
+    out = simulate_sharded(geo, us, ds, h0, Q0, sset, mesh)
+    assert np.isfinite(np.asarray(out.depth)).all()
+    np.testing.assert_allclose(np.asarray(out.depth), np.asarray(ref.depth),
+                               rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(out.reservoir_stage[1:]),
+                               np.asarray(ref.reservoir_stage[1:]), rtol=1e-9)
+
+
+def test_sharded_store_boundaries():
+    """settings.store='boundaries' is honored by the sharded paths: outputs
+    come back [nt, 2] ([B, nt, 2] for the ensemble) matching the full run's
+    boundary columns."""
+    import dataclasses
+
+    from flowsim_tpu.parallel.domain import simulate_sharded_ensemble
+    from flowsim_tpu.parallel.ensemble import roughness_ensemble
+
+    solver = build_case(n_nodes=64)
+    sset = solver.settings(tolerance=1e-9, max_iter=100)
+    sset_b = dataclasses.replace(sset, store="boundaries")
+    geo = solver.channel.geometry
+    nt = sset.n_time_levels
+
+    mesh = make_mesh(n_ensemble=1, n_space=8)
+    full = simulate_sharded(geo, solver.us_params, solver.ds_params,
+                            solver.h0, solver.Q0, sset, mesh)
+    out = simulate_sharded(geo, solver.us_params, solver.ds_params,
+                           solver.h0, solver.Q0, sset_b, mesh)
+    assert out.depth.shape == (nt, 2)
+    np.testing.assert_array_equal(np.asarray(out.depth),
+                                  np.asarray(full.depth)[:, [0, -1]])
+    np.testing.assert_array_equal(np.asarray(out.flow),
+                                  np.asarray(full.flow)[:, [0, -1]])
+
+    n_vals = np.array([0.026, 0.034])
+    geo_b = roughness_ensemble(geo, n_vals)
+    B = len(n_vals)
+    h0b = jnp.broadcast_to(solver.h0, (B,) + solver.h0.shape)
+    Q0b = jnp.broadcast_to(solver.Q0, (B,) + solver.Q0.shape)
+    mesh2 = make_mesh(n_ensemble=2, n_space=4)
+    oute = simulate_sharded_ensemble(geo_b, solver.us_params, solver.ds_params,
+                                     h0b, Q0b, sset_b, mesh2)
+    assert oute.depth.shape == (B, nt, 2)
+    fulle = simulate_sharded_ensemble(geo_b, solver.us_params, solver.ds_params,
+                                      h0b, Q0b, sset, mesh2)
+    np.testing.assert_array_equal(np.asarray(oute.depth),
+                                  np.asarray(fulle.depth)[:, :, [0, -1]])
+    # gate_open is the real carried series, not fabricated zeros: with no
+    # gated curve and gate_initially_open defaulting False it is all zeros
+    # here, but it must be the scan's state (same dtype/shape as single-run)
+    assert oute.gate_open.shape == (B, nt)
+
+
 def test_indivisible_raises():
     solver = build_case(n_nodes=64)
     sset = solver.settings(tolerance=1e-8, max_iter=50)

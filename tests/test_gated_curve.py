@@ -133,6 +133,40 @@ def test_gated_checkpoint_resume_matches_simulate(tmp_path):
     np.testing.assert_allclose(f2, f1, rtol=0, atol=0)
 
 
+def test_gated_sharded_ensemble_reports_gate_trajectory():
+    """simulate_sharded_ensemble must surface the REAL per-member gate
+    series (it previously fabricated all-zeros), matching each member's
+    single-run trajectory."""
+    import dataclasses
+
+    from flowsim_tpu.ops import preissmann as prs
+    from flowsim_tpu.parallel.domain import simulate_sharded_ensemble
+    from flowsim_tpu.parallel.ensemble import roughness_ensemble
+    from flowsim_tpu.parallel.mesh import make_mesh
+
+    solver = _build_gated_solver(length=23000.0)  # 24 nodes = 4 shards x 6
+    sset = solver.settings(tolerance=1e-10, max_iter=100)
+    geo = solver.channel.geometry
+    n_vals = np.array([0.03, 0.035])
+    geo_b = roughness_ensemble(geo, n_vals)
+    B = len(n_vals)
+    h0b = jnp.broadcast_to(solver.h0, (B,) + solver.h0.shape)
+    Q0b = jnp.broadcast_to(solver.Q0, (B,) + solver.Q0.shape)
+
+    mesh = make_mesh(n_ensemble=2, n_space=4)
+    out = simulate_sharded_ensemble(geo_b, solver.us_params, solver.ds_params,
+                                    h0b, Q0b, sset, mesh)
+    assert np.asarray(out.gate_open).max() == 1.0  # the gate actually opens
+    for j, n in enumerate(n_vals):
+        g = dataclasses.replace(geo, n_main=jnp.full_like(geo.n_main, n))
+        ref = prs.simulate(g, solver.us_params, solver.ds_params,
+                           solver.h0, solver.Q0, sset)
+        np.testing.assert_array_equal(np.asarray(out.gate_open[j]),
+                                      np.asarray(ref.gate_open))
+        np.testing.assert_allclose(np.asarray(out.depth[j]),
+                                   np.asarray(ref.depth), rtol=1e-9, atol=1e-9)
+
+
 def test_gated_domain_decomposition_matches_simulate():
     """gated_blend + channel-axis sharding (VERDICT r1 weakness #2): the
     sharded run must reproduce the single-device gate trajectory and fields."""

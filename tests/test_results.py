@@ -100,6 +100,30 @@ def test_checkpoint_resume_bitwise(tmp_path):
     np.testing.assert_allclose(d2, d1, rtol=0, atol=0)  # bitwise resume
     np.testing.assert_allclose(f2, f1, rtol=0, atol=0)
 
+    # the checkpointed run populates solver.output, so the results pipeline
+    # (incl. the lumped-storage stage/outflow reconstruction) works on it
+    from flowsim_tpu.utils.results import prepare_results
+
+    assert s1.output is not None
+    np.testing.assert_array_equal(np.asarray(s1.output.iterations),
+                                  np.asarray(full.output.iterations))
+    r_ck = prepare_results(s1)
+    r_full = prepare_results(full)
+    assert r_ck.storage_stage is not None
+    np.testing.assert_allclose(r_ck.storage_stage, r_full.storage_stage, rtol=1e-12)
+    # outflow reconstruction divides by avg inflow (ill-conditioned where it
+    # crosses zero — see test_derived_fields_match_reference): mask those
+    q_ds = np.asarray(full.flow)[:, -1]
+    avg_in = np.concatenate([[q_ds[0]], 0.5 * (q_ds[:-1] + q_ds[1:])])
+    ok = np.abs(avg_in) > 1e-3 * np.abs(q_ds).max()
+    np.testing.assert_allclose(r_ck.storage_outflow[ok],
+                               r_full.storage_outflow[ok],
+                               rtol=1e-6, atol=1e-6)
+    # the resumed run restores the stats history across the crash boundary
+    assert s2.output is not None
+    np.testing.assert_array_equal(np.asarray(s2.output.iterations),
+                                  np.asarray(s1.output.iterations))
+
 
 def test_ensemble_summary_matches_per_member():
     """ensemble_summary vectorizes summary_metrics over the member axis:

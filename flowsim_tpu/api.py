@@ -264,8 +264,15 @@ class Channel:
             # the union x grid (ref cross_section.py:852-968)
             stations = list(self.input_stations)
             if self.coords is not None and self.coords_chainages is not None:
+                import copy
+
                 curv = geom.planform_curvature(self.xs_chainages, self.coords_chainages, self.coords)
+                # copy before stamping curvature: the station objects are
+                # caller-owned and may be reused for another Channel (with
+                # different or no coords) — mutating them would leak this
+                # channel's curvature into the next build
                 for i in range(1, len(stations) - 1):
+                    stations[i] = copy.copy(stations[i])
                     stations[i].curvature = float(curv[i])
             self.geometry = build_table_geometry(
                 stations, self.xs_chainages, self.ch_at_node, dtype=np.dtype(dtype)
@@ -317,14 +324,22 @@ class _SolverBase:
         self._results = None
         self.total_sim_duration = 0.0
 
-    # accessors (k=None -> last computed level; k=-1 -> previous)
+    # accessors (ref solver.py:244-258): k=None -> last computed level;
+    # k=-1 -> the level BEFORE it (the reference's time_level-1), not
+    # python's last-element indexing
+    def _level_index(self, k):
+        last = self.depth.shape[0] - 1
+        return last if k is None else last - 1 if k == -1 else k
+
     def depth_at(self, k=None, i=None):
-        k = -1 if k is None else k
-        return float(self.depth[k, i])
+        if i is None:
+            raise ValueError("Spatial node must be specified.")
+        return float(self.depth[self._level_index(k), i])
 
     def flow_at(self, k=None, i=None):
-        k = -1 if k is None else k
-        return float(self.flow[k, i])
+        if i is None:
+            raise ValueError("Spatial node must be specified.")
+        return float(self.flow[self._level_index(k), i])
 
     def water_level_at(self, k=None, i=None):
         return self.channel.bed_level_at(i) + self.depth_at(k, i)
@@ -405,7 +420,11 @@ class PreissmannSolver(_SolverBase):
 
             sset = dataclasses.replace(sset, live_progress=True)
         out = None
-        if engine == "fused" and not diagnos and not live:
+        if engine == "fused" and (diagnos or live):
+            if verbose >= 1:
+                which = "diagnos" if diagnos else "live progress"
+                print(f"fused engine does not support {which}; using XLA path")
+        elif engine == "fused":
             from flowsim_tpu.ops.pallas.fused_newton import (FusedUnsupported,
                                                              fused_simulate)
 

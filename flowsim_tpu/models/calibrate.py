@@ -86,6 +86,11 @@ def rmse_sweep(geo, us_bc, ds_bc, h0, Q0, settings, Q_targets, H_targets, n_valu
     """
     n_values = jnp.asarray(n_values)
     if engine == "fused":
+        if sharded:
+            raise ValueError(
+                "engine='fused' is single-device (members ride VPU "
+                "sublanes); use engine='xla' with sharded=True to spread "
+                "the sweep over the device mesh")
         from flowsim_tpu.parallel.ensemble import (batched_simulate,
                                                    roughness_ensemble)
 

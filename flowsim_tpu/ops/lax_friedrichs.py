@@ -76,8 +76,8 @@ def _trapezoid_depth_from_area(geo, A):
         (-b + jnp.sqrt(b * b + 4.0 * m * A)) / (2.0 * jnp.maximum(m, 1e-30)),
         A / b,
     )
-    hb = jnp.where(geo.compound, geo.h_bank, jnp.inf)
-    A_bank = (b + m * jnp.where(geo.compound, geo.h_bank, 0.0)) * jnp.where(geo.compound, geo.h_bank, 0.0)
+    hb = jnp.where(geo.compound, geo.h_bank, 0.0)
+    A_bank = (b + m * hb) * hb
     over = geo.compound & (A > A_bank)
     bf = geo.b_fp_left + geo.b_fp_right
     mf = geo.m_fp
@@ -87,7 +87,7 @@ def _trapezoid_depth_from_area(geo, A):
         (-bf + jnp.sqrt(bf * bf + 4.0 * mf * dA)) / (2.0 * jnp.maximum(mf, 1e-30)),
         dA / jnp.maximum(bf, 1e-30),
     )
-    return jnp.where(over, jnp.where(geo.compound, geo.h_bank, 0.0) + d_fp, h_main)
+    return jnp.where(over, hb + d_fp, h_main)
 
 
 def _ghost(values, mode: str, upstream: bool):
@@ -117,6 +117,11 @@ def _bc_value(bc: bnd.BoundaryParams, geo, st_node: bnd.NodeSection, depth_schem
     if bc.kind == "normal_depth":
         return depth_scheme, hyd.normal_flow(bc.bed_slope, st_node.K), nan
     if bc.kind == "rating_curve":
+        if bc.rating.kind == "gated_blend":
+            raise NotImplementedError(
+                "the Lax solver carries no gate-controller state; the "
+                "non-smooth gated_blend curve needs the Preissmann path "
+                "(ops/preissmann.py scan-carried BCState)")
         return depth_scheme, rcurve.discharge(bc.rating, bc.bed_level + depth_scheme), nan
     if bc.kind == "stage_hydrograph":
         return bc.target_series[k] - bc.bed_level, Q_scheme, nan
@@ -182,8 +187,12 @@ def simulate(geo, us_bc, ds_bc, h0, Q0, settings: LaxSettings) -> LaxOutput:
         ns_ds = bnd.NodeSection(A=st_ds.A, R=st_ds.R, K=st_ds.K, n_eq=st_ds.n_eq,
                                 dA_dh=st_ds.dA_dh, dR_dA=st_ds.dR_dA, dK_dA=st_ds.dK_dA)
 
-        h_us, Q_us, _ = _bc_value(us_bc, geo, ns_us, h_sch_us, Q_new[0], k, dt, Q[0], res_stage_prev, geo.bed_slope[0])
-        h_ds, Q_ds, res_stage = _bc_value(ds_bc, geo, ns_ds, h_sch_ds, Q_new[-1], k, dt, Q[-1], res_stage_prev, geo.bed_slope[-1])
+        h_us, Q_us, rs_us = _bc_value(us_bc, geo, ns_us, h_sch_us, Q_new[0], k, dt, Q[0], res_stage_prev, geo.bed_slope[0])
+        h_ds, Q_ds, rs_ds = _bc_value(ds_bc, geo, ns_ds, h_sch_ds, Q_new[-1], k, dt, Q[-1], res_stage_prev, geo.bed_slope[-1])
+        # downstream storage wins; otherwise an UPSTREAM storage's stage is
+        # carried (same precedence as ops.preissmann.assemble — dropping it
+        # would feed NaN Y_old back into the upstream mass balance at k=2)
+        res_stage = jnp.where(jnp.isnan(rs_ds), rs_us, rs_ds)
 
         geo_us = jax.tree_util.tree_map(lambda a: a[0], geo)
         geo_ds = jax.tree_util.tree_map(lambda a: a[-1], geo)

@@ -128,14 +128,17 @@ def plot_all_section_approximations(out_dir: str, folder: Optional[str] = None,
     """Save every fitted section plot (ref visual.py:123-124 loop).
     Returns the list of figure paths written."""
     results_csv = results_csv or os.path.join(_GERD_DATA, "composite_trapezoids.csv")
-    n = len(_read_trapezoid_rows(results_csv))
+    rows = _read_trapezoid_rows(results_csv)
     os.makedirs(out_dir, exist_ok=True)
     paths = []
-    for i in range(n):
+    for i, row in enumerate(rows):
         plot_cross_section_approximation(i, folder=folder, results_csv=results_csv,
                                          save=True, show=False, out_dir=out_dir)
-        paths.append(out_dir)
-    return [os.path.join(out_dir, p) for p in sorted(os.listdir(out_dir))]
+        # the exact file the save branch writes (listdir would also pick up
+        # unrelated pre-existing files in out_dir)
+        base = os.path.splitext(os.path.basename(row["file"]))[0] + "_approx.png"
+        paths.append(os.path.join(out_dir, base))
+    return paths
 
 
 def plot_channel_top(chainages, widths, curvature, x0=726833.0, y0=1240801.0,

@@ -39,16 +39,37 @@ def sync(x) -> float:
     return float(jnp.sum(x))
 
 
-def timed(fn, *args, reps: int = 3, **kw):
-    """(best_seconds, last_result) with reliable completion barriers."""
+def timed(fn, *args, reps: int = 3, perturb=None, **kw):
+    """(best_seconds, last_result) with reliable completion barriers.
+
+    The barrier sums EVERY array leaf of the output (a single-leaf barrier
+    only awaits the executable producing that leaf).  ``perturb(rep, args)
+    -> args`` varies the inputs between reps: on the tunneled TPU identical
+    (executable, inputs) pairs may be served from a remote result cache
+    (CLAUDE.md), so re-timing the same call measures a cache hit.  With the
+    default, a float64/float32 leading array argument is nudged by a 1e-12
+    relative factor per rep; pass ``perturb=False`` to disable.
+    """
+    if perturb is None:
+        def perturb(rep, a):
+            if a and hasattr(a[0], "dtype") and np.issubdtype(
+                    np.asarray(a[0]).dtype, np.floating):
+                return (a[0] * (1.0 + 1e-12 * rep),) + a[1:]
+            return a
+
     best = np.inf
     out = None
-    for _ in range(reps):
+    for rep in range(reps):
+        a = args if perturb is False else perturb(rep, args)
         t0 = time.time()
-        out = fn(*args, **kw)
+        out = fn(*a, **kw)
         leaves = [l for l in _leaves(out) if hasattr(l, "dtype")]
         if leaves:
-            sync(leaves[0])
+            # one host transfer whose value depends on every leaf — awaits
+            # all dispatches with a single round trip
+            import jax.numpy as jnp
+
+            float(sum(jnp.sum(l) for l in leaves))
         best = min(best, time.time() - t0)
     return best, out
 

@@ -79,6 +79,32 @@ def test_mass_conservation():
     assert abs(inflow - outflow) / inflow < 0.02
 
 
+def test_upstream_storage_carries_stage():
+    """fixed_depth + lumped storage on the UPSTREAM end: the carried
+    reservoir stage must come from the upstream BC (previously discarded —
+    Y_old went NaN at k=2 and the whole run silently NaN'd)."""
+    from flowsim_tpu.api import LumpedStorage
+
+    S_0, length = 0.0006, 29000
+    us = Boundary(condition="fixed_depth", initial_depth=4.0,
+                  bed_level=S_0 * length, chainage=0)
+    us.set_lumped_storage(LumpedStorage(surface_area=5.0e6,
+                                        min_stage=S_0 * length - 1.0,
+                                        solution_boundaries=(0, 200)))
+    ds = Boundary(condition="stage_hydrograph", bed_level=0, chainage=length,
+                  initial_depth=4.0,
+                  hydrograph=Hydrograph(function=lambda t: 4.0))
+    channel = Channel(width=120, initial_flow=50.0, roughness=0.023,
+                      upstream_boundary=us, downstream_boundary=ds,
+                      interpolation_method="GVF_equation")
+    lax = LaxSolver(channel=channel, time_step=60, spatial_step=1000,
+                    simulation_time=1800)
+    lax.run(verbose=0)
+    assert np.all(np.isfinite(lax.depth)), "upstream-storage Lax run went NaN"
+    # the reservoir stage series is carried (finite from level 1 on)
+    assert np.all(np.isfinite(np.asarray(lax.output.reservoir_stage)[1:]))
+
+
 def test_secondary_bc_variants():
     for mode in ["constant", "mirror", "linear"]:
         S_0, length = 0.00061, 29000

@@ -125,6 +125,18 @@ def test_checkpoint_resume_bitwise(tmp_path):
                                   np.asarray(s1.output.iterations))
 
 
+def test_accessor_level_semantics():
+    """depth_at/flow_at follow the reference accessors (ref solver.py:244-258):
+    k=None -> last computed level, k=-1 -> the level BEFORE it."""
+    s = run_ours_example(1e-6)
+    nt = s.depth.shape[0]
+    assert s.depth_at(i=3) == s.depth[nt - 1, 3]
+    assert s.depth_at(k=-1, i=3) == s.depth[nt - 2, 3]
+    assert s.flow_at(k=5, i=0) == s.flow[5, 0]
+    with pytest.raises(ValueError, match="Spatial node"):
+        s.depth_at(k=2)
+
+
 def test_ensemble_summary_matches_per_member():
     """ensemble_summary vectorizes summary_metrics over the member axis:
     each member's row must equal the per-run scalars exactly, and the

@@ -460,6 +460,26 @@ class PreissmannSolver(_SolverBase):
                 raise ValueError(
                     "Jacobian is ill-conditioned (rcond too small)"
                 )  # ref preissmann.py:143
+        # storage-bracket saturation: the in-graph bisection clamps to
+        # [y_min, y_max] where the reference's brentq RAISES when the root
+        # leaves the solution_boundaries — surface that here (checked before
+        # the convergence error: saturation is the root cause when both trip)
+        for bc in (self.us_params, self.ds_params):
+            sp = getattr(bc, "storage", None)
+            if sp is None:
+                continue
+            stages = out.reservoir_stage[np.isfinite(out.reservoir_stage)]
+            if stages.size == 0:
+                continue
+            ymin, ymax = float(sp.y_min), float(sp.y_max)
+            tol = 1e-6 * max(ymax - ymin, 1.0)
+            if (stages >= ymax - tol).any() or (
+                    ymin > float(sp.min_stage) and (stages <= ymin + tol).any()):
+                raise ValueError(
+                    "Lumped-storage stage hit the solution_boundaries "
+                    f"bracket [{ymin}, {ymax}] — the mass-balance root lies "
+                    "outside it (the reference's brentq raises here); widen "
+                    "solution_boundaries")
         if not bool(out.converged.all()):
             bad = int(np.argmin(out.converged))
             self.check_criticality(level=bad)  # ref preissmann.py:124-125

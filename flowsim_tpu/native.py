@@ -28,10 +28,14 @@ def _build() -> None:
 
 
 def load(build_if_missing: bool = True):
-    """Load (building if needed) the native library; None on failure."""
+    """Load (building if needed) the native library; None on failure.
+    A failure is cached — without this, every geometry build on a
+    toolchain-less machine would re-spawn a failing compiler subprocess."""
     global _lib, _load_error
     if _lib is not None:
         return _lib
+    if _load_error is not None:
+        return None
     try:
         if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
             if not build_if_missing:

@@ -77,6 +77,12 @@ def make_boundary(
         raise ValueError("Invalid boundary condition.")  # ref boundary.py:32-33
     if storage is not None and kind != "fixed_depth":
         raise ValueError("lumped storage is only supported on a fixed_depth boundary")
+    if kind == "rating_curve" and rating is None:
+        raise ValueError("Rating curve is undefined.")  # ref boundary.py:96
+    if kind in ("flow_hydrograph", "stage_hydrograph") and target_series is None:
+        # without this, target_series[k] would clamp to a silent 0.0 target
+        raise ValueError(
+            "Insufficient arguments for boundary condition.")  # ref boundary.py:87
     return BoundaryParams(
         kind=kind,
         bed_level=farray(bed_level),
@@ -145,6 +151,8 @@ def evaluate(
     Q_prev=None,
     reservoir_stage_prev=None,
     bc_state: Optional[BCState] = None,
+    upstream: bool = False,
+    h_prev=None,
 ) -> BCEval:
     """Residual + its two Jacobian entries for one boundary.
 
@@ -153,6 +161,12 @@ def evaluate(
     volume, ref preissmann.py:314).  ``reservoir_stage_prev`` is the stage
     recorded at the previous time level (ref boundary.py:104-108 indexes the
     stage hydrograph written during level k-1).
+
+    ``upstream`` flips the lumped-storage orientation: at the upstream end
+    positive Q leaves the reservoir (mass balance gets -vol_in) and the
+    channel surface sits BELOW the reservoir stage by the entrance loss.
+    (The reference supports downstream storage only; upstream storage is a
+    flowsim_tpu extension — ref boundary.py:97-133 is the ds case.)
     """
     nan = jnp.asarray(jnp.nan, dtype=jnp.result_type(h))
     res_stage = nan
@@ -187,21 +201,29 @@ def evaluate(
             return BCEval(h - bc.initial_depth, jnp.ones_like(h), jnp.zeros_like(h), res_stage)
 
         sp = bc.storage
-        vol_in = 0.5 * (Q_prev + Q) * dt  # ref preissmann.py:314
+        # upstream: positive Q drains the reservoir, and the entrance loss
+        # drops the channel surface below the reservoir stage
+        sign = -1.0 if upstream else 1.0
+        vol_in = sign * 0.5 * (Q_prev + Q) * dt  # ref preissmann.py:314
         # ref boundary.py:104-108: at the first solved level the previous
-        # reservoir stage is taken as the *current trial* boundary stage.
-        Y_old = jnp.where(k == 1, h + bc.bed_level, reservoir_stage_prev)
+        # reservoir stage is taken as the *current trial* boundary stage —
+        # a reference quirk kept for the downstream case.  For the upstream
+        # extension the trial bootstrap makes a draining reservoir's
+        # residual unsatisfiable in h (f = -vol_in/SA + hl > 0 identically),
+        # so it anchors on the PREVIOUS level's surface instead.
+        boot = (h_prev if upstream and h_prev is not None else h)
+        Y_old = jnp.where(k == 1, boot + bc.bed_level, reservoir_stage_prev)
         Y_new = storage_mod.mass_balance(sp, dt, vol_in, Y_old)
 
         head_loss = storage_mod.energy_loss(sp, node.A, Q, node.n_eq, node.R)
-        target = (Y_new + head_loss) - bc.bed_level
+        target = (Y_new + sign * head_loss) - bc.bed_level
         res_stage = Y_new
 
         d_hl_dA = storage_mod.dhl_dA(sp, node.A, Q, node.n_eq, node.R, node.dR_dA)
-        df_dh = 1.0 - d_hl_dA * node.dA_dh  # ref :167-177
+        df_dh = 1.0 - sign * d_hl_dA * node.dA_dh  # ref :167-177
         dY_dvol = storage_mod.dY_new_dvol_in(sp, Y_new)
         d_hl_dQ = storage_mod.dhl_dQ(sp, node.A, Q, node.n_eq, node.R)
-        df_dQ = -(dY_dvol * 0.5 * dt + d_hl_dQ)  # ref :224-237
+        df_dQ = -sign * (dY_dvol * 0.5 * dt + d_hl_dQ)  # ref :224-237
         return BCEval(h - target, df_dh, df_dQ, res_stage)
 
     raise ValueError(f"unknown boundary kind {bc.kind!r}")

@@ -103,16 +103,23 @@ def gvf_profile(geo, Q, h_downstream, dx) -> GVFResult:
         S0 = (z[i] - z[i + 1]) / dx
         dh_down, sc1 = dh_dx_at(h_down, i + 1, S0)
         h_pred = h_down - dh_down * dx
-        h_pred = jnp.maximum(h_pred, 0.01)
+        # ref channel.py:360-361/371-374 clamps only at h <= 0 (a positive
+        # near-dry depth like 0.004 is kept, not floored to 0.01)
+        h_pred = jnp.where(h_pred <= 0.0, 0.01, h_pred)
         dh_pred, sc2 = dh_dx_at(h_pred, i, S0)
         h_up = h_down - 0.5 * (dh_down + dh_pred) * dx
-        h_up = jnp.maximum(h_up, 0.01)
+        h_up = jnp.where(h_up <= 0.0, 0.01, h_up)
         return (h_up, flag | sc1 | sc2), h_up
 
     idxs = jnp.arange(N - 2, -1, -1)
     (h_final, flag), hs = jax.lax.scan(scan_body, (jnp.asarray(h_downstream, dtype=z.dtype), False), idxs)
     depth = jnp.concatenate([hs[::-1], jnp.asarray([h_downstream], dtype=z.dtype)])
     return GVFResult(depth=depth, supercritical=flag)
+
+
+# module-level jit: a fresh jax.jit(gvf_profile) per call would miss the
+# dispatch cache and re-trace the GVF scan for every model build
+_gvf_jit = jax.jit(gvf_profile)
 
 
 def initial_conditions(geo, method: str, Q, dx, h_us=None, h_ds=None):
@@ -130,7 +137,7 @@ def initial_conditions(geo, method: str, Q, dx, h_us=None, h_ds=None):
     elif method == "GVF_equation":
         if h_ds is None:
             raise ValueError("GVF ICs need the downstream depth")
-        res = jax.jit(gvf_profile, static_argnames=())(geo, Q, h_ds, dx)
+        res = _gvf_jit(geo, Q, h_ds, dx)
         if bool(res.supercritical):
             raise RuntimeError(
                 "GVF Error: Flow became supercritical. "

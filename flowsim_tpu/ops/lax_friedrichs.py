@@ -104,12 +104,16 @@ def _ghost(values, mode: str, upstream: bool):
 
 
 def _bc_value(bc: bnd.BoundaryParams, geo, st_node: bnd.NodeSection, depth_scheme, Q_scheme,
-              k, dt, Q_prev_node, reservoir_stage_prev, bed_slope):
+              k, dt, Q_prev_node, reservoir_stage_prev, bed_slope,
+              upstream: bool = False, h_prev_node=None):
     """Primary BC at a boundary node (ref lax.py:108-202).
 
     Q-type BCs take Q = target evaluated at the scheme-predicted depth and
     keep the scheme A; h-type BCs take depth = target and keep the scheme Q.
-    Returns (depth, Q, reservoir_stage).
+    Returns (depth, Q, reservoir_stage).  ``upstream`` flips the storage
+    orientation (positive Q drains an upstream reservoir; entrance loss
+    drops the channel surface below the stage) — same convention as
+    ops.boundary.evaluate.
     """
     nan = jnp.asarray(jnp.nan, dtype=depth_scheme.dtype)
     if bc.kind == "flow_hydrograph":
@@ -129,16 +133,26 @@ def _bc_value(bc: bnd.BoundaryParams, geo, st_node: bnd.NodeSection, depth_schem
         if bc.storage is None:
             return bc.initial_depth * jnp.ones_like(depth_scheme), Q_scheme, nan
         sp = bc.storage
-        vol_in = 0.5 * (Q_prev_node + Q_scheme) * dt
-        Y_old = jnp.where(k == 1, depth_scheme + bc.bed_level, reservoir_stage_prev)
+        sign = -1.0 if upstream else 1.0
+        vol_in = sign * 0.5 * (Q_prev_node + Q_scheme) * dt
+        # upstream anchors the first-level stage on the PREVIOUS level's
+        # surface (see ops.boundary.evaluate); downstream keeps the
+        # reference's trial-stage bootstrap
+        boot = (h_prev_node if upstream and h_prev_node is not None
+                else depth_scheme)
+        Y_old = jnp.where(k == 1, boot + bc.bed_level, reservoir_stage_prev)
         Y_new = storage_mod.mass_balance(sp, dt, vol_in, Y_old)
         head_loss = storage_mod.energy_loss(sp, st_node.A, Q_scheme, st_node.n_eq, st_node.R)
-        return (Y_new + head_loss) - bc.bed_level, Q_scheme, Y_new
+        return (Y_new + sign * head_loss) - bc.bed_level, Q_scheme, Y_new
     raise ValueError(bc.kind)
 
 
 @partial(jax.jit, static_argnames=("settings",))
 def simulate(geo, us_bc, ds_bc, h0, Q0, settings: LaxSettings) -> LaxOutput:
+    if us_bc.storage is not None and ds_bc.storage is not None:
+        raise NotImplementedError(
+            "lumped storage on BOTH boundaries is not supported: the "
+            "scan carries a single reservoir stage")
     dt = settings.time_step
     dx = settings.spatial_step
     nt = settings.n_time_levels
@@ -187,7 +201,7 @@ def simulate(geo, us_bc, ds_bc, h0, Q0, settings: LaxSettings) -> LaxOutput:
         ns_ds = bnd.NodeSection(A=st_ds.A, R=st_ds.R, K=st_ds.K, n_eq=st_ds.n_eq,
                                 dA_dh=st_ds.dA_dh, dR_dA=st_ds.dR_dA, dK_dA=st_ds.dK_dA)
 
-        h_us, Q_us, rs_us = _bc_value(us_bc, geo, ns_us, h_sch_us, Q_new[0], k, dt, Q[0], res_stage_prev, geo.bed_slope[0])
+        h_us, Q_us, rs_us = _bc_value(us_bc, geo, ns_us, h_sch_us, Q_new[0], k, dt, Q[0], res_stage_prev, geo.bed_slope[0], upstream=True, h_prev_node=h[0])
         h_ds, Q_ds, rs_ds = _bc_value(ds_bc, geo, ns_ds, h_sch_ds, Q_new[-1], k, dt, Q[-1], res_stage_prev, geo.bed_slope[-1])
         # downstream storage wins; otherwise an UPSTREAM storage's stage is
         # carried (same precedence as ops.preissmann.assemble — dropping it

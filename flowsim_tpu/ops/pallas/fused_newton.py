@@ -452,8 +452,14 @@ def _stg_lookup32(stg, t, scal, y):
 
 
 def _storage_curve_eval(scal, stg, h_node: DF, Q_node: DF, Qp_node: DF,
-                        y_old: DF, k, bed, losses: bool, node):
+                        y_old: DF, k, bed, losses: bool, node, sign=1.0,
+                        h_boot: DF | None = None):
     """Generalized lumped-storage boundary row (ops/boundary.py:185-205).
+
+    ``sign=-1.0`` flips the orientation for UPSTREAM storage: positive Q
+    drains the reservoir, and the entrance loss drops the channel surface
+    below the reservoir stage (same convention as ops.boundary.evaluate's
+    ``upstream=True``).
 
     Solves the implicit trapezoidal mass balance on the pack-time stage grid:
     with g(Y) := V(Y) + dt/2 q(Y) (strictly increasing: g' = A + dt/2 dq/dY),
@@ -469,8 +475,12 @@ def _storage_curve_eval(scal, stg, h_node: DF, Q_node: DF, Qp_node: DF,
     dt = scal[_S_DT]
     first = k.astype(jnp.float32) == np.float32(1.0)
     # ref boundary.py:104-108: trial stage at the first solved level
-    Y_old_eff = df32.where(first, h_node + df(bed), y_old)
-    vol_in = df(0.5) * (Qp_node + Q_node) * df(dt)
+    # (``h_boot`` overrides the anchor — the upstream row passes the
+    # previous level's depth, see ops/boundary.py evaluate upstream=True)
+    Y_old_eff = df32.where(first,
+                           (h_node if h_boot is None else h_boot) + df(bed),
+                           y_old)
+    vol_in = df(np.float32(sign) * 0.5) * (Qp_node + Q_node) * df(dt)
     V_old = _stg_lookup_df(stg, _STG_VHI, _STG_VLO, scal, Y_old_eff)
     q_old = _stg_lookup_df(stg, _STG_QHI, _STG_QLO, scal, Y_old_eff)
     C = V_old + vol_in - df(0.5) * df(dt) * q_old
@@ -509,7 +519,8 @@ def _storage_curve_eval(scal, stg, h_node: DF, Q_node: DF, Qp_node: DF,
     else:
         head_loss = df(jnp.zeros_like(h_node.hi))
 
-    res = h_node - (Y_new + head_loss - df(bed))
+    sgn = np.float32(sign)
+    res = h_node - (Y_new + df(sgn) * head_loss - df(bed))
     res_stage = Y_new
 
     # f32 Jacobian entries (ops/boundary.py:200-205)
@@ -523,11 +534,11 @@ def _storage_curve_eval(scal, stg, h_node: DF, Q_node: DF, Qp_node: DF,
                    + kq * 2.0 * (Qf / Af) * (-Qf / (Af * Af)) * inv2g)
         d_hl_dQ = (hyd.dSf_dQ(Qf, Kf) * lres
                    + kq * 2.0 * (Qf / Af) * (1.0 / Af) * inv2g)
-        df_dh = 1.0 - d_hl_dA * node["dA_dh"]
-        df_dQ = -(dY_dvol * 0.5 * dt + d_hl_dQ)
+        df_dh = 1.0 - sgn * d_hl_dA * node["dA_dh"]
+        df_dQ = -sgn * (dY_dvol * 0.5 * dt + d_hl_dQ)
     else:
         df_dh = jnp.ones_like(h_node.hi)
-        df_dQ = -(dY_dvol * 0.5 * dt)
+        df_dQ = -sgn * (dY_dvol * 0.5 * dt)
     return res, df_dh, df_dQ, res_stage
 
 
@@ -652,22 +663,26 @@ def _assemble_fused(g, scal, roll, n, ds_kind,
         us_df_dh = -((qp_ - qm_).value) / (2.0 * ufd)
         us_df_dQ = np.float32(1.0)
     elif us_kind == "storage_simple":
-        # fixed_depth + constant-area storage at the head (mirror of the
-        # ds storage_simple row; ops/boundary.py:185-205)
+        # fixed_depth + constant-area storage at the head (ops/boundary.py
+        # :185-205 with upstream=True: positive Q DRAINS the reservoir)
         h_head = DF(h.hi[:, 0:1], h.lo[:, 0:1])
         Q_head = DF(Q.hi[:, 0:1], Q.lo[:, 0:1])
         Qp_head = DF(prev_Q.hi[:, 0:1], prev_Q.lo[:, 0:1])
         bed_u = scal[_S_USBED]
         sa_u, dt_u = scal[_S_SA], scal[_S_DT]
         first_u = k.astype(jnp.float32) == np.float32(1.0)
-        Y_old_u = df32.where(first_u, h_head + df(bed_u), y_old)
-        vol_in_u = df(0.5) * (Qp_head + Q_head) * df(dt_u)
+        # upstream bootstrap anchors on the PREVIOUS level's surface (see
+        # ops/boundary.py evaluate upstream=True; the downstream rows keep
+        # the reference's trial-stage quirk)
+        hp_head = DF(prev_h.hi[:, 0:1], prev_h.lo[:, 0:1])
+        Y_old_u = df32.where(first_u, hp_head + df(bed_u), y_old)
+        vol_in_u = df(-0.5) * (Qp_head + Q_head) * df(dt_u)
         Y_new_u = Y_old_u + vol_in_u / df(sa_u)
         Y_new_u = df32.maximum(Y_new_u, df(scal[_S_MINSTAGE]))
         us_res = h_head - (Y_new_u - df(bed_u))
         us_df_dh = jnp.ones_like(h_head.hi)
         dY_dvol_u = jnp.where(Y_new_u.hi <= scal[_S_MINSTAGE], 0.0, 1.0 / sa_u)
-        us_df_dQ = -(dY_dvol_u * 0.5 * dt_u)
+        us_df_dQ = dY_dvol_u * 0.5 * dt_u
         us_res_stage = Y_new_u
     elif us_kind in ("storage_curve", "storage_curve_hl"):
         h_head = DF(h.hi[:, 0:1], h.lo[:, 0:1])
@@ -676,9 +691,11 @@ def _assemble_fused(g, scal, roll, n, ds_kind,
         node_u = {kk: (DF(st[kk].hi[:, 0:1], st[kk].lo[:, 0:1])
                        if isinstance(st[kk], DF) else st[kk][:, 0:1])
                   for kk in ("A", "K", "dK_dA", "dA_dh")}
+        hp_head = DF(prev_h.hi[:, 0:1], prev_h.lo[:, 0:1])
         us_res, us_df_dh, us_df_dQ, us_res_stage = _storage_curve_eval(
             scal, stg, h_head, Q_head, Qp_head, y_old, k,
-            scal[_S_USBED], us_kind == "storage_curve_hl", node_u)
+            scal[_S_USBED], us_kind == "storage_curve_hl", node_u,
+            sign=-1.0, h_boot=hp_head)
     else:  # stage_hydrograph / fixed_depth: host bakes the datum into tgt
         us_res = DF(h.hi[:, 0:1], h.lo[:, 0:1]) - df(tgt)
         us_df_dh, us_df_dQ = np.float32(1.0), np.float32(0.0)

@@ -201,7 +201,7 @@ def assemble(geo, us_bc, ds_bc, settings: PreissmannSettings, prev: PrevLevel, h
     # -- boundary rows (ref :200-218, :303-320) ----------------------------
     us = bnd.evaluate(us_bc, _node_section(st, 0), h[0], Q[0], k, dt,
                       Q_prev=prev.Q[0], reservoir_stage_prev=reservoir_stage_prev,
-                      bc_state=bc_state)
+                      bc_state=bc_state, upstream=True, h_prev=prev.h[0])
     ds = bnd.evaluate(ds_bc, _node_section(st, -1), h[-1], Q[-1], k, dt,
                       Q_prev=prev.Q[-1], reservoir_stage_prev=reservoir_stage_prev,
                       bc_state=bc_state)
@@ -330,6 +330,12 @@ def newton_solve(geo, us_bc, ds_bc, settings, prev: PrevLevel, h, Q, k, reservoi
 @partial(jax.jit, static_argnames=("settings",))
 def simulate(geo, us_bc, ds_bc, h0, Q0, settings: PreissmannSettings) -> SimOutput:
     """Full run: scan Newton-solved levels 1..nt-1 (ref :101-163 outer loop)."""
+    if us_bc.storage is not None and ds_bc.storage is not None:
+        # BCState carries ONE reservoir stage; two storages would silently
+        # cross-feed each other's history (the fused kernel rejects this too)
+        raise NotImplementedError(
+            "lumped storage on BOTH boundaries is not supported: the "
+            "carried BCState holds a single reservoir stage")
     nt = settings.n_time_levels
 
     ds_bed = ds_bc.bed_level

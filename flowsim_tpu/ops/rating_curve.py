@@ -210,8 +210,12 @@ def discharge(rc: RatingCurveParams, stage):
 
 
 def _alpha_smooth(rc: RatingCurveParams, stage):
-    """smoothstep ramp from pivot to pivot+buffer (ref roseires:98-109)."""
-    s = (stage - rc.pivot_stage) / rc.buffer
+    """smoothstep ramp from pivot to pivot+buffer (ref roseires:98-109).
+
+    ``buffer == 0`` degenerates to the reference's step function (its
+    >=/<= branches); guard the division so stage == pivot gives 0/eps = 0
+    instead of 0/0 = NaN poisoning Newton."""
+    s = (stage - rc.pivot_stage) / jnp.maximum(rc.buffer, 1e-30)
     s = jnp.clip(s, 0.0, 1.0)
     return 3.0 * s * s - 2.0 * s * s * s
 

@@ -179,7 +179,8 @@ def _assemble_local(geo, us_bc, ds_bc, settings, prev_fields, h, Q, k,
 
     us = bnd.evaluate(us_bc, node_sec(0), h[0], Q[0], k, dt,
                       Q_prev=prev_fields["Q"][0], reservoir_stage_prev=reservoir_stage_prev,
-                      bc_state=bc_state)
+                      bc_state=bc_state, upstream=True,
+                      h_prev=prev_fields["h"][0])
     ds = bnd.evaluate(ds_bc, node_sec(-1), h[-1], Q[-1], k, dt,
                       Q_prev=prev_fields["Q"][n - 1], reservoir_stage_prev=reservoir_stage_prev,
                       bc_state=bc_state)

@@ -161,28 +161,5 @@ void block_thomas_f64(int64_t n, const double *L, const double *D,
 /* Bracketed scalar root find (bisection + secant), brentq-equivalent use   */
 /* ----------------------------------------------------------------------- */
 
-typedef double (*scalar_fn)(double, void *);
-
-double bisect_root(scalar_fn f, void *ctx, double a, double b, double xtol,
-                   int max_iter) {
-  double fa = f(a, ctx), fb = f(b, ctx);
-  if (fa == 0.0) return a;
-  if (fb == 0.0) return b;
-  for (int it = 0; it < max_iter && (b - a) > xtol; ++it) {
-    /* secant proposal clipped into the bracket, else midpoint */
-    double m = (fb != fa) ? (a - fa * (b - a) / (fb - fa)) : 0.5 * (a + b);
-    if (!(m > a && m < b)) m = 0.5 * (a + b);
-    /* safeguard: alternate with bisection to guarantee progress */
-    if (it % 2 == 1) m = 0.5 * (a + b);
-    double fm = f(m, ctx);
-    if (fm == 0.0) return m;
-    if ((fm > 0) == (fa > 0)) {
-      a = m;
-      fa = fm;
-    } else {
-      b = m;
-      fb = fm;
-    }
-  }
-  return 0.5 * (a + b);
-}
+/* (a generic bisection helper lived here; it was never bound through native.py
+   and silently returned an endpoint on an unbracketed interval — removed) */

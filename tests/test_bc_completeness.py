@@ -181,3 +181,76 @@ def test_rating_curve_fit_and_inverse_match():
     ref2.set("polynomial", a=2.0, b=30.0, c=100.0)
     ref2.stage_shift = -470
     np.testing.assert_allclose(rc.discharge(486.0), ref2.discharge(486.0), rtol=1e-12)
+
+
+def test_upstream_storage_physics():
+    """Upstream reservoir orientation (flowsim_tpu extension — no reference
+    counterpart): positive Q at node 0 DRAINS the reservoir, the channel
+    surface sits BELOW the stage by the entrance loss, and the stage drop
+    times the surface area equals the released volume."""
+    import jax.numpy as jnp
+
+    from flowsim_tpu.geometry import TrapezoidGeometry
+    from flowsim_tpu.ops import boundary as bnd
+    from flowsim_tpu.ops import initial_conditions as ic
+    from flowsim_tpu.ops import preissmann as prs
+    from flowsim_tpu.ops import storage as stg
+
+    n, slope, dx, dt, nt = 16, 6e-4, 1000.0, 1800.0, 13
+    z = np.linspace(slope * (n - 1) * dx, 0.0, n)
+    ones, zeros = np.ones(n), np.zeros(n)
+    geo = TrapezoidGeometry(
+        z_bed=jnp.asarray(z), b_main=jnp.asarray(120.0 * ones),
+        m_main=jnp.asarray(zeros), n_main=jnp.asarray(0.025 * ones),
+        compound=jnp.asarray(np.zeros(n, bool)), h_bank=jnp.asarray(1e30 * ones),
+        b_fp_left=jnp.asarray(zeros), b_fp_right=jnp.asarray(zeros),
+        m_fp=jnp.asarray(zeros), n_left=jnp.asarray(0.025 * ones),
+        n_right=jnp.asarray(0.025 * ones), bed_slope=jnp.asarray(slope * ones),
+        curvature=jnp.asarray(zeros))
+    SA = 4.0e6
+    us = bnd.make_boundary(
+        "fixed_depth", bed_level=float(z[0]),
+        storage=stg.make_storage(surface_area=SA, min_stage=float(z[0]) - 5.0,
+                                 solution_boundaries=(0.0, 100.0)))
+    # downstream normal depth lets the channel drain freely -> Q > 0
+    ds = bnd.make_boundary("normal_depth", bed_level=float(z[-1]),
+                           bed_slope=slope)
+    h0, Q0 = ic.initial_conditions(geo, "steady-state", 150.0, dx)
+    sset = prs.PreissmannSettings(theta=0.6, time_step=dt, spatial_step=dx,
+                                  n_time_levels=nt, tolerance=1e-10, max_iter=100)
+    out = prs.simulate(geo, us, ds, h0, Q0, sset)
+    assert bool(np.asarray(out.converged).all())
+    stages = np.asarray(out.reservoir_stage)
+    flow0 = np.asarray(out.flow)[:, 0]
+    assert (flow0[1:] > 0).all()
+    # draining: stage strictly decreases after the bootstrap level
+    assert (np.diff(stages[1:]) < 0).all(), stages[1:]
+    # mass conservation: SA * dY == -avg outflow volume per level (k >= 2)
+    vol = 0.5 * (flow0[1:-1] + flow0[2:]) * dt
+    np.testing.assert_allclose(SA * -np.diff(stages[1:]), vol, rtol=1e-8)
+    # entrance-loss sign: channel surface at node 0 <= reservoir stage
+    surf0 = np.asarray(out.depth)[1:, 0] + float(z[0])
+    assert (surf0 <= stages[1:] + 1e-9).all()
+
+
+def test_storage_bracket_saturation_raises():
+    """mass_balance clamps to solution_boundaries in-graph; the solver
+    surface must raise like the reference's brentq when the stage hits the
+    bracket (ValueError 'f(a) and f(b) must have different signs')."""
+    from flowsim_tpu.api import (Boundary, Channel, Hydrograph, LumpedStorage,
+                                 PreissmannSolver)
+
+    us = Boundary(condition="flow_hydrograph", bed_level=5, chainage=0,
+                  hydrograph=Hydrograph(function=lambda t: 5000.0))
+    ds = Boundary(condition="fixed_depth", initial_depth=5, bed_level=0,
+                  chainage=20000)
+    # tiny reservoir + bracket: 5000 m3/s into 1e4 m2 = +0.5 m stage/s —
+    # blows past y_max = 9 within the first level
+    ds.set_lumped_storage(LumpedStorage(surface_area=1e4, min_stage=0.0,
+                                        solution_boundaries=(0.0, 9.0)))
+    channel = Channel(width=250, initial_flow=5000.0, roughness=0.027,
+                      upstream_boundary=us, downstream_boundary=ds)
+    solver = PreissmannSolver(channel=channel, theta=0.8, time_step=3600,
+                              spatial_step=1000, simulation_time=4 * 3600)
+    with pytest.raises(ValueError, match="solution_boundaries"):
+        solver.run(verbose=0, tolerance=1e-6)

@@ -132,15 +132,20 @@ class TableGeometry:
     bed_slope: jnp.ndarray   # [N]
     curvature: jnp.ndarray   # [N]
     # Build-time main-channel Manning n baked into the conveyance columns
-    # (NaN when the source stations disagree).  Static metadata, not a leaf:
-    # parallel.ensemble.table_roughness_ensemble uses it to anchor its exact
-    # roughness rescale without the caller re-threading the build-time value.
-    n_ref: float = dataclasses.field(
-        default=float("nan"), metadata=dict(static=True))
+    # (None when the source stations disagree — None, not NaN: a static
+    # pytree field participates in treedef equality and NaN != NaN would
+    # make two identically built geometries structurally unequal).  Static
+    # metadata, not a leaf: parallel.ensemble.table_roughness_ensemble uses
+    # it to anchor its exact roughness rescale without the caller
+    # re-threading the build-time value.
+    n_ref: Optional[float] = dataclasses.field(
+        default=None, metadata=dict(static=True))
 
     @property
     def n_nodes(self) -> int:
-        return self.z_bed.shape[-2] if self.area.ndim > 2 else self.z_bed.shape[-1]
+        # area is [..., N, M]; z_bed's second-to-last axis is the BATCH axis
+        # when members are stacked, so derive N from the table shape
+        return self.area.shape[-2]
 
     def astype(self, dtype) -> "TableGeometry":
         out = {}
@@ -269,10 +274,8 @@ def interpolate_stations(
     sts = [_station_to_arrays(s) for s in stations]
     if coords is not None and coords_chainages is not None:
         curv = planform_curvature(chainages, np.asarray(coords_chainages, float), np.asarray(coords, float))
-        for s, c in zip(sts, curv):
-            # end stations keep their constructor curvature (0 by default),
-            # interior stations get the planform value (ref: channel.py:244).
-            pass
+        # end stations keep their constructor curvature (0 by default),
+        # interior stations get the planform value (ref: channel.py:244).
         for i in range(1, len(sts) - 1):
             sts[i]["curvature"] = curv[i]
 

@@ -46,6 +46,12 @@ class IrregularStation:
     right_fp_limit: Optional[float] = None
     bed_slope: Optional[float] = None
     curvature: float = 0.0
+    # physical z-relief excluding synthetic capped walls (set by
+    # blend_stations for mixed trapezoid x irregular blends, whose z
+    # includes the finite z_cap substitute for infinite trapezoid walls —
+    # z.max - z.min would inflate the default table span ~5-10x and
+    # silently coarsen the lookup resolution at real depths)
+    relief_hint: Optional[float] = None
 
     def __post_init__(self):
         x = np.ascontiguousarray(self.x, dtype=float)
@@ -192,11 +198,49 @@ def effective_conveyance(st: IrregularStation, hw):
         return conveyance(st, hw)
     K_sum = 0.0
     for xs, zs in subs:
-        sub = IrregularStation(x=xs, z=zs, n_main=st.n_main, n_left=st.n_left,
-                               n_right=st.n_right, left_fp_limit=st.left_fp_limit,
-                               right_fp_limit=st.right_fp_limit)
+        sub = _sub_station(st, xs, zs)
         K_sum += conveyance(sub, hw) ** 1.5
     return K_sum ** (2.0 / 3.0)
+
+
+def _sub_station(st: IrregularStation, xs, zs) -> IrregularStation:
+    """A wetted subchannel as its own station, inheriting the parent's
+    roughness parameters (ref :408-409 set_roughness_para)."""
+    return IrregularStation(x=xs, z=zs, n_main=st.n_main, n_left=st.n_left,
+                            n_right=st.n_right, left_fp_limit=st.left_fp_limit,
+                            right_fp_limit=st.right_fp_limit)
+
+
+def _dK_dA_single(a, r, drda, n):
+    """Single-channel dK/dA (ref hydraulics dK_dA_; ref :513-523)."""
+    return (r ** (2.0 / 3.0) + a * (2.0 / 3.0) * r ** (-1.0 / 3.0) * drda) / n
+
+
+def _split_K_and_dK_dA(st: IrregularStation, subs, hw, fd_dh):
+    """(K_eq, dK_eq/dA) of a section split into wetted subchannels.
+
+    K_eq = (sum K_j^1.5)^(2/3) and its derivative combines the
+    per-subchannel single-channel derivatives exactly as the reference's
+    multi-subchannel dSf_dA (ref cross_section.py:395-420):
+    dK_dA_eq = (2/3) K_sum^(-1/3) * sum 1.5 K_j^0.5 dK_dA_j.
+    """
+    K_sum = 0.0
+    d_sum = 0.0
+    for xs, zs in subs:
+        sub = _sub_station(st, xs, zs)
+        a_j, p_j, r_j, _ = polyline_properties(xs, zs, hw)
+        if a_j <= 0 or p_j <= 0:
+            continue
+        K_j = conveyance(sub, hw)
+        n_j = equivalent_n(sub, hw)
+        a1, _, r1, _ = polyline_properties(xs, zs, hw - fd_dh)
+        a2, _, r2, _ = polyline_properties(xs, zs, hw + fd_dh)
+        drda_j = (r2 - r1) / (a2 - a1) if a2 != a1 else 0.0
+        K_sum += K_j ** 1.5
+        d_sum += 1.5 * K_j ** 0.5 * _dK_dA_single(a_j, r_j, drda_j, n_j)
+    if K_sum <= 0.0:
+        return 0.0, 0.0
+    return K_sum ** (2.0 / 3.0), (2.0 / 3.0) * K_sum ** (-1.0 / 3.0) * d_sum
 
 
 # ---------------------------------------------------------------------------
@@ -334,6 +378,17 @@ def blend_stations(s1, s2, w1: float, w2: float) -> IrregularStation:
     z_cap = float(z_fin.max()) + 10.0 * (relief + 1.0)
 
     z_new = _profile_of(s1, x_master, z_cap) * w1 + _profile_of(s2, x_master, z_cap) * w2
+    # mixed pairs: the blended z contains the synthetic z_cap walls, so the
+    # physical relief for default table spans comes from the parents — the
+    # irregular partner's true relief, floored by a compound trapezoid's
+    # 1.5*h_bank (the same rule pure-trapezoid nodes use below in
+    # build_table_geometry)
+    relief_hint = None
+    if any(isinstance(s, TrapezoidStation) for s in (s1, s2)):
+        relief_hint = relief
+        for s in (s1, s2):
+            if isinstance(s, TrapezoidStation) and s.h_bank is not None:
+                relief_hint = max(relief_hint, float(s.h_bank) * 1.5)
     if s1.bed_slope is None or s2.bed_slope is None:
         bed_slope = None
     else:
@@ -341,7 +396,7 @@ def blend_stations(s1, s2, w1: float, w2: float) -> IrregularStation:
     l1, r1 = _fp_limits_of(s1)
     l2, r2 = _fp_limits_of(s2)
     return IrregularStation(
-        x=x_master, z=z_new,
+        x=x_master, z=z_new, relief_hint=relief_hint,
         n_main=s1.n_main * w1 + s2.n_main * w2,
         n_left=s1.n_left * w1 + s2.n_left * w2,
         n_right=s1.n_right * w1 + s2.n_right * w2,
@@ -450,7 +505,9 @@ def build_table_geometry(
         if depth_max is not None:
             dmax[i] = depth_max if np.isscalar(depth_max) else depth_max[i]
         elif isinstance(st, IrregularStation):
-            dmax[i] = (st.z.max() - st.z.min()) * 1.25
+            relief = (st.relief_hint if st.relief_hint is not None
+                      else float(st.z.max() - st.z.min()))
+            dmax[i] = relief * 1.25
     if np.isnan(dmax).any():
         fallback = np.nanmax(dmax) if np.isfinite(dmax).any() else None
         for i, st in enumerate(node_sts):
@@ -500,25 +557,39 @@ def build_table_geometry(
                 A[i, j], P[i, j], T[i, j] = a, p, t
             if a > 0:
                 n_eq[i, j] = equivalent_n(st, hw)
-                K[i, j] = effective_conveyance(st, hw)
-                # reference finite differences (ref :524-539)
+                # reference finite differences on the full section
+                # (ref :524-539); dR/dA is always full-section
                 a1, _, r1, _ = polyline_properties(st.x, st.z, hw - fd_dh)
                 a2, _, r2, _ = polyline_properties(st.x, st.z, hw + fd_dh)
                 drda = (r2 - r1) / (a2 - a1) if a2 != a1 else 0.0
                 dR_dA[i, j] = drda
-                dK_dA[i, j] = (r ** (2.0 / 3.0) + a * (2.0 / 3.0) * r ** (-1.0 / 3.0) * drda) / n_eq[i, j]
+                subs = _subchannels(st.x, st.z, hw)
+                if len(subs) <= 1:
+                    # K = A R^(2/3) / n_eq from the already-computed values
+                    # (effective_conveyance would redo the sweep + the
+                    # equivalent_n sweeps a second time)
+                    K[i, j] = a * r ** (2.0 / 3.0) / n_eq[i, j]
+                    dK_dA[i, j] = _dK_dA_single(a, r, drda, n_eq[i, j])
+                else:
+                    # split section: Horton combination of the wetted
+                    # subchannels for BOTH K and its derivative — the
+                    # composite dK/dA must differentiate the composite K
+                    # (ref cross_section.py:373-394 and :395-420)
+                    K[i, j], dK_dA[i, j] = _split_K_and_dK_dA(
+                        st, subs, hw, fd_dh)
             else:
                 n_eq[i, j] = st.n_main
 
     # the main-channel Manning n baked into the conveyance columns; recorded
     # on the geometry so roughness-ensemble rescales can anchor on it
-    # (NaN when the stations disagree — callers must then pass it explicitly).
-    # Station blending carries ulp-level float noise, so compare with a
-    # relative tolerance rather than exact equality.
+    # (None when the stations disagree — callers must then pass it
+    # explicitly; None rather than NaN because the static field enters
+    # pytree-structure equality).  Station blending carries ulp-level float
+    # noise, so compare with a relative tolerance rather than exact equality.
     n_mains = np.array([float(st.n_main) for st in node_sts])
     n_ref = (float(n_mains[0])
              if np.allclose(n_mains, n_mains[0], rtol=1e-9, atol=0.0)
-             else float("nan"))
+             else None)
 
     return TableGeometry(
         n_ref=n_ref,

@@ -119,7 +119,7 @@ class RoseiresRatingCurve(RatingCurve):
         # explicit-gate-state variant (scan-carried GateState in the solver).
         low_q = self._quad_of_state(self.closed_state)
         high_q = self._quad_of_state(self.open_state)
-        self.params = rcurve.make_blended_poly(
+        self.params_smooth = rcurve.make_blended_poly(
             low_quad=low_q, high_quad=high_q,
             pivot_stage=initial_stage, buffer=buffer, fd_step=1e-3,
         )
@@ -127,8 +127,11 @@ class RoseiresRatingCurve(RatingCurve):
             low_quad=low_q, high_quad=high_q,
             pivot_stage=initial_stage, max_cooldown=max_cooldown, fd_step=1e-3,
         )
-        if not smooth:
-            self.params = self.params_gated
+        # ``params`` is what the solver consumes (api.Boundary.build reads
+        # it); ``params_smooth`` stays available so the per-call
+        # discharge(smooth=True) override works in a non-smooth instance
+        # (the reference's discharge(smooth=...) toggles both ways)
+        self.params = self.params_smooth if smooth else self.params_gated
 
     # -- state-parameterized releases (ref :84-87,180-200) ------------------
 
@@ -204,7 +207,7 @@ class RoseiresRatingCurve(RatingCurve):
     def discharge(self, stage, time=None, update_stage=True, update_gate_state=True, smooth=None):
         smooth = self.smooth if smooth is None else smooth
         if smooth:
-            return float(rcurve.discharge(self.params, stage))
+            return float(rcurve.discharge(self.params_smooth, stage))
         if update_gate_state:
             self.gate_control(time)
         q = self.total_release(stage)

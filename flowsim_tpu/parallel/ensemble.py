@@ -196,16 +196,15 @@ def table_roughness_ensemble(geo, n_values, n_base=None):
     geometry (``geo.n_ref``); passing a different value is rejected — the
     rescale is silently wrong physics when anchored off the baked n.
     """
-    import math
-    n_ref = getattr(geo, "n_ref", float("nan"))
+    n_ref = getattr(geo, "n_ref", None)
     if n_base is None:
-        if math.isnan(n_ref):
+        if n_ref is None:
             raise ValueError(
                 "geo does not record its build-time Manning n (stations "
                 "disagreed, or the geometry predates n_ref); pass n_base "
                 "explicitly — it MUST be the n baked into the tables")
         n_base = n_ref
-    elif not math.isnan(n_ref) and abs(n_base - n_ref) > 1e-12 * abs(n_ref):
+    elif n_ref is not None and abs(n_base - n_ref) > 1e-12 * abs(n_ref):
         raise ValueError(
             f"n_base={n_base} does not match the Manning n baked into the "
             f"tables at build time (geo.n_ref={n_ref}); the rescale would "
@@ -223,6 +222,6 @@ def table_roughness_ensemble(geo, n_values, n_base=None):
 
     out = jax.vmap(set_n)(n_values)
     # the batch no longer has a single baked n (each member's is its own
-    # n value) — poison the anchor so a second rescale can't silently
+    # n value) — clear the anchor so a second rescale can't silently
     # anchor off the original build-time value
-    return dataclasses.replace(out, n_ref=float("nan"))
+    return dataclasses.replace(out, n_ref=None)

@@ -201,8 +201,8 @@ def test_table_roughness_ensemble_n_ref_anchor():
     b = table_roughness_ensemble(geo, [0.024, 0.036], 0.03)
     for la, lb in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)):
         assert np.array_equal(np.asarray(la), np.asarray(lb))
-    # rescaled batch has no single baked n — anchor poisoned
-    assert np.isnan(a.n_ref)
+    # rescaled batch has no single baked n — anchor cleared
+    assert a.n_ref is None
 
     with pytest.raises(ValueError, match="does not match"):
         table_roughness_ensemble(geo, [0.024], 0.035)
@@ -212,7 +212,7 @@ def test_table_roughness_ensemble_n_ref_anchor():
             IrregularStation(x=x, z=z, n_main=0.04, bed_slope=1e-4)]
     geo2 = build_table_geometry(sts2, [0.0, 1e4], np.linspace(0, 1e4, 5),
                                 samples=64)
-    assert np.isnan(geo2.n_ref)
+    assert geo2.n_ref is None
     with pytest.raises(ValueError, match="pass n_base"):
         table_roughness_ensemble(geo2, [0.024])
 

@@ -54,6 +54,33 @@ def _ref_K_eff(ref, hw):
     return np.sqrt(100.0 * 100.0 / sf)
 
 
+def test_split_section_dK_dA_matches_reference():
+    """On a section split by a levee into multiple wetted subchannels, the
+    table's dK/dA must be the derivative of the composite Horton K — the
+    reference combines per-subchannel derivatives (ref cross_section.py:
+    395-420 dSf_dA), not the single-channel formula on the full section."""
+    from flowsim_tpu.geometry_tables import _split_K_and_dK_dA, _subchannels
+
+    x, z = make_polyline()
+    st = IrregularStation(x=x, z=z, n_main=0.03)
+    ref = ref_station(x, z)
+    Q = 100.0
+    checked = 0
+    for hw in np.linspace(z.min() + 1.0, z[len(z) // 2] - 0.2, 9):
+        subs = _subchannels(st.x, st.z, float(hw))
+        if len(subs) <= 1:
+            continue
+        checked += 1
+        K, dK = _split_K_and_dK_dA(st, subs, float(hw), 1e-6)
+        # invert ref dSf_dA = -2 Q^2 K^-3 dK_dA through its own K_eff
+        K_ref = _ref_K_eff(ref, float(hw))
+        dSf = ref.dSf_dA(h=float(hw) - ref.z_min, Q=Q)
+        dK_ref = -dSf * K_ref**3 / (2.0 * Q * Q)
+        np.testing.assert_allclose(K, K_ref, rtol=1e-10, err_msg=f"hw={hw}")
+        np.testing.assert_allclose(dK, dK_ref, rtol=1e-8, err_msg=f"hw={hw}")
+    assert checked >= 3  # the levee scenario actually splits the section
+
+
 def test_table_geometry_closures_close():
     x, z = make_polyline()
     st = IrregularStation(x=x, z=z, n_main=0.03, bed_slope=1e-4)

@@ -110,6 +110,7 @@ def _run_benchmark(force_cpu: bool = False):
     # below; any failure (unsupported config, Mosaic regression) falls back
     # to the XLA scan-of-Newton path.
     fused_result = None
+    out_cpu64 = None  # CPU f64 validation run, computed at most once
     if device.platform != "cpu":
         try:
             from flowsim_tpu.ops.pallas.fused_newton import fused_simulate
@@ -179,10 +180,14 @@ def _run_benchmark(force_cpu: bool = False):
         # 1e-6 tolerance at a few flood-peak levels.  Validate the fields
         # against a CPU f64 run; if they agree, the throughput number stands
         # (the stalled levels did *more* Newton work, so it is conservative).
-        with jax.default_device(cpu):
-            out_cpu = prs.simulate(geo, solver.us_params, solver.ds_params,
-                                   solver.h0, solver.Q0, sset)
-            max_dd = float(jnp.max(jnp.abs(jnp.asarray(np.asarray(out.depth)) - out_cpu.depth)))
+        # Reuse the fused block's validation run if it already paid for one
+        # (a full 384-level CPU Newton run costs minutes).
+        if out_cpu64 is None:
+            with jax.default_device(cpu):
+                out_cpu64 = prs.simulate(geo, solver.us_params, solver.ds_params,
+                                         solver.h0, solver.Q0, sset)
+        max_dd = float(np.abs(np.asarray(out.depth)
+                              - np.asarray(out_cpu64.depth)).max())
         floor = float(np.asarray(out.error)[~np.asarray(out.converged)].max())
         log(f"TPU residual floor {floor:.2e} > tol at some levels; "
             f"max |depth - CPU f64| = {max_dd:.2e} m")

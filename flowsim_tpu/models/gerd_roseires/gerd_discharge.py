@@ -40,6 +40,13 @@ class GerdHydrograph(Hydrograph):
     def build(self, inflow_hydrograph: Hydrograph, time_step, duration, initial_stage,
               vol_curve_path=None):
         """Step the reservoir mass balance over [0, duration] (ref :12-56)."""
+        if int(duration) % int(time_step):
+            # the reference sizes its table with floor but its loop writes
+            # ceil rows — a non-multiple duration IndexErrors mid-routing;
+            # fail up front with the actual constraint instead
+            raise ValueError(
+                f"GERD routing needs duration ({duration}) to be a multiple "
+                f"of time_step ({time_step})")
         n = int(duration // time_step) + 1
         self.table = np.empty((n, 2), dtype=np.float64)
 

@@ -107,13 +107,22 @@ def run(
     verbose=1,
     folder=settings.folder,
     file=settings.file,
+    banks_file="banks.shp",
     **build_kw,
 ):
     """Run the case (ref model.py:10-113).
 
     With ``Q`` given, returns upstream stages interpolated at those
     discharges (the calibration hook, ref model.py:105-113); otherwise
-    returns the solver.
+    exports the bank polylines (GIS shapefile, ref model.py:115-125 —
+    disable with ``banks_file=None``) and returns the solver.
+
+    Calibration-hook caveat, faithful to the reference: the interpolation
+    runs np.interp over the upstream flow SERIES, which rises and falls —
+    a non-monotonic xp.  For a Q reached on both limbs, np.interp's sorted
+    assumption picks an arbitrary crossing; the reference calibration
+    inflow (inflow_hydrograph_small.csv) is monotone over the fitted range,
+    which is why the quirk is inherited rather than fixed.
     """
     solver, channel = build(**build_kw)
     if verbose > 0:
@@ -127,6 +136,23 @@ def run(
     if Q is not None:
         z0 = float(channel.geometry.z_bed[0])
         return np.interp(np.asarray(Q), solver.flow[:, 0], solver.depth[:, 0] + z0)
+
+    if folder is not None and banks_file is not None:
+        # bank polylines from planform curvature + initial-condition top
+        # widths (ref model.py:115-125 exports these unconditionally)
+        import os
+
+        from flowsim_tpu.utils.geometry_export import draw_channel
+
+        widths = [
+            channel.top_width(i, hw=channel.initial_conditions[i, 0]
+                              + channel.bed_level_at(i))
+            for i in range(len(channel.ch_at_node))
+        ]
+        curv = np.asarray(channel.geometry.curvature)
+        draw_channel(channel.ch_at_node, widths, curv,
+                     x0=726833.0, y0=1240801.0, theta0=2 * np.pi,
+                     outfile=os.path.join(folder, banks_file))
     return solver
 
 

@@ -145,20 +145,26 @@ def approximate_folder(folder, output_csv=None, bank_z_by_index=None):
     records = []
     files = sorted(f for f in os.listdir(folder) if f.endswith(".csv"))
     for i, name in enumerate(files):
-        data = pd.read_csv(os.path.join(folder, name))
-        x, z = data.iloc[:, 0].values, data.iloc[:, 1].values
-        if len(x) < 3:
-            continue
-        max_depth = float(z.max() - z.min())
-        min_h = max_depth * 0.1 if max_depth < 3.0 else 2.01
-        if min_h >= max_depth:
-            max_depth = min_h + 1.0
-        n_steps = int(max(20, (max_depth - min_h) * 10))
-        depths = np.linspace(min_h, max_depth, n_steps)
-        bank_z = None if bank_z_by_index is None else bank_z_by_index[i]
-        rec = fit_compound_trapezoid(x, z, depths, bank_z)
-        rec["file"] = name
-        records.append(rec)
+        # per-file isolation like the reference driver (ref :257-265):
+        # one pathological section (e.g. a canyon whose slope bound falls
+        # below the fit's initial guess) must not abort the whole batch
+        try:
+            data = pd.read_csv(os.path.join(folder, name))
+            x, z = data.iloc[:, 0].values, data.iloc[:, 1].values
+            if len(x) < 3:
+                continue
+            max_depth = float(z.max() - z.min())
+            min_h = max_depth * 0.1 if max_depth < 3.0 else 2.01
+            if min_h >= max_depth:
+                max_depth = min_h + 1.0
+            n_steps = int(max(20, (max_depth - min_h) * 10))
+            depths = np.linspace(min_h, max_depth, n_steps)
+            bank_z = None if bank_z_by_index is None else bank_z_by_index[i]
+            rec = fit_compound_trapezoid(x, z, depths, bank_z)
+            rec["file"] = name
+            records.append(rec)
+        except Exception as e:  # noqa: BLE001 — mirror ref's per-file catch
+            print(f"Failed to process {name}: {e}")
     df = pd.DataFrame(records)
     cols = ["z_min", "file", "b_main", "m_main", "err_main", "b_fp_left",
             "b_fp_right", "m_fp", "err_fp", "h_bankfull", "h_max"]

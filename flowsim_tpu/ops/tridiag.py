@@ -155,9 +155,15 @@ def block_thomas_factor(L, D, U):
 
 
 def block_thomas_apply(factor, b):
-    """Solve with a precomputed factorization; b: [..., N, 2] or [..., N, 2, m]."""
+    """Solve with a precomputed factorization.
+
+    ``b``: vector RHS ``[N, 2]`` (optionally with leading batch axes
+    ``[..., N, 2]``), or multi-RHS ``[N, 2, m]`` (trailing column axis).
+    The ambiguous ``[2, 2, 2]`` shape is read as multi-RHS.
+    """
     C, Dhat_inv, L_ = factor
-    if b.ndim == 2:  # vector RHS [N, 2]; [N, 2, m] goes to the multi branch
+    N = C.shape[0]
+    if b.ndim == 2:  # vector RHS [N, 2]
         b_ = jnp.moveaxis(b, -2, 0)
 
         def fwd(dprev, inp):
@@ -174,8 +180,20 @@ def block_thomas_apply(factor, b):
 
         _, xs = jax.lax.scan(bwd, jnp.zeros_like(b_[0]), (C, d), reverse=True)
         return jnp.moveaxis(xs, 0, -2)
-    # multi-RHS [N, 2, m]: vmap over the trailing column axis
-    return jax.vmap(lambda col: block_thomas_apply(factor, col), in_axes=-1, out_axes=-1)(b)
+    if b.shape[-3] == N and b.shape[-2] == 2:
+        # multi-RHS [..., N, 2, m]: vmap over the trailing column axis
+        return jax.vmap(lambda col: block_thomas_apply(factor, col),
+                        in_axes=-1, out_axes=-1)(b)
+    if b.shape[-2] == N and b.shape[-1] == 2:
+        # leading batch axes over vector RHS — previously misrouted into the
+        # multi-RHS branch (batch read as the node axis: shape error, or
+        # silently wrong answers when B == N)
+        flat = b.reshape((-1,) + b.shape[-2:])
+        out = jax.vmap(lambda bb: block_thomas_apply(factor, bb))(flat)
+        return out.reshape(b.shape)
+    raise ValueError(
+        f"RHS shape {b.shape} matches neither [..., {N}, 2] nor "
+        f"[..., {N}, 2, m]")
 
 
 def _shift(arr, s, node_axis):
@@ -239,9 +257,8 @@ def _pcr_core(L, D, U, b, pivot_eps: float | None = None):
         return jnp.where(valid, shifted, eye)
 
     s = 1
-    n_sweeps = max(1, int(jnp.ceil(jnp.log2(N)))) if not isinstance(N, int) else max(
-        1, (N - 1).bit_length()
-    )
+    # N = L.shape[-3] is always a concrete Python int under jit
+    n_sweeps = max(1, (N - 1).bit_length())
     for _ in range(n_sweeps):
         Dm = pad_neighbor_D(D, -s)
         Dp = pad_neighbor_D(D, +s)

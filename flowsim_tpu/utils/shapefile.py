@@ -44,7 +44,15 @@ def write_polylines(path: str, lines, attributes=None, field_name="bank", crs_wk
     ``attributes``: one string per line for the dbf attribute column.
     """
     base = path[:-4] if path.endswith(".shp") else path
+    if not lines:
+        raise ValueError("write_polylines needs at least one polyline")
     attributes = attributes or [str(i) for i in range(len(lines))]
+    if len(attributes) != len(lines):
+        # the .dbf header's record count comes from the lines while the
+        # record bodies come from attributes — a mismatch silently corrupts
+        # the file for strict readers
+        raise ValueError(
+            f"{len(attributes)} attributes for {len(lines)} polylines")
 
     records = [_polyline_record(pts) for pts in lines]
     all_x = [p[0] for pts in lines for p in pts]

@@ -42,7 +42,11 @@ def colebrook(Re, eps, D=DIAMETER, n_iter: int = 50):
     converges to double precision in ~10 sweeps.
     """
     Re = jnp.asarray(Re)
-    Re_t = jnp.maximum(Re, 2001.0)  # keep the turbulent branch well-defined
+    # clamp only BELOW the laminar/turbulent switch: the reference evaluates
+    # the turbulent fixed point at the actual Re for any Re >= 2000, and the
+    # laminar branch is selected below it anyway — the clamp just keeps the
+    # unused turbulent value finite there
+    Re_t = jnp.maximum(Re, 2000.0)
     f0 = swamee_jain(Re_t, eps, D)
 
     def body(f, _):

@@ -34,6 +34,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from flowsim_tpu.parallel.mesh import ENSEMBLE_AXIS, SPACE_AXIS
 
+_initialized_here = False  # idempotence fallback when the private API moves
+
 
 def initialize(coordinator_address: Optional[str] = None,
                num_processes: Optional[int] = None,
@@ -45,6 +47,7 @@ def initialize(coordinator_address: Optional[str] = None,
     simulated multi-host on CPU, pass ``coordinator_address`` (host:port),
     ``num_processes`` and ``process_id`` explicitly.
     """
+    global _initialized_here
     if is_initialized():
         return
     kwargs = {}
@@ -57,6 +60,7 @@ def initialize(coordinator_address: Optional[str] = None,
     if local_device_ids is not None:
         kwargs["local_device_ids"] = local_device_ids
     jax.distributed.initialize(**kwargs)
+    _initialized_here = True
 
 
 def is_initialized() -> bool:
@@ -65,7 +69,12 @@ def is_initialized() -> bool:
 
         return global_state.client is not None
     except Exception:  # pragma: no cover - private API moved
-        return jax.process_count() > 1
+        # MUST NOT touch jax.process_count() here: it initializes the
+        # backends, which both breaks a subsequent
+        # jax.distributed.initialize() ('must be called before any JAX
+        # computations') and, on a pod, would bring the backend up
+        # single-host.  Fall back to our own bookkeeping.
+        return _initialized_here
 
 
 def make_multihost_mesh(n_ensemble: Optional[int] = None,
@@ -78,17 +87,12 @@ def make_multihost_mesh(n_ensemble: Optional[int] = None,
     ``n_ensemble >= process_count`` each host holds whole ensemble members
     and the space axis never crosses DCN at all.
     """
-    devices = np.asarray(jax.devices())  # global, process-major order
-    n = devices.size
-    if n_ensemble is None and n_space is None:
-        n_ensemble, n_space = n, 1
-    elif n_ensemble is None:
-        n_ensemble = n // n_space
-    elif n_space is None:
-        n_space = n // n_ensemble
-    if n_ensemble * n_space != n:
-        raise ValueError(f"{n_ensemble} x {n_space} != {n} global devices")
-    return Mesh(devices.reshape(n_ensemble, n_space), (ENSEMBLE_AXIS, SPACE_AXIS))
+    from flowsim_tpu.parallel.mesh import make_mesh
+
+    # same factorization logic as the single-host mesh builder, over the
+    # GLOBAL process-major device list (one source of truth — the bodies
+    # had already started drifting when this was a verbatim copy)
+    return make_mesh(n_ensemble, n_space, devices=jax.devices())
 
 
 def host_local_view(tree, mesh: Mesh, specs):
@@ -103,17 +107,29 @@ def host_local_view(tree, mesh: Mesh, specs):
     return jax.tree_util.tree_map(put, tree, specs)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def _replicator(mesh: Mesh):
+    # one cached jitted identity per mesh: a fresh jax.jit(lambda ...) per
+    # leaf per call keeps its own trace cache, re-compiling the replicating
+    # all-gather for every leaf of every call
+    return jax.jit(lambda a: a, out_shardings=NamedSharding(mesh, P()))
+
+
 def replicate_to_host(tree, mesh: Mesh):
     """Fully replicate global arrays and return host NumPy on every process.
 
     Works on outputs that are not fully addressable per process (e.g. the
     space-sharded field histories of ``simulate_sharded``).
     """
+    rep_fn = _replicator(mesh)
+
     def rep(x):
         if not isinstance(x, jax.Array):
             return np.asarray(x)
-        y = jax.jit(lambda a: a, out_shardings=NamedSharding(mesh, P()))(x)
-        return np.asarray(y)
+        return np.asarray(rep_fn(x))
 
     return jax.tree_util.tree_map(rep, tree)
 

@@ -252,7 +252,8 @@ def _bcast_bnd_pair(x, axis_name):
     return jnp.stack([v0, v1], axis=-1)
 
 
-def _local_time_scan(geo_loc, h0_loc, Q0_loc, us, ds, settings):
+def _local_time_scan(geo_loc, h0_loc, Q0_loc, us, ds, bc_state0, settings,
+                     k0: int = 0):
     """Per-shard scan over time levels (runs inside shard_map; uses SPACE
     collectives for halos, the SPIKE solve, and the global residual norm).
 
@@ -260,6 +261,12 @@ def _local_time_scan(geo_loc, h0_loc, Q0_loc, us, ds, settings):
     carried replicated on every shard: the gate update is a per-level scalar
     computed identically everywhere, and the downstream stage it watches is
     the last shard's boundary node, broadcast with a psum.
+
+    ``bc_state0`` is the carried state at level ``k0`` (a resumed chunk
+    passes the checkpointed state and its absolute level index so the gate
+    controller's absolute times and the hydrograph targets line up);
+    returns the final (h, Q, BCState) alongside the stacked outputs so
+    chunked runs continue bitwise.
     """
     axis = SPACE_AXIS
     nt = settings.n_time_levels
@@ -308,63 +315,90 @@ def _local_time_scan(geo_loc, h0_loc, Q0_loc, us, ds, settings):
         out_q = _bcast_bnd_pair(Q2, axis) if store_bnd else Q2
         return (h2, Q2, bc_state), (out_h, out_q, iters, err, err < tol, rs, bc_state.gate_open)
 
-    ks = jnp.arange(1, nt)
-    gate_open0 = 1.0 if settings.gate_initially_open else 0.0
-    bc_state0 = bnd.initial_bc_state(
-        dtype, gate_open=gate_open0,
-        gate_stage=ds.bed_level + _bcast_last_node(h0_loc[-1], axis, dtype),
-    )
-    _, (hs, qs, iters, errs, conv, stages, gates) = lax.scan(
+    ks = k0 + jnp.arange(1, nt)
+    (h_fin, Q_fin, bc_fin), (hs, qs, iters, errs, conv, stages, gates) = lax.scan(
         step, (h0_loc, Q0_loc, bc_state0), ks
     )
-    return hs, qs, iters, errs, conv, stages, gates
+    return hs, qs, iters, errs, conv, stages, gates, h_fin, Q_fin, bc_fin
 
 
-def simulate_sharded(geo, us_bc, ds_bc, h0, Q0, settings: prs.PreissmannSettings, mesh: Mesh):
+def simulate_sharded(geo, us_bc, ds_bc, h0, Q0, settings: prs.PreissmannSettings, mesh: Mesh,
+                     bc_state0=None, k0: int = 0, return_final_state: bool = False):
     """Full Preissmann run with the node axis sharded over ``mesh['space']``.
 
     Requires n_nodes % n_space_shards == 0.  Matches the single-device
     ``ops.preissmann.simulate`` to roundoff.
+
+    Chunked / resumed runs: pass the checkpointed ``bc_state0``
+    (:class:`~flowsim_tpu.ops.boundary.BCState`) and the ABSOLUTE level
+    index ``k0`` the initial (h0, Q0) belong to — hydrograph targets and
+    the gate controller's absolute times then line up, so stitching chunks
+    reproduces a single-shot run bitwise (see
+    utils.checkpoint.simulate_sharded_with_checkpoints).
+    ``return_final_state=True`` additionally returns ``(h, Q, BCState)`` at
+    the last level (the restart state; with ``store="boundaries"`` the
+    stacked outputs alone wouldn't contain it).
     """
     n_shards = mesh.shape[SPACE_AXIS]
     N = geo.n_nodes
     if N % n_shards != 0:
         raise ValueError(f"n_nodes={N} not divisible by space shards {n_shards}")
 
-    def shard_fn(geo_loc, h0_loc, Q0_loc, us, ds):
-        return _local_time_scan(geo_loc, h0_loc, Q0_loc, us, ds, settings)
+    if bc_state0 is None:
+        # numpy leaves, NOT eager jnp: a committed single-device BCState
+        # would pin the jitted run to device 0 and clash with the mesh
+        gate_open0 = 1.0 if settings.gate_initially_open else 0.0
+        dt0 = np.asarray(h0).dtype
+        bc_state0 = bnd.BCState(
+            reservoir_stage=np.asarray(np.nan, dt0),
+            gate_open=np.asarray(gate_open0, dt0),
+            gate_cooldown=np.asarray(0.0, dt0),
+            gate_prev_time=np.asarray(-1.0, dt0),
+            gate_stage=np.asarray(np.asarray(ds_bc.bed_level)
+                                  + np.asarray(h0)[-1], dt0),
+        )
+
+    def shard_fn(geo_loc, h0_loc, Q0_loc, us, ds, bc0):
+        return _local_time_scan(geo_loc, h0_loc, Q0_loc, us, ds, bc0,
+                                settings, k0=k0)
 
     store_bnd = getattr(settings, "store", "full") == "boundaries"
     field_spec = P(None, None) if store_bnd else P(None, SPACE_AXIS)
     geo_specs = jax.tree_util.tree_map(lambda _: P(SPACE_AXIS), geo)
     bc_spec_us = jax.tree_util.tree_map(lambda _: P(), us_bc)
     bc_spec_ds = jax.tree_util.tree_map(lambda _: P(), ds_bc)
+    bc_state_spec = jax.tree_util.tree_map(lambda _: P(), bc_state0)
     f = shard_map(
         shard_fn, mesh,
-        in_specs=(geo_specs, P(SPACE_AXIS), P(SPACE_AXIS), bc_spec_us, bc_spec_ds),
+        in_specs=(geo_specs, P(SPACE_AXIS), P(SPACE_AXIS), bc_spec_us,
+                  bc_spec_ds, bc_state_spec),
         out_specs=(field_spec, field_spec, P(None), P(None), P(None),
-                   P(None), P(None)),
+                   P(None), P(None), P(SPACE_AXIS), P(SPACE_AXIS),
+                   bc_state_spec),
     )
-    gate_open0 = 1.0 if settings.gate_initially_open else 0.0
 
     # post-processing stays inside jit: on a multi-host mesh the outputs are
     # not fully addressable per process, so eager concatenation would fail
     @jax.jit
-    def run(geo, h0, Q0, us_bc, ds_bc):
-        hs, qs, iters, errs, conv, stages, gates = f(geo, h0, Q0, us_bc, ds_bc)
+    def run(geo, h0, Q0, us_bc, ds_bc, bc0):
+        (hs, qs, iters, errs, conv, stages, gates,
+         h_fin, Q_fin, bc_fin) = f(geo, h0, Q0, us_bc, ds_bc, bc0)
         h0_out = h0[jnp.array([0, -1])] if store_bnd else h0
         Q0_out = Q0[jnp.array([0, -1])] if store_bnd else Q0
         depth = jnp.concatenate([h0_out[None], hs], axis=0)
         flow = jnp.concatenate([Q0_out[None], qs], axis=0)
-        pad0 = lambda x, v: jnp.concatenate([jnp.asarray([v], dtype=x.dtype), x])
-        return prs.SimOutput(
+        pad0 = lambda x, v: jnp.concatenate(
+            [jnp.reshape(jnp.asarray(v, dtype=x.dtype), (1,)), x])
+        out = prs.SimOutput(
             depth=depth, flow=flow,
             iterations=pad0(iters, 0), error=pad0(errs, 0.0),
             converged=pad0(conv, True), reservoir_stage=pad0(stages, jnp.nan),
-            gate_open=pad0(gates, gate_open0),
+            gate_open=pad0(gates, bc0.gate_open),
         )
+        return out, (h_fin, Q_fin, bc_fin)
 
-    return run(geo, h0, Q0, us_bc, ds_bc)
+    out, final = run(geo, h0, Q0, us_bc, ds_bc, bc_state0)
+    return (out, final) if return_final_state else out
 
 
 def simulate_sharded_ensemble(geo_batch, us_bc, ds_bc, h0, Q0,

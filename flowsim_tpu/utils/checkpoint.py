@@ -200,3 +200,148 @@ def simulate_with_checkpoints(solver, tolerance=1e-4, max_iter=100, interval=50,
     )
     solver.total_sim_duration = (nt - 1) * solver.time_step
     return depth, flow
+
+
+# ---------------------------------------------------------------------------
+# Sharded (multi-host) checkpoint/resume — orbax-backed
+# ---------------------------------------------------------------------------
+
+
+def _ocp():
+    import orbax.checkpoint as ocp
+
+    return ocp
+
+
+def save_sharded_checkpoint(directory: str, k: int, h, Q, bc_state) -> str:
+    """Save the sharded restart state at level ``k`` with orbax.
+
+    Unlike the ``.npz`` path, this works for arrays that are NOT fully
+    addressable per process (space-sharded state on a multi-host mesh):
+    every process calls it collectively and orbax writes each host's shards.
+    """
+    ocp = _ocp()
+    os.makedirs(directory, exist_ok=True)
+    path = os.path.abspath(os.path.join(directory, f"sck_{k:08d}"))
+    tree = {"k": np.asarray(k), "h": h, "Q": Q,
+            "bc": dict(bc_state._asdict())}
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, tree, force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
+def latest_sharded_checkpoint(directory: str):
+    """(path, k) of the newest orbax checkpoint in ``directory``; None if none."""
+    if not os.path.isdir(directory):
+        return None
+    best, best_k = None, -1
+    for name in os.listdir(directory):
+        m = re.match(r"sck_(\d+)$", name)
+        if m and int(m.group(1)) > best_k:
+            best_k = int(m.group(1))
+            best = os.path.join(directory, name)
+    return (best, best_k) if best else None
+
+
+def restore_sharded_checkpoint(path: str, h_like, Q_like, bc_like):
+    """Restore ``(k, h, Q, BCState)`` with the shardings of the templates."""
+    import jax
+
+    from flowsim_tpu.ops import boundary as bnd
+
+    ocp = _ocp()
+
+    def abstract(a):
+        from jax.sharding import SingleDeviceSharding
+
+        a = jax.numpy.asarray(a)
+        sh = getattr(a, "sharding", None)
+        if isinstance(sh, SingleDeviceSharding):
+            # an eager/uncommitted template means "give me host values" —
+            # restoring committed-to-device-0 arrays would pin later jitted
+            # mesh computations off their device set
+            sh = None
+        return jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=sh)
+
+    tpl = {"k": jax.ShapeDtypeStruct((), np.asarray(0).dtype),
+           "h": abstract(h_like), "Q": abstract(Q_like),
+           "bc": jax.tree_util.tree_map(abstract, dict(bc_like._asdict()))}
+    ckptr = ocp.StandardCheckpointer()
+    z = ckptr.restore(os.path.abspath(path), tpl)
+
+    def host(x, t):
+        # a template without sharding means the caller wants host values:
+        # orbax would otherwise hand back arrays COMMITTED to device 0,
+        # which pins any later jitted mesh computation off its device set
+        return np.asarray(x) if t.sharding is None else x
+
+    h = host(z["h"], tpl["h"])
+    Q = host(z["Q"], tpl["Q"])
+    bc = jax.tree_util.tree_map(host, z["bc"], tpl["bc"])
+    return int(z["k"]), h, Q, bnd.BCState(**bc)
+
+
+def simulate_sharded_with_checkpoints(geo, us_bc, ds_bc, h0, Q0, settings,
+                                      mesh, interval=50,
+                                      directory="checkpoints_sharded",
+                                      resume=True):
+    """Domain-decomposed run in chunks of ``interval`` levels with orbax
+    checkpoints of the sharded restart state (level index, h, Q, BCState —
+    including the gate controller, so a resumed gated run continues its
+    hysteresis bitwise).
+
+    Returns a SimOutput covering levels [0, nt-1] identical to a single-shot
+    :func:`flowsim_tpu.parallel.domain.simulate_sharded` (each chunk passes
+    the ABSOLUTE level offset, so hydrograph targets and gate times line up).
+    A RESUMED run returns only the recomputed tail — levels (k_ckpt, nt-1]
+    — since the checkpoint stores the restart state, not the history (the
+    sharded history may not be addressable per process; keep earlier
+    chunks' outputs from the pre-crash run, or re-run with resume=False).
+    """
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from flowsim_tpu.ops import boundary as bnd
+    from flowsim_tpu.parallel.domain import simulate_sharded
+
+    nt = settings.n_time_levels
+    k0 = 0
+    h, Q = h0, Q0
+    # None -> simulate_sharded builds the (uncommitted) fresh-start BCState;
+    # an eagerly built jnp state here would pin the jitted run to device 0
+    bc_state = None
+    if resume:
+        found = latest_sharded_checkpoint(directory)
+        if found is not None:
+            gate_open0 = 1.0 if settings.gate_initially_open else 0.0
+            dt0 = np.asarray(h0).dtype
+            bc_tpl = bnd.BCState(
+                reservoir_stage=np.asarray(np.nan, dt0),
+                gate_open=np.asarray(gate_open0, dt0),
+                gate_cooldown=np.asarray(0.0, dt0),
+                gate_prev_time=np.asarray(-1.0, dt0),
+                gate_stage=np.asarray(0.0, dt0))
+            path, _ = found
+            k0, h, Q, bc_state = restore_sharded_checkpoint(
+                path, h0, Q0, bc_tpl)
+
+    chunks = []
+    while k0 < nt - 1:
+        n_levels = min(interval, nt - 1 - k0)
+        csettings = dataclasses.replace(settings, n_time_levels=n_levels + 1)
+        out, (h, Q, bc_state) = simulate_sharded(
+            geo, us_bc, ds_bc, h, Q, csettings, mesh,
+            bc_state0=bc_state, k0=k0, return_final_state=True)
+        # drop each chunk's level-0 row except the very first chunk's (it
+        # duplicates the previous chunk's final level)
+        sl = (lambda a: a) if k0 == 0 else (lambda a: a[1:])
+        chunks.append(jax.tree_util.tree_map(sl, out))
+        k0 += n_levels
+        save_sharded_checkpoint(directory, k0, h, Q, bc_state)
+
+    cat = jax.jit(lambda *xs: jax.tree_util.tree_map(
+        lambda *ls: jnp.concatenate(ls, axis=0), *xs))
+    return cat(*chunks) if len(chunks) > 1 else chunks[0]

@@ -133,6 +133,52 @@ def test_gated_checkpoint_resume_matches_simulate(tmp_path):
     np.testing.assert_allclose(f2, f1, rtol=0, atol=0)
 
 
+def test_gated_sharded_checkpoint_resume_matches_single_shot(tmp_path):
+    """Orbax-backed sharded checkpointing: a chunked domain-decomposed gated
+    run (absolute level offsets + carried BCState) reproduces the single-shot
+    simulate_sharded bitwise, including across a crash/resume boundary."""
+    import os
+
+    from flowsim_tpu.parallel.domain import simulate_sharded
+    from flowsim_tpu.parallel.mesh import make_mesh
+    from flowsim_tpu.utils.checkpoint import (latest_sharded_checkpoint,
+                                              simulate_sharded_with_checkpoints)
+
+    solver = _build_gated_solver(length=23000.0)  # 24 nodes = 8 shards x 3
+    sset = solver.settings(tolerance=1e-10, max_iter=100)
+    geo = solver.channel.geometry
+    mesh = make_mesh(n_ensemble=1, n_space=8)
+
+    ref = simulate_sharded(geo, solver.us_params, solver.ds_params,
+                           solver.h0, solver.Q0, sset, mesh)
+    assert np.asarray(ref.gate_open).max() == 1.0  # gate actually moves
+
+    ck = str(tmp_path / "sck")
+    out = simulate_sharded_with_checkpoints(
+        geo, solver.us_params, solver.ds_params, solver.h0, solver.Q0,
+        sset, mesh, interval=7, directory=ck, resume=False)
+    for a, b in zip(jax.tree_util.tree_leaves(out), jax.tree_util.tree_leaves(ref)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # crash mid-run: drop checkpoints past level 14, resume, same answer
+    for name in sorted(os.listdir(ck)):
+        if int(name[4:]) > 14:
+            import shutil
+
+            shutil.rmtree(os.path.join(ck, name))
+    found = latest_sharded_checkpoint(ck)
+    assert found is not None and found[1] == 14
+    out2 = simulate_sharded_with_checkpoints(
+        geo, solver.us_params, solver.ds_params, solver.h0, solver.Q0,
+        sset, mesh, interval=7, directory=ck, resume=True)
+    # the resumed run returns the recomputed tail (levels 15..nt-1); it must
+    # be bitwise-equal (same state, same absolute ks, same gate history)
+    np.testing.assert_array_equal(np.asarray(out2.depth),
+                                  np.asarray(ref.depth)[15:])
+    np.testing.assert_array_equal(np.asarray(out2.gate_open),
+                                  np.asarray(ref.gate_open)[15:])
+
+
 def test_gated_sharded_ensemble_reports_gate_trajectory():
     """simulate_sharded_ensemble must surface the REAL per-member gate
     series (it previously fabricated all-zeros), matching each member's

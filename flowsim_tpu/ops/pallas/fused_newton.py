@@ -1066,9 +1066,10 @@ def _check_supported(geo, us_bc, ds_bc, settings):
     ds_sp = ds_bc.storage if ds_bc.kind == "fixed_depth" else None
     if us_sp is not None and ds_sp is not None:
         raise FusedUnsupported(
-            "lumped storage on both boundaries is not supported (a single "
-            "reservoir-stage state is carried; the XLA path shares the same "
-            "single-slot BCState, ops/boundary.py:91-105)")
+            "lumped storage on both boundaries: the kernel carries a single "
+            "reservoir-stage slot; the XLA path carries both stages "
+            "(BCState.reservoir_stage_us, ops/boundary.py:97-122) and is "
+            "used as the fallback")
     for sp in (us_sp, ds_sp):
         if sp is not None and sp.has_rating and sp.rating.kind == "gated_blend":
             raise FusedUnsupported(
@@ -1517,6 +1518,16 @@ def _kernel_batched(geo_ref, init_ref, tgt_ref, ds_tgt_ref, scal_ref,
     h0 = DF(init[0 * B:1 * B, :], init[1 * B:2 * B, :])
     Q0 = DF(init[2 * B:3 * B, :], init[3 * B:4 * B, :])
 
+    def row0(k):
+        # start row of level k's [B, :] output block.  `k` is the fori_loop
+        # index — a weak i64 under x64 — and Mosaic can lower neither an
+        # i64 multiply nor an i64->i32 convert (see the f32-compare note in
+        # _assemble_fused); i64->f32->i32 DOES lower, and nt*B is far below
+        # f32's 2^24 exact-integer range (the VMEM output cap binds first).
+        if isinstance(k, (int, np.integer)):
+            return int(k) * B
+        return (k.astype(jnp.float32) * np.float32(B)).astype(jnp.int32)
+
     def store_level(k, h, Q, iters, err, res_stage, gate_open):
         idx128 = jax.lax.broadcasted_iota(jnp.int32, (1, stats_ref.shape[1]), 1)
         stats_rows = (jnp.where(idx128 == 0, iters, 0.0)
@@ -1534,13 +1545,13 @@ def _kernel_batched(geo_ref, init_ref, tgt_ref, ds_tgt_ref, scal_ref,
                               (8, Q.hi[:, 0:1]), (9, Q.lo[:, 0:1]),
                               (10, Q.hi[:, n - 1:n]), (11, Q.lo[:, n - 1:n])):
                 stats_rows = stats_rows + jnp.where(idx128 == lane, val, 0.0)
-            stats_ref[pl.ds(k * B, B), :] = stats_rows
+            stats_ref[pl.ds(row0(k), B), :] = stats_rows
             return
-        dhi_ref[pl.ds(k * B, B), :] = h.hi
-        dlo_ref[pl.ds(k * B, B), :] = h.lo
-        fhi_ref[pl.ds(k * B, B), :] = Q.hi
-        flo_ref[pl.ds(k * B, B), :] = Q.lo
-        stats_ref[pl.ds(k * B, B), :] = stats_rows
+        dhi_ref[pl.ds(row0(k), B), :] = h.hi
+        dlo_ref[pl.ds(row0(k), B), :] = h.lo
+        fhi_ref[pl.ds(row0(k), B), :] = Q.hi
+        flo_ref[pl.ds(row0(k), B), :] = Q.lo
+        stats_ref[pl.ds(row0(k), B), :] = stats_rows
 
     store_level(0, h0, Q0, zcol, zcol, zcol, zcol + np.float32(gate_init))
 
@@ -1592,10 +1603,16 @@ def _kernel_batched(geo_ref, init_ref, tgt_ref, ds_tgt_ref, scal_ref,
             return (hn.hi, hn.lo, qn.hi, qn.lo, active, iters, errf,
                     rs_hi, rs_lo)
 
+        # data-derived zero column: a constant-zero [B,1] init gets a
+        # REPLICATED Mosaic layout, while the loop body computes a concrete
+        # one — the carry relayout is then rejected ("Non-singleton logical
+        # dimension is replicated in destination but not in source").
+        # Deriving the init from runtime data pins a concrete layout.
+        dz = h.hi[:, 0:1] * np.float32(0.0)
         hh, hl, qh, ql, _, iters, errf, rs_hi, rs_lo = jax.lax.while_loop(
             cond, body,
-            (h.hi, h.lo, Q.hi, Q.lo, zcol + 1.0, zcol,
-             zcol + np.float32(np.inf), y_hi * 1.0, y_lo * 1.0))
+            (h.hi, h.lo, Q.hi, Q.lo, dz + 1.0, dz,
+             dz + np.float32(np.inf), y_hi * 1.0, y_lo * 1.0))
 
         gstage = scal[_S_DSBED] + hh[:, n - 1:n] + hl[:, n - 1:n]
         store_level(k, DF(hh, hl), DF(qh, ql), iters, errf,
@@ -1604,10 +1621,13 @@ def _kernel_batched(geo_ref, init_ref, tgt_ref, ds_tgt_ref, scal_ref,
 
     with df32.fenced(scal[_S_ZERO]):
         gstage0 = scal[_S_DSBED] + h0.hi[:, n - 1:n] + h0.lo[:, n - 1:n]
+        # data-derived zero column for the level-loop carry (see the layout
+        # note at the inner while_loop init)
+        dz0 = h0.hi[:, 0:1] * np.float32(0.0)
         jax.lax.fori_loop(
             1, nt, level_body,
-            (h0.hi, h0.lo, Q0.hi, Q0.lo, zcol, zcol,
-             zcol + np.float32(gate_init), zcol, zcol - 1.0, gstage0))
+            (h0.hi, h0.lo, Q0.hi, Q0.lo, dz0, dz0,
+             dz0 + np.float32(gate_init), dz0, dz0 - 1.0, gstage0))
 
 
 @functools.lru_cache(maxsize=64)

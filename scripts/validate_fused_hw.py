@@ -194,8 +194,15 @@ def main():
     with jax.default_device(cpu):
         cases = build_cases()
 
+    only = set(sys.argv[1:])  # e.g. `validate_fused_hw.py batched` -> batched only
+
+    def wanted(name):
+        return not only or any(tok in name for tok in only)
+
     results = {}
     for name, (solver, sset) in cases.items():
+        if not wanted(name):
+            continue
         geo = solver.channel.geometry
         with jax.default_device(cpu):
             ref = prs.simulate(geo, solver.us_params, solver.ds_params,
@@ -258,6 +265,8 @@ def main():
     for store in ("full", "boundaries"):
         B = max_fused_batch(n_nodes, nt, store)
         name = f"batched_{store}_b{B}"
+        if not wanted(name):
+            continue
         sset_b = dc.replace(sset, store=store) if store != "full" else sset
         n_vals = np.linspace(0.025, 0.045, B)
         with jax.default_device(cpu):

@@ -97,8 +97,14 @@ def make_boundary(
 class BCState(NamedTuple):
     """Cross-time-level boundary state carried by the solver scan.
 
-    ``reservoir_stage``: previous level's lumped-storage stage (NaN if no
-    storage BC).  The ``gate_*`` fields hold the explicit gate-controller
+    ``reservoir_stage``: previous level's DOWNSTREAM lumped-storage stage
+    (NaN if no ds storage BC; for backward compatibility it also mirrors an
+    upstream-only storage's stage).  ``reservoir_stage_us``: the UPSTREAM
+    storage's stage (NaN unless the us boundary has storage) — a separate
+    carry so storage on BOTH boundaries evolves independently (the
+    reference keeps per-boundary ``stage_hydrograph`` state inside each
+    LumpedStorage, ref boundary.py:104-131, so both-ends storage works
+    there too).  The ``gate_*`` fields hold the explicit gate-controller
     state for a ``gated_blend`` downstream rating curve (SURVEY.md §3.3):
     open flag (0/1), remaining cooldown [s], last controller time (-1 before
     the first update), and the stage the controller last saw.
@@ -109,6 +115,7 @@ class BCState(NamedTuple):
     gate_cooldown: jnp.ndarray
     gate_prev_time: jnp.ndarray
     gate_stage: jnp.ndarray
+    reservoir_stage_us: jnp.ndarray
 
 
 def initial_bc_state(dtype, gate_open=0.0, gate_stage=jnp.nan) -> BCState:
@@ -119,6 +126,7 @@ def initial_bc_state(dtype, gate_open=0.0, gate_stage=jnp.nan) -> BCState:
         gate_cooldown=z(0.0),
         gate_prev_time=z(-1.0),
         gate_stage=z(gate_stage),
+        reservoir_stage_us=z(jnp.nan),
     )
 
 

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 from functools import partial
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -47,6 +47,7 @@ class LaxOutput(NamedTuple):
     flow: jnp.ndarray
     cfl_violated: jnp.ndarray    # [nt] bool
     reservoir_stage: jnp.ndarray
+    reservoir_stage_us: Optional[jnp.ndarray] = None  # [nt] upstream storage stage
 
 
 def depth_from_area(geo, A):
@@ -149,10 +150,6 @@ def _bc_value(bc: bnd.BoundaryParams, geo, st_node: bnd.NodeSection, depth_schem
 
 @partial(jax.jit, static_argnames=("settings",))
 def simulate(geo, us_bc, ds_bc, h0, Q0, settings: LaxSettings) -> LaxOutput:
-    if us_bc.storage is not None and ds_bc.storage is not None:
-        raise NotImplementedError(
-            "lumped storage on BOTH boundaries is not supported: the "
-            "scan carries a single reservoir stage")
     dt = settings.time_step
     dx = settings.spatial_step
     nt = settings.n_time_levels
@@ -162,7 +159,7 @@ def simulate(geo, us_bc, ds_bc, h0, Q0, settings: LaxSettings) -> LaxOutput:
     A0 = st0.A
 
     def step(carry, k):
-        A, Q, res_stage_prev = carry
+        A, Q, res_stage_prev, res_stage_prev_us = carry
         h = depth_from_area(geo, A)
         st = sec.section_state(geo, h)
         Y = geo.z_bed + h
@@ -201,11 +198,11 @@ def simulate(geo, us_bc, ds_bc, h0, Q0, settings: LaxSettings) -> LaxOutput:
         ns_ds = bnd.NodeSection(A=st_ds.A, R=st_ds.R, K=st_ds.K, n_eq=st_ds.n_eq,
                                 dA_dh=st_ds.dA_dh, dR_dA=st_ds.dR_dA, dK_dA=st_ds.dK_dA)
 
-        h_us, Q_us, rs_us = _bc_value(us_bc, geo, ns_us, h_sch_us, Q_new[0], k, dt, Q[0], res_stage_prev, geo.bed_slope[0], upstream=True, h_prev_node=h[0])
+        h_us, Q_us, rs_us = _bc_value(us_bc, geo, ns_us, h_sch_us, Q_new[0], k, dt, Q[0], res_stage_prev_us, geo.bed_slope[0], upstream=True, h_prev_node=h[0])
         h_ds, Q_ds, rs_ds = _bc_value(ds_bc, geo, ns_ds, h_sch_ds, Q_new[-1], k, dt, Q[-1], res_stage_prev, geo.bed_slope[-1])
-        # downstream storage wins; otherwise an UPSTREAM storage's stage is
-        # carried (same precedence as ops.preissmann.assemble — dropping it
-        # would feed NaN Y_old back into the upstream mass balance at k=2)
+        # each boundary carries its OWN stage (both-ends storage evolves
+        # independently, mirroring ops.preissmann); the merged output keeps
+        # the ds-preferred precedence for backward compatibility
         res_stage = jnp.where(jnp.isnan(rs_ds), rs_us, rs_ds)
 
         geo_us = jax.tree_util.tree_map(lambda a: a[0], geo)
@@ -222,14 +219,16 @@ def simulate(geo, us_bc, ds_bc, h0, Q0, settings: LaxSettings) -> LaxOutput:
         cel = jnp.maximum(V + jnp.sqrt(g * h_out), V - jnp.sqrt(g * h_out))
         violated = jnp.any(cel > num_celerity)
 
-        return (A_out, Q_out, res_stage), (h_out, Q_out, violated, res_stage)
+        return (A_out, Q_out, res_stage, rs_us), (h_out, Q_out, violated, res_stage, rs_us)
 
     ks = jnp.arange(1, nt)
-    _, (hs, qs, viol, stages) = jax.lax.scan(step, (A0, Q0, jnp.asarray(jnp.nan, h0.dtype)), ks)
+    nan0 = jnp.asarray(jnp.nan, h0.dtype)
+    _, (hs, qs, viol, stages, stages_us) = jax.lax.scan(step, (A0, Q0, nan0, nan0), ks)
 
     depth = jnp.concatenate([h0[None], hs], axis=0)
     flow = jnp.concatenate([Q0[None], qs], axis=0)
     pad0 = lambda x, v: jnp.concatenate([jnp.asarray([v], dtype=x.dtype), x])
     return LaxOutput(depth=depth, flow=flow,
                      cfl_violated=pad0(viol, False),
-                     reservoir_stage=pad0(stages, jnp.nan))
+                     reservoir_stage=pad0(stages, jnp.nan),
+                     reservoir_stage_us=pad0(stages_us, jnp.nan))

@@ -89,9 +89,10 @@ class SimOutput(NamedTuple):
     iterations: jnp.ndarray   # [nt] Newton iterations (0 at level 0)
     error: jnp.ndarray        # [nt] final pre-update residual norm
     converged: jnp.ndarray    # [nt] bool
-    reservoir_stage: jnp.ndarray  # [nt] NaN unless downstream storage BC
+    reservoir_stage: jnp.ndarray  # [nt] NaN unless a storage BC (ds, or us-only)
     gate_open: jnp.ndarray    # [nt] gate flag (gated_blend downstream curve)
     rcond: Optional[jnp.ndarray] = None  # [nt] min pivot-rcond proxy (diagnos)
+    reservoir_stage_us: Optional[jnp.ndarray] = None  # [nt] upstream storage stage (both-ends runs)
 
 
 def _node_section(st: sec.SectionState, i) -> bnd.NodeSection:
@@ -175,11 +176,18 @@ def cell_stencil(theta, dt, dx, cur: dict, prev: dict) -> CellOut:
     )
 
 
-def assemble(geo, us_bc, ds_bc, settings: PreissmannSettings, prev: PrevLevel, h, Q, k, reservoir_stage_prev, bc_state=None):
+def assemble(geo, us_bc, ds_bc, settings: PreissmannSettings, prev: PrevLevel, h, Q, k, reservoir_stage_prev, bc_state=None,
+             reservoir_stage_prev_us=None):
     """Residuals + block-tridiagonal Jacobian at the current Newton iterate.
 
-    Returns (L, D, U, b, err_norm, reservoir_stage): the 2x2 block system
-    J delta = b (b = -R grouped per node) and the L2 norm of R.
+    Returns (L, D, U, b, err_norm, reservoir_stage, reservoir_stage_us):
+    the 2x2 block system J delta = b (b = -R grouped per node), the L2 norm
+    of R, and the two boundaries' new storage stages.  ``reservoir_stage``
+    keeps the merged (ds-preferred) value for backward compatibility;
+    ``reservoir_stage_us`` is NaN unless the upstream boundary has storage.
+    ``reservoir_stage_prev_us`` defaults to ``reservoir_stage_prev`` so
+    single-storage callers need not pass it; both-ends runs MUST pass each
+    boundary its own previous stage.
     """
     theta = settings.theta
     dt = settings.time_step
@@ -199,13 +207,16 @@ def assemble(geo, us_bc, ds_bc, settings: PreissmannSettings, prev: PrevLevel, h
     th_dx = theta / dx
 
     # -- boundary rows (ref :200-218, :303-320) ----------------------------
+    if reservoir_stage_prev_us is None:
+        reservoir_stage_prev_us = reservoir_stage_prev
     us = bnd.evaluate(us_bc, _node_section(st, 0), h[0], Q[0], k, dt,
-                      Q_prev=prev.Q[0], reservoir_stage_prev=reservoir_stage_prev,
+                      Q_prev=prev.Q[0], reservoir_stage_prev=reservoir_stage_prev_us,
                       bc_state=bc_state, upstream=True, h_prev=prev.h[0])
     ds = bnd.evaluate(ds_bc, _node_section(st, -1), h[-1], Q[-1], k, dt,
                       Q_prev=prev.Q[-1], reservoir_stage_prev=reservoir_stage_prev,
                       bc_state=bc_state)
     reservoir_stage = jnp.where(jnp.isnan(ds.reservoir_stage), us.reservoir_stage, ds.reservoir_stage)
+    reservoir_stage_us = us.reservoir_stage
 
     # -- norm of the full residual vector (ref :149) -----------------------
     err = jnp.sqrt(us.residual**2 + ds.residual**2 + jnp.sum(Rc**2) + jnp.sum(Rm**2))
@@ -245,7 +256,7 @@ def assemble(geo, us_bc, ds_bc, settings: PreissmannSettings, prev: PrevLevel, h
     b_row1 = jnp.concatenate([Rc, ds.residual[None]])
     b = -jnp.stack([b_row0, b_row1], axis=-1)
 
-    return L, D, U, b, err, reservoir_stage
+    return L, D, U, b, err, reservoir_stage, reservoir_stage_us
 
 
 def _solve_with_diag(L, D, U, b, settings):
@@ -274,68 +285,65 @@ def _solve_with_diag(L, D, U, b, settings):
     return delta, rc.astype(b.dtype)
 
 
-def newton_solve(geo, us_bc, ds_bc, settings, prev: PrevLevel, h, Q, k, reservoir_stage_prev, bc_state=None):
+def newton_solve(geo, us_bc, ds_bc, settings, prev: PrevLevel, h, Q, k, reservoir_stage_prev, bc_state=None,
+                 reservoir_stage_prev_us=None):
     """One time level: Newton-iterate to tolerance (ref :101-163 inner loop).
 
-    Returns ``(h, Q, err, iters, reservoir_stage, rcond)`` where rcond is the
-    minimum pivot-rcond proxy across the level's iterations (1.0 when
-    ``settings.diagnos`` is off).
+    Returns ``(h, Q, err, iters, reservoir_stage, reservoir_stage_us,
+    rcond)`` where rcond is the minimum pivot-rcond proxy across the
+    level's iterations (1.0 when ``settings.diagnos`` is off).
     """
     tol = settings.tolerance
 
     def one_iteration(h, Q):
-        L, D, U, b, err, res_stage = assemble(
-            geo, us_bc, ds_bc, settings, prev, h, Q, k, reservoir_stage_prev, bc_state
+        L, D, U, b, err, res_stage, res_stage_us = assemble(
+            geo, us_bc, ds_bc, settings, prev, h, Q, k, reservoir_stage_prev, bc_state,
+            reservoir_stage_prev_us=reservoir_stage_prev_us,
         )
         delta, rc = _solve_with_diag(L, D, U, b, settings)
-        return h + delta[:, 0], Q + delta[:, 1], err, res_stage, rc
+        return h + delta[:, 0], Q + delta[:, 1], err, res_stage, res_stage_us, rc
 
     nan = jnp.asarray(jnp.nan, dtype=h.dtype)
     one = jnp.asarray(1.0, dtype=h.dtype)
 
     if settings.newton == "while":
         def cond(c):
-            _, _, err, it, _, _ = c
+            err, it = c[2], c[3]
             return (err >= tol) & (it < settings.max_iter)
 
         def body(c):
-            h, Q, _, it, _, rc_min = c
-            h2, Q2, err, res_stage, rc = one_iteration(h, Q)
-            return (h2, Q2, err, it + 1, res_stage, jnp.minimum(rc_min, rc))
+            h, Q, _, it, _, _, rc_min = c
+            h2, Q2, err, res_stage, res_us, rc = one_iteration(h, Q)
+            return (h2, Q2, err, it + 1, res_stage, res_us, jnp.minimum(rc_min, rc))
 
-        h, Q, err, iters, res_stage, rcond = jax.lax.while_loop(
-            cond, body, (h, Q, jnp.asarray(jnp.inf, h.dtype), jnp.asarray(0), nan, one)
+        h, Q, err, iters, res_stage, res_stage_us, rcond = jax.lax.while_loop(
+            cond, body, (h, Q, jnp.asarray(jnp.inf, h.dtype), jnp.asarray(0), nan, nan, one)
         )
     else:  # fixed-length masked Newton: reverse-mode differentiable
         def body(c, _):
-            h, Q, err, it, res_stage, rc_min = c
+            h, Q, err, it, res_stage, res_stage_us, rc_min = c
             active = err >= tol
-            h2, Q2, err2, res2, rc = one_iteration(h, Q)
+            h2, Q2, err2, res2, res2_us, rc = one_iteration(h, Q)
             h = jnp.where(active, h2, h)
             Q = jnp.where(active, Q2, Q)
             err = jnp.where(active, err2, err)
             res_stage = jnp.where(active, res2, res_stage)
+            res_stage_us = jnp.where(active, res2_us, res_stage_us)
             rc_min = jnp.where(active, jnp.minimum(rc_min, rc), rc_min)
             it = it + active.astype(it.dtype)
-            return (h, Q, err, it, res_stage, rc_min), None
+            return (h, Q, err, it, res_stage, res_stage_us, rc_min), None
 
-        (h, Q, err, iters, res_stage, rcond), _ = jax.lax.scan(
-            body, (h, Q, jnp.asarray(jnp.inf, h.dtype), jnp.asarray(0), nan, one),
+        (h, Q, err, iters, res_stage, res_stage_us, rcond), _ = jax.lax.scan(
+            body, (h, Q, jnp.asarray(jnp.inf, h.dtype), jnp.asarray(0), nan, nan, one),
             None, length=settings.max_iter,
         )
 
-    return h, Q, err, iters, res_stage, rcond
+    return h, Q, err, iters, res_stage, res_stage_us, rcond
 
 
 @partial(jax.jit, static_argnames=("settings",))
 def simulate(geo, us_bc, ds_bc, h0, Q0, settings: PreissmannSettings) -> SimOutput:
     """Full run: scan Newton-solved levels 1..nt-1 (ref :101-163 outer loop)."""
-    if us_bc.storage is not None and ds_bc.storage is not None:
-        # BCState carries ONE reservoir stage; two storages would silently
-        # cross-feed each other's history (the fused kernel rejects this too)
-        raise NotImplementedError(
-            "lumped storage on BOTH boundaries is not supported: the "
-            "carried BCState holds a single reservoir stage")
     nt = settings.n_time_levels
 
     ds_bed = ds_bc.bed_level
@@ -345,13 +353,15 @@ def simulate(geo, us_bc, ds_bc, h0, Q0, settings: PreissmannSettings) -> SimOutp
         # per-level gate-controller update (no-op unless gated_blend ds curve)
         bc_state = bnd.update_gate_level_start(ds_bc, bc_state, k.astype(h_prev.dtype) * settings.time_step)
         prev = prev_level_state(geo, h_prev, Q_prev)
-        h, Q, err, iters, res_stage, rcond = newton_solve(
+        h, Q, err, iters, res_stage, res_stage_us, rcond = newton_solve(
             geo, us_bc, ds_bc, settings, prev, h_prev, Q_prev, k,
             bc_state.reservoir_stage, bc_state,
+            reservoir_stage_prev_us=bc_state.reservoir_stage_us,
         )
         bc_state = bc_state._replace(
             reservoir_stage=res_stage,
             gate_stage=ds_bed + h[-1],
+            reservoir_stage_us=res_stage_us,
         )
         if settings.live_progress:
             jax.debug.callback(
@@ -363,13 +373,13 @@ def simulate(geo, us_bc, ds_bc, h0, Q0, settings: PreissmannSettings) -> SimOutp
             h_out, Q_out = h[jnp.array([0, -1])], Q[jnp.array([0, -1])]
         else:
             h_out, Q_out = h, Q
-        out = (h_out, Q_out, iters, err, err < settings.tolerance, res_stage, bc_state.gate_open, rcond)
+        out = (h_out, Q_out, iters, err, err < settings.tolerance, res_stage, bc_state.gate_open, rcond, res_stage_us)
         return (h, Q, bc_state), out
 
     ks = jnp.arange(1, nt)
     gate_open0 = 1.0 if settings.gate_initially_open else 0.0
     bc_state0 = bnd.initial_bc_state(h0.dtype, gate_open=gate_open0, gate_stage=ds_bed + h0[-1])
-    (_, _, _), (hs, qs, iters, errs, conv, stages, gates, rconds) = jax.lax.scan(
+    (_, _, _), (hs, qs, iters, errs, conv, stages, gates, rconds, stages_us) = jax.lax.scan(
         step, (h0, Q0, bc_state0), ks
     )
 
@@ -389,6 +399,7 @@ def simulate(geo, us_bc, ds_bc, h0, Q0, settings: PreissmannSettings) -> SimOutp
         reservoir_stage=pad0(stages, jnp.nan),
         gate_open=pad0(gates, gate_open0),
         rcond=pad0(rconds, 1.0),
+        reservoir_stage_us=pad0(stages_us, jnp.nan),
     )
 
 
@@ -406,15 +417,21 @@ def single_step(geo, us_bc, ds_bc, h, Q, k, reservoir_stage_prev, settings: Prei
         gate_open0 = 1.0 if settings.gate_initially_open else 0.0
         bc_state = bnd.initial_bc_state(h.dtype, gate_open=gate_open0,
                                         gate_stage=ds_bc.bed_level + h[-1])
-        bc_state = bc_state._replace(reservoir_stage=jnp.asarray(reservoir_stage_prev, h.dtype))
+        rs = jnp.asarray(reservoir_stage_prev, h.dtype)
+        # a legacy scalar prev-stage seeds BOTH carries (safe: at most one
+        # boundary reads each, and single-storage runs stored the one stage
+        # in the merged slot)
+        bc_state = bc_state._replace(reservoir_stage=rs, reservoir_stage_us=rs)
     k = jnp.asarray(k)
     bc_state = bnd.update_gate_level_start(ds_bc, bc_state, k.astype(h.dtype) * settings.time_step)
     prev = prev_level_state(geo, h, Q)
-    h2, Q2, err, iters, res_stage, _ = newton_solve(
-        geo, us_bc, ds_bc, settings, prev, h, Q, k, bc_state.reservoir_stage, bc_state
+    h2, Q2, err, iters, res_stage, res_stage_us, _ = newton_solve(
+        geo, us_bc, ds_bc, settings, prev, h, Q, k, bc_state.reservoir_stage, bc_state,
+        reservoir_stage_prev_us=bc_state.reservoir_stage_us,
     )
     bc_state = bc_state._replace(
         reservoir_stage=res_stage,
         gate_stage=ds_bc.bed_level + h2[-1],
+        reservoir_stage_us=res_stage_us,
     )
     return h2, Q2, err, iters, bc_state

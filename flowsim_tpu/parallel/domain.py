@@ -154,8 +154,14 @@ def _spike_solve(L, D, U, b, axis_name):
 
 
 def _assemble_local(geo, us_bc, ds_bc, settings, prev_fields, h, Q, k,
-                    reservoir_stage_prev, axis_name, bc_state=None):
-    """Local rows of the global block-tridiagonal system + residual norm."""
+                    reservoir_stage_prev, axis_name, bc_state=None,
+                    reservoir_stage_prev_us=None):
+    """Local rows of the global block-tridiagonal system + residual norm.
+
+    Returns ``(L, D, U, b, err, res_stage, res_stage_us)`` — the merged
+    (ds-preferred) storage stage plus the upstream boundary's own stage so
+    both-ends storage runs carry independent histories (mirrors
+    ops.preissmann.assemble)."""
     theta, dt, dx = settings.theta, settings.time_step, settings.spatial_step
     S = lax.axis_size(axis_name)
     s_idx = lax.axis_index(axis_name)
@@ -177,8 +183,10 @@ def _assemble_local(geo, us_bc, ds_bc, settings, prev_fields, h, Q, k,
         return bnd.NodeSection(A=st.A[i], R=st.R[i], K=st.K[i], n_eq=st.n_eq[i],
                                dA_dh=st.dA_dh[i], dR_dA=st.dR_dA[i], dK_dA=st.dK_dA[i])
 
+    if reservoir_stage_prev_us is None:
+        reservoir_stage_prev_us = reservoir_stage_prev
     us = bnd.evaluate(us_bc, node_sec(0), h[0], Q[0], k, dt,
-                      Q_prev=prev_fields["Q"][0], reservoir_stage_prev=reservoir_stage_prev,
+                      Q_prev=prev_fields["Q"][0], reservoir_stage_prev=reservoir_stage_prev_us,
                       bc_state=bc_state, upstream=True,
                       h_prev=prev_fields["h"][0])
     ds = bnd.evaluate(ds_bc, node_sec(-1), h[-1], Q[-1], k, dt,
@@ -197,6 +205,7 @@ def _assemble_local(geo, us_bc, ds_bc, settings, prev_fields, h, Q, k,
                    jnp.where(fin_us, us.reservoir_stage, 0.0)]), axis_name)
     res_stage = jnp.where(packed[0] > 0, packed[1],
                           jnp.where(packed[2] > 0, packed[3], jnp.nan))
+    res_stage_us = jnp.where(packed[2] > 0, packed[3], jnp.nan)
 
     th_dx = theta / dx
 
@@ -231,7 +240,7 @@ def _assemble_local(geo, us_bc, ds_bc, settings, prev_fields, h, Q, k,
     b = -jnp.stack([row0_b, row1_b], axis=-1)
 
     err = jnp.sqrt(lax.psum(jnp.sum(b * b), axis_name))
-    return L, D, U, b, err, res_stage
+    return L, D, U, b, err, res_stage, res_stage_us
 
 
 def _bcast_last_node(x_last, axis_name, dtype):
@@ -279,26 +288,28 @@ def _local_time_scan(geo_loc, h0_loc, Q0_loc, us, ds, bc_state0, settings,
 
     def newton(h, Q, k, bc_state, prev_ext):
         def one(h, Q):
-            L, D, U, b, err, res_stage = _assemble_local(
+            L, D, U, b, err, res_stage, res_us = _assemble_local(
                 geo_loc, us, ds, settings, prev_ext, h, Q, k,
                 bc_state.reservoir_stage, axis, bc_state=bc_state,
+                reservoir_stage_prev_us=bc_state.reservoir_stage_us,
             )
             delta = _spike_solve(L, D, U, b, axis)
-            return h + delta[:, 0], Q + delta[:, 1], err, res_stage
+            return h + delta[:, 0], Q + delta[:, 1], err, res_stage, res_us
 
         def cond(c):
             return (c[2] >= tol) & (c[3] < settings.max_iter)
 
         def body(c):
-            h, Q, _, it, _ = c
-            h2, Q2, err, rs = one(h, Q)
-            return (h2, Q2, err, it + 1, rs)
+            h, Q, _, it, _, _ = c
+            h2, Q2, err, rs, rs_us = one(h, Q)
+            return (h2, Q2, err, it + 1, rs, rs_us)
 
-        h, Q, err, iters, rs = lax.while_loop(
+        nan = jnp.asarray(jnp.nan, h.dtype)
+        h, Q, err, iters, rs, rs_us = lax.while_loop(
             cond, body,
-            (h, Q, jnp.asarray(jnp.inf, h.dtype), jnp.asarray(0), jnp.asarray(jnp.nan, h.dtype)),
+            (h, Q, jnp.asarray(jnp.inf, h.dtype), jnp.asarray(0), nan, nan),
         )
-        return h, Q, err, iters, rs
+        return h, Q, err, iters, rs, rs_us
 
     store_bnd = getattr(settings, "store", "full") == "boundaries"
 
@@ -306,20 +317,21 @@ def _local_time_scan(geo_loc, h0_loc, Q0_loc, us, ds, bc_state0, settings,
         h, Q, bc_state = carry
         bc_state = bnd.update_gate_level_start(ds, bc_state, k.astype(dtype) * settings.time_step)
         prev_ext = prev_fields_of(h, Q)
-        h2, Q2, err, iters, rs = newton(h, Q, k, bc_state, prev_ext)
+        h2, Q2, err, iters, rs, rs_us = newton(h, Q, k, bc_state, prev_ext)
         bc_state = bc_state._replace(
             reservoir_stage=rs,
             gate_stage=ds.bed_level + _bcast_last_node(h2[-1], axis, dtype),
+            reservoir_stage_us=rs_us,
         )
         out_h = _bcast_bnd_pair(h2, axis) if store_bnd else h2
         out_q = _bcast_bnd_pair(Q2, axis) if store_bnd else Q2
-        return (h2, Q2, bc_state), (out_h, out_q, iters, err, err < tol, rs, bc_state.gate_open)
+        return (h2, Q2, bc_state), (out_h, out_q, iters, err, err < tol, rs, bc_state.gate_open, rs_us)
 
     ks = k0 + jnp.arange(1, nt)
-    (h_fin, Q_fin, bc_fin), (hs, qs, iters, errs, conv, stages, gates) = lax.scan(
+    (h_fin, Q_fin, bc_fin), (hs, qs, iters, errs, conv, stages, gates, stages_us) = lax.scan(
         step, (h0_loc, Q0_loc, bc_state0), ks
     )
-    return hs, qs, iters, errs, conv, stages, gates, h_fin, Q_fin, bc_fin
+    return hs, qs, iters, errs, conv, stages, gates, stages_us, h_fin, Q_fin, bc_fin
 
 
 def simulate_sharded(geo, us_bc, ds_bc, h0, Q0, settings: prs.PreissmannSettings, mesh: Mesh,
@@ -356,6 +368,7 @@ def simulate_sharded(geo, us_bc, ds_bc, h0, Q0, settings: prs.PreissmannSettings
             gate_prev_time=np.asarray(-1.0, dt0),
             gate_stage=np.asarray(np.asarray(ds_bc.bed_level)
                                   + np.asarray(h0)[-1], dt0),
+            reservoir_stage_us=np.asarray(np.nan, dt0),
         )
 
     def shard_fn(geo_loc, h0_loc, Q0_loc, us, ds, bc0):
@@ -373,7 +386,7 @@ def simulate_sharded(geo, us_bc, ds_bc, h0, Q0, settings: prs.PreissmannSettings
         in_specs=(geo_specs, P(SPACE_AXIS), P(SPACE_AXIS), bc_spec_us,
                   bc_spec_ds, bc_state_spec),
         out_specs=(field_spec, field_spec, P(None), P(None), P(None),
-                   P(None), P(None), P(SPACE_AXIS), P(SPACE_AXIS),
+                   P(None), P(None), P(None), P(SPACE_AXIS), P(SPACE_AXIS),
                    bc_state_spec),
     )
 
@@ -381,7 +394,7 @@ def simulate_sharded(geo, us_bc, ds_bc, h0, Q0, settings: prs.PreissmannSettings
     # not fully addressable per process, so eager concatenation would fail
     @jax.jit
     def run(geo, h0, Q0, us_bc, ds_bc, bc0):
-        (hs, qs, iters, errs, conv, stages, gates,
+        (hs, qs, iters, errs, conv, stages, gates, stages_us,
          h_fin, Q_fin, bc_fin) = f(geo, h0, Q0, us_bc, ds_bc, bc0)
         h0_out = h0[jnp.array([0, -1])] if store_bnd else h0
         Q0_out = Q0[jnp.array([0, -1])] if store_bnd else Q0
@@ -394,6 +407,7 @@ def simulate_sharded(geo, us_bc, ds_bc, h0, Q0, settings: prs.PreissmannSettings
             iterations=pad0(iters, 0), error=pad0(errs, 0.0),
             converged=pad0(conv, True), reservoir_stage=pad0(stages, jnp.nan),
             gate_open=pad0(gates, bc0.gate_open),
+            reservoir_stage_us=pad0(stages_us, jnp.nan),
         )
         return out, (h_fin, Q_fin, bc_fin)
 
@@ -506,36 +520,39 @@ def _local_time_scan_batched(geo_loc, h0_loc, Q0_loc, us, ds, settings,
         return jax.vmap(one)(geo_loc, h, Q)
 
     def one_iter(g, prev_ext, h, Q, k, bc_member, us_m, ds_m):
-        L, D, U, b, err, rs = _assemble_local(
+        L, D, U, b, err, rs, rs_us = _assemble_local(
             g, us_m, ds_m, settings, prev_ext, h, Q, k,
             bc_member.reservoir_stage, axis, bc_state=bc_member,
+            reservoir_stage_prev_us=bc_member.reservoir_stage_us,
         )
         delta = _spike_solve(L, D, U, b, axis)
-        return h + delta[:, 0], Q + delta[:, 1], err, rs
+        return h + delta[:, 0], Q + delta[:, 1], err, rs, rs_us
 
     def newton(h, Q, k, bc, prev_ext):
         def cond(c):
-            _, _, err, it, _ = c
+            err, it = c[2], c[3]
             any_active = jnp.any(err >= tol) | (it == 0)
             return lax.pmax(any_active, ENSEMBLE_AXIS) & (it < settings.max_iter)
 
         def body(c):
-            h, Q, err, it, rs = c
+            h, Q, err, it, rs, rs_us = c
             active = (err >= tol) | (it == 0)
-            h2, Q2, err2, rs2 = jax.vmap(
+            h2, Q2, err2, rs2, rs2_us = jax.vmap(
                 one_iter, in_axes=(0, 0, 0, 0, None, 0, us_axes, ds_axes)
             )(geo_loc, prev_ext, h, Q, k, bc, us, ds)
             h = jnp.where(active[:, None], h2, h)
             Q = jnp.where(active[:, None], Q2, Q)
             err = jnp.where(active, err2, err)
             rs = jnp.where(active, rs2, rs)
-            return (h, Q, err, it + 1, rs)
+            rs_us = jnp.where(active, rs2_us, rs_us)
+            return (h, Q, err, it + 1, rs, rs_us)
 
         err0 = jnp.full((Bloc,), jnp.inf, h.dtype)
-        h, Q, err, iters, rs = lax.while_loop(
-            cond, body, (h, Q, err0, jnp.asarray(0), jnp.full((Bloc,), jnp.nan, h.dtype))
+        nanB = jnp.full((Bloc,), jnp.nan, h.dtype)
+        h, Q, err, iters, rs, rs_us = lax.while_loop(
+            cond, body, (h, Q, err0, jnp.asarray(0), nanB, nanB)
         )
-        return h, Q, err, iters, rs
+        return h, Q, err, iters, rs, rs_us
 
     store_bnd = getattr(settings, "store", "full") == "boundaries"
 
@@ -547,10 +564,11 @@ def _local_time_scan_batched(geo_loc, h0_loc, Q0_loc, us, ds, settings,
             in_axes=(0, ds_axes),
         )(bc, ds)
         prev_ext = prev_ext_of(h, Q)
-        h2, Q2, err, iters, rs = newton(h, Q, k, bc, prev_ext)
+        h2, Q2, err, iters, rs, rs_us = newton(h, Q, k, bc, prev_ext)
         bc = bc._replace(
             reservoir_stage=rs,
             gate_stage=ds.bed_level + _bcast_last_node(h2[:, -1], axis, dtype),
+            reservoir_stage_us=rs_us,
         )
         out_h = _bcast_bnd_pair(h2, axis) if store_bnd else h2
         out_q = _bcast_bnd_pair(Q2, axis) if store_bnd else Q2

@@ -26,7 +26,7 @@ import numpy as np
 
 CKPT_RE = re.compile(r"ckpt_(\d+)\.npz$")
 
-_BC_FIELDS = ("reservoir_stage", "gate_open", "gate_cooldown", "gate_prev_time", "gate_stage")
+_BC_FIELDS = ("reservoir_stage", "gate_open", "gate_cooldown", "gate_prev_time", "gate_stage", "reservoir_stage_us")
 
 
 def save_checkpoint(directory: str, k: int, h, Q, bc_state=None, history=None,
@@ -98,6 +98,11 @@ def _bc_state_from_payload(z: dict, dtype, default_state):
     for name in _BC_FIELDS:
         if name in z:
             updates[name] = jnp.asarray(float(z[name]), dtype=dtype)
+    if "reservoir_stage_us" not in z and "reservoir_stage" in z:
+        # legacy files carried a single merged stage; an upstream-only
+        # storage run stored its stage there, so mirror it into the us
+        # carry (harmless when the run has no upstream storage — unread)
+        updates["reservoir_stage_us"] = jnp.asarray(float(z["reservoir_stage"]), dtype=dtype)
     return default_state._replace(**updates)
 
 
@@ -130,6 +135,7 @@ def simulate_with_checkpoints(solver, tolerance=1e-4, max_iter=100, interval=50,
         error=np.zeros(nt),
         reservoir_stage=np.full(nt, np.nan),
         gate_open=np.zeros(nt),
+        reservoir_stage_us=np.full(nt, np.nan),
     )
 
     settings = solver.settings(tolerance, max_iter)
@@ -179,6 +185,7 @@ def simulate_with_checkpoints(solver, tolerance=1e-4, max_iter=100, interval=50,
         stats["error"][k] = float(err)
         stats["reservoir_stage"][k] = float(bc_state.reservoir_stage)
         stats["gate_open"][k] = float(bc_state.gate_open)
+        stats["reservoir_stage_us"][k] = float(bc_state.reservoir_stage_us)
         if float(err) >= tolerance:
             raise ValueError(f"Convergence within {int(iters)} iterations couldn't be achieved.")
         if k % interval == 0 or k == nt - 1:
@@ -197,6 +204,7 @@ def simulate_with_checkpoints(solver, tolerance=1e-4, max_iter=100, interval=50,
         reservoir_stage=stats["reservoir_stage"],
         gate_open=stats["gate_open"],
         rcond=np.ones(nt),
+        reservoir_stage_us=stats["reservoir_stage_us"],
     )
     solver.total_sim_duration = (nt - 1) * solver.time_step
     return depth, flow
@@ -323,7 +331,8 @@ def simulate_sharded_with_checkpoints(geo, us_bc, ds_bc, h0, Q0, settings,
                 gate_open=np.asarray(gate_open0, dt0),
                 gate_cooldown=np.asarray(0.0, dt0),
                 gate_prev_time=np.asarray(-1.0, dt0),
-                gate_stage=np.asarray(0.0, dt0))
+                gate_stage=np.asarray(0.0, dt0),
+                reservoir_stage_us=np.asarray(np.nan, dt0))
             path, _ = found
             k0, h, Q, bc_state = restore_sharded_checkpoint(
                 path, h0, Q0, bc_tpl)

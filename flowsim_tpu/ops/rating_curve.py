@@ -68,6 +68,28 @@ def make_polynomial(a, b, c, stage_shift=0.0) -> RatingCurveParams:
     )
 
 
+def make_polynomial_general(coefficients, stage_shift=0.0) -> RatingCurveParams:
+    """Arbitrary-degree polynomial rating: ``coefficients`` ascending
+    (c0 + c1 x + ... + cN x^N) in the shifted stage x = stage + shift.
+
+    The reference's ``scale=True`` fit path supports any degree (ref
+    rating_curve.py:84,101-105 stores a numpy Polynomial and evaluates it);
+    kind="poly_n" is the device evaluation of the same fit.  The fused
+    kernel packs quadratics only and falls back to the XLA path for this
+    kind (FusedUnsupported)."""
+    return RatingCurveParams(
+        kind="poly_n",
+        coeffs=farray(np.atleast_1d(coefficients)),
+        coeffs_high=_empty(),
+        stage_shift=farray(stage_shift),
+        pivot_stage=jnp.asarray(0.0),
+        buffer=jnp.asarray(0.0),
+        fd_step=jnp.asarray(1e-3),
+        table_stage=_empty(),
+        table_q=_empty(),
+    )
+
+
 def make_power(a, b, stage_shift=0.0) -> RatingCurveParams:
     return RatingCurveParams(
         kind="power",
@@ -190,6 +212,12 @@ def discharge(rc: RatingCurveParams, stage):
         x = stage + rc.stage_shift
         a, b, c = rc.coeffs[0], rc.coeffs[1], rc.coeffs[2]
         return a * x * x + b * x + c
+    if rc.kind == "poly_n":
+        # Horner on the ascending coefficient row (any degree); same
+        # evaluation as the reference's stored Polynomial object
+        # (ref rating_curve.py:51-52) after domain conversion
+        x = stage + rc.stage_shift
+        return jnp.polyval(rc.coeffs[::-1], x)
     if rc.kind == "power":
         x = stage + rc.stage_shift
         a, b = rc.coeffs[0], rc.coeffs[1]
@@ -225,6 +253,10 @@ def dQ_dz(rc: RatingCurveParams, stage):
     if rc.kind == "polynomial":
         x = stage + rc.stage_shift
         return rc.coeffs[0] * 2.0 * x + rc.coeffs[1]
+    if rc.kind == "poly_n":
+        x = stage + rc.stage_shift
+        dcoef = rc.coeffs[1:] * jnp.arange(1, rc.coeffs.shape[0], dtype=rc.coeffs.dtype)
+        return jnp.polyval(dcoef[::-1], x)
     if rc.kind == "power":
         x = stage + rc.stage_shift
         a, b = rc.coeffs[0], rc.coeffs[1]
@@ -279,10 +311,13 @@ def fit(discharges, stages, stage_shift=0.0, type: str = "polynomial", degree: i
 
     if type == "polynomial":
         poly = np.polynomial.polynomial.Polynomial.fit(x=shifted, y=discharges, deg=degree)
+        coef = poly.convert().coef
+        coef = np.pad(coef, (0, degree + 1 - len(coef)))  # trailing zeros trimmed by convert()
         if degree != 2:
-            # all reference call sites fit quadratics (ref rating_curve.py:84)
-            raise NotImplementedError("only degree-2 device evaluation is supported")
-        c0, c1, c2 = poly.convert().coef[: degree + 1]
+            # the reference's scale=True path supports any degree (ref
+            # rating_curve.py:84,101-105); evaluate via the general kind
+            return make_polynomial_general(coef, stage_shift=stage_shift)
+        c0, c1, c2 = coef
         return make_polynomial(a=c2, b=c1, c=c0, stage_shift=stage_shift)
     elif type == "power":
         b, log_a = np.polyfit(np.log(shifted), np.log(discharges), deg=1)

@@ -254,3 +254,88 @@ def test_storage_bracket_saturation_raises():
                               spatial_step=1000, simulation_time=4 * 3600)
     with pytest.raises(ValueError, match="solution_boundaries"):
         solver.run(verbose=0, tolerance=1e-6)
+
+
+def test_rating_curve_general_degree_fit():
+    """degree != 2 polynomial fits (the reference's scale=True path accepts
+    any degree, ref rating_curve.py:84,101-105) evaluate on device via the
+    poly_n kind: discharge/dQ_dz/inverse parity vs the live reference."""
+    import_reference()
+    from src.hydromodel.rating_curve import RatingCurve as RRC
+
+    from flowsim_tpu.api import RatingCurve
+
+    rng = np.random.default_rng(1)
+    stages = np.linspace(480, 492, 17)
+    x = stages - 470
+    discharges = 0.08 * x**3 + 1.1 * x**2 + 20 * x + 150 + rng.normal(0, 3, 17)
+
+    for deg in (3, 4):
+        ref = RRC()
+        ref.fit(discharges=discharges, stages=stages, stage_shift=0,
+                type="polynomial", scale=True, degree=deg)
+        ours = RatingCurve()
+        ours.fit(discharges=discharges, stages=stages, stage_shift=0,
+                 type="polynomial", degree=deg)
+        assert ours.params.kind == "poly_n"
+        for s in (481.0, 486.5, 491.0):
+            np.testing.assert_allclose(ours.discharge(s), ref.discharge(s),
+                                       rtol=1e-8)
+            np.testing.assert_allclose(ours.dQ_dz(s), ref.dQ_dz(s), rtol=1e-6)
+        # Newton inverse round-trips through the general evaluation
+        q = ref.discharge(487.0)
+        np.testing.assert_allclose(ours.stage(q, trial_stage=485.0), 487.0,
+                                   atol=1e-4)
+
+
+def test_poly_n_downstream_bc_runs():
+    """A cubic rating curve as the downstream BC: the XLA solver consumes
+    the poly_n kind through the generic discharge/dQ_dz path, and the fused
+    engine falls back to XLA cleanly (FusedUnsupported)."""
+    import jax
+    import jax.numpy as jnp
+
+    from flowsim_tpu.geometry import TrapezoidGeometry
+    from flowsim_tpu.ops import boundary as bnd
+    from flowsim_tpu.ops import initial_conditions as ic
+    from flowsim_tpu.ops import preissmann as prs
+    from flowsim_tpu.ops import rating_curve as rcurve
+    from flowsim_tpu.ops import sections as sec
+
+    n, slope, dx = 16, 6e-4, 1000.0
+    z = np.linspace(slope * (n - 1) * dx, 0.0, n)
+    ones, zeros = np.ones(n), np.zeros(n)
+    geo = TrapezoidGeometry(
+        z_bed=jnp.asarray(z), b_main=jnp.asarray(100.0 * ones),
+        m_main=jnp.asarray(zeros), n_main=jnp.asarray(0.025 * ones),
+        compound=jnp.asarray(np.zeros(n, bool)), h_bank=jnp.asarray(1e30 * ones),
+        b_fp_left=jnp.asarray(zeros), b_fp_right=jnp.asarray(zeros),
+        m_fp=jnp.asarray(zeros), n_left=jnp.asarray(0.025 * ones),
+        n_right=jnp.asarray(0.025 * ones), bed_slope=jnp.asarray(slope * ones),
+        curvature=jnp.asarray(zeros))
+    h0, Q0 = ic.initial_conditions(geo, "steady-state", 300.0, dx)
+    # cubic through the section's own normal-flow curve -> consistent BC
+    geo_ds = jax.tree_util.tree_map(lambda a: a[-1:], geo)
+    depths = np.array([1.0, 2.0, 4.0, 6.0])
+    qn = np.array([float(sec.normal_flow(geo_ds, jnp.asarray([d]))[0]) for d in depths])
+    coef = np.polynomial.polynomial.polyfit(depths, qn, 3)
+    rc = rcurve.make_polynomial_general(coef, stage_shift=-float(z[-1]))
+    nt = 9
+    us = bnd.make_boundary("flow_hydrograph", bed_level=float(z[0]),
+                           target_series=np.full(nt, 300.0))
+    ds = bnd.make_boundary("rating_curve", bed_level=float(z[-1]), rating=rc)
+    sset = prs.PreissmannSettings(theta=0.6, time_step=1800.0, spatial_step=dx,
+                                  n_time_levels=nt, tolerance=1e-9, max_iter=60)
+    out = prs.simulate(geo, us, ds, h0, Q0, sset)
+    assert bool(np.asarray(out.converged).all())
+    # the converged ds node satisfies Q = rc(stage)
+    hN = np.asarray(out.depth)[-1, -1]
+    qN = np.asarray(out.flow)[-1, -1]
+    q_rc = float(rcurve.discharge(rc, jnp.asarray(float(z[-1]) + hN)))
+    np.testing.assert_allclose(qN, q_rc, rtol=1e-7)
+
+    from flowsim_tpu.ops.pallas.fused_newton import (FusedUnsupported,
+                                                     fused_simulate)
+    import pytest
+    with pytest.raises(FusedUnsupported):
+        fused_simulate(geo, us, ds, h0, Q0, sset, interpret=True)

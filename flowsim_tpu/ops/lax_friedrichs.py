@@ -40,6 +40,8 @@ class LaxSettings:
     n_time_levels: int = field(metadata=dict(static=True))
     secondary_bc_us: str = field(default="constant", metadata=dict(static=True))
     secondary_bc_ds: str = field(default="constant", metadata=dict(static=True))
+    # gated_blend downstream curve: initial gate flag (ops/boundary.py BCState)
+    gate_initially_open: bool = field(default=False, metadata=dict(static=True))
 
 
 class LaxOutput(NamedTuple):
@@ -48,6 +50,7 @@ class LaxOutput(NamedTuple):
     cfl_violated: jnp.ndarray    # [nt] bool
     reservoir_stage: jnp.ndarray
     reservoir_stage_us: Optional[jnp.ndarray] = None  # [nt] upstream storage stage
+    gate_open: Optional[jnp.ndarray] = None  # [nt] gate flag (gated_blend ds curve)
 
 
 def depth_from_area(geo, A):
@@ -106,7 +109,7 @@ def _ghost(values, mode: str, upstream: bool):
 
 def _bc_value(bc: bnd.BoundaryParams, geo, st_node: bnd.NodeSection, depth_scheme, Q_scheme,
               k, dt, Q_prev_node, reservoir_stage_prev, bed_slope,
-              upstream: bool = False, h_prev_node=None):
+              upstream: bool = False, h_prev_node=None, gate_open=None):
     """Primary BC at a boundary node (ref lax.py:108-202).
 
     Q-type BCs take Q = target evaluated at the scheme-predicted depth and
@@ -123,10 +126,11 @@ def _bc_value(bc: bnd.BoundaryParams, geo, st_node: bnd.NodeSection, depth_schem
         return depth_scheme, hyd.normal_flow(bc.bed_slope, st_node.K), nan
     if bc.kind == "rating_curve":
         if bc.rating.kind == "gated_blend":
-            raise NotImplementedError(
-                "the Lax solver carries no gate-controller state; the "
-                "non-smooth gated_blend curve needs the Preissmann path "
-                "(ops/preissmann.py scan-carried BCState)")
+            # non-smooth gated curve: the scan carries the explicit
+            # controller state (same semantics as the Preissmann path —
+            # one gate decision per time level, ref roseires:111-141)
+            q = rcurve.gated_discharge(bc.rating, bc.bed_level + depth_scheme, gate_open)
+            return depth_scheme, q, nan
         return depth_scheme, rcurve.discharge(bc.rating, bc.bed_level + depth_scheme), nan
     if bc.kind == "stage_hydrograph":
         return bc.target_series[k] - bc.bed_level, Q_scheme, nan
@@ -159,7 +163,12 @@ def simulate(geo, us_bc, ds_bc, h0, Q0, settings: LaxSettings) -> LaxOutput:
     A0 = st0.A
 
     def step(carry, k):
-        A, Q, res_stage_prev, res_stage_prev_us = carry
+        A, Q, bc_state = carry
+        # per-level gate-controller update (no-op unless gated_blend ds)
+        bc_state = bnd.update_gate_level_start(
+            ds_bc, bc_state, k.astype(A.dtype) * dt)
+        res_stage_prev = bc_state.reservoir_stage
+        res_stage_prev_us = bc_state.reservoir_stage_us
         h = depth_from_area(geo, A)
         st = sec.section_state(geo, h)
         Y = geo.z_bed + h
@@ -198,8 +207,8 @@ def simulate(geo, us_bc, ds_bc, h0, Q0, settings: LaxSettings) -> LaxOutput:
         ns_ds = bnd.NodeSection(A=st_ds.A, R=st_ds.R, K=st_ds.K, n_eq=st_ds.n_eq,
                                 dA_dh=st_ds.dA_dh, dR_dA=st_ds.dR_dA, dK_dA=st_ds.dK_dA)
 
-        h_us, Q_us, rs_us = _bc_value(us_bc, geo, ns_us, h_sch_us, Q_new[0], k, dt, Q[0], res_stage_prev_us, geo.bed_slope[0], upstream=True, h_prev_node=h[0])
-        h_ds, Q_ds, rs_ds = _bc_value(ds_bc, geo, ns_ds, h_sch_ds, Q_new[-1], k, dt, Q[-1], res_stage_prev, geo.bed_slope[-1])
+        h_us, Q_us, rs_us = _bc_value(us_bc, geo, ns_us, h_sch_us, Q_new[0], k, dt, Q[0], res_stage_prev_us, geo.bed_slope[0], upstream=True, h_prev_node=h[0], gate_open=bc_state.gate_open)
+        h_ds, Q_ds, rs_ds = _bc_value(ds_bc, geo, ns_ds, h_sch_ds, Q_new[-1], k, dt, Q[-1], res_stage_prev, geo.bed_slope[-1], gate_open=bc_state.gate_open)
         # each boundary carries its OWN stage (both-ends storage evolves
         # independently, mirroring ops.preissmann); the merged output keeps
         # the ds-preferred precedence for backward compatibility
@@ -219,11 +228,21 @@ def simulate(geo, us_bc, ds_bc, h0, Q0, settings: LaxSettings) -> LaxOutput:
         cel = jnp.maximum(V + jnp.sqrt(g * h_out), V - jnp.sqrt(g * h_out))
         violated = jnp.any(cel > num_celerity)
 
-        return (A_out, Q_out, res_stage, rs_us), (h_out, Q_out, violated, res_stage, rs_us)
+        bc_state = bc_state._replace(
+            reservoir_stage=res_stage,
+            reservoir_stage_us=rs_us,
+            gate_stage=ds_bc.bed_level + h_out[-1],
+        )
+        return (A_out, Q_out, bc_state), (h_out, Q_out, violated, res_stage,
+                                          rs_us, bc_state.gate_open)
 
     ks = jnp.arange(1, nt)
-    nan0 = jnp.asarray(jnp.nan, h0.dtype)
-    _, (hs, qs, viol, stages, stages_us) = jax.lax.scan(step, (A0, Q0, nan0, nan0), ks)
+    gate_open0 = 1.0 if settings.gate_initially_open else 0.0
+    bc_state0 = bnd.initial_bc_state(
+        h0.dtype, gate_open=gate_open0,
+        gate_stage=ds_bc.bed_level + h0[-1])
+    _, (hs, qs, viol, stages, stages_us, gates) = jax.lax.scan(
+        step, (A0, Q0, bc_state0), ks)
 
     depth = jnp.concatenate([h0[None], hs], axis=0)
     flow = jnp.concatenate([Q0[None], qs], axis=0)
@@ -231,4 +250,5 @@ def simulate(geo, us_bc, ds_bc, h0, Q0, settings: LaxSettings) -> LaxOutput:
     return LaxOutput(depth=depth, flow=flow,
                      cfl_violated=pad0(viol, False),
                      reservoir_stage=pad0(stages, jnp.nan),
-                     reservoir_stage_us=pad0(stages_us, jnp.nan))
+                     reservoir_stage_us=pad0(stages_us, jnp.nan),
+                     gate_open=pad0(gates, gate_open0))

@@ -118,3 +118,55 @@ def test_secondary_bc_variants():
                         simulation_time=4 * 3600, secondary_BC=(mode, mode))
         lax.run(verbose=0)
         assert np.all(np.isfinite(lax.depth))
+
+
+def test_lax_gated_curve_opens_on_flood():
+    """gated_blend downstream curve on the Lax path: the scan-carried gate
+    controller (same per-level semantics as Preissmann's BCState) opens when
+    the flood raises the downstream stage past pivot+0.5 and the release
+    jumps to the high curve."""
+    from flowsim_tpu.geometry import TrapezoidGeometry
+    from flowsim_tpu.ops import boundary as bnd
+    from flowsim_tpu.ops import initial_conditions as ic
+    from flowsim_tpu.ops import lax_friedrichs as lfx
+    from flowsim_tpu.ops import rating_curve as rcurve
+
+    n, slope, dx = 30, 2e-4, 1000.0
+    z = np.linspace(slope * (n - 1) * dx, 0.0, n)
+    ones, zeros = np.ones(n), np.zeros(n)
+    geo = TrapezoidGeometry(
+        z_bed=jnp.asarray(z), b_main=jnp.asarray(200.0 * ones),
+        m_main=jnp.asarray(zeros), n_main=jnp.asarray(0.03 * ones),
+        compound=jnp.asarray(np.zeros(n, bool)), h_bank=jnp.asarray(1e30 * ones),
+        b_fp_left=jnp.asarray(zeros), b_fp_right=jnp.asarray(zeros),
+        m_fp=jnp.asarray(zeros), n_left=jnp.asarray(0.03 * ones),
+        n_right=jnp.asarray(0.03 * ones), bed_slope=jnp.asarray(slope * ones),
+        curvature=jnp.asarray(zeros))
+    h0, Q0 = ic.initial_conditions(geo, "steady-state", 500.0, dx)
+    bed_ds = float(z[-1])
+    pivot = bed_ds + float(np.asarray(h0)[-1])
+    low = [0.0, 150.0, 500.0 - 150.0 * pivot]
+    high = [0.0, 200.0, 1500.0 - 200.0 * pivot]
+    rc = rcurve.make_gated_blend(low, high, pivot_stage=pivot, max_cooldown=3600.0)
+
+    dt, nt = 60.0, 361  # 6 h at CFL-safe dt
+    t = np.arange(nt) * dt
+    inflow = 500.0 + (6000.0 - 500.0) * np.minimum(t / (3 * 3600.0), 1.0)
+    us = bnd.make_boundary("flow_hydrograph", bed_level=float(z[0]),
+                           target_series=inflow)
+    ds = bnd.make_boundary("rating_curve", bed_level=bed_ds, rating=rc)
+    sset = lfx.LaxSettings(time_step=dt, spatial_step=dx, n_time_levels=nt)
+    out = lfx.simulate(geo, us, ds, h0, Q0, sset)
+    assert not bool(np.asarray(out.cfl_violated).any())
+    assert np.isfinite(np.asarray(out.depth)).all()
+    gates = np.asarray(out.gate_open)
+    assert gates[1] == 0.0          # starts closed
+    assert gates[-1] == 1.0         # flood opened it
+    k_open = int(np.argmax(gates > 0.5))
+    # the level-start stage that triggered the opening crossed pivot+0.5
+    stage_before = bed_ds + np.asarray(out.depth)[k_open - 1, -1]
+    assert stage_before >= pivot + 0.5 - 1e-6
+    # release after opening exceeds the low-curve value at the same stage
+    stage_after = bed_ds + np.asarray(out.depth)[-1, -1]
+    q_low = np.polyval(low, stage_after)
+    assert np.asarray(out.flow)[-1, -1] > q_low + 500.0

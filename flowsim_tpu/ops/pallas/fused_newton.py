@@ -1518,18 +1518,14 @@ def _kernel_batched(geo_ref, init_ref, tgt_ref, ds_tgt_ref, scal_ref,
     h0 = DF(init[0 * B:1 * B, :], init[1 * B:2 * B, :])
     Q0 = DF(init[2 * B:3 * B, :], init[3 * B:4 * B, :])
 
-    def row0(k):
-        # start row of level k's [B, :] output block.  `k` is the fori_loop
-        # index — a weak i64 under x64 — and Mosaic can lower neither an
-        # i64 multiply nor an i64->i32 convert (see the f32-compare note in
-        # _assemble_fused); i64->f32->i32 DOES lower, and nt*B is far below
-        # f32's 2^24 exact-integer range (the VMEM output cap binds first).
-        if isinstance(k, (int, np.integer)):
-            return int(k) * B
-        return (k.astype(jnp.float32) * np.float32(B)).astype(jnp.int32)
-
     def store_level(k, h, Q, iters, err, res_stage, gate_open):
-        idx128 = jax.lax.broadcasted_iota(jnp.int32, (1, stats_ref.shape[1]), 1)
+        # outputs are rank-3 [nt, B, lanes] with the dynamic level index on
+        # the UNTILED leading dim: a flat [nt*B, lanes] layout needs a
+        # k*B row offset, which Mosaic can neither lower (i64 multiply
+        # under x64) nor prove tile-aligned for vector stores taller than
+        # one vreg ("cannot statically prove that index in dimension 0 is
+        # a multiple of 8", seen at B=32)
+        idx128 = jax.lax.broadcasted_iota(jnp.int32, (1, stats_ref.shape[2]), 1)
         stats_rows = (jnp.where(idx128 == 0, iters, 0.0)
                       + jnp.where(idx128 == 1, err, 0.0)
                       + jnp.where(idx128 == 2, res_stage, 0.0)
@@ -1545,13 +1541,13 @@ def _kernel_batched(geo_ref, init_ref, tgt_ref, ds_tgt_ref, scal_ref,
                               (8, Q.hi[:, 0:1]), (9, Q.lo[:, 0:1]),
                               (10, Q.hi[:, n - 1:n]), (11, Q.lo[:, n - 1:n])):
                 stats_rows = stats_rows + jnp.where(idx128 == lane, val, 0.0)
-            stats_ref[pl.ds(row0(k), B), :] = stats_rows
+            stats_ref[pl.ds(k, 1)] = stats_rows[None]
             return
-        dhi_ref[pl.ds(row0(k), B), :] = h.hi
-        dlo_ref[pl.ds(row0(k), B), :] = h.lo
-        fhi_ref[pl.ds(row0(k), B), :] = Q.hi
-        flo_ref[pl.ds(row0(k), B), :] = Q.lo
-        stats_ref[pl.ds(row0(k), B), :] = stats_rows
+        dhi_ref[pl.ds(k, 1)] = h.hi[None]
+        dlo_ref[pl.ds(k, 1)] = h.lo[None]
+        fhi_ref[pl.ds(k, 1)] = Q.hi[None]
+        flo_ref[pl.ds(k, 1)] = Q.lo[None]
+        stats_ref[pl.ds(k, 1)] = stats_rows[None]
 
     store_level(0, h0, Q0, zcol, zcol, zcol, zcol + np.float32(gate_init))
 
@@ -1640,15 +1636,15 @@ def _build_call_batched(*, nt, n, B, Np, n_sweeps, max_iter, ds_kind,
         interpret=interpret)
     if store == "boundaries":
         out_shapes = [
-            jax.ShapeDtypeStruct((nt * B, 128), jnp.float32),  # stats+bnd
+            jax.ShapeDtypeStruct((nt, B, 128), jnp.float32),  # stats+bnd
         ]
     else:
         out_shapes = [
-            jax.ShapeDtypeStruct((nt * B, Np), jnp.float32),  # depth hi
-            jax.ShapeDtypeStruct((nt * B, Np), jnp.float32),  # depth lo
-            jax.ShapeDtypeStruct((nt * B, Np), jnp.float32),  # flow hi
-            jax.ShapeDtypeStruct((nt * B, Np), jnp.float32),  # flow lo
-            jax.ShapeDtypeStruct((nt * B, 128), jnp.float32),  # stats
+            jax.ShapeDtypeStruct((nt, B, Np), jnp.float32),  # depth hi
+            jax.ShapeDtypeStruct((nt, B, Np), jnp.float32),  # depth lo
+            jax.ShapeDtypeStruct((nt, B, Np), jnp.float32),  # flow hi
+            jax.ShapeDtypeStruct((nt, B, Np), jnp.float32),  # flow lo
+            jax.ShapeDtypeStruct((nt, B, 128), jnp.float32),  # stats
         ]
     return jax.jit(pl.pallas_call(
         kern,
@@ -1668,11 +1664,15 @@ def _build_call_batched(*, nt, n, B, Np, n_sweeps, max_iter, ds_kind,
 _FUSED_VMEM_BYTES = 14 * 1024 * 1024  # ~16 MB/core VMEM minus headroom
 # Resident per-member [1, Np] f32 rows besides the stacked outputs: the 17
 # geometry + 4 init input rows, the loop-carried (h, Q, y) df32 state, the
-# 16-row PCR buffer plus its two rolled copies per sweep, and assembly
+# 16-row PCR buffer plus its rolled copies per sweep, and assembly
 # transients.  The outputs alone do NOT bound B — with store="boundaries"
 # they shrink to one 128-lane row/level while the working set still scales
-# with B*Np, so the cap must budget both.
-_WORK_ROWS = 96
+# with B*Np, so the cap must budget both.  Measured on v5e (scoped-vmem
+# OOM reports): ~168 rows/member at Np=256/nt=25 (18.34 MB at B=64 with
+# 7.37 MB of outputs) and <=173 at Np=128/nt=385 (B=56 compiled at
+# ~16 MB); 96 rows was optimistic and OOMed the compiler at caps the
+# model allowed.
+_WORK_ROWS = 176
 
 
 def _vmem_per_member(n_time_levels: int, Np: int, store: str) -> int:

@@ -84,7 +84,7 @@ def main():
 
         def body(c, _):
             h, Q = c
-            L, D, U, b, err, rs = prs.assemble(
+            L, D, U, b, err, rs, _ = prs.assemble(
                 geo_d, us_d, ds_d, sset, prev, h, Q, karr,
                 bc0.reservoir_stage, bc0)
             use = jnp.sum(L) + jnp.sum(D) + jnp.sum(U)
@@ -97,7 +97,7 @@ def main():
     # (b) solve-only: fixed system, chained rhs
     with jax.default_device(cpu):
         prev0 = prs.prev_level_state(geo, solver.h0, solver.Q0)
-        L0, D0, U0, b0, _, _ = prs.assemble(
+        L0, D0, U0, b0, _, _, _ = prs.assemble(
             geo, solver.us_params, solver.ds_params, sset, prev0,
             solver.h0, solver.Q0, jnp.asarray(1),
             jnp.asarray(jnp.nan, solver.h0.dtype),
@@ -124,7 +124,7 @@ def main():
 
         def body(c, _):
             h, Q = c
-            L, D, U, b, err, rs = prs.assemble(
+            L, D, U, b, err, rs, _ = prs.assemble(
                 geo_d, us_d, ds_d, sset, prev, h, Q, karr,
                 bc0.reservoir_stage, bc0)
             delta, _ = prs._solve_with_diag(L, D, U, b, sset)

@@ -40,8 +40,8 @@ def test_tiled_on_preissmann_system(rng):
 
     geo, us, ds, h0, Q0, sset = build_long_reach(2048, np.float32, levels=2)
     prev = prs.prev_level_state(geo, h0, Q0)
-    L, D, U, b, err, _ = prs.assemble(geo, us, ds, sset, prev, h0, Q0,
-                                      jnp.asarray(1), jnp.asarray(jnp.nan), None)
+    L, D, U, b, err, _, _ = prs.assemble(geo, us, ds, sset, prev, h0, Q0,
+                                         jnp.asarray(1), jnp.asarray(jnp.nan), None)
     x64 = tridiag.block_thomas(*(a.astype(jnp.float64) for a in (L, D, U, b)))
     x = tiled_spike_pallas(L, D, U, b, tile=256, interpret=True)
     scale = float(jnp.max(jnp.abs(x64))) + 1e-30

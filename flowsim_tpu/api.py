@@ -95,6 +95,27 @@ class RatingCurve:
     def dQ_dz(self, stage, time=None):
         return float(rcurve.dQ_dz(self.params, jnp.asarray(stage)))
 
+    def tostring(self):
+        """Human-readable equation (ref rating_curve.py:149-162 format)."""
+        if not self.defined:
+            raise ValueError("Rating curve is undefined.")
+        p = self.params
+        shift = float(np.asarray(p.stage_shift))
+        if shift == int(shift):  # the reference stores the default as int 0
+            shift = int(shift)
+        c = [float(x) for x in np.asarray(p.coeffs)]
+        y = f"(Y+{shift})"
+        if p.kind == "polynomial":
+            return f"{c[0]} {y}^2 + {c[1]} {y} + {c[2]}"
+        if p.kind == "power":
+            return f"{c[0]} {y}^{c[1]}"
+        if p.kind == "poly_n":
+            # ascending coefficient row (ops/rating_curve.py poly_n)
+            return " + ".join(f"{a} {y}^{j}" if j > 1
+                              else (f"{a} {y}" if j == 1 else f"{a}")
+                              for j, a in reversed(list(enumerate(c))))
+        return f"<{p.kind} rating curve>"
+
 
 class LumpedStorage:
     """0-D reservoir config (ref: lumped_storage.py:7-23)."""
@@ -304,6 +325,27 @@ class Channel:
     def bed_level_at(self, i):
         return float(self.geometry.z_bed[i])
 
+    def dA_dh(self, i, hw):
+        """dA/dh (= top width) at node i (ref channel.py:186-190)."""
+        g = jax.tree_util.tree_map(lambda a: a[i], self.geometry)
+        return float(sec.section_state(g, jnp.asarray(hw) - g.z_bed).dA_dh)
+
+    def Se(self, h, Q, i):
+        """Energy slope Se = Sf + Sc at node i (ref channel.py:53-69)."""
+        g = jax.tree_util.tree_map(lambda a: a[i], self.geometry)
+        return float(sec.energy_slope(g, jnp.asarray(h), jnp.asarray(Q)).Se)
+
+    def dSe_dA(self, h, Q, i):
+        """d(Se)/dA at node i, with the reference's curvature-term dA/dh
+        pre-multiplication (ref channel.py:71-87; see energy_slope note)."""
+        g = jax.tree_util.tree_map(lambda a: a[i], self.geometry)
+        return float(sec.energy_slope(g, jnp.asarray(h), jnp.asarray(Q)).dSe_dA_eff)
+
+    def dSe_dQ(self, h, Q, i):
+        """d(Se)/dQ at node i (ref channel.py:89-105)."""
+        g = jax.tree_util.tree_map(lambda a: a[i], self.geometry)
+        return float(sec.energy_slope(g, jnp.asarray(h), jnp.asarray(Q)).dSe_dQ)
+
 
 class _SolverBase:
     """Shared grid setup + state accessors (ref: solver.py:10-63,244-296)."""
@@ -343,6 +385,18 @@ class _SolverBase:
 
     def water_level_at(self, k=None, i=None):
         return self.channel.bed_level_at(i) + self.depth_at(k, i)
+
+    def area_at(self, k=None, i=None):
+        """Wetted area at (level k, node i) (ref solver.py:271-283)."""
+        return self.channel.area_at(i, self.water_level_at(k, i))
+
+    def Se_at(self, k=None, i=None):
+        """Energy slope at (level k, node i) (ref solver.py:290-293)."""
+        return self.channel.Se(self.depth_at(k, i), self.flow_at(k, i), i)
+
+    def dA_dh(self, k=None, i=None):
+        """dA/dh (top width) at (level k, node i) (ref solver.py:295-296)."""
+        return self.channel.dA_dh(i, self.water_level_at(k, i))
 
     def prepare_results(self):
         from flowsim_tpu.utils import results as res_mod

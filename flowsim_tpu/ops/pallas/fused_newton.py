@@ -822,12 +822,88 @@ def _assemble_fused(g, scal, roll, n, ds_kind,
     return buf, err, res_stage
 
 
+class _LevelStreamer:
+    """Double-buffered VMEM->HBM DMA streaming of per-level output rows.
+
+    With ``out_memory="hbm"`` the stacked ``[nt, ...]`` outputs live in HBM
+    (``memory_space=ANY``) instead of VMEM, so the outputs no longer count
+    against the ~16 MB VMEM budget — only the per-level working set does.
+    Level ``k`` writes its rows into VMEM staging slot ``k % 2`` and starts
+    one DMA per output; the DMAs started two levels earlier on the same slot
+    are waited first (by then they are long complete — a level's Newton solve
+    takes 10-1000x a row DMA — so the streaming is fully overlapped).
+    ``drain()`` waits the final in-flight slot(s) before the kernel returns.
+
+    This lifts the batched kernel's VMEM member cap from the output-stack
+    bound to the working-set bound (~18x for store="full" at the flagship
+    size) and removes the single-run kernel's ``nt`` ceiling entirely
+    (arbitrary-duration simulations in one dispatch).
+    """
+
+    def __init__(self, out_refs, stage_refs, sems, nt):
+        self.out_refs = out_refs
+        self.stage_refs = stage_refs
+        self.sems = sems
+        self.nt = nt
+
+    def _dma(self, i, slot, k):
+        return pltpu.make_async_copy(self.stage_refs[i].at[pl.ds(slot, 1)],
+                                     self.out_refs[i].at[pl.ds(k, 1)],
+                                     self.sems.at[slot, i])
+
+    def store(self, k, rows):
+        """rows[i] must be shaped like one leading-1 slice of stage_refs[i]."""
+        if isinstance(k, int):  # the static pre-loop level-0 store
+            assert k == 0
+            slot = 0
+        else:
+            # parity without integer ops: the fori_loop index is a weak i64
+            # under x64 and Mosaic cannot lower i64 arithmetic/compares;
+            # i64->f32 conversion does lower (see the storage-branch note).
+            kf = k.astype(jnp.float32)
+            slot = (kf - 2.0 * jnp.floor(kf * 0.5)).astype(jnp.int32)
+
+            @pl.when(kf >= np.float32(2.0))
+            def _wait_previous():
+                # waits the copy started at level k-2 on this slot; the
+                # descriptor only needs the matching transfer shape, which
+                # is level-invariant
+                for i in range(len(self.out_refs)):
+                    self._dma(i, slot, k).wait()
+
+        for i, row in enumerate(rows):
+            self.stage_refs[i][pl.ds(slot, 1)] = row
+            self._dma(i, slot, k).start()
+
+    def drain(self):
+        # exactly one DMA is outstanding per used slot: levels 0 and 1
+        # started without a prior wait, every k >= 2 waited for k-2
+        for s in range(min(self.nt, 2)):
+            for i in range(len(self.out_refs)):
+                self._dma(i, s, s).wait()
+
+
+def _out_scratch_shapes(out_shapes):
+    """VMEM staging (2 slots per output) + one DMA semaphore per (slot, out)."""
+    return ([pltpu.VMEM((2,) + s.shape[1:], s.dtype) for s in out_shapes]
+            + [pltpu.SemaphoreType.DMA((2, len(out_shapes)))])
+
+
 def _kernel(*refs, nt, n, n_sweeps, max_iter, ds_kind, us_kind, gate_init,
-            geo_kind, tab_M, tab_stride, has_stg, store, interpret):
+            geo_kind, tab_M, tab_stride, has_stg, store, out_mem, interpret):
     refs = list(refs)
     geo_ref = refs.pop(0)
     tab_ref = refs.pop(0) if geo_kind == "table" else None
     stg_ref = refs.pop(0) if has_stg else None
+    streamer = None
+    if out_mem == "hbm":
+        n_out = 1 if store == "boundaries" else 5
+        sems = refs.pop()
+        stage_refs = [refs.pop() for _ in range(n_out)][::-1]
+        out_refs = refs[-n_out:]
+        refs = refs[:-n_out]
+        streamer = _LevelStreamer(out_refs, stage_refs, sems, nt)
+        refs += out_refs  # unpacked below exactly like the VMEM layout
     if store == "boundaries":
         (init_ref, tgt_ref, ds_tgt_ref, scal_ref, stats_ref) = refs
         dhi_ref = dlo_ref = fhi_ref = flo_ref = None
@@ -881,7 +957,13 @@ def _kernel(*refs, nt, n, n_sweeps, max_iter, ds_kind, us_kind, gate_init,
                               (8, Q.hi[:, 0:1]), (9, Q.lo[:, 0:1]),
                               (10, Q.hi[:, n - 1:n]), (11, Q.lo[:, n - 1:n])):
                 stats_row = stats_row + jnp.where(idx128 == lane, val, 0.0)
-            stats_ref[pl.ds(k, 1), :] = stats_row
+            if streamer is not None:
+                streamer.store(k, [stats_row])
+            else:
+                stats_ref[pl.ds(k, 1), :] = stats_row
+            return
+        if streamer is not None:
+            streamer.store(k, [h.hi, h.lo, Q.hi, Q.lo, stats_row])
             return
         dhi_ref[pl.ds(k, 1), :] = h.hi
         dlo_ref[pl.ds(k, 1), :] = h.lo
@@ -971,12 +1053,14 @@ def _kernel(*refs, nt, n, n_sweeps, max_iter, ds_kind, us_kind, gate_init,
                 gopen, gcool, gptime, gstage)
 
     _run_levels(level_body)
+    if streamer is not None:
+        streamer.drain()
 
 
 @functools.lru_cache(maxsize=64)
 def _build_call(*, nt, n, Np, tgt_len, n_sweeps, max_iter, ds_kind, us_kind,
                 gate_init, interpret, geo_kind="trap", tab_M=0, tab_stride=0,
-                has_stg=False, store="full"):
+                has_stg=False, store="full", out_mem="vmem"):
     """Cache the pallas_call wrapper per static configuration.
 
     Rebuilding the closure per invocation defeats jax's trace cache: every
@@ -989,7 +1073,7 @@ def _build_call(*, nt, n, Np, tgt_len, n_sweeps, max_iter, ds_kind, us_kind,
         _kernel, nt=nt, n=n, n_sweeps=n_sweeps, max_iter=max_iter,
         ds_kind=ds_kind, us_kind=us_kind, gate_init=gate_init,
         geo_kind=geo_kind, tab_M=tab_M, tab_stride=tab_stride,
-        has_stg=has_stg, store=store, interpret=interpret)
+        has_stg=has_stg, store=store, out_mem=out_mem, interpret=interpret)
     if store == "boundaries":
         out_shapes = [
             jax.ShapeDtypeStruct((nt, 128), jnp.float32),  # stats+bnd
@@ -1002,6 +1086,7 @@ def _build_call(*, nt, n, Np, tgt_len, n_sweeps, max_iter, ds_kind, us_kind,
             jax.ShapeDtypeStruct((nt, Np), jnp.float32),  # flow lo
             jax.ShapeDtypeStruct((nt, 128), jnp.float32),  # stats
         ]
+    out_space = pl.ANY if out_mem == "hbm" else pltpu.VMEM
     # jax.jit so repeat calls hit the executable cache (a bare pallas_call
     # wrapper re-traces on every invocation)
     return jax.jit(pl.pallas_call(
@@ -1019,7 +1104,9 @@ def _build_call(*, nt, n, Np, tgt_len, n_sweeps, max_iter, ds_kind, us_kind,
                 pl.BlockSpec(memory_space=pltpu.SMEM),  # scalars
             ]
         ),
-        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(out_shapes),
+        out_specs=[pl.BlockSpec(memory_space=out_space)] * len(out_shapes),
+        scratch_shapes=(_out_scratch_shapes(out_shapes)
+                        if out_mem == "hbm" else []),
         interpret=interpret,
     ))
 
@@ -1334,11 +1421,10 @@ def fused_simulate(geo, us_bc, ds_bc, h0, Q0, settings, interpret: bool = False)
     n = geo.n_nodes
     nt = settings.n_time_levels
     Np = max(128, -(-n // 128) * 128)
-    if _vmem_per_member(nt, Np, getattr(settings, "store", "full")) \
-            > _FUSED_VMEM_BYTES:
-        raise FusedUnsupported(
-            f"{nt} levels of stacked outputs exceed the VMEM budget at "
-            f"Np={Np} (store='boundaries' lifts the ceiling ~{(4*Np+128)//128}x)")
+    store = getattr(settings, "store", "full")
+    # when the [nt, ...] output stacks don't fit VMEM, stream them to HBM
+    # (arbitrary-duration runs in one dispatch; see _LevelStreamer)
+    out_mem = _pick_out_mem(settings, nt, Np, store)
     n_sweeps = max(1, (n - 1).bit_length())
 
     f32 = np.float32
@@ -1397,7 +1483,6 @@ def fused_simulate(geo, us_bc, ds_bc, h0, Q0, settings, interpret: bool = False)
     if stg_us is not None:
         stg_rows = stg_us
 
-    store = getattr(settings, "store", "full")
     call = _build_call(nt=nt, n=n, Np=Np, tgt_len=len(tgt),
                        n_sweeps=n_sweeps, max_iter=settings.max_iter,
                        ds_kind=ds_kind, us_kind=us_kind_str,
@@ -1405,7 +1490,7 @@ def fused_simulate(geo, us_bc, ds_bc, h0, Q0, settings, interpret: bool = False)
                        geo_kind="table" if is_table else "trap",
                        tab_M=tab_M, tab_stride=tab_stride,
                        has_stg=stg_rows is not None,
-                       store=store, interpret=interpret)
+                       store=store, out_mem=out_mem, interpret=interpret)
     ins = [jnp.asarray(rows)]
     if is_table:
         ins.append(jnp.asarray(tabs))
@@ -1482,7 +1567,14 @@ def fused_simulate(geo, us_bc, ds_bc, h0, Q0, settings, interpret: bool = False)
 
 def _kernel_batched(geo_ref, init_ref, tgt_ref, ds_tgt_ref, scal_ref,
                     *out_refs, nt, n, B, n_sweeps, max_iter, ds_kind, us_kind,
-                    gate_init, varying, store, interpret):
+                    gate_init, varying, store, out_mem, interpret):
+    out_refs = list(out_refs)
+    streamer = None
+    if out_mem == "hbm":
+        n_out = 1 if store == "boundaries" else 5
+        sems = out_refs.pop()
+        stage_refs = [out_refs.pop() for _ in range(n_out)][::-1]
+        streamer = _LevelStreamer(out_refs, stage_refs, sems, nt)
     if store == "boundaries":
         (stats_ref,) = out_refs
         dhi_ref = dlo_ref = fhi_ref = flo_ref = None
@@ -1541,7 +1633,14 @@ def _kernel_batched(geo_ref, init_ref, tgt_ref, ds_tgt_ref, scal_ref,
                               (8, Q.hi[:, 0:1]), (9, Q.lo[:, 0:1]),
                               (10, Q.hi[:, n - 1:n]), (11, Q.lo[:, n - 1:n])):
                 stats_rows = stats_rows + jnp.where(idx128 == lane, val, 0.0)
-            stats_ref[pl.ds(k, 1)] = stats_rows[None]
+            if streamer is not None:
+                streamer.store(k, [stats_rows[None]])
+            else:
+                stats_ref[pl.ds(k, 1)] = stats_rows[None]
+            return
+        if streamer is not None:
+            streamer.store(k, [h.hi[None], h.lo[None], Q.hi[None],
+                               Q.lo[None], stats_rows[None]])
             return
         dhi_ref[pl.ds(k, 1)] = h.hi[None]
         dlo_ref[pl.ds(k, 1)] = h.lo[None]
@@ -1604,7 +1703,12 @@ def _kernel_batched(geo_ref, init_ref, tgt_ref, ds_tgt_ref, scal_ref,
         # one — the carry relayout is then rejected ("Non-singleton logical
         # dimension is replicated in destination but not in source").
         # Deriving the init from runtime data pins a concrete layout.
-        dz = h.hi[:, 0:1] * np.float32(0.0)
+        # Derive it from the target series (finite for every member), NOT
+        # from h: a member whose Newton diverged to NaN at an earlier level
+        # would otherwise poison sum(active) in `cond` and freeze EVERY
+        # member's iteration for the rest of the run (a dead member must
+        # only kill itself, as in per-member single runs).
+        dz = tgt * np.float32(0.0)
         hh, hl, qh, ql, _, iters, errf, rs_hi, rs_lo = jax.lax.while_loop(
             cond, body,
             (h.hi, h.lo, Q.hi, Q.lo, dz + 1.0, dz,
@@ -1624,16 +1728,19 @@ def _kernel_batched(geo_ref, init_ref, tgt_ref, ds_tgt_ref, scal_ref,
             1, nt, level_body,
             (h0.hi, h0.lo, Q0.hi, Q0.lo, dz0, dz0,
              dz0 + np.float32(gate_init), dz0, dz0 - 1.0, gstage0))
+    if streamer is not None:
+        streamer.drain()
 
 
 @functools.lru_cache(maxsize=64)
 def _build_call_batched(*, nt, n, B, Np, n_sweeps, max_iter, ds_kind,
-                        us_kind, gate_init, varying, store, interpret):
+                        us_kind, gate_init, varying, store, out_mem,
+                        interpret):
     kern = functools.partial(
         _kernel_batched, nt=nt, n=n, B=B, n_sweeps=n_sweeps,
         max_iter=max_iter, ds_kind=ds_kind, us_kind=us_kind,
         gate_init=gate_init, varying=varying, store=store,
-        interpret=interpret)
+        out_mem=out_mem, interpret=interpret)
     if store == "boundaries":
         out_shapes = [
             jax.ShapeDtypeStruct((nt, B, 128), jnp.float32),  # stats+bnd
@@ -1646,6 +1753,7 @@ def _build_call_batched(*, nt, n, B, Np, n_sweeps, max_iter, ds_kind,
             jax.ShapeDtypeStruct((nt, B, Np), jnp.float32),  # flow lo
             jax.ShapeDtypeStruct((nt, B, 128), jnp.float32),  # stats
         ]
+    out_space = pl.ANY if out_mem == "hbm" else pltpu.VMEM
     return jax.jit(pl.pallas_call(
         kern,
         out_shape=out_shapes,
@@ -1656,7 +1764,9 @@ def _build_call_batched(*, nt, n, B, Np, n_sweeps, max_iter, ds_kind,
             pl.BlockSpec(memory_space=pltpu.SMEM),  # ds target series [B, nt]
             pl.BlockSpec(memory_space=pltpu.SMEM),  # scalars
         ],
-        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(out_shapes),
+        out_specs=[pl.BlockSpec(memory_space=out_space)] * len(out_shapes),
+        scratch_shapes=(_out_scratch_shapes(out_shapes)
+                        if out_mem == "hbm" else []),
         interpret=interpret,
     ))
 
@@ -1675,21 +1785,54 @@ _FUSED_VMEM_BYTES = 14 * 1024 * 1024  # ~16 MB/core VMEM minus headroom
 _WORK_ROWS = 176
 
 
-def _vmem_per_member(n_time_levels: int, Np: int, store: str) -> int:
+def _vmem_per_member(n_time_levels: int, Np: int, store: str,
+                     out_mem: str = "vmem") -> int:
     out_lanes = 128 if store == "boundaries" else 4 * Np + 128
-    return (n_time_levels * out_lanes + _WORK_ROWS * Np) * 4
+    # out_mem="hbm": the [nt, ...] stacks live in HBM; VMEM holds only the
+    # 2 double-buffer staging slots per output (_LevelStreamer)
+    out_levels = 2 if out_mem == "hbm" else n_time_levels
+    return (out_levels * out_lanes + _WORK_ROWS * Np) * 4
+
+
+def _pick_out_mem(settings, nt: int, Np: int, store: str, B: int = 1) -> str:
+    """Output memory space: settings.out_memory, or smallest that fits.
+
+    "vmem" (direct vector stores, no DMA machinery) is preferred when the
+    stacked outputs fit the VMEM budget; otherwise "hbm" streams them via
+    :class:`_LevelStreamer`.  Raises FusedUnsupported when even the HBM
+    layout's per-member working set exceeds VMEM.
+    """
+    req = getattr(settings, "out_memory", "auto")
+    if req in ("vmem", "hbm"):
+        out_mem = req
+    else:
+        out_mem = ("vmem"
+                   if B * _vmem_per_member(nt, Np, store, "vmem")
+                   <= _FUSED_VMEM_BYTES else "hbm")
+    if B * _vmem_per_member(nt, Np, store, out_mem) > _FUSED_VMEM_BYTES:
+        limit = max_fused_batch(Np, nt, store, out_mem)
+        raise FusedUnsupported(
+            f"per-member working set exceeds the VMEM budget at Np={Np} "
+            f"with out_memory='{out_mem}' (B={B}; cap {limit})")
+    return out_mem
 
 
 def max_fused_batch(n_nodes: int, n_time_levels: int,
-                    store: str = "full") -> int:
+                    store: str = "full", out_memory: str = "auto") -> int:
     """Largest member count one batched kernel call can hold in VMEM
     (callers chunk bigger ensembles; multiples of 8 fill whole vregs).
-    ``store="boundaries"`` keeps only the 128-lane stats+boundary row per
-    level; the cap then rises until the per-member *working set*
-    (inputs + PCR buffers, ~:data:`_WORK_ROWS` rows of Np lanes) becomes
-    the binding constraint — ~7x at the flagship size."""
+
+    With ``out_memory="hbm"`` (or "auto", which upgrades to it when the
+    in-VMEM output stacks would bind first) the per-level fields stream to
+    HBM and only the per-member *working set* (inputs + PCR buffers,
+    ~:data:`_WORK_ROWS` rows of Np lanes) limits the batch — ~18x the
+    in-VMEM store="full" cap at the flagship size.  ``store="boundaries"``
+    additionally shrinks what is stored at all (the Monte-Carlo output
+    mode)."""
     Np = max(128, -(-n_nodes // 128) * 128)
-    per_member = _vmem_per_member(n_time_levels, Np, store)
+    mems = ("vmem", "hbm") if out_memory == "auto" else (out_memory,)
+    per_member = min(_vmem_per_member(n_time_levels, Np, store, m)
+                     for m in mems)
     return max(8, (_FUSED_VMEM_BYTES // per_member) // 8 * 8)
 
 
@@ -1759,11 +1902,13 @@ def fused_simulate_batched(geo_batch, us_bc, ds_bc, h0, Q0, settings,
                 f"batched kernel supports constant-area storage only "
                 f"({end} storage uses the scalar stage-grid lookup)")
     store = getattr(settings, "store", "full")
-    if B * _vmem_per_member(nt, Np, store) > _FUSED_VMEM_BYTES:
+    try:
+        out_mem = _pick_out_mem(settings, nt, Np, store, B=B)
+    except FusedUnsupported:
         raise FusedUnsupported(
             f"batch {B0} x {nt} levels exceeds the VMEM budget "
-            f"(outputs + per-member working set); "
-            f"chunk at <= {max_fused_batch(n, nt, store)} members")
+            f"(per-member working set); "
+            f"chunk at <= {max_fused_batch(n, nt, store)} members") from None
 
     f32 = np.float32
     geo_rows = np.zeros((_NG * B, Np), f32)
@@ -1812,7 +1957,7 @@ def fused_simulate_batched(geo_batch, us_bc, ds_bc, h0, Q0, settings,
         nt=nt, n=n, B=B, Np=Np, n_sweeps=n_sweeps,
         max_iter=settings.max_iter, ds_kind=ds_kind, us_kind=us_kind_str,
         gate_init=1.0 if settings.gate_initially_open else 0.0,
-        varying=varying, store=store, interpret=interpret)
+        varying=varying, store=store, out_mem=out_mem, interpret=interpret)
     outs = call(
         jnp.asarray(geo_rows), jnp.asarray(init_rows), jnp.asarray(tgt_b),
         jnp.asarray(ds_tgt_b), jnp.asarray(scal_rows))

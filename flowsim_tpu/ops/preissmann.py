@@ -71,6 +71,15 @@ class PreissmannSettings:
     # notes).  "full" (default) stores every node, as the reference does
     # (ref solver.py:43-44).
     store: str = field(default="full", metadata=dict(static=True))
+    # Output memory space for the fused whole-simulation kernel only
+    # (ops/pallas/fused_newton.py): "vmem" keeps the stacked [nt, ...]
+    # outputs in VMEM (direct vector stores), "hbm" streams them level by
+    # level via double-buffered DMA (_LevelStreamer) so only the per-member
+    # working set counts against the VMEM budget — lifting the batched
+    # member cap ~18x at the flagship size and removing the single-run nt
+    # ceiling.  "auto" (default) picks "vmem" when the outputs fit, else
+    # "hbm".  Ignored by the XLA paths.
+    out_memory: str = field(default="auto", metadata=dict(static=True))
 
 
 class PrevLevel(NamedTuple):

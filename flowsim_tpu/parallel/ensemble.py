@@ -140,7 +140,8 @@ def _fused_batched_simulate(geo_batch, us_bc, ds_bc, h0, Q0, settings,
     B = jax.tree_util.tree_leaves(geo_batch)[0].shape[0]
     n = geo_batch.n_nodes
     cap = chunk_size or max_fused_batch(n, settings.n_time_levels,
-                                        getattr(settings, "store", "full"))
+                                        getattr(settings, "store", "full"),
+                                        getattr(settings, "out_memory", "auto"))
     # same convention as api.Solver.run: Mosaic on TPU, interpret elsewhere
     interpret = jax.devices()[0].platform != "tpu"
     h0b = jnp.ndim(h0) > 1

@@ -199,6 +199,13 @@ def main():
     def wanted(name):
         return not only or any(tok in name for tok in only)
 
+    # single-kernel HBM output streaming (_LevelStreamer): same flagship
+    # case, outputs DMA'd level-by-level to HBM instead of VMEM stacks
+    import dataclasses as _dc
+    _s0, _ss0 = cases["gerd_smooth"]
+    cases["gerd_smooth_hbm_stream"] = (_s0, _dc.replace(_ss0,
+                                                        out_memory="hbm"))
+
     results = {}
     for name, (solver, sset) in cases.items():
         if not wanted(name):
@@ -262,12 +269,16 @@ def main():
     solver, sset = cases["gerd_smooth"]
     geo = solver.channel.geometry
     n_nodes, nt = geo.n_nodes, sset.n_time_levels
-    for store in ("full", "boundaries"):
-        B = max_fused_batch(n_nodes, nt, store)
-        name = f"batched_{store}_b{B}"
+    # each (store, out_memory) combo at ITS OWN VMEM member cap: "vmem"
+    # validates the in-VMEM output stacks (round-2 path), "hbm" the
+    # _LevelStreamer DMA path at the ~18x larger working-set-bound cap
+    for store, out_mem in (("full", "vmem"), ("boundaries", "vmem"),
+                           ("full", "hbm"), ("boundaries", "hbm")):
+        B = max_fused_batch(n_nodes, nt, store, out_mem)
+        name = f"batched_{store}_{out_mem}_b{B}"
         if not wanted(name):
             continue
-        sset_b = dc.replace(sset, store=store) if store != "full" else sset
+        sset_b = dc.replace(sset, store=store, out_memory=out_mem)
         n_vals = np.linspace(0.025, 0.045, B)
         with jax.default_device(cpu):
             geo_b = roughness_ensemble(geo, n_vals)

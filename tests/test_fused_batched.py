@@ -201,16 +201,26 @@ def test_batched_per_member_rating_coeffs():
 def test_max_fused_batch_bounds():
     from flowsim_tpu.ops.pallas.fused_newton import (_vmem_per_member,
                                                      _FUSED_VMEM_BYTES)
-    b = max_fused_batch(121, 385)
-    assert b >= 8 and b % 8 == 0
-    # budget respected: outputs + per-member working set fit in VMEM
-    assert _vmem_per_member(385, 128, "full") * b <= _FUSED_VMEM_BYTES or b == 8
-    assert max_fused_batch(256, 25) >= 64
+    for out_mem in ("vmem", "hbm"):
+        b = max_fused_batch(121, 385, out_memory=out_mem)
+        assert b >= 8 and b % 8 == 0
+        # budget respected: outputs (or their 2 staging slots) + per-member
+        # working set fit in VMEM
+        assert (_vmem_per_member(385, 128, "full", out_mem) * b
+                <= _FUSED_VMEM_BYTES or b == 8)
+    assert max_fused_batch(256, 25) >= 64  # auto upgrades to hbm streaming
+    # hbm streaming removes the output-stack bound entirely: the cap is set
+    # by the per-member working set (~_WORK_ROWS rows of Np lanes), so it is
+    # independent of nt and much larger than the in-VMEM store="full" cap
+    assert (max_fused_batch(121, 385, "full", "hbm")
+            == max_fused_batch(121, 9999, "full", "hbm"))
+    assert (max_fused_batch(121, 385, "full", "hbm")
+            >= 8 * max_fused_batch(121, 385, "full", "vmem"))
     # boundaries mode: the cap is bounded by the working set, not just the
     # tiny output rows — 24 levels of 128-lane rows alone would allow
-    # thousands of members, but ~96 rows of [1, Np] working state per
+    # thousands of members, but ~176 rows of [1, Np] working state per
     # member must also fit in ~16 MB VMEM
-    bb = max_fused_batch(256, 24, "boundaries")
+    bb = max_fused_batch(256, 24, "boundaries", "vmem")
     assert bb * _vmem_per_member(24, 256, "boundaries") <= _FUSED_VMEM_BYTES
     assert bb <= 256
 
@@ -287,3 +297,91 @@ def test_single_fused_store_boundaries(example_ensemble):
     assert bnd.depth.shape == (sset.n_time_levels, 2)
     assert (np.asarray(bnd.depth) == np.asarray(full.depth)[:, [0, -1]]).all()
     assert (np.asarray(bnd.flow) == np.asarray(full.flow)[:, [0, -1]]).all()
+
+
+def test_batched_hbm_streaming_bitwise(example_ensemble, batched_out):
+    """out_memory='hbm' streams the per-level outputs to HBM via
+    double-buffered DMA (_LevelStreamer) instead of keeping the [nt, B, Np]
+    stacks in VMEM: results must be bitwise identical to the in-VMEM store
+    for both output modes."""
+    solver, sset, geob, us_members, us_stacked = example_ensemble
+    fields = ("depth", "flow", "iterations", "error", "reservoir_stage",
+              "gate_open")
+    for store in ("full", "boundaries"):
+        sv = dataclasses.replace(sset, store=store, out_memory="vmem")
+        sh = dataclasses.replace(sset, store=store, out_memory="hbm")
+        ov = fused_simulate_batched(geob, us_stacked, solver.ds_params,
+                                    solver.h0, solver.Q0, sv,
+                                    interpret=True, us_batched=True)
+        oh = fused_simulate_batched(geob, us_stacked, solver.ds_params,
+                                    solver.h0, solver.Q0, sh,
+                                    interpret=True, us_batched=True)
+        for f in fields:
+            assert np.array_equal(np.asarray(getattr(ov, f)),
+                                  np.asarray(getattr(oh, f)),
+                                  equal_nan=True), (store, f)
+
+
+def test_batched_above_vmem_cap_auto_streams(example_ensemble):
+    """A member batch larger than the in-VMEM store='full' cap is rejected
+    with out_memory='vmem' but runs under 'auto' (HBM streaming), and each
+    member still matches its own single-run fused simulation bitwise."""
+    from flowsim_tpu.ops.pallas.fused_newton import _vmem_per_member, \
+        _FUSED_VMEM_BYTES
+
+    solver, sset, geob3, us_members, _ = example_ensemble
+    nt = sset.n_time_levels
+    vmem_cap = max_fused_batch(geob3.n_nodes, nt, "full", "vmem")
+    B = vmem_cap + 8
+    # stay inside the Newton-stable roughness band for this case: at
+    # n >~ 0.047 the example config genuinely diverges (the f64 XLA path
+    # and the reference do too — the reference raises on non-convergence)
+    rng = np.random.default_rng(7)
+    n_vals = rng.uniform(0.023, 0.042, B)
+    geob = roughness_ensemble(
+        jax.tree_util.tree_map(lambda x: x[0], geob3), n_vals)
+
+    with pytest.raises(FusedUnsupported):
+        fused_simulate_batched(geob, solver.us_params, solver.ds_params,
+                               solver.h0, solver.Q0,
+                               dataclasses.replace(sset, out_memory="vmem"),
+                               interpret=True)
+    assert B * _vmem_per_member(nt, 128, "full", "hbm") <= _FUSED_VMEM_BYTES
+    outb = fused_simulate_batched(geob, solver.us_params, solver.ds_params,
+                                  solver.h0, solver.Q0, sset, interpret=True)
+    assert outb.depth.shape[0] == B
+    assert bool(np.asarray(outb.converged).all())
+    for m in (0, B // 2, B - 1):
+        gm = jax.tree_util.tree_map(lambda x: x[m], geob)
+        outs = fused_simulate(gm, solver.us_params, solver.ds_params,
+                              solver.h0, solver.Q0, sset, interpret=True)
+        assert (np.asarray(outb.depth[m]) == np.asarray(outs.depth)).all()
+        assert (np.asarray(outb.iterations[m])
+                == np.asarray(outs.iterations)).all()
+
+
+def test_diverged_member_does_not_poison_batch(example_ensemble):
+    """A member whose Newton genuinely diverges to NaN (n=0.0471 on this
+    case diverges in f64 too; the reference raises there) must only kill
+    itself: the healthy members of the same batched kernel call still
+    match their own single-run fused simulations bitwise.  Regression for
+    the while-cond `sum(active)` picking up NaN from a dead member's state
+    and freezing the whole batch."""
+    solver, sset, _, _, _ = example_ensemble
+    from flowsim_tpu.models import example as _ex
+
+    geo = _ex.build()[1].geometry
+    n_vals = [0.027, 0.0471, 0.031]  # middle member diverges
+    geob = roughness_ensemble(geo, n_vals)
+    outb = fused_simulate_batched(geob, solver.us_params, solver.ds_params,
+                                  solver.h0, solver.Q0, sset, interpret=True)
+    conv = np.asarray(outb.converged)
+    assert not conv[1].all()  # the unstable member did diverge
+    for m in (0, 2):
+        gm = jax.tree_util.tree_map(lambda x: x[m], geob)
+        outs = fused_simulate(gm, solver.us_params, solver.ds_params,
+                              solver.h0, solver.Q0, sset, interpret=True)
+        assert bool(np.asarray(outs.converged).all())
+        assert (np.asarray(outb.depth[m]) == np.asarray(outs.depth)).all()
+        assert (np.asarray(outb.iterations[m])
+                == np.asarray(outs.iterations)).all()

@@ -385,3 +385,45 @@ def test_storage_both_ends_raises():
     with pytest.raises(FusedUnsupported):
         fused_simulate(geo, mk(float(z[0])), mk(float(z[-1])),
                        h0, Q0, sset, interpret=True)
+
+
+def test_hbm_streaming_bitwise(gerd):
+    """Single-run kernel with out_memory='hbm' (per-level DMA streaming of
+    the output stacks to HBM) is bitwise identical to the in-VMEM store."""
+    solver, sset = gerd
+    geo = solver.channel.geometry
+    args = (geo, solver.us_params, solver.ds_params, solver.h0, solver.Q0)
+    fields = ("depth", "flow", "iterations", "error", "reservoir_stage",
+              "gate_open")
+    for store in ("full", "boundaries"):
+        sv = dataclasses.replace(sset, store=store, out_memory="vmem")
+        sh = dataclasses.replace(sset, store=store, out_memory="hbm")
+        ov = fused_simulate(*args, sv, interpret=True)
+        oh = fused_simulate(*args, sh, interpret=True)
+        for f in fields:
+            assert np.array_equal(np.asarray(getattr(ov, f)),
+                                  np.asarray(getattr(oh, f)),
+                                  equal_nan=True), (store, f)
+
+
+def test_hbm_streaming_lifts_nt_ceiling():
+    """With out_memory='auto' the kernel accepts durations whose stacked
+    outputs exceed the VMEM budget (they stream to HBM); 'vmem' rejects
+    them.  Uses the budget math, not a multi-hour interpret run."""
+    import dataclasses as _dc
+
+    from flowsim_tpu.ops.pallas.fused_newton import (_FUSED_VMEM_BYTES,
+                                                     _pick_out_mem,
+                                                     _vmem_per_member)
+
+    nt_huge = 100_000  # ~a decade of hourly levels at the flagship size
+    assert _vmem_per_member(nt_huge, 128, "full", "vmem") > _FUSED_VMEM_BYTES
+
+    class S:
+        out_memory = "auto"
+
+    assert _pick_out_mem(S(), nt_huge, 128, "full") == "hbm"
+    s_vmem = S()
+    s_vmem.out_memory = "vmem"
+    with pytest.raises(FusedUnsupported):
+        _pick_out_mem(s_vmem, nt_huge, 128, "full")

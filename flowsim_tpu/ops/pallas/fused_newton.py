@@ -846,10 +846,17 @@ class _LevelStreamer:
         self.sems = sems
         self.nt = nt
 
+    @staticmethod
+    def _i32(v):
+        # python-int indices trace as i64 constants under x64, which
+        # Mosaic's tpu.memref_slice rejects
+        return np.int32(v) if isinstance(v, (int, np.integer)) else v
+
     def _dma(self, i, slot, k):
+        slot, k = self._i32(slot), self._i32(k)
         return pltpu.make_async_copy(self.stage_refs[i].at[pl.ds(slot, 1)],
                                      self.out_refs[i].at[pl.ds(k, 1)],
-                                     self.sems.at[slot, i])
+                                     self.sems.at[slot, np.int32(i)])
 
     def store(self, k, rows):
         """rows[i] must be shaped like one leading-1 slice of stage_refs[i]."""
@@ -860,8 +867,11 @@ class _LevelStreamer:
             # parity without integer ops: the fori_loop index is a weak i64
             # under x64 and Mosaic cannot lower i64 arithmetic/compares;
             # i64->f32 conversion does lower (see the storage-branch note).
+            # The DMA slice index must also be i32 (tpu.memref_slice rejects
+            # i64 operands), so route k itself through f32 too.
             kf = k.astype(jnp.float32)
             slot = (kf - 2.0 * jnp.floor(kf * 0.5)).astype(jnp.int32)
+            k = kf.astype(jnp.int32)
 
             @pl.when(kf >= np.float32(2.0))
             def _wait_previous():
@@ -890,7 +900,8 @@ def _out_scratch_shapes(out_shapes):
 
 
 def _kernel(*refs, nt, n, n_sweeps, max_iter, ds_kind, us_kind, gate_init,
-            geo_kind, tab_M, tab_stride, has_stg, store, out_mem, interpret):
+            geo_kind, tab_M, tab_stride, has_stg, store, out_mem, unroll,
+            interpret):
     refs = list(refs)
     geo_ref = refs.pop(0)
     tab_ref = refs.pop(0) if geo_kind == "table" else None
@@ -1019,26 +1030,32 @@ def _kernel(*refs, nt, n, n_sweeps, max_iter, ds_kind, us_kind, gate_init,
             return (err >= tol) & (it < max_iter)
 
         def body(c):
-            # two Newton iterations per while trip: the loop-carry overhead
-            # is ~2/3 of the per-iteration cost at N=121 (measured: 5.6 us
-            # trip floor vs 2.9 us body; scripts/bench_fused_micro.py), so
-            # unrolling nearly halves it. The second iteration is masked on
-            # the first's pre-update residual, which reproduces the
-            # sequential trajectory and iteration counts exactly.
+            # `unroll` Newton iterations per while trip: the loop-carry
+            # overhead is ~2/3 of the per-iteration cost at N=121 (measured:
+            # 5.6 us trip floor vs 2.9 us body; scripts/bench_fused_micro.py),
+            # so unrolling amortizes it.  Iterations after the first are
+            # masked on the previous pre-update residual, which reproduces
+            # the sequential trajectory and iteration counts exactly; the
+            # tradeoff is up to (unroll-1) masked-out extra evaluations at
+            # each level's convergence boundary.
             hh, hl, qh, ql, _, it, _, _ = c
             h1, Q1, e1, rs1 = newton_iter(DF(hh, hl), DF(qh, ql), h, Q,
                                           prev_A, prev_Se, prev_Q2A, tgt,
                                           y_old, k, gopen, ds_tgt)
-            cont = (e1 >= tol) & (it + np.int32(1) < max_iter)
-            h2, Q2, e2, rs2 = newton_iter(h1, Q1, h, Q,
-                                          prev_A, prev_Se, prev_Q2A, tgt,
-                                          y_old, k, gopen, ds_tgt)
-            pick = lambda a, b: jnp.where(cont, a, b)
-            return (pick(h2.hi, h1.hi), pick(h2.lo, h1.lo),
-                    pick(Q2.hi, Q1.hi), pick(Q2.lo, Q1.lo),
-                    pick(e2, e1), it + np.int32(1) + cont.astype(jnp.int32),
-                    pick(rs2.hi[0, 0], rs1.hi[0, 0]),
-                    pick(rs2.lo[0, 0], rs1.lo[0, 0]))
+            st = (h1, Q1, e1, it + np.int32(1), rs1.hi[0, 0], rs1.lo[0, 0])
+            for _ in range(unroll - 1):
+                hp, Qp, ep, itv, rh, rl = st
+                cont = (ep >= tol) & (itv < max_iter)
+                h2, Q2, e2, rs2 = newton_iter(hp, Qp, h, Q,
+                                              prev_A, prev_Se, prev_Q2A, tgt,
+                                              y_old, k, gopen, ds_tgt)
+                pick = lambda a, b: jnp.where(cont, a, b)
+                st = (DF(pick(h2.hi, hp.hi), pick(h2.lo, hp.lo)),
+                      DF(pick(Q2.hi, Qp.hi), pick(Q2.lo, Qp.lo)),
+                      pick(e2, ep), itv + cont.astype(jnp.int32),
+                      pick(rs2.hi[0, 0], rh), pick(rs2.lo[0, 0], rl))
+            hf, Qf, ef, itf, rhf, rlf = st
+            return (hf.hi, hf.lo, Qf.hi, Qf.lo, ef, itf, rhf, rlf)
 
         hh, hl, qh, ql, err, iters, rs_hi, rs_lo = jax.lax.while_loop(
             cond, body,
@@ -1060,7 +1077,7 @@ def _kernel(*refs, nt, n, n_sweeps, max_iter, ds_kind, us_kind, gate_init,
 @functools.lru_cache(maxsize=64)
 def _build_call(*, nt, n, Np, tgt_len, n_sweeps, max_iter, ds_kind, us_kind,
                 gate_init, interpret, geo_kind="trap", tab_M=0, tab_stride=0,
-                has_stg=False, store="full", out_mem="vmem"):
+                has_stg=False, store="full", out_mem="vmem", unroll=2):
     """Cache the pallas_call wrapper per static configuration.
 
     Rebuilding the closure per invocation defeats jax's trace cache: every
@@ -1073,7 +1090,8 @@ def _build_call(*, nt, n, Np, tgt_len, n_sweeps, max_iter, ds_kind, us_kind,
         _kernel, nt=nt, n=n, n_sweeps=n_sweeps, max_iter=max_iter,
         ds_kind=ds_kind, us_kind=us_kind, gate_init=gate_init,
         geo_kind=geo_kind, tab_M=tab_M, tab_stride=tab_stride,
-        has_stg=has_stg, store=store, out_mem=out_mem, interpret=interpret)
+        has_stg=has_stg, store=store, out_mem=out_mem, unroll=unroll,
+        interpret=interpret)
     if store == "boundaries":
         out_shapes = [
             jax.ShapeDtypeStruct((nt, 128), jnp.float32),  # stats+bnd
@@ -1490,7 +1508,9 @@ def fused_simulate(geo, us_bc, ds_bc, h0, Q0, settings, interpret: bool = False)
                        geo_kind="table" if is_table else "trap",
                        tab_M=tab_M, tab_stride=tab_stride,
                        has_stg=stg_rows is not None,
-                       store=store, out_mem=out_mem, interpret=interpret)
+                       store=store, out_mem=out_mem,
+                       unroll=max(1, int(getattr(settings, "fused_unroll", 2))),
+                       interpret=interpret)
     ins = [jnp.asarray(rows)]
     if is_table:
         ins.append(jnp.asarray(tabs))
@@ -1703,12 +1723,14 @@ def _kernel_batched(geo_ref, init_ref, tgt_ref, ds_tgt_ref, scal_ref,
         # one — the carry relayout is then rejected ("Non-singleton logical
         # dimension is replicated in destination but not in source").
         # Deriving the init from runtime data pins a concrete layout.
-        # Derive it from the target series (finite for every member), NOT
-        # from h: a member whose Newton diverged to NaN at an earlier level
-        # would otherwise poison sum(active) in `cond` and freeze EVERY
-        # member's iteration for the rest of the run (a dead member must
-        # only kill itself, as in per-member single runs).
-        dz = tgt * np.float32(0.0)
+        # NaN-sanitize h first: a member whose Newton diverged to NaN at an
+        # earlier level would otherwise poison sum(active) in `cond` and
+        # freeze EVERY member's iteration for the rest of the run (a dead
+        # member must only kill itself, as in per-member single runs).
+        hcol = h.hi[:, 0:1]
+        hsafe = jnp.where(jnp.abs(hcol) < np.float32(3e38), hcol,
+                          jnp.zeros_like(hcol))
+        dz = hsafe * np.float32(0.0)
         hh, hl, qh, ql, _, iters, errf, rs_hi, rs_lo = jax.lax.while_loop(
             cond, body,
             (h.hi, h.lo, Q.hi, Q.lo, dz + 1.0, dz,

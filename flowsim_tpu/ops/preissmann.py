@@ -80,6 +80,12 @@ class PreissmannSettings:
     # ceiling.  "auto" (default) picks "vmem" when the outputs fit, else
     # "hbm".  Ignored by the XLA paths.
     out_memory: str = field(default="auto", metadata=dict(static=True))
+    # Newton iterations per while-loop trip in the single-run fused kernel:
+    # amortizes the ~5.6 us loop-carry floor; iterations beyond the first
+    # are masked on the previous pre-update residual, so the trajectory and
+    # iteration counts are exactly those of the sequential loop.  2 measured
+    # best on v5e at the flagship size (see scripts/bench_fused_micro.py).
+    fused_unroll: int = field(default=2, metadata=dict(static=True))
 
 
 class PrevLevel(NamedTuple):

@@ -1858,35 +1858,13 @@ def max_fused_batch(n_nodes: int, n_time_levels: int,
     return max(8, (_FUSED_VMEM_BYTES // per_member) // 8 * 8)
 
 
-def fused_simulate_batched(geo_batch, us_bc, ds_bc, h0, Q0, settings,
-                           interpret: bool = False,
-                           us_batched: bool = False, ds_batched: bool = False):
-    """Run a member-batch of full simulations in ONE Pallas kernel call.
-
-    ``geo_batch``: TrapezoidGeometry with a leading member axis on every
-    leaf (see parallel/ensemble.py ``stack_geometries``/``roughness_ensemble``).
-    ``us_bc``/``ds_bc``: either shared BoundaryParams, or (with
-    ``us_batched``/``ds_batched``) stacked per-member params from
-    ``ensemble.batch_boundaries`` — per-member ``target_series``,
-    ``initial_depth``, rating-curve coefficients/pivots, gate-controller
-    thresholds, and constant-area storage scalars are all supported (scalar
-    slots that differ across members are lifted to per-sublane columns);
-    the BC *kinds* must match across members.
-    ``h0``/``Q0``: [N] shared or [B, N] per-member initial state.
-
-    Supported BC surface: everything the single-run kernel supports except
-    the tabulated storage paths (``storage_curve*`` — their stage lookup is
-    scalar-only) and TableGeometry; constant-area lumped storage
-    (``storage_simple``) carries a per-member reservoir stage.
-
-    Returns a SimOutput whose fields carry a leading member axis (the same
-    shapes as ``vmap(prs.simulate)``).  ``settings.store="boundaries"``
-    stores only the two boundary nodes per level (packed into the stats
-    row's lanes in-kernel), which raises the VMEM member cap (~7x at the
-    flagship size; bounded by the per-member working set, not the outputs
-    — see :func:`max_fused_batch`).
-    """
-    from flowsim_tpu.ops.preissmann import SimOutput
+def _prepare_batched(geo_batch, us_bc, ds_bc, h0, Q0, settings,
+                     us_batched, ds_batched, B_pad=None):
+    """Host-side pack shared by the single-device and sharded batched
+    drivers: checks the configuration, packs the five kernel input arrays,
+    and returns ``(cfg, ins)`` where ``cfg`` carries every static kernel
+    parameter (including the per-chunk ``varying`` slot set — callers
+    sharing one executable across chunks must union it)."""
     from flowsim_tpu.geometry import TrapezoidGeometry
 
     if not isinstance(geo_batch, TrapezoidGeometry):
@@ -1899,7 +1877,8 @@ def fused_simulate_batched(geo_batch, us_bc, ds_bc, h0, Q0, settings,
     nt = settings.n_time_levels
     Np = max(128, -(-n // 128) * 128)
     n_sweeps = max(1, (n - 1).bit_length())
-    B = -(-B0 // 8) * 8  # pad to whole vregs of sublanes
+    B = B_pad or (-(-B0 // 8) * 8)  # pad to whole vregs of sublanes
+    assert B % 8 == 0 and B >= B0
 
     # hoist the device->host conversion: one np.asarray per leaf, then
     # per-member slicing is a cheap numpy view
@@ -1975,16 +1954,21 @@ def fused_simulate_batched(geo_batch, us_bc, ds_bc, h0, Q0, settings,
     varying = tuple(int(i) for i in range(_NS)
                     if not np.all(scal_rows[:, i] == scal_rows[0, i]))
 
-    call = _build_call_batched(
-        nt=nt, n=n, B=B, Np=Np, n_sweeps=n_sweeps,
-        max_iter=settings.max_iter, ds_kind=ds_kind, us_kind=us_kind_str,
-        gate_init=1.0 if settings.gate_initially_open else 0.0,
-        varying=varying, store=store, out_mem=out_mem, interpret=interpret)
-    outs = call(
-        jnp.asarray(geo_rows), jnp.asarray(init_rows), jnp.asarray(tgt_b),
-        jnp.asarray(ds_tgt_b), jnp.asarray(scal_rows))
+    cfg = dict(nt=nt, n=n, B=B, B0=B0, Np=Np, n_sweeps=n_sweeps,
+               max_iter=settings.max_iter, ds_kind=ds_kind,
+               us_kind=us_kind_str,
+               gate_init=1.0 if settings.gate_initially_open else 0.0,
+               varying=varying, store=store, out_mem=out_mem)
+    return cfg, (geo_rows, init_rows, tgt_b, ds_tgt_b, scal_rows)
 
-    out_dtype = jnp.asarray(h0).dtype
+
+def _unpack_batched(outs, cfg, settings, out_dtype):
+    """Kernel outputs -> SimOutput with a leading member axis (shared by
+    the single-device and sharded batched drivers)."""
+    from flowsim_tpu.ops.preissmann import SimOutput
+
+    nt, B, B0, Np, n = (cfg["nt"], cfg["B"], cfg["B0"], cfg["Np"], cfg["n"])
+    store, ds_kind, us_kind_str = cfg["store"], cfg["ds_kind"], cfg["us_kind"]
 
     def df_sum(hi, lo):
         if out_dtype == jnp.float64:
@@ -2031,3 +2015,123 @@ def fused_simulate_batched(geo_batch, us_bc, ds_bc, h0, Q0, settings,
         converged=converged, reservoir_stage=res_stage, gate_open=gate_open,
         rcond=jnp.ones((B0, nt), out_dtype),
     )
+
+
+def fused_simulate_batched(geo_batch, us_bc, ds_bc, h0, Q0, settings,
+                           interpret: bool = False,
+                           us_batched: bool = False, ds_batched: bool = False):
+    """Run a member-batch of full simulations in ONE Pallas kernel call.
+
+    ``geo_batch``: TrapezoidGeometry with a leading member axis on every
+    leaf (see parallel/ensemble.py ``stack_geometries``/``roughness_ensemble``).
+    ``us_bc``/``ds_bc``: either shared BoundaryParams, or (with
+    ``us_batched``/``ds_batched``) stacked per-member params from
+    ``ensemble.batch_boundaries`` — per-member ``target_series``,
+    ``initial_depth``, rating-curve coefficients/pivots, gate-controller
+    thresholds, and constant-area storage scalars are all supported (scalar
+    slots that differ across members are lifted to per-sublane columns);
+    the BC *kinds* must match across members.
+    ``h0``/``Q0``: [N] shared or [B, N] per-member initial state.
+
+    Supported BC surface: everything the single-run kernel supports except
+    the tabulated storage paths (``storage_curve*`` — their stage lookup is
+    scalar-only) and TableGeometry; constant-area lumped storage
+    (``storage_simple``) carries a per-member reservoir stage.
+
+    Returns a SimOutput whose fields carry a leading member axis (the same
+    shapes as ``vmap(prs.simulate)``).  ``settings.store="boundaries"``
+    stores only the two boundary nodes per level (packed into the stats
+    row's lanes in-kernel), which raises the VMEM member cap (~7x at the
+    flagship size; bounded by the per-member working set, not the outputs
+    — see :func:`max_fused_batch`).
+    """
+    cfg, ins = _prepare_batched(geo_batch, us_bc, ds_bc, h0, Q0, settings,
+                                us_batched, ds_batched)
+    call = _build_call_batched(
+        nt=cfg["nt"], n=cfg["n"], B=cfg["B"], Np=cfg["Np"],
+        n_sweeps=cfg["n_sweeps"], max_iter=cfg["max_iter"],
+        ds_kind=cfg["ds_kind"], us_kind=cfg["us_kind"],
+        gate_init=cfg["gate_init"], varying=cfg["varying"],
+        store=cfg["store"], out_mem=cfg["out_mem"], interpret=interpret)
+    outs = call(*(jnp.asarray(x) for x in ins))
+    return _unpack_batched(outs, cfg, settings, jnp.asarray(h0).dtype)
+
+
+def fused_simulate_batched_sharded(geo_batch, us_bc, ds_bc, h0, Q0, settings,
+                                   mesh, axis=None, interpret: bool = False,
+                                   us_batched: bool = False,
+                                   ds_batched: bool = False):
+    """Shard a member-batch across the mesh's ensemble axis, each device
+    running its VMEM-resident slice through its own fused-kernel dispatch
+    (``shard_map`` over the kernel; the multi-chip Monte-Carlo path for
+    the fused engine — the DP analog of SURVEY.md §2.17 on the fastest
+    engine).  Same surface as :func:`fused_simulate_batched`; members are
+    split contiguously, padded by replicating the last member, and every
+    device must hold at most one VMEM cap's worth (chunk bigger ensembles
+    with ``parallel.ensemble.batched_simulate(engine="fused", mesh=...)``).
+
+    Results are bitwise identical to the single-device batched kernel for
+    every member (same vreg program per device)."""
+    from flowsim_tpu.parallel.domain import shard_map
+    from flowsim_tpu.parallel.mesh import ENSEMBLE_AXIS
+    from jax.sharding import PartitionSpec as P
+
+    axis = axis or ENSEMBLE_AXIS
+    D = mesh.shape[axis]
+    B0 = np.shape(jax.tree_util.tree_leaves(geo_batch)[0])[0]
+    Bd = -(-(-(-B0 // D)) // 8) * 8  # per-device members, whole vregs
+
+    def take(tree, lo):
+        idx = np.minimum(np.arange(lo, lo + Bd), B0 - 1)
+        return jax.tree_util.tree_map(lambda x: np.asarray(x)[idx], tree)
+
+    cfgs, ins_dev = [], []
+    for d in range(D):
+        lo = d * Bd
+        cfg_d, ins_d = _prepare_batched(
+            take(geo_batch, lo),
+            take(us_bc, lo) if us_batched else us_bc,
+            take(ds_bc, lo) if ds_batched else ds_bc,
+            np.asarray(h0)[np.minimum(np.arange(lo, lo + Bd), B0 - 1)]
+            if np.ndim(h0) > 1 else h0,
+            np.asarray(Q0)[np.minimum(np.arange(lo, lo + Bd), B0 - 1)]
+            if np.ndim(Q0) > 1 else Q0,
+            settings, us_batched, ds_batched, B_pad=Bd)
+        cfgs.append(cfg_d)
+        ins_dev.append(ins_d)
+    cfg = dict(cfgs[0])
+    for c in cfgs[1:]:
+        if (c["ds_kind"], c["us_kind"]) != (cfg["ds_kind"], cfg["us_kind"]):
+            raise FusedUnsupported(
+                "members must share BC kinds across all devices")
+    # one executable for every device: union the per-chunk varying sets
+    # (the packed inputs are identical either way — `varying` only selects
+    # which scal slots the kernel lifts to per-sublane columns)
+    cfg["varying"] = tuple(sorted({s for c in cfgs for s in c["varying"]}))
+
+    call = _build_call_batched(
+        nt=cfg["nt"], n=cfg["n"], B=Bd, Np=cfg["Np"],
+        n_sweeps=cfg["n_sweeps"], max_iter=cfg["max_iter"],
+        ds_kind=cfg["ds_kind"], us_kind=cfg["us_kind"],
+        gate_init=cfg["gate_init"], varying=cfg["varying"],
+        store=cfg["store"], out_mem=cfg["out_mem"], interpret=interpret)
+
+    stacked = [jnp.asarray(np.stack([ins_dev[d][i] for d in range(D)]))
+               for i in range(len(ins_dev[0]))]
+    n_out = 1 if cfg["store"] == "boundaries" else 5
+
+    def local(*ins):
+        outs = call(*(x[0] for x in ins))
+        return tuple(o[None] for o in outs)
+
+    sharded = shard_map(local, mesh=mesh,
+                        in_specs=(P(axis),) * len(stacked),
+                        out_specs=(P(axis),) * n_out)
+    outs_dev = jax.jit(sharded)(*stacked)
+    # [D, nt, Bd, X] -> [nt, D*Bd, X]; global member m = d*Bd + local m
+    outs = tuple(
+        jnp.moveaxis(o, 0, 1).reshape(cfg["nt"], D * Bd, o.shape[-1])
+        for o in outs_dev)
+    cfg["B"] = D * Bd
+    cfg["B0"] = B0
+    return _unpack_batched(outs, cfg, settings, jnp.asarray(h0).dtype)

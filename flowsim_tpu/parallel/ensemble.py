@@ -78,7 +78,8 @@ def batched_simulate(geo_batch, us_bc, ds_bc, h0, Q0, settings: prs.PreissmannSe
     """
     if engine == "fused":
         return _fused_batched_simulate(geo_batch, us_bc, ds_bc, h0, Q0,
-                                       settings, us_axes, ds_axes, chunk_size)
+                                       settings, us_axes, ds_axes, chunk_size,
+                                       mesh=mesh if shard else None)
 
     def one(geo, us, ds, h, Q):
         return prs.simulate(geo, us, ds, h, Q, settings)
@@ -132,16 +133,24 @@ def batched_simulate(geo_batch, us_bc, ds_bc, h0, Q0, settings: prs.PreissmannSe
 
 
 def _fused_batched_simulate(geo_batch, us_bc, ds_bc, h0, Q0, settings,
-                            us_axes, ds_axes, chunk_size):
-    """Drive :func:`fused_simulate_batched` in VMEM-sized member chunks."""
-    from flowsim_tpu.ops.pallas.fused_newton import (fused_simulate_batched,
-                                                     max_fused_batch)
+                            us_axes, ds_axes, chunk_size, mesh=None):
+    """Drive :func:`fused_simulate_batched` in VMEM-sized member chunks.
+
+    With ``mesh`` the chunks are additionally spread over the mesh's
+    ensemble axis — every device runs its own fused-kernel dispatch on its
+    member slice (``fused_simulate_batched_sharded``), so one "chunk" holds
+    ``n_devices x`` the per-device VMEM cap."""
+    from flowsim_tpu.ops.pallas.fused_newton import (
+        fused_simulate_batched, fused_simulate_batched_sharded,
+        max_fused_batch)
 
     B = jax.tree_util.tree_leaves(geo_batch)[0].shape[0]
     n = geo_batch.n_nodes
     cap = chunk_size or max_fused_batch(n, settings.n_time_levels,
                                         getattr(settings, "store", "full"),
                                         getattr(settings, "out_memory", "auto"))
+    if mesh is not None:
+        cap = cap * mesh.shape[ENSEMBLE_AXIS]
     # same convention as api.Solver.run: Mosaic on TPU, interpret elsewhere
     interpret = jax.devices()[0].platform != "tpu"
     h0b = jnp.ndim(h0) > 1
@@ -151,13 +160,17 @@ def _fused_batched_simulate(geo_batch, us_bc, ds_bc, h0, Q0, settings,
     for s in range(0, B, cap):
         e = min(B, s + cap)
         sl = lambda x: x[s:e]
-        out = fused_simulate_batched(
+        args = (
             jax.tree_util.tree_map(sl, geo_batch),
             jax.tree_util.tree_map(sl, us_bc) if us_axes is not None else us_bc,
             jax.tree_util.tree_map(sl, ds_bc) if ds_axes is not None else ds_bc,
-            sl(h0) if h0b else h0, sl(Q0) if Q0b else Q0, settings,
-            interpret=interpret,
-            us_batched=us_axes is not None, ds_batched=ds_axes is not None)
+            sl(h0) if h0b else h0, sl(Q0) if Q0b else Q0, settings)
+        kw = dict(interpret=interpret, us_batched=us_axes is not None,
+                  ds_batched=ds_axes is not None)
+        if mesh is not None:
+            out = fused_simulate_batched_sharded(*args, mesh=mesh, **kw)
+        else:
+            out = fused_simulate_batched(*args, **kw)
         outs.append(out)
     if len(outs) == 1:
         return outs[0]

@@ -385,3 +385,53 @@ def test_diverged_member_does_not_poison_batch(example_ensemble):
         assert (np.asarray(outb.depth[m]) == np.asarray(outs.depth)).all()
         assert (np.asarray(outb.iterations[m])
                 == np.asarray(outs.iterations)).all()
+
+
+def test_sharded_fused_ensemble_bitwise(example_ensemble):
+    """fused_simulate_batched_sharded: members split over the mesh's
+    ensemble axis, one fused-kernel dispatch per device (shard_map) — every
+    member bitwise-identical to the single-device batched kernel, including
+    awkward member counts (padding replicates the last member per device).
+    Also exercises the batched_simulate(engine='fused', mesh=...) route."""
+    from flowsim_tpu.ops.pallas.fused_newton import (
+        fused_simulate_batched_sharded)
+    from flowsim_tpu.parallel.ensemble import batched_simulate
+    from flowsim_tpu.parallel.mesh import make_mesh
+
+    solver, sset, _, _, _ = example_ensemble
+    from flowsim_tpu.models import example as _ex
+
+    geo = _ex.build()[1].geometry
+    rng = np.random.default_rng(3)
+    B0 = 19  # not divisible by 8 or the device count
+    geob = roughness_ensemble(geo, rng.uniform(0.023, 0.042, B0))
+    us_members = [
+        dataclasses.replace(
+            solver.us_params,
+            target_series=jnp.asarray(
+                np.asarray(solver.us_params.target_series) * f))
+        for f in rng.uniform(0.9, 1.1, B0)]
+    us_b, axes = batch_boundaries(us_members)
+
+    mesh = make_mesh(n_ensemble=4, n_space=2)
+    ref = fused_simulate_batched(geob, us_b, solver.ds_params,
+                                 solver.h0, solver.Q0, sset,
+                                 interpret=True, us_batched=True)
+    shd = fused_simulate_batched_sharded(geob, us_b, solver.ds_params,
+                                         solver.h0, solver.Q0, sset,
+                                         mesh=mesh, interpret=True,
+                                         us_batched=True)
+    fields = ("depth", "flow", "iterations", "error", "reservoir_stage",
+              "gate_open")
+    for f in fields:
+        assert np.array_equal(np.asarray(getattr(ref, f)),
+                              np.asarray(getattr(shd, f)),
+                              equal_nan=True), f
+
+    via_api = batched_simulate(geob, us_b, solver.ds_params,
+                               solver.h0, solver.Q0, sset,
+                               mesh=mesh, us_axes=axes, engine="fused")
+    for f in fields:
+        assert np.array_equal(np.asarray(getattr(ref, f)),
+                              np.asarray(getattr(via_api, f)),
+                              equal_nan=True), f

@@ -1,0 +1,298 @@
+"""River-network (junction) extension of the Preissmann solver.
+
+NEW CAPABILITY beyond the reference (`cve-mohd/flow-sim` is strictly
+single-reach): a network of 1-D branches joined at junctions, solved as a
+single implicit system per time level.  Junction physics is the standard
+practice for 1-D river models (equal water-surface elevation at every
+branch end meeting a junction + discharge continuity across it — the
+momentum flux through the junction is neglected, as in HEC-RAS):
+
+    at junction j with stage Y_j:
+        h_end,b = Y_j - z_bed_end,b        (one row per connected end)
+        sum_b  sgn_b * Q_end,b = 0          (one row per junction)
+
+sgn is +1 for a branch whose DOWNSTREAM end meets the junction (flow into
+it) and -1 for one whose UPSTREAM end does (flow out of it).
+
+TPU-native structure: each branch contributes the same fused theta-box
+interior stencil as the single-reach solver (ops/preissmann.py
+``cell_stencil`` — single source of truth for the physics, ref
+preissmann.py:220-301) and a 2x2 block-tridiagonal Jacobian; the junction
+stages couple only the end rows, giving a global arrowhead matrix solved
+by a Schur complement:
+
+    T_b dx_b + C_b dY = -R_b       per branch (block-tridiagonal T_b)
+    E dx          = -G             junction continuity rows
+
+    u_b = T_b^{-1}(-R_b);  V_b^j = T_b^{-1} C_b^j   (<= 2 extra solves
+    per branch, same factorization-free PCR/Thomas as the main solver)
+    (E V) dY = G + E u             dense J x J system (J = #junctions)
+    dx_b = u_b - sum_j V_b^j dY_j
+
+Newton convergence follows the reference's pre-update-residual rule
+(ref preissmann.py:146-153) over the concatenated residual of every
+branch plus the junction imbalances.
+
+v1 scope: external ends support the stateless boundary kinds
+(flow/stage hydrographs, plain fixed depth, normal depth, rating curves
+except the gated controller); lumped storage and the gated gate machine
+are single-reach features for now (raise at build time).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import List, NamedTuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flowsim_tpu.ops import boundary as bnd
+from flowsim_tpu.ops import preissmann as prs
+from flowsim_tpu.ops import sections as sec
+from flowsim_tpu.ops.tridiag import solve_block_tridiag
+
+
+@dataclass
+class BranchDef:
+    """One network branch: geometry + per-branch grid and initial state.
+
+    ``us``/``ds``: either a :class:`~flowsim_tpu.ops.boundary.BoundaryParams`
+    (external end) or an ``int`` junction id in ``[0, n_junctions)``.
+    Flow orientation is us -> ds (positive Q flows toward ``ds``).
+    """
+
+    geo: object             # TrapezoidGeometry | TableGeometry, [N] nodes
+    dx: float
+    us: Union[bnd.BoundaryParams, int]
+    ds: Union[bnd.BoundaryParams, int]
+    h0: jnp.ndarray
+    Q0: jnp.ndarray
+
+
+class NetworkOutput(NamedTuple):
+    depth: tuple            # per branch [nt, N_b]
+    flow: tuple             # per branch [nt, N_b]
+    junction_stage: jnp.ndarray  # [nt, J]
+    iterations: jnp.ndarray      # [nt]
+    error: jnp.ndarray           # [nt]
+    converged: jnp.ndarray       # [nt]
+
+
+def _check_supported(branches: List[BranchDef], n_junctions: int):
+    for i, br in enumerate(branches):
+        for end_name, end in (("us", br.us), ("ds", br.ds)):
+            if isinstance(end, (int, np.integer)):
+                if not 0 <= int(end) < n_junctions:
+                    raise ValueError(
+                        f"branch {i} {end_name}: junction id {end} out of "
+                        f"range [0, {n_junctions})")
+                continue
+            if end.storage is not None:
+                raise NotImplementedError(
+                    "lumped storage at a network end is not supported yet "
+                    "(single-reach feature; use api.PreissmannSolver)")
+            if end.rating is not None and end.rating.kind == "gated_blend":
+                raise NotImplementedError(
+                    "the gated rating controller is single-reach for now")
+    for j in range(n_junctions):
+        ends = sum(int(isinstance(e, (int, np.integer)) and int(e) == j)
+                   for br in branches for e in (br.us, br.ds))
+        if ends < 2:
+            raise ValueError(f"junction {j} connects {ends} end(s); needs >= 2")
+
+
+def _end_row_junction(h_end, z_end, Y_j):
+    """Equal-stage row at a junction-connected branch end."""
+    residual = h_end - (Y_j - z_end)
+    return residual, jnp.ones_like(h_end), jnp.zeros_like(h_end)
+
+
+def _assemble_branch(br: BranchDef, settings, prev: prs.PrevLevel, h, Q, k, Y):
+    """Branch residual + block-tridiagonal Jacobian with junction-aware end
+    rows (same regrouping as ops/preissmann.py:assemble, ref
+    preissmann.py:200-320)."""
+    geo, dx = br.geo, br.dx
+    theta, dt = settings.theta, settings.time_step
+    st = sec.section_state(geo, h)
+    es = sec.energy_slope(geo, h, Q, st)
+    cells = prs.cell_stencil(
+        theta, dt, dx, prs.node_stencil_fields(geo, st, es, h, Q),
+        dict(A=prev.A, Se=prev.Se, Q2A=prev.Q2A, Q=prev.Q, h=prev.h))
+    th_dx = theta / dx
+    dtype = h.dtype
+    N = h.shape[0]
+
+    couplings = []  # (junction_id, node_index, block_row) of each -1 dR/dY
+
+    def end_row(end, node_idx, h_e, Q_e, Q_prev_e, h_prev_e, upstream):
+        if isinstance(end, (int, np.integer)):
+            z_e = geo.z_bed[node_idx]
+            res, dfh, dfq = _end_row_junction(h_e, z_e, Y[int(end)])
+            couplings.append((int(end), node_idx, 0 if upstream else 1))
+            return res, dfh, dfq
+        ev = bnd.evaluate(end, prs._node_section(st, node_idx), h_e, Q_e,
+                          k, dt, Q_prev=Q_prev_e, reservoir_stage_prev=jnp.nan,
+                          upstream=upstream, h_prev=h_prev_e)
+        return ev.residual, ev.df_dh, ev.df_dQ
+
+    us_res, us_dh, us_dq = end_row(br.us, 0, h[0], Q[0], prev.Q[0],
+                                   prev.h[0], True)
+    ds_res, ds_dh, ds_dq = end_row(br.ds, -1, h[-1], Q[-1], prev.Q[-1],
+                                   prev.h[-1], False)
+
+    err_sq = (us_res**2 + ds_res**2
+              + jnp.sum(cells.Rc**2) + jnp.sum(cells.Rm**2))
+
+    z1 = jnp.zeros((1,), dtype)
+    L = jnp.stack(
+        [jnp.stack([jnp.concatenate([z1, cells.dM_dh_i]),
+                    jnp.concatenate([z1, cells.dM_dQ_i])], axis=-1),
+         jnp.zeros((N, 2), dtype)], axis=-2)
+    D_row0 = jnp.stack([jnp.concatenate([us_dh[None], cells.dM_dh_i1]),
+                        jnp.concatenate([us_dq[None], cells.dM_dQ_i1])],
+                       axis=-1)
+    D_row1 = jnp.stack([jnp.concatenate([cells.dC_dh_i, ds_dh[None]]),
+                        jnp.concatenate([jnp.full((N - 1,), -th_dx, dtype),
+                                         ds_dq[None]])], axis=-1)
+    D = jnp.stack([D_row0, D_row1], axis=-2)
+    U = jnp.stack(
+        [jnp.zeros((N, 2), dtype),
+         jnp.stack([jnp.concatenate([cells.dC_dh_i1, z1]),
+                    jnp.concatenate([jnp.full((N - 1,), th_dx, dtype), z1])],
+                   axis=-1)], axis=-2)
+    b = -jnp.stack([jnp.concatenate([us_res[None], cells.Rm]),
+                    jnp.concatenate([cells.Rc, ds_res[None]])], axis=-1)
+    return L, D, U, b, err_sq, couplings
+
+
+def _junction_residuals(branches, Qs, n_junctions, dtype):
+    """G_j = sum sgn * Q_end (continuity; sgn=+1 for a ds end, -1 for us)."""
+    G = jnp.zeros((n_junctions,), dtype)
+    for br, Q in zip(branches, Qs):
+        if isinstance(br.ds, (int, np.integer)):
+            G = G.at[int(br.ds)].add(Q[-1])
+        if isinstance(br.us, (int, np.integer)):
+            G = G.at[int(br.us)].add(-Q[0])
+    return G
+
+
+def simulate_network(branches: List[BranchDef], n_junctions: int,
+                     settings: prs.PreissmannSettings,
+                     Y0=None) -> NetworkOutput:
+    """Run the implicit network solve over ``settings.n_time_levels``.
+
+    ``Y0``: initial junction stages [J]; defaults to the water level of the
+    first downstream-connected branch end at t=0.
+    """
+    _check_supported(branches, n_junctions)
+    dtype = jnp.asarray(branches[0].h0).dtype
+    nt = settings.n_time_levels
+    tol = settings.tolerance
+    max_iter = settings.max_iter
+    solver_kind = settings.linear_solver
+    J = n_junctions
+
+    if Y0 is None:
+        Y0 = np.full((J,), np.nan)
+        for br in branches:
+            for end, idx in ((br.ds, -1), (br.us, 0)):
+                if isinstance(end, (int, np.integer)) and np.isnan(Y0[int(end)]):
+                    Y0[int(end)] = float(np.asarray(br.geo.z_bed)[idx]
+                                         + np.asarray(br.h0)[idx])
+    Y0 = jnp.asarray(Y0, dtype)
+
+    h0s = tuple(jnp.asarray(br.h0, dtype) for br in branches)
+    Q0s = tuple(jnp.asarray(br.Q0, dtype) for br in branches)
+
+    def newton_level(hs, Qs, Y, prevs, k):
+        def one_iteration(hs, Qs, Y):
+            new_hs, new_Qs = [], []
+            us_list, Vs_list, coup_list = [], [], []
+            err_sq = jnp.zeros((), dtype)
+            for br, h, Q, prev in zip(branches, hs, Qs, prevs):
+                L, D, U, b, e2, coup = _assemble_branch(
+                    br, settings, prev, h, Q, k, Y)
+                err_sq = err_sq + e2
+                u = solve_block_tridiag(L, D, U, b, method=solver_kind)
+                Vs = []
+                for (j, node_idx, block_row) in coup:
+                    # C column: dR_end/dY_j = -1 at (node, row); V = T^{-1} C
+                    c = jnp.zeros_like(b).at[node_idx, block_row].set(-1.0)
+                    Vs.append(solve_block_tridiag(L, D, U, c,
+                                                  method=solver_kind))
+                us_list.append(u)
+                Vs_list.append(Vs)
+                coup_list.append(coup)
+
+            G = _junction_residuals(branches, Qs, J, dtype)
+            err = jnp.sqrt(err_sq + jnp.sum(G**2))
+
+            if J:
+                # Schur system (E V) dY = G + E u, E picks sgn * dQ_end
+                M = jnp.zeros((J, J), dtype)
+                rhs = jnp.array(G)
+                for br, u, Vs, coup in zip(branches, us_list, Vs_list,
+                                           coup_list):
+                    ends = []
+                    if isinstance(br.ds, (int, np.integer)):
+                        ends.append((int(br.ds), -1, 1.0))
+                    if isinstance(br.us, (int, np.integer)):
+                        ends.append((int(br.us), 0, -1.0))
+                    for (jj, idx, sgn) in ends:
+                        rhs = rhs.at[jj].add(sgn * u[idx, 1])
+                        for (jcol, _, _), V in zip(coup, Vs):
+                            M = M.at[jj, jcol].add(sgn * V[idx, 1])
+                # derivation: T dx + C dY = -R and E dx = -G; with
+                # u = T^{-1}(-R), V = T^{-1} C: dx = u - V dY, so
+                # E u - (E V) dY = -G  =>  M dY = G + E u with M = E V
+                dY = jnp.linalg.solve(M, rhs) if J > 1 else rhs / M[0, 0]
+            else:
+                dY = jnp.zeros((0,), dtype)
+
+            for br, h, Q, u, Vs, coup in zip(branches, hs, Qs, us_list,
+                                             Vs_list, coup_list):
+                dx_b = u
+                for (jcol, _, _), V in zip(coup, Vs):
+                    dx_b = dx_b - V * dY[jcol]
+                new_hs.append(h + dx_b[:, 0])
+                new_Qs.append(Q + dx_b[:, 1])
+            return tuple(new_hs), tuple(new_Qs), Y + dY, err
+
+        def cond(c):
+            _, _, _, err, it = c
+            return (err >= tol) & (it < max_iter)
+
+        def body(c):
+            hs, Qs, Y, _, it = c
+            hs, Qs, Y, err = one_iteration(hs, Qs, Y)
+            return hs, Qs, Y, err, it + 1
+
+        hs, Qs, Y, err, iters = jax.lax.while_loop(
+            cond, body, (hs, Qs, Y, jnp.asarray(jnp.inf, dtype),
+                         jnp.asarray(0, jnp.int32)))
+        return hs, Qs, Y, err, iters
+
+    def step(carry, k):
+        hs, Qs, Y = carry
+        prevs = tuple(prs.prev_level_state(br.geo, h, Q)
+                      for br, h, Q in zip(branches, hs, Qs))
+        hs, Qs, Y, err, iters = newton_level(hs, Qs, Y, prevs, k)
+        return (hs, Qs, Y), (hs, Qs, Y, err, iters)
+
+    (_, _, _), (hs_t, Qs_t, Y_t, errs, iters) = jax.lax.scan(
+        step, (h0s, Q0s, Y0), jnp.arange(1, nt))
+
+    depth = tuple(jnp.concatenate([h0[None], ht], axis=0)
+                  for h0, ht in zip(h0s, hs_t))
+    flow = tuple(jnp.concatenate([Q0[None], qt], axis=0)
+                 for Q0, qt in zip(Q0s, Qs_t))
+    stage = jnp.concatenate([Y0[None], Y_t], axis=0)
+    zero = jnp.zeros((1,), errs.dtype)
+    errs = jnp.concatenate([zero, errs])
+    iters = jnp.concatenate([jnp.zeros((1,), iters.dtype), iters])
+    converged = (errs < tol)
+    return NetworkOutput(depth=depth, flow=flow, junction_stage=stage,
+                         iterations=iters, error=errs, converged=converged)

@@ -168,24 +168,49 @@ def _assemble_branch(br: BranchDef, settings, prev: prs.PrevLevel, h, Q, k, Y):
     return L, D, U, b, err_sq, couplings
 
 
-def _junction_residuals(branches, Qs, n_junctions, dtype):
-    """G_j = sum sgn * Q_end (continuity; sgn=+1 for a ds end, -1 for us)."""
-    G = jnp.zeros((n_junctions,), dtype)
+def _sum_signed_ends(branches, Qs, n_junctions, dtype):
+    """sum sgn * Q_end per junction (sgn=+1 for a ds end, -1 for us)."""
+    S = jnp.zeros((n_junctions,), dtype)
     for br, Q in zip(branches, Qs):
         if isinstance(br.ds, (int, np.integer)):
-            G = G.at[int(br.ds)].add(Q[-1])
+            S = S.at[int(br.ds)].add(Q[-1])
         if isinstance(br.us, (int, np.integer)):
-            G = G.at[int(br.us)].add(-Q[0])
-    return G
+            S = S.at[int(br.us)].add(-Q[0])
+    return S
+
+
+def _junction_residuals(branches, Qs, Qs_prev, Y, Y_prev, area, dt, dtype):
+    """Junction rows.
+
+    Plain junction (area=0): G_j = sum sgn * Q_end = 0 (continuity).
+    Junction reservoir (area>0): a 0-D storage AT the junction —
+        area_j * (Y_j - Y_j^prev)/dt - 0.5*(sum sgn Q + sum sgn Q^prev) = 0
+    (trapezoidal inflow, the same rule as the lumped storage mass balance,
+    ref lumped_storage.py:24-35, at a multi-branch node).
+    """
+    J = Y.shape[0]
+    S = _sum_signed_ends(branches, Qs, J, dtype)
+    Sp = _sum_signed_ends(branches, Qs_prev, J, dtype)
+    stor = area > 0.0
+    G_plain = S
+    G_stor = area * (Y - Y_prev) / dt - 0.5 * (S + Sp)
+    return jnp.where(stor, G_stor, G_plain)
 
 
 def simulate_network(branches: List[BranchDef], n_junctions: int,
                      settings: prs.PreissmannSettings,
-                     Y0=None) -> NetworkOutput:
+                     Y0=None, junction_area=None) -> NetworkOutput:
     """Run the implicit network solve over ``settings.n_time_levels``.
 
     ``Y0``: initial junction stages [J]; defaults to the water level of the
     first downstream-connected branch end at t=0.
+
+    ``junction_area``: optional [J] surface areas — a junction with
+    ``area > 0`` is a JUNCTION RESERVOIR (0-D storage fed/drained by every
+    connected branch, trapezoidal mass balance as the single-reach lumped
+    storage, ref lumped_storage.py:24-35); ``area == 0`` is a plain
+    equal-stage junction.  ``NetworkOutput.junction_stage`` then carries
+    the reservoir stage trajectory.
     """
     _check_supported(branches, n_junctions)
     dtype = jnp.asarray(branches[0].h0).dtype
@@ -193,7 +218,10 @@ def simulate_network(branches: List[BranchDef], n_junctions: int,
     tol = settings.tolerance
     max_iter = settings.max_iter
     solver_kind = settings.linear_solver
+    dt = settings.time_step
     J = n_junctions
+    area = (jnp.zeros((J,), dtype) if junction_area is None
+            else jnp.asarray(junction_area, dtype))
 
     if Y0 is None:
         Y0 = np.full((J,), np.nan)
@@ -208,6 +236,9 @@ def simulate_network(branches: List[BranchDef], n_junctions: int,
     Q0s = tuple(jnp.asarray(br.Q0, dtype) for br in branches)
 
     def newton_level(hs, Qs, Y, prevs, k):
+        Y_prev = Y  # level-start stage: the storage-balance reference point
+        Qs_prev = tuple(p.Q for p in prevs)
+
         def one_iteration(hs, Qs, Y):
             new_hs, new_Qs = [], []
             us_list, Vs_list, coup_list = [], [], []
@@ -227,11 +258,14 @@ def simulate_network(branches: List[BranchDef], n_junctions: int,
                 Vs_list.append(Vs)
                 coup_list.append(coup)
 
-            G = _junction_residuals(branches, Qs, J, dtype)
+            G = _junction_residuals(branches, Qs, Qs_prev, Y, Y_prev,
+                                    area, dt, dtype)
             err = jnp.sqrt(err_sq + jnp.sum(G**2))
 
             if J:
-                # Schur system (E V) dY = G + E u, E picks sgn * dQ_end
+                # Schur system; E picks fac * sgn * dQ_end where fac is the
+                # junction row's dG/dQ_end scale (1 plain, -1/2 storage)
+                fac = jnp.where(area > 0.0, -0.5, 1.0)
                 M = jnp.zeros((J, J), dtype)
                 rhs = jnp.array(G)
                 for br, u, Vs, coup in zip(branches, us_list, Vs_list,
@@ -242,12 +276,15 @@ def simulate_network(branches: List[BranchDef], n_junctions: int,
                     if isinstance(br.us, (int, np.integer)):
                         ends.append((int(br.us), 0, -1.0))
                     for (jj, idx, sgn) in ends:
-                        rhs = rhs.at[jj].add(sgn * u[idx, 1])
+                        rhs = rhs.at[jj].add(fac[jj] * sgn * u[idx, 1])
                         for (jcol, _, _), V in zip(coup, Vs):
-                            M = M.at[jj, jcol].add(sgn * V[idx, 1])
-                # derivation: T dx + C dY = -R and E dx = -G; with
-                # u = T^{-1}(-R), V = T^{-1} C: dx = u - V dY, so
-                # E u - (E V) dY = -G  =>  M dY = G + E u with M = E V
+                            M = M.at[jj, jcol].add(fac[jj] * sgn
+                                                   * V[idx, 1])
+                # derivation: T dx + C dY = -R and E dx + D_Y dY = -G with
+                # D_Y = diag(dG/dY) = diag(area)/dt (0 for plain junctions);
+                # with u = T^{-1}(-R), V = T^{-1} C: dx = u - V dY, so
+                # (E V - D_Y) dY = G + E u
+                M = M - jnp.diag(area) / dt
                 dY = jnp.linalg.solve(M, rhs) if J > 1 else rhs / M[0, 0]
             else:
                 dY = jnp.zeros((0,), dtype)

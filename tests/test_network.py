@@ -158,3 +158,41 @@ def test_unsupported_ends_raise():
                    h0=solver.h0, Q0=solver.Q0)
     with pytest.raises(NotImplementedError):
         simulate_network([br, br], n_junctions=0, settings=sset)
+
+
+def test_junction_reservoir_mass_balance():
+    """A junction with area > 0 is a 0-D reservoir: its stage follows the
+    trapezoidal mass balance of the connected branch ends exactly, and as
+    area -> 0 the behavior approaches the plain equal-stage junction."""
+    solver, sset = akbari_like()
+    geo = solver.channel.geometry
+    cut = 15
+    br1 = BranchDef(geo=slice_geo(geo, slice(0, cut + 1)), dx=solver.spatial_step,
+                    us=solver.us_params, ds=0,
+                    h0=solver.h0[: cut + 1], Q0=solver.Q0[: cut + 1])
+    br2 = BranchDef(geo=slice_geo(geo, slice(cut, None)), dx=solver.spatial_step,
+                    us=0, ds=solver.ds_params,
+                    h0=solver.h0[cut:], Q0=solver.Q0[cut:])
+
+    SA = 5.0e5  # m^2
+    out = simulate_network([br1, br2], n_junctions=1, settings=sset,
+                           junction_area=[SA])
+    assert bool(np.asarray(out.converged).all())
+    Y = np.asarray(out.junction_stage)[:, 0]
+    qin = np.asarray(out.flow[0])[:, -1]
+    qout = np.asarray(out.flow[1])[:, 0]
+    dt = sset.time_step
+    # per-level trapezoidal balance, the residual the solver drove to ~0
+    lhs = SA * (Y[1:] - Y[:-1]) / dt
+    rhs = 0.5 * ((qin[1:] + qin[:-1]) - (qout[1:] + qout[:-1]))
+    assert np.abs(lhs - rhs).max() < 1e-5
+    # the reservoir attenuates: junction outflow peak < inflow peak
+    assert qout.max() < qin.max()
+
+    # area -> 0 approaches the plain junction
+    plain = simulate_network([br1, br2], n_junctions=1, settings=sset)
+    tiny = simulate_network([br1, br2], n_junctions=1, settings=sset,
+                            junction_area=[1e-3])
+    dY = np.abs(np.asarray(tiny.junction_stage)
+                - np.asarray(plain.junction_stage)).max()
+    assert dY < 1e-4

@@ -247,13 +247,18 @@ def simulate_network(branches: List[BranchDef], n_junctions: int,
                 L, D, U, b, e2, coup = _assemble_branch(
                     br, settings, prev, h, Q, k, Y)
                 err_sq = err_sq + e2
-                u = solve_block_tridiag(L, D, U, b, method=solver_kind)
-                Vs = []
+                # u = T^{-1}(-R) plus one Schur column V = T^{-1} C per
+                # junction coupling (C: dR_end/dY_j = -1 at (node, row)) —
+                # solved together as one multi-RHS system so the
+                # block-tridiagonal reduction work is shared across columns
+                cols = [b]
                 for (j, node_idx, block_row) in coup:
-                    # C column: dR_end/dY_j = -1 at (node, row); V = T^{-1} C
-                    c = jnp.zeros_like(b).at[node_idx, block_row].set(-1.0)
-                    Vs.append(solve_block_tridiag(L, D, U, c,
-                                                  method=solver_kind))
+                    cols.append(jnp.zeros_like(b)
+                                .at[node_idx, block_row].set(-1.0))
+                X = solve_block_tridiag(L, D, U, jnp.stack(cols, axis=-1),
+                                        method=solver_kind)
+                u = X[..., 0]
+                Vs = [X[..., 1 + i] for i in range(len(coup))]
                 us_list.append(u)
                 Vs_list.append(Vs)
                 coup_list.append(coup)

@@ -98,17 +98,31 @@ def _mv(A, x):
     )
 
 
+def _mvm(A, X):
+    """[..., 2, 2] @ [..., 2, m] — multi-RHS matvec (broadcast over columns)."""
+    return jnp.stack(
+        [
+            A[..., 0, 0, None] * X[..., 0, :] + A[..., 0, 1, None] * X[..., 1, :],
+            A[..., 1, 0, None] * X[..., 0, :] + A[..., 1, 1, None] * X[..., 1, :],
+        ],
+        axis=-2,
+    )
+
+
 def block_thomas(L, D, U, b):
     """Sequential block-Thomas solve along axis -3 (the node axis).
 
-    Shapes: L, D, U: [..., N, 2, 2]; b: [..., N, 2].  Batch dims must lead;
-    the scan runs over N.
+    Shapes: L, D, U: [..., N, 2, 2]; b: [..., N, 2] (vector RHS) or
+    [..., N, 2, m] (multi-RHS — one forward/backward sweep shared across the
+    m columns).  Batch dims must lead; the scan runs over N.
     """
+    multi = b.ndim == L.ndim  # [..., N, 2, m]
+    b_mat = b if multi else b[..., None]
     # move node axis to front for scan
     L_ = jnp.moveaxis(L, -3, 0)
     D_ = jnp.moveaxis(D, -3, 0)
     U_ = jnp.moveaxis(U, -3, 0)
-    b_ = jnp.moveaxis(b, -2, 0)
+    b_ = jnp.moveaxis(b_mat, -3, 0)
 
     def fwd(carry, inp):
         Cprev, dprev = carry  # C_{i-1} = Dhat_{i-1}^{-1} U_{i-1}, dhat_{i-1}
@@ -116,7 +130,7 @@ def block_thomas(L, D, U, b):
         Dhat = Di - _mm(Li, Cprev)
         Dhat_inv = _inv2(Dhat)
         Ci = _mm(Dhat_inv, Ui)
-        di = _mv(Dhat_inv, bi - _mv(Li, dprev))
+        di = _mvm(Dhat_inv, bi - _mvm(Li, dprev))
         return (Ci, di), (Ci, di)
 
     zeros_C = jnp.zeros_like(D_[0])
@@ -125,11 +139,12 @@ def block_thomas(L, D, U, b):
 
     def bwd(x_next, inp):
         Ci, di = inp
-        xi = di - _mv(Ci, x_next)
+        xi = di - _mvm(Ci, x_next)
         return xi, xi
 
     _, xs = jax.lax.scan(bwd, jnp.zeros_like(b_[0]), (C, d), reverse=True)
-    return jnp.moveaxis(xs, 0, -2)
+    out = jnp.moveaxis(xs, 0, -3)
+    return out if multi else out[..., 0]
 
 
 def block_thomas_factor(L, D, U):
@@ -235,11 +250,17 @@ def _pcr_core(L, D, U, b, pivot_eps: float | None = None):
 
     ``pivot_eps=None`` selects the dtype default (:data:`PIVOT_EPS`); pass
     ``0.0`` to disable the guard entirely.
+
+    ``b`` may be a vector RHS [..., N, 2] or multi-RHS [..., N, 2, m]; the
+    (RHS-independent) block reductions are shared across the m columns.
     """
     if pivot_eps is None:
         pivot_eps = _default_eps(D.dtype)
     N = L.shape[-3]
     node_axis = L.ndim - 3
+
+    multi = b.ndim == L.ndim  # [..., N, 2, m]
+    b_mat = b if multi else b[..., None]
 
     eye = jnp.broadcast_to(jnp.eye(2, dtype=D.dtype), D.shape)
 
@@ -267,11 +288,12 @@ def _pcr_core(L, D, U, b, pivot_eps: float | None = None):
         L_new = _mm(a, pad_neighbor_blocks(L, -s))
         U_new = _mm(c, pad_neighbor_blocks(U, +s))
         D_new = D + _mm(a, pad_neighbor_blocks(U, -s)) + _mm(c, pad_neighbor_blocks(L, +s))
-        b_new = b + _mv(a, _shift(b, -s, node_axis)) + _mv(c, _shift(b, +s, node_axis))
-        L, D, U, b = L_new, D_new, U_new, b_new
+        b_new = b_mat + _mvm(a, _shift(b_mat, -s, node_axis)) + _mvm(c, _shift(b_mat, +s, node_axis))
+        L, D, U, b_mat = L_new, D_new, U_new, b_new
         s *= 2
 
-    return _mv(_inv2(D, pivot_eps), b), D
+    x = _mvm(_inv2(D, pivot_eps), b_mat)
+    return (x if multi else x[..., 0]), D
 
 
 def block_pcr(L, D, U, b, pivot_eps: float | None = None):
@@ -371,6 +393,16 @@ def blocks_to_dense(L, D, U):
 
 @partial(jax.jit, static_argnames=("method",))
 def solve_block_tridiag(L, D, U, b, method: str = "pcr"):
+    """Solve the 2x2 block-tridiagonal system.
+
+    ``b``: [..., N, 2] vector RHS, or [..., N, 2, m] multi-RHS (thomas /
+    pcr / pcr_f32 share the reduction work across the m columns; the pallas
+    kernels solve the columns independently).
+    """
+    if b.ndim == L.ndim and method in ("pallas_pcr", "pallas_tiled"):
+        return jax.vmap(
+            lambda col: solve_block_tridiag(L, D, U, col, method=method),
+            in_axes=-1, out_axes=-1)(b)
     if method == "thomas":
         return block_thomas(L, D, U, b)
     elif method == "pcr":

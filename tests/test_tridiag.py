@@ -137,3 +137,31 @@ def test_pcr_f32_inexact_newton_converges():
     b = run_ours_akbari(1e-8, linear_solver="pcr_f32")
     np.testing.assert_array_equal(np.asarray(a.output.iterations), np.asarray(b.output.iterations))
     np.testing.assert_allclose(a.depth, b.depth, rtol=1e-7, atol=1e-8)
+
+
+@pytest.mark.parametrize("method", ["thomas", "pcr", "pcr_f32"])
+def test_multi_rhs_matches_column_solves(method, rng):
+    """[N, 2, m] multi-RHS: one shared reduction, column-identical results."""
+    L, D, U, _ = random_system(rng, 47)
+    m = 3
+    B = jnp.asarray(rng.normal(size=(47, 2, m)))
+    X = tridiag.solve_block_tridiag(L, D, U, B, method=method)
+    assert X.shape == (47, 2, m)
+    tol = dict(rtol=1e-4, atol=1e-5) if method == "pcr_f32" else dict(rtol=1e-9, atol=1e-10)
+    for j in range(m):
+        xj = tridiag.solve_block_tridiag(L, D, U, B[..., j], method=method)
+        np.testing.assert_allclose(np.asarray(X[..., j]), np.asarray(xj), rtol=0, atol=0)
+        x_ref = dense_solution(L, D, U, B[..., j])
+        np.testing.assert_allclose(np.asarray(X[..., j]), x_ref, **tol)
+
+
+def test_multi_rhs_batched(rng):
+    L, D, U, _ = random_system(rng, 19, batch=(2,))
+    B = jnp.asarray(rng.normal(size=(2, 19, 2, 4)))
+    X = tridiag.solve_block_tridiag(L, D, U, B, method="pcr")
+    assert X.shape == (2, 19, 2, 4)
+    for i in range(2):
+        for j in range(4):
+            x_ref = dense_solution(L[i], D[i], U[i], B[i, ..., j])
+            np.testing.assert_allclose(np.asarray(X[i, ..., j]), x_ref,
+                                       rtol=1e-8, atol=1e-9)

@@ -33,10 +33,14 @@ Newton convergence follows the reference's pre-update-residual rule
 (ref preissmann.py:146-153) over the concatenated residual of every
 branch plus the junction imbalances.
 
-v1 scope: external ends support the stateless boundary kinds
-(flow/stage hydrographs, plain fixed depth, normal depth, rating curves
-except the gated controller); lumped storage and the gated gate machine
-are single-reach features for now (raise at build time).
+External ends support the complete boundary surface of
+:mod:`flowsim_tpu.ops.boundary` (ref boundary.py:32): flow/stage
+hydrographs, fixed depth, normal depth, rating curves including the
+non-smooth gated controller, and lumped storage (orientation-aware on
+either end) — each external end carries its own
+:class:`~flowsim_tpu.ops.boundary.BCState` (reservoir stage + gate
+hysteresis state) across time levels, exactly like the single-reach
+solver's scan carry (ops/preissmann.py:simulate).
 """
 
 from __future__ import annotations
@@ -79,24 +83,23 @@ class NetworkOutput(NamedTuple):
     iterations: jnp.ndarray      # [nt]
     error: jnp.ndarray           # [nt]
     converged: jnp.ndarray       # [nt]
+    # per external end [nt, n_branches, 2 (us, ds)]; NaN where unused
+    reservoir_stage: jnp.ndarray = None
+    gate_open: jnp.ndarray = None
+
+
+def _is_junction(end) -> bool:
+    return isinstance(end, (int, np.integer))
 
 
 def _check_supported(branches: List[BranchDef], n_junctions: int):
     for i, br in enumerate(branches):
         for end_name, end in (("us", br.us), ("ds", br.ds)):
-            if isinstance(end, (int, np.integer)):
+            if _is_junction(end):
                 if not 0 <= int(end) < n_junctions:
                     raise ValueError(
                         f"branch {i} {end_name}: junction id {end} out of "
                         f"range [0, {n_junctions})")
-                continue
-            if end.storage is not None:
-                raise NotImplementedError(
-                    "lumped storage at a network end is not supported yet "
-                    "(single-reach feature; use api.PreissmannSolver)")
-            if end.rating is not None and end.rating.kind == "gated_blend":
-                raise NotImplementedError(
-                    "the gated rating controller is single-reach for now")
     for j in range(n_junctions):
         ends = sum(int(isinstance(e, (int, np.integer)) and int(e) == j)
                    for br in branches for e in (br.us, br.ds))
@@ -110,10 +113,16 @@ def _end_row_junction(h_end, z_end, Y_j):
     return residual, jnp.ones_like(h_end), jnp.zeros_like(h_end)
 
 
-def _assemble_branch(br: BranchDef, settings, prev: prs.PrevLevel, h, Q, k, Y):
+def _assemble_branch(br: BranchDef, settings, prev: prs.PrevLevel, h, Q, k, Y,
+                     end_states):
     """Branch residual + block-tridiagonal Jacobian with junction-aware end
     rows (same regrouping as ops/preissmann.py:assemble, ref
-    preissmann.py:200-320)."""
+    preissmann.py:200-320).
+
+    ``end_states``: (us BCState, ds BCState) — per-end carried boundary
+    state (reservoir stage, gate hysteresis); ignored at junction ends.
+    Returns the per-end new reservoir stages alongside the block system.
+    """
     geo, dx = br.geo, br.dx
     theta, dt = settings.theta, settings.time_step
     st = sec.section_state(geo, h)
@@ -124,24 +133,26 @@ def _assemble_branch(br: BranchDef, settings, prev: prs.PrevLevel, h, Q, k, Y):
     th_dx = theta / dx
     dtype = h.dtype
     N = h.shape[0]
+    nan = jnp.asarray(jnp.nan, dtype)
 
     couplings = []  # (junction_id, node_index, block_row) of each -1 dR/dY
 
-    def end_row(end, node_idx, h_e, Q_e, Q_prev_e, h_prev_e, upstream):
-        if isinstance(end, (int, np.integer)):
+    def end_row(end, node_idx, h_e, Q_e, Q_prev_e, h_prev_e, upstream, est):
+        if _is_junction(end):
             z_e = geo.z_bed[node_idx]
             res, dfh, dfq = _end_row_junction(h_e, z_e, Y[int(end)])
             couplings.append((int(end), node_idx, 0 if upstream else 1))
-            return res, dfh, dfq
+            return res, dfh, dfq, nan
         ev = bnd.evaluate(end, prs._node_section(st, node_idx), h_e, Q_e,
-                          k, dt, Q_prev=Q_prev_e, reservoir_stage_prev=jnp.nan,
-                          upstream=upstream, h_prev=h_prev_e)
-        return ev.residual, ev.df_dh, ev.df_dQ
+                          k, dt, Q_prev=Q_prev_e,
+                          reservoir_stage_prev=est.reservoir_stage,
+                          bc_state=est, upstream=upstream, h_prev=h_prev_e)
+        return ev.residual, ev.df_dh, ev.df_dQ, ev.reservoir_stage
 
-    us_res, us_dh, us_dq = end_row(br.us, 0, h[0], Q[0], prev.Q[0],
-                                   prev.h[0], True)
-    ds_res, ds_dh, ds_dq = end_row(br.ds, -1, h[-1], Q[-1], prev.Q[-1],
-                                   prev.h[-1], False)
+    us_res, us_dh, us_dq, us_stage = end_row(
+        br.us, 0, h[0], Q[0], prev.Q[0], prev.h[0], True, end_states[0])
+    ds_res, ds_dh, ds_dq, ds_stage = end_row(
+        br.ds, -1, h[-1], Q[-1], prev.Q[-1], prev.h[-1], False, end_states[1])
 
     err_sq = (us_res**2 + ds_res**2
               + jnp.sum(cells.Rc**2) + jnp.sum(cells.Rm**2))
@@ -165,7 +176,7 @@ def _assemble_branch(br: BranchDef, settings, prev: prs.PrevLevel, h, Q, k, Y):
                    axis=-1)], axis=-2)
     b = -jnp.stack([jnp.concatenate([us_res[None], cells.Rm]),
                     jnp.concatenate([cells.Rc, ds_res[None]])], axis=-1)
-    return L, D, U, b, err_sq, couplings
+    return L, D, U, b, err_sq, couplings, (us_stage, ds_stage)
 
 
 def _sum_signed_ends(branches, Qs, n_junctions, dtype):
@@ -235,17 +246,19 @@ def simulate_network(branches: List[BranchDef], n_junctions: int,
     h0s = tuple(jnp.asarray(br.h0, dtype) for br in branches)
     Q0s = tuple(jnp.asarray(br.Q0, dtype) for br in branches)
 
-    def newton_level(hs, Qs, Y, prevs, k):
+    def newton_level(hs, Qs, Y, prevs, k, end_states):
         Y_prev = Y  # level-start stage: the storage-balance reference point
         Qs_prev = tuple(p.Q for p in prevs)
 
         def one_iteration(hs, Qs, Y):
             new_hs, new_Qs = [], []
-            us_list, Vs_list, coup_list = [], [], []
+            us_list, Vs_list, coup_list, stage_rows = [], [], [], []
             err_sq = jnp.zeros((), dtype)
-            for br, h, Q, prev in zip(branches, hs, Qs, prevs):
-                L, D, U, b, e2, coup = _assemble_branch(
-                    br, settings, prev, h, Q, k, Y)
+            for br, h, Q, prev, ests in zip(branches, hs, Qs, prevs,
+                                            end_states):
+                L, D, U, b, e2, coup, stages_b = _assemble_branch(
+                    br, settings, prev, h, Q, k, Y, ests)
+                stage_rows.append(jnp.stack(stages_b))
                 err_sq = err_sq + e2
                 # u = T^{-1}(-R) plus one Schur column V = T^{-1} C per
                 # junction coupling (C: dR_end/dY_j = -1 at (node, row)) —
@@ -301,31 +314,70 @@ def simulate_network(branches: List[BranchDef], n_junctions: int,
                     dx_b = dx_b - V * dY[jcol]
                 new_hs.append(h + dx_b[:, 0])
                 new_Qs.append(Q + dx_b[:, 1])
-            return tuple(new_hs), tuple(new_Qs), Y + dY, err
+            return (tuple(new_hs), tuple(new_Qs), Y + dY, err,
+                    jnp.stack(stage_rows))
 
         def cond(c):
-            _, _, _, err, it = c
+            err, it = c[3], c[4]
             return (err >= tol) & (it < max_iter)
 
         def body(c):
-            hs, Qs, Y, _, it = c
-            hs, Qs, Y, err = one_iteration(hs, Qs, Y)
-            return hs, Qs, Y, err, it + 1
+            hs, Qs, Y, _, it, _ = c
+            hs, Qs, Y, err, stages = one_iteration(hs, Qs, Y)
+            return hs, Qs, Y, err, it + 1, stages
 
-        hs, Qs, Y, err, iters = jax.lax.while_loop(
+        stages0 = jnp.stack([
+            jnp.stack([ests[0].reservoir_stage, ests[1].reservoir_stage])
+            for ests in end_states])
+        hs, Qs, Y, err, iters, stages = jax.lax.while_loop(
             cond, body, (hs, Qs, Y, jnp.asarray(jnp.inf, dtype),
-                         jnp.asarray(0, jnp.int32)))
-        return hs, Qs, Y, err, iters
+                         jnp.asarray(0, jnp.int32), stages0))
+        return hs, Qs, Y, err, iters, stages
 
     def step(carry, k):
-        hs, Qs, Y = carry
+        hs, Qs, Y, end_states = carry
+        # per-level gate-controller update on every gated external end
+        # (no-op otherwise), as in ops/preissmann.py:simulate
+        t = k.astype(dtype) * dt
+        end_states = tuple(
+            tuple(est if _is_junction(end)
+                  else bnd.update_gate_level_start(end, est, t)
+                  for end, est in zip((br.us, br.ds), ests))
+            for br, ests in zip(branches, end_states))
         prevs = tuple(prs.prev_level_state(br.geo, h, Q)
                       for br, h, Q in zip(branches, hs, Qs))
-        hs, Qs, Y, err, iters = newton_level(hs, Qs, Y, prevs, k)
-        return (hs, Qs, Y), (hs, Qs, Y, err, iters)
+        hs, Qs, Y, err, iters, stages = newton_level(hs, Qs, Y, prevs, k,
+                                                     end_states)
+        new_states, gate_rows = [], []
+        for bi, (br, ests) in enumerate(zip(branches, end_states)):
+            pair = []
+            for j, (end, h_e) in enumerate(((br.us, hs[bi][0]),
+                                            (br.ds, hs[bi][-1]))):
+                est = ests[j]
+                if not _is_junction(end):
+                    est = est._replace(reservoir_stage=stages[bi, j],
+                                       gate_stage=end.bed_level + h_e)
+                pair.append(est)
+            gate_rows.append(jnp.stack([pair[0].gate_open,
+                                        pair[1].gate_open]))
+            new_states.append(tuple(pair))
+        end_states = tuple(new_states)
+        out = (hs, Qs, Y, err, iters, stages, jnp.stack(gate_rows))
+        return (hs, Qs, Y, end_states), out
 
-    (_, _, _), (hs_t, Qs_t, Y_t, errs, iters) = jax.lax.scan(
-        step, (h0s, Q0s, Y0), jnp.arange(1, nt))
+    gate_open0 = 1.0 if settings.gate_initially_open else 0.0
+
+    def init_est(end, h0, node):
+        if _is_junction(end):
+            return bnd.initial_bc_state(dtype)
+        return bnd.initial_bc_state(dtype, gate_open=gate_open0,
+                                    gate_stage=end.bed_level + h0[node])
+
+    end_states0 = tuple((init_est(br.us, h0, 0), init_est(br.ds, h0, -1))
+                        for br, h0 in zip(branches, h0s))
+
+    (_, _, _, _), (hs_t, Qs_t, Y_t, errs, iters, stages_t, gates_t) = (
+        jax.lax.scan(step, (h0s, Q0s, Y0, end_states0), jnp.arange(1, nt)))
 
     depth = tuple(jnp.concatenate([h0[None], ht], axis=0)
                   for h0, ht in zip(h0s, hs_t))
@@ -336,5 +388,11 @@ def simulate_network(branches: List[BranchDef], n_junctions: int,
     errs = jnp.concatenate([zero, errs])
     iters = jnp.concatenate([jnp.zeros((1,), iters.dtype), iters])
     converged = (errs < tol)
+    res0 = jnp.full((1,) + stages_t.shape[1:], jnp.nan, stages_t.dtype)
+    gates0 = jnp.stack([
+        jnp.stack([ests[0].gate_open, ests[1].gate_open])
+        for ests in end_states0])[None]
     return NetworkOutput(depth=depth, flow=flow, junction_stage=stage,
-                         iterations=iters, error=errs, converged=converged)
+                         iterations=iters, error=errs, converged=converged,
+                         reservoir_stage=jnp.concatenate([res0, stages_t]),
+                         gate_open=jnp.concatenate([gates0, gates_t]))

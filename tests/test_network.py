@@ -147,17 +147,128 @@ def test_confluence_mass_balance():
     assert (Y > z_end).all()
 
 
-def test_unsupported_ends_raise():
-    solver, sset = akbari_like()
+def _split_in_two(solver, cut, sset):
+    """The single reach of ``solver`` as a 2-branch network joined at one
+    plain junction (the same-physics oracle construction of
+    test_serial_split_matches_single_reach)."""
     geo = solver.channel.geometry
+    br1 = BranchDef(geo=slice_geo(geo, slice(0, cut + 1)), dx=solver.spatial_step,
+                    us=solver.us_params, ds=0,
+                    h0=solver.h0[: cut + 1], Q0=solver.Q0[: cut + 1])
+    br2 = BranchDef(geo=slice_geo(geo, slice(cut, None)), dx=solver.spatial_step,
+                    us=0, ds=solver.ds_params,
+                    h0=solver.h0[cut:], Q0=solver.Q0[cut:])
+    return [br1, br2]
+
+
+def test_storage_end_matches_single_reach():
+    """A lumped-storage (fixed_depth + reservoir) downstream end on a network
+    branch: the split example case must reproduce the single-reach solution
+    including the carried reservoir-stage trajectory (ref boundary.py:97-133
+    is the single-reach downstream-storage case)."""
     from flowsim_tpu.models import example
 
-    ex_solver, _ = example.build()  # ds has lumped storage
-    br = BranchDef(geo=geo, dx=solver.spatial_step,
-                   us=solver.us_params, ds=ex_solver.ds_params,
-                   h0=solver.h0, Q0=solver.Q0)
-    with pytest.raises(NotImplementedError):
-        simulate_network([br, br], n_junctions=0, settings=sset)
+    solver, _ = example.build()
+    sset = solver.settings(tolerance=1e-8, max_iter=100)
+    geo = solver.channel.geometry
+    ref = prs.simulate(geo, solver.us_params, solver.ds_params,
+                       solver.h0, solver.Q0, sset)
+    out = simulate_network(_split_in_two(solver, 10, sset), n_junctions=1,
+                           settings=sset)
+    assert bool(np.asarray(out.converged).all())
+
+    # reservoir stage: branch 1's ds end vs the single-reach carry
+    rs_net = np.asarray(out.reservoir_stage)[:, 1, 1]
+    rs_ref = np.asarray(ref.reservoir_stage)
+    assert np.abs(rs_net[1:] - rs_ref[1:]).max() < 5e-3
+    # unused end slots stay NaN
+    assert np.isnan(np.asarray(out.reservoir_stage)[1:, 0, 0]).all()
+
+    d2 = np.asarray(out.depth[1])
+    d_ref = np.asarray(ref.depth)[:, 10:]
+    assert np.abs(d2 - d_ref).max() < 5e-3
+
+
+def test_upstream_storage_network_end():
+    """Orientation-aware upstream storage on a network branch: draining
+    reservoir physics (stage strictly decreasing, exact mass balance) carries
+    over from the single-reach extension (test_bc_completeness)."""
+    import jax.numpy as jnp
+
+    from flowsim_tpu.geometry import TrapezoidGeometry
+    from flowsim_tpu.ops import boundary as bnd
+    from flowsim_tpu.ops import initial_conditions as ic
+    from flowsim_tpu.ops import storage as stg
+
+    n, slope, dx, dt, nt = 16, 6e-4, 1000.0, 1800.0, 13
+    z = np.linspace(slope * (n - 1) * dx, 0.0, n)
+    ones, zeros = np.ones(n), np.zeros(n)
+    geo = TrapezoidGeometry(
+        z_bed=jnp.asarray(z), b_main=jnp.asarray(120.0 * ones),
+        m_main=jnp.asarray(zeros), n_main=jnp.asarray(0.025 * ones),
+        compound=jnp.asarray(np.zeros(n, bool)), h_bank=jnp.asarray(1e30 * ones),
+        b_fp_left=jnp.asarray(zeros), b_fp_right=jnp.asarray(zeros),
+        m_fp=jnp.asarray(zeros), n_left=jnp.asarray(0.025 * ones),
+        n_right=jnp.asarray(0.025 * ones), bed_slope=jnp.asarray(slope * ones),
+        curvature=jnp.asarray(zeros))
+    SA = 4.0e6
+    us = bnd.make_boundary(
+        "fixed_depth", bed_level=float(z[0]),
+        storage=stg.make_storage(surface_area=SA, min_stage=float(z[0]) - 5.0,
+                                 solution_boundaries=(0.0, 100.0)))
+    ds = bnd.make_boundary("normal_depth", bed_level=float(z[-1]),
+                           bed_slope=slope)
+    h0, Q0 = ic.initial_conditions(geo, "steady-state", 150.0, dx)
+    sset = prs.PreissmannSettings(theta=0.6, time_step=dt, spatial_step=dx,
+                                  n_time_levels=nt, tolerance=1e-10, max_iter=100)
+    ref = prs.simulate(geo, us, ds, h0, Q0, sset)
+
+    cut = 8
+    sl = lambda s: jax.tree_util.tree_map(lambda x: x[s], geo)
+    br1 = BranchDef(geo=sl(slice(0, cut + 1)), dx=dx, us=us, ds=0,
+                    h0=h0[: cut + 1], Q0=Q0[: cut + 1])
+    br2 = BranchDef(geo=sl(slice(cut, None)), dx=dx, us=0, ds=ds,
+                    h0=h0[cut:], Q0=Q0[cut:])
+    out = simulate_network([br1, br2], n_junctions=1, settings=sset)
+    assert bool(np.asarray(out.converged).all())
+
+    stages = np.asarray(out.reservoir_stage)[:, 0, 0]  # branch 0 us end
+    flow0 = np.asarray(out.flow[0])[:, 0]
+    assert (flow0[1:] > 0).all()
+    assert (np.diff(stages[1:]) < 0).all()
+    # exact trapezoidal mass balance of the network's storage end (k >= 2)
+    vol = 0.5 * (flow0[1:-1] + flow0[2:]) * dt
+    np.testing.assert_allclose(SA * -np.diff(stages[1:]), vol, rtol=1e-8)
+    # close to the single-reach trajectory
+    assert np.abs(stages[1:] - np.asarray(ref.reservoir_stage)[1:]).max() < 2e-3
+
+
+def test_gated_end_matches_single_reach():
+    """The non-smooth gated rating controller on a network end: the split
+    reach must reproduce the single-reach gate trajectory (hysteresis +
+    cooldown state carried per end) and fields."""
+    from tests.test_gated_curve import _build_gated_solver
+
+    solver = _build_gated_solver()
+    sset = solver.settings(tolerance=1e-8, max_iter=100)
+    geo = solver.channel.geometry
+    ref = prs.simulate(geo, solver.us_params, solver.ds_params,
+                       solver.h0, solver.Q0, sset)
+    out = simulate_network(_split_in_two(solver, 10, sset), n_junctions=1,
+                           settings=sset)
+    assert bool(np.asarray(out.converged).all())
+
+    gates_net = np.asarray(out.gate_open)[:, 1, 1]  # branch 1 ds end
+    gates_ref = np.asarray(ref.gate_open)
+    assert gates_ref.max() == 1.0, "oracle must actually open its gates"
+    np.testing.assert_array_equal(gates_net, gates_ref)
+
+    d2 = np.asarray(out.depth[1])
+    d_ref = np.asarray(ref.depth)[:, 10:]
+    assert np.abs(d2 - d_ref).max() < 5e-3
+    q2 = np.asarray(out.flow[1])
+    q_ref = np.asarray(ref.flow)[:, 10:]
+    assert np.abs(q2 - q_ref).max() < 5.0
 
 
 def test_junction_reservoir_mass_balance():

@@ -55,6 +55,7 @@ import numpy as np
 
 from flowsim_tpu.ops import boundary as bnd
 from flowsim_tpu.ops import preissmann as prs
+from flowsim_tpu.ops import rating_curve as rcurve
 from flowsim_tpu.ops import sections as sec
 from flowsim_tpu.ops.tridiag import solve_block_tridiag
 
@@ -86,6 +87,9 @@ class NetworkOutput(NamedTuple):
     # per external end [nt, n_branches, 2 (us, ds)]; NaN where unused
     reservoir_stage: jnp.ndarray = None
     gate_open: jnp.ndarray = None
+    # rated outflow leaving the network at each junction [nt, J] (zeros
+    # unless ``junction_rating`` was given)
+    junction_outflow: jnp.ndarray = None
 
 
 def _is_junction(end) -> bool:
@@ -190,27 +194,57 @@ def _sum_signed_ends(branches, Qs, n_junctions, dtype):
     return S
 
 
-def _junction_residuals(branches, Qs, Qs_prev, Y, Y_prev, area, dt, dtype):
-    """Junction rows.
+def _junction_outflow(junction_rating, Y, dtype):
+    """Per-junction rated outflow Q_out(Y) and its stage derivative.
 
-    Plain junction (area=0): G_j = sum sgn * Q_end = 0 (continuity).
-    Junction reservoir (area>0): a 0-D storage AT the junction —
-        area_j * (Y_j - Y_j^prev)/dt - 0.5*(sum sgn Q + sum sgn Q^prev) = 0
-    (trapezoidal inflow, the same rule as the lumped storage mass balance,
-    ref lumped_storage.py:24-35, at a multi-branch node).
+    ``junction_rating``: None, or a length-J list whose entries are either
+    None (no outflow) or a RatingCurveParams — a dam release / withdrawal
+    LEAVING the network at that junction.  Returns ([J] outflow, [J] dQ/dz).
     """
     J = Y.shape[0]
+    if junction_rating is None:
+        z = jnp.zeros((J,), dtype)
+        return z, z
+    q, dq = [], []
+    for j, rc in enumerate(junction_rating):
+        if rc is None:
+            q.append(jnp.zeros((), dtype))
+            dq.append(jnp.zeros((), dtype))
+        else:
+            q.append(rcurve.discharge(rc, Y[j]))
+            dq.append(rcurve.dQ_dz(rc, Y[j]))
+    return jnp.stack(q), jnp.stack(dq)
+
+
+def _junction_residuals(branches, Qs, Y, area, dt, dtype,
+                        q_out, prev_terms):
+    """Junction rows.
+
+    Plain junction (area=0): G_j = sum sgn * Q_end - Q_out(Y_j) = 0
+    (continuity, with any rated outflow leaving the network).
+    Junction reservoir (area>0): a 0-D storage AT the junction —
+        area_j * (Y_j - Y_j^prev)/dt
+          - 0.5*(sum sgn Q + sum sgn Q^prev)
+          + 0.5*(Q_out(Y_j) + Q_out(Y_j^prev)) = 0
+    (trapezoidal inflow/outflow, the same rule as the lumped storage mass
+    balance, ref lumped_storage.py:24-35, at a multi-branch node).
+
+    ``prev_terms`` = (Y_prev, Sp, q_out_prev) — level-start constants.
+    """
+    J = Y.shape[0]
+    Y_prev, Sp, q_out_prev = prev_terms
     S = _sum_signed_ends(branches, Qs, J, dtype)
-    Sp = _sum_signed_ends(branches, Qs_prev, J, dtype)
     stor = area > 0.0
-    G_plain = S
-    G_stor = area * (Y - Y_prev) / dt - 0.5 * (S + Sp)
+    G_plain = S - q_out
+    G_stor = (area * (Y - Y_prev) / dt - 0.5 * (S + Sp)
+              + 0.5 * (q_out + q_out_prev))
     return jnp.where(stor, G_stor, G_plain)
 
 
 def simulate_network(branches: List[BranchDef], n_junctions: int,
                      settings: prs.PreissmannSettings,
-                     Y0=None, junction_area=None) -> NetworkOutput:
+                     Y0=None, junction_area=None,
+                     junction_rating=None) -> NetworkOutput:
     """Run the implicit network solve over ``settings.n_time_levels``.
 
     ``Y0``: initial junction stages [J]; defaults to the water level of the
@@ -222,6 +256,14 @@ def simulate_network(branches: List[BranchDef], n_junctions: int,
     storage, ref lumped_storage.py:24-35); ``area == 0`` is a plain
     equal-stage junction.  ``NetworkOutput.junction_stage`` then carries
     the reservoir stage trajectory.
+
+    ``junction_rating``: optional length-J list of RatingCurveParams (or
+    None per entry) — a rated outflow Q_out(Y_j) LEAVING the network at
+    that junction: a dam release to outside the modeled system on a
+    junction reservoir, or a stage-dependent withdrawal on a plain
+    junction.  The trajectory is returned as
+    ``NetworkOutput.junction_outflow``.  (The gated controller is not
+    supported at junctions — put it on an external end.)
     """
     _check_supported(branches, n_junctions)
     dtype = jnp.asarray(branches[0].h0).dtype
@@ -233,6 +275,12 @@ def simulate_network(branches: List[BranchDef], n_junctions: int,
     J = n_junctions
     area = (jnp.zeros((J,), dtype) if junction_area is None
             else jnp.asarray(junction_area, dtype))
+    if junction_rating is not None:
+        if len(junction_rating) != J:
+            raise ValueError(f"junction_rating must have {J} entries")
+        for rc in junction_rating:
+            if rc is not None and rc.kind == "gated_blend":
+                raise ValueError("gated_blend is not supported at junctions")
 
     if Y0 is None:
         Y0 = np.full((J,), np.nan)
@@ -249,6 +297,10 @@ def simulate_network(branches: List[BranchDef], n_junctions: int,
     def newton_level(hs, Qs, Y, prevs, k, end_states):
         Y_prev = Y  # level-start stage: the storage-balance reference point
         Qs_prev = tuple(p.Q for p in prevs)
+        # level-start constants of the junction rows
+        Sp = _sum_signed_ends(branches, Qs_prev, J, dtype)
+        q_out_prev, _ = _junction_outflow(junction_rating, Y_prev, dtype)
+        prev_terms = (Y_prev, Sp, q_out_prev)
 
         def one_iteration(hs, Qs, Y):
             new_hs, new_Qs = [], []
@@ -276,8 +328,9 @@ def simulate_network(branches: List[BranchDef], n_junctions: int,
                 Vs_list.append(Vs)
                 coup_list.append(coup)
 
-            G = _junction_residuals(branches, Qs, Qs_prev, Y, Y_prev,
-                                    area, dt, dtype)
+            q_out, dq_dz = _junction_outflow(junction_rating, Y, dtype)
+            G = _junction_residuals(branches, Qs, Y, area, dt, dtype,
+                                    q_out, prev_terms)
             err = jnp.sqrt(err_sq + jnp.sum(G**2))
 
             if J:
@@ -299,10 +352,12 @@ def simulate_network(branches: List[BranchDef], n_junctions: int,
                             M = M.at[jj, jcol].add(fac[jj] * sgn
                                                    * V[idx, 1])
                 # derivation: T dx + C dY = -R and E dx + D_Y dY = -G with
-                # D_Y = diag(dG/dY) = diag(area)/dt (0 for plain junctions);
+                # D_Y = diag(dG/dY): area/dt + 0.5 dQout/dz for a storage
+                # junction, -dQout/dz for a plain one (both 0 when unrated);
                 # with u = T^{-1}(-R), V = T^{-1} C: dx = u - V dY, so
                 # (E V - D_Y) dY = G + E u
-                M = M - jnp.diag(area) / dt
+                D_Y = jnp.where(area > 0.0, area / dt + 0.5 * dq_dz, -dq_dz)
+                M = M - jnp.diag(D_Y)
                 dY = jnp.linalg.solve(M, rhs) if J > 1 else rhs / M[0, 0]
             else:
                 dY = jnp.zeros((0,), dtype)
@@ -392,7 +447,15 @@ def simulate_network(branches: List[BranchDef], n_junctions: int,
     gates0 = jnp.stack([
         jnp.stack([ests[0].gate_open, ests[1].gate_open])
         for ests in end_states0])[None]
+    if junction_rating is None:
+        outflow = jnp.zeros_like(stage)
+    else:
+        outflow = jnp.stack(
+            [jnp.zeros((stage.shape[0],), dtype) if rc is None
+             else rcurve.discharge(rc, stage[:, j])
+             for j, rc in enumerate(junction_rating)], axis=-1)
     return NetworkOutput(depth=depth, flow=flow, junction_stage=stage,
                          iterations=iters, error=errs, converged=converged,
                          reservoir_stage=jnp.concatenate([res0, stages_t]),
-                         gate_open=jnp.concatenate([gates0, gates_t]))
+                         gate_open=jnp.concatenate([gates0, gates_t]),
+                         junction_outflow=outflow)

@@ -330,3 +330,72 @@ def test_gerd_tributary_demo():
     q_ref = np.asarray(ref.flow)[:, -1]
     q_net = np.asarray(out.flow[2])[:, -1]
     assert q_net.max() > q_ref.max()  # the tributary raises the flood
+
+
+def test_junction_dam_rated_outflow():
+    """A junction reservoir with a rated outflow (a dam at the junction
+    releasing OUT of the network): the pool satisfies the trapezoidal mass
+    balance including the release, and the release caps the pool rise
+    relative to the unrated reservoir."""
+    from flowsim_tpu.ops import rating_curve as rcurve
+
+    solver, sset = akbari_like()
+    geo = solver.channel.geometry
+    cut = 15
+    branches = _split_in_two(solver, cut, sset)
+
+    SA = 5.0e5
+    z_conf = float(np.asarray(geo.z_bed)[cut])
+    Y_init = z_conf + float(np.asarray(solver.h0)[cut])
+    # linear rating through the initial pool stage: release grows with stage
+    rc = rcurve.make_polynomial(0.0, 40.0, -40.0 * Y_init + 20.0)
+
+    out = simulate_network(branches, n_junctions=1, settings=sset,
+                           junction_area=[SA], junction_rating=[rc])
+    assert bool(np.asarray(out.converged).all())
+
+    Y = np.asarray(out.junction_stage)[:, 0]
+    qo = np.asarray(out.junction_outflow)[:, 0]
+    qin = np.asarray(out.flow[0])[:, -1]
+    qdn = np.asarray(out.flow[1])[:, 0]
+    dt = sset.time_step
+    # trapezoidal balance with the rated release included
+    S = qin - qdn
+    lhs = SA * (Y[1:] - Y[:-1]) / dt
+    rhs = 0.5 * ((S[1:] + S[:-1]) - (qo[1:] + qo[:-1]))
+    assert np.abs(lhs - rhs).max() < 1e-5
+    # the release is live and positive during the flood
+    assert qo[1:].min() > 0.0
+    assert qo.max() > qo[1] + 1.0  # grows as the pool rises
+
+    # vs the unrated reservoir: the release caps the pool
+    ref = simulate_network(branches, n_junctions=1, settings=sset,
+                           junction_area=[SA])
+    assert Y.max() < np.asarray(ref.junction_stage)[:, 0].max()
+    assert np.asarray(ref.junction_outflow).max() == 0.0
+
+
+def test_plain_junction_withdrawal():
+    """A rated withdrawal on a plain (area=0) junction: instantaneous
+    continuity sum sgn Q = Q_out(Y) holds at every level, and the
+    downstream branch carries less than the feeder."""
+    from flowsim_tpu.ops import rating_curve as rcurve
+
+    solver, sset = akbari_like()
+    geo = solver.channel.geometry
+    cut = 15
+    branches = _split_in_two(solver, cut, sset)
+    z_conf = float(np.asarray(geo.z_bed)[cut])
+    Y_init = z_conf + float(np.asarray(solver.h0)[cut])
+    rc = rcurve.make_polynomial(0.0, 15.0, -15.0 * Y_init + 10.0)
+
+    out = simulate_network(branches, n_junctions=1, settings=sset,
+                           junction_rating=[rc])
+    assert bool(np.asarray(out.converged).all())
+    qin = np.asarray(out.flow[0])[:, -1]
+    qdn = np.asarray(out.flow[1])[:, 0]
+    qo = np.asarray(out.junction_outflow)[:, 0]
+    # continuity with the withdrawal, to solver tolerance
+    assert np.abs(qin[1:] - qdn[1:] - qo[1:]).max() < 1e-5
+    assert (qo[1:] > 0.0).all()
+    assert (qdn[1:] < qin[1:]).all()

@@ -283,12 +283,16 @@ def simulate_network(branches: List[BranchDef], n_junctions: int,
                 raise ValueError("gated_blend is not supported at junctions")
 
     if Y0 is None:
-        Y0 = np.full((J,), np.nan)
+        # traceable (works under vmap for network ensembles): first
+        # connected end's water level per junction, ds ends preferred
+        found = {}
         for br in branches:
             for end, idx in ((br.ds, -1), (br.us, 0)):
-                if isinstance(end, (int, np.integer)) and np.isnan(Y0[int(end)]):
-                    Y0[int(end)] = float(np.asarray(br.geo.z_bed)[idx]
-                                         + np.asarray(br.h0)[idx])
+                if _is_junction(end) and int(end) not in found:
+                    found[int(end)] = (jnp.asarray(br.geo.z_bed)[idx]
+                                       + jnp.asarray(br.h0, dtype)[idx])
+        Y0 = (jnp.stack([found[j] for j in range(J)]) if J
+              else jnp.zeros((0,), dtype))
     Y0 = jnp.asarray(Y0, dtype)
 
     h0s = tuple(jnp.asarray(br.h0, dtype) for br in branches)

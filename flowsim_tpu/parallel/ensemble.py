@@ -183,6 +183,51 @@ def stack_geometries(geos):
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *geos)
 
 
+def batched_simulate_network(branches, n_junctions, settings, batch,
+                             Y0=None, junction_area=None, junction_rating=None,
+                             mesh: Optional[Mesh] = None, shard: bool = False):
+    """Monte-Carlo over a river NETWORK: vmap
+    :func:`flowsim_tpu.ops.network.simulate_network` over per-member branch
+    overrides (roughness ensembles, inflow scenarios, initial states) — the
+    network counterpart of :func:`batched_simulate`.
+
+    ``batch``: one dict per branch, keyed by BranchDef field names
+    (``geo``, ``us``, ``ds``, ``h0``, ``Q0``); each value is a stacked
+    pytree with a leading member axis (build with
+    :func:`roughness_ensemble`, :func:`batch_boundaries`, or ``jnp.stack``).
+    Absent keys are shared across members; junction ends (``us``/``ds``
+    given as ints) cannot be overridden.  Junction config (``Y0``,
+    ``junction_area``, ``junction_rating``) is shared.
+
+    ``shard=True`` spreads the member axis over the mesh's ensemble axis
+    before the vmapped run (one device slice per shard, as in
+    :func:`batched_simulate`).
+    """
+    from flowsim_tpu.ops import network as net
+
+    fields = {f.name for f in dataclasses.fields(net.BranchDef)}
+    for d in batch:
+        for k, v in d.items():
+            if k not in fields:
+                raise ValueError(f"unknown BranchDef override {k!r}")
+            if k in ("us", "ds") and isinstance(v, (int, np.integer)):
+                raise ValueError(
+                    "junction ends cannot be overridden per member")
+            if k == "dx":
+                raise ValueError("dx is static; rebuild the branches instead")
+
+    def run(parts):
+        brs = [dataclasses.replace(br, **p)
+               for br, p in zip(branches, parts)]
+        return net.simulate_network(brs, n_junctions, settings, Y0=Y0,
+                                    junction_area=junction_area,
+                                    junction_rating=junction_rating)
+
+    if shard:
+        batch = shard_batch(batch, mesh)
+    return jax.jit(jax.vmap(run))(batch)
+
+
 def roughness_ensemble(geo, n_values):
     """Batched geometry with per-member main-channel roughness."""
     n_values = jnp.asarray(n_values)

@@ -399,3 +399,51 @@ def test_plain_junction_withdrawal():
     assert np.abs(qin[1:] - qdn[1:] - qo[1:]).max() < 1e-5
     assert (qo[1:] > 0.0).all()
     assert (qdn[1:] < qin[1:]).all()
+
+
+def test_network_ensemble_matches_serial():
+    """batched_simulate_network: per-member inflow scaling (feeder) and
+    roughness (downstream arm) — each vmapped member must match its own
+    serial simulate_network run."""
+    from flowsim_tpu.parallel.ensemble import (batch_boundaries,
+                                               batched_simulate_network,
+                                               roughness_ensemble)
+
+    solver, sset = akbari_like()
+    sset = dataclasses.replace(sset, n_time_levels=9)
+    cut = 15
+    branches = _split_in_two(solver, cut, sset)
+
+    scales = [0.9, 1.0, 1.15]
+    ns = [0.021, 0.023, 0.026]
+    us_members = [
+        dataclasses.replace(
+            solver.us_params,
+            target_series=jnp.asarray(
+                np.asarray(solver.us_params.target_series) * s))
+        for s in scales]
+    us_stacked, _ = batch_boundaries(us_members)
+    geo1_batch = roughness_ensemble(branches[1].geo, ns)
+
+    batch = [dict(us=us_stacked), dict(geo=geo1_batch)]
+    out = batched_simulate_network(branches, 1, sset, batch)
+    assert np.asarray(out.converged).all()
+    assert np.asarray(out.depth[0]).shape[0] == 3
+
+    for m in range(3):
+        brs = [dataclasses.replace(branches[0], us=us_members[m]),
+               dataclasses.replace(
+                   branches[1],
+                   geo=jax.tree_util.tree_map(lambda x: x[m], geo1_batch))]
+        ref = simulate_network(brs, 1, sset)
+        np.testing.assert_allclose(np.asarray(out.depth[0])[m],
+                                   np.asarray(ref.depth[0]),
+                                   rtol=0, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(out.flow[1])[m],
+                                   np.asarray(ref.flow[1]),
+                                   rtol=0, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(out.junction_stage)[m],
+                                   np.asarray(ref.junction_stage),
+                                   rtol=0, atol=1e-10)
+    # members genuinely differ
+    assert np.abs(np.asarray(out.flow[1])[0] - np.asarray(out.flow[1])[2]).max() > 10.0

@@ -47,6 +47,7 @@ from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass
+from functools import partial
 from typing import List, NamedTuple, Union
 
 import jax
@@ -266,6 +267,38 @@ def simulate_network(branches: List[BranchDef], n_junctions: int,
     supported at junctions — put it on an external end.)
     """
     _check_supported(branches, n_junctions)
+    if junction_rating is not None:
+        if len(junction_rating) != n_junctions:
+            raise ValueError(f"junction_rating must have {n_junctions} entries")
+        for rc in junction_rating:
+            if rc is not None and rc.kind == "gated_blend":
+                raise ValueError("gated_blend is not supported at junctions")
+    # split each branch into a static topology key (junction ids, dx) and a
+    # dynamic pytree, so repeated calls with the same network structure hit
+    # the jit cache instead of retracing the whole scan (repeat calls were
+    # ~8x slower than prs.simulate before this split)
+    topo = tuple((int(br.us) if _is_junction(br.us) else None,
+                  int(br.ds) if _is_junction(br.ds) else None,
+                  float(br.dx)) for br in branches)
+    dyn = tuple(dict(geo=br.geo,
+                     us=None if _is_junction(br.us) else br.us,
+                     ds=None if _is_junction(br.ds) else br.ds,
+                     h0=jnp.asarray(br.h0), Q0=jnp.asarray(br.Q0))
+                for br in branches)
+    rating = None if junction_rating is None else tuple(junction_rating)
+    return _simulate_network_impl(dyn, Y0, junction_area, rating,
+                                  topo=topo, n_junctions=n_junctions,
+                                  settings=settings)
+
+
+@partial(jax.jit, static_argnames=("topo", "n_junctions", "settings"))
+def _simulate_network_impl(dyn, Y0, junction_area, junction_rating, *,
+                           topo, n_junctions, settings):
+    branches = [BranchDef(geo=d["geo"], dx=t[2],
+                          us=t[0] if t[0] is not None else d["us"],
+                          ds=t[1] if t[1] is not None else d["ds"],
+                          h0=d["h0"], Q0=d["Q0"])
+                for d, t in zip(dyn, topo)]
     dtype = jnp.asarray(branches[0].h0).dtype
     nt = settings.n_time_levels
     tol = settings.tolerance
@@ -275,12 +308,6 @@ def simulate_network(branches: List[BranchDef], n_junctions: int,
     J = n_junctions
     area = (jnp.zeros((J,), dtype) if junction_area is None
             else jnp.asarray(junction_area, dtype))
-    if junction_rating is not None:
-        if len(junction_rating) != J:
-            raise ValueError(f"junction_rating must have {J} entries")
-        for rc in junction_rating:
-            if rc is not None and rc.kind == "gated_blend":
-                raise ValueError("gated_blend is not supported at junctions")
 
     if Y0 is None:
         # traceable (works under vmap for network ensembles): first

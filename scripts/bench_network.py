@@ -1,0 +1,79 @@
+"""River-network solver benchmark: the GERD tributary network (3 branches,
+1 junction, flagship geometry/duration) on the default device vs the CPU
+f64 oracle path.
+
+Run: ``python scripts/bench_network.py [hours]``  (default: the flagship
+384 h).  On the tunneled TPU the first compile takes 30 s - 7 min; the
+steady number is a best-of-reps wall time with perturbed inputs between
+reps (the remote result cache serves identical (executable, inputs) pairs,
+CLAUDE.md).
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run(hours=384, reps=4):
+    import jax
+    import jax.numpy as jnp
+
+    from flowsim_tpu.models import gerd_tributary
+    from flowsim_tpu.ops.network import simulate_network
+
+    dev = jax.devices()[0]
+    print(f"device: {dev.device_kind} ({dev.platform})")
+
+    t0 = time.time()
+    branches, nj, sset, _ = gerd_tributary.build(sim_duration=3600 * hours)
+    # thomas is ~3x faster than pcr at this size on CPU but crashes the TPU
+    # worker (nested scan depth, CLAUDE.md) — same split as bench.py
+    import dataclasses as _dc
+
+    sset = _dc.replace(sset, linear_solver="thomas" if dev.platform == "cpu"
+                       else "pcr")
+    n_nodes = sum(int(np.asarray(br.h0).shape[0]) for br in branches)
+    print(f"host build: {time.time() - t0:.1f}s  branches=3 junctions=1 "
+          f"nodes={n_nodes} nt={sset.n_time_levels}")
+
+    def sim(branches):
+        return simulate_network(branches, nj, sset)
+
+    t0 = time.time()
+    out = sim(branches)
+    iters = int(np.asarray(out.iterations).sum())
+    # host transfer = completion barrier on the tunneled TPU (CLAUDE.md)
+    _ = float(jnp.sum(out.depth[0]))
+    print(f"compile+first run: {time.time() - t0:.1f}s  "
+          f"converged={bool(np.asarray(out.converged).all())}  iters={iters}")
+
+    best = np.inf
+    import dataclasses
+    for r in range(reps):
+        # perturb h0 in the last ulp-ish digit to defeat the result cache
+        pert = [dataclasses.replace(br, h0=np.asarray(br.h0) * (1 + 1e-12 * (r + 1)))
+                for br in branches]
+        t0 = time.time()
+        out = sim(pert)
+        _ = float(jnp.sum(out.depth[0]))
+        best = min(best, time.time() - t0)
+    nnups = iters * n_nodes / best
+    print(f"steady (best of {reps}): {best:.3f}s  "
+          f"newton-node-updates/s: {nnups:,.0f}")
+    return best, iters, n_nodes
+
+
+if __name__ == "__main__":
+    hours = int(sys.argv[1]) if len(sys.argv) > 1 else 384
+    if len(sys.argv) > 2 and sys.argv[2] == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    run(hours)

@@ -578,6 +578,187 @@ class PreissmannSolver(_SolverBase):
         return fail
 
 
+class Junction:
+    """Marker for a channel end that meets network junction ``id`` — used in
+    place of a :class:`Boundary` when assembling a :class:`NetworkSolver`
+    (a capability beyond the reference, which is strictly single-reach).
+
+    ``bed_level``/``initial_depth`` play the same geometry/IC roles as on a
+    Boundary (provisional rectangle endpoints, GVF/linear IC anchors).
+    """
+
+    condition = "junction"
+
+    def __init__(self, id: int, chainage, bed_level=None, initial_depth=None):
+        self.id = int(id)
+        self.chainage = chainage
+        self.bed_level = bed_level
+        self.initial_depth = initial_depth
+        self.lumped_storage = None
+
+
+class _BranchView(_SolverBase):
+    """Read-only per-branch solver facade over a network run: exposes the
+    single-reach results surface (accessors, prepare_results, save_results)
+    for one branch of a :class:`NetworkSolver`."""
+
+    _type = "network_branch"
+
+    def __init__(self, channel, time_step, spatial_step, simulation_time,
+                 theta, depth, flow, output):
+        super().__init__(channel, time_step, spatial_step, simulation_time,
+                         fit_spatial_step=False)
+        self.theta = theta
+        self.depth = depth
+        self.flow = flow
+        self.output = output
+        self.total_sim_duration = simulation_time
+
+
+class _BranchOutput:
+    """Just enough of SimOutput for the results pipeline (reservoir series)."""
+
+    def __init__(self, reservoir_stage):
+        self.reservoir_stage = reservoir_stage
+
+
+class NetworkSolver:
+    """Implicit Preissmann solve over a river NETWORK of channels joined at
+    junctions (see :mod:`flowsim_tpu.ops.network`; beyond the reference).
+
+    ``channels``: list of :class:`Channel` whose upstream/downstream
+    boundaries may be :class:`Junction` markers instead of Boundaries.
+    Branch flow orientation is upstream -> downstream per channel.
+
+    ``junction_area``: per-junction surface areas (junction reservoirs);
+    ``junction_rating``: per-junction :class:`RatingCurve` (or params, or
+    None) — rated outflow leaving the network at the junction.
+
+    ``initial_conditions``: optional per-channel ``(h0, Q0)`` overrides
+    (e.g. slices of a single-reach run); ``None`` entries use the channel's
+    own IC generator.
+    """
+
+    _type = "network"
+
+    def __init__(self, channels, theta, time_step, spatial_step, simulation_time,
+                 junction_area=None, junction_rating=None,
+                 fit_spatial_step=True, linear_solver="pcr", newton="while",
+                 initial_conditions=None):
+        from flowsim_tpu.ops import network as net
+
+        self.channels = list(channels)
+        self.theta = float(theta)
+        self.time_step = float(time_step)
+        self.simulation_time = float(simulation_time)
+        self.linear_solver = linear_solver
+        self.newton = newton
+        self.junction_area = junction_area
+        self.number_of_time_levels = int(simulation_time // self.time_step + 1)
+        times = np.arange(self.number_of_time_levels) * self.time_step
+
+        if junction_rating is None:
+            self.junction_rating = None
+        else:
+            self.junction_rating = [
+                rc.params if isinstance(rc, RatingCurve) else rc
+                for rc in junction_rating]
+
+        if np.ndim(spatial_step) == 0:
+            spatial_step = [spatial_step] * len(self.channels)
+        ics = initial_conditions or [None] * len(self.channels)
+
+        self.branches = []
+        self.branch_dx = []
+        junction_ids = set()
+        for ch, dx, ic_pair in zip(self.channels, spatial_step, ics):
+            dx = float(dx)
+            n_nodes = int(ch.length // dx + 1)
+            if fit_spatial_step:  # ref solver.py:53-55
+                n_nodes = round(ch.length / dx) + 1
+                dx = ch.length / (n_nodes - 1)
+            self.branch_dx.append(dx)
+            geo = ch.build_geometry(n_nodes)
+            if ic_pair is None:
+                h0, Q0 = ch.initialize_conditions(n_nodes, dx)
+            else:
+                h0, Q0 = (jnp.asarray(ic_pair[0]), jnp.asarray(ic_pair[1]))
+
+            def lower(b, node):
+                if isinstance(b, Junction):
+                    junction_ids.add(b.id)
+                    return b.id
+                return b.build(times, geo.z_bed[node], geo.bed_slope[node])
+
+            self.branches.append(net.BranchDef(
+                geo=geo, dx=dx, us=lower(ch.upstream_boundary, 0),
+                ds=lower(ch.downstream_boundary, -1), h0=h0, Q0=Q0))
+        self.n_junctions = (max(junction_ids) + 1) if junction_ids else 0
+        self.output = None
+
+    def settings(self, tolerance, max_iter, **kw) -> prs.PreissmannSettings:
+        return prs.PreissmannSettings(
+            theta=self.theta,
+            time_step=self.time_step,
+            spatial_step=self.branch_dx[0],
+            n_time_levels=self.number_of_time_levels,
+            tolerance=float(tolerance),
+            max_iter=int(max_iter),
+            linear_solver=self.linear_solver,
+            newton=self.newton,
+            **kw,
+        )
+
+    def run(self, tolerance=1e-4, verbose=1, max_iter=100):
+        from flowsim_tpu.ops import network as net
+
+        sset = self.settings(tolerance, max_iter)
+        out = net.simulate_network(
+            self.branches, self.n_junctions, sset,
+            junction_area=self.junction_area,
+            junction_rating=self.junction_rating)
+        out = jax.tree_util.tree_map(np.asarray, out)
+        self.output = out
+        if not bool(out.converged.all()):
+            bad = int(np.argmin(out.converged))
+            raise ValueError(
+                f"Convergence within {int(out.iterations[bad])} iterations "
+                "couldn't be achieved.")  # ref preissmann.py:126
+        if verbose >= 1:
+            print("Simulation completed successfully.")
+        return out
+
+    def branch(self, i) -> _BranchView:
+        """Per-branch results facade with the single-reach solver surface."""
+        if self.output is None:
+            raise ValueError("run() first")
+        res_stage = np.asarray(self.output.reservoir_stage)[:, i, 1]
+        return _BranchView(
+            self.channels[i], self.time_step, self.branch_dx[i],
+            self.simulation_time, self.theta,
+            np.asarray(self.output.depth[i]), np.asarray(self.output.flow[i]),
+            _BranchOutput(res_stage))
+
+    def save_results(self, folder_path: str):
+        """Per-branch workbooks (branch_<i>/) + junction series CSV."""
+        import os
+
+        for i in range(len(self.branches)):
+            self.branch(i).save_results(os.path.join(folder_path, f"branch_{i}"))
+        os.makedirs(folder_path, exist_ok=True)
+        J = self.n_junctions
+        if J:
+            nt = self.number_of_time_levels
+            time = np.arange(nt) * self.time_step
+            stage = np.asarray(self.output.junction_stage)
+            outflow = np.asarray(self.output.junction_outflow)
+            header = ("time_s," + ",".join(f"stage_{j}" for j in range(J))
+                      + "," + ",".join(f"outflow_{j}" for j in range(J)))
+            np.savetxt(os.path.join(folder_path, "junctions.csv"),
+                       np.column_stack([time, stage, outflow]),
+                       delimiter=",", header=header, comments="")
+
+
 class LaxSolver(_SolverBase):
     """Explicit Lax-Friedrichs solver; see ops/lax_friedrichs.py."""
 

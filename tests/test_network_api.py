@@ -1,0 +1,90 @@
+"""api-level network surface: NetworkSolver / Junction / per-branch results.
+
+Oracle: the example case (ref cases/example/main.py — rectangular reach into
+a lumped-storage reservoir) split at mid-reach through a Junction must
+reproduce the single-reach api.PreissmannSolver run; the per-branch views
+expose the single-reach results surface including the reservoir series.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from flowsim_tpu.api import (Boundary, Channel, Hydrograph, Junction,
+                             LumpedStorage, NetworkSolver, PreissmannSolver)
+from flowsim_tpu.models.example import trapezoid_hydrograph
+
+
+def _boundaries():
+    us = Boundary(condition="flow_hydrograph", bed_level=5, chainage=0,
+                  hydrograph=Hydrograph(function=trapezoid_hydrograph))
+    ds = Boundary(condition="fixed_depth", initial_depth=5, bed_level=0,
+                  chainage=20000)
+    ds.set_lumped_storage(LumpedStorage(surface_area=5000 * 250, min_stage=5,
+                                        solution_boundaries=(0, 200)))
+    return us, ds
+
+
+def _single_reach():
+    us, ds = _boundaries()
+    channel = Channel(width=250, initial_flow=1000.0, roughness=0.027,
+                      upstream_boundary=us, downstream_boundary=ds)
+    return PreissmannSolver(channel=channel, theta=0.8, time_step=3600,
+                            spatial_step=1000, simulation_time=24 * 3600)
+
+
+def _network(ref):
+    us, ds = _boundaries()
+    cut = 10  # node index of chainage 10,000 on the single-reach grid
+    ch1 = Channel(width=250, initial_flow=1000.0, roughness=0.027,
+                  upstream_boundary=us,
+                  downstream_boundary=Junction(0, 10000, bed_level=2.5))
+    ch2 = Channel(width=250, initial_flow=1000.0, roughness=0.027,
+                  upstream_boundary=Junction(0, 10000, bed_level=2.5),
+                  downstream_boundary=ds)
+    ics = [(ref.h0[: cut + 1], ref.Q0[: cut + 1]),
+           (ref.h0[cut:], ref.Q0[cut:])]
+    return NetworkSolver([ch1, ch2], theta=0.8, time_step=3600,
+                         spatial_step=1000, simulation_time=24 * 3600,
+                         initial_conditions=ics)
+
+
+def test_network_solver_matches_single_reach(tmp_path):
+    ref = _single_reach()
+    ref_out = ref.run(verbose=0, tolerance=1e-8)
+
+    net = _network(ref)
+    assert net.n_junctions == 1
+    out = net.run(verbose=0, tolerance=1e-8)
+    assert bool(np.asarray(out.converged).all())
+
+    d1 = np.asarray(out.depth[0])
+    d2 = np.asarray(out.depth[1])
+    assert np.abs(d1 - np.asarray(ref_out.depth)[:, :11]).max() < 5e-3
+    assert np.abs(d2 - np.asarray(ref_out.depth)[:, 10:]).max() < 5e-3
+
+    # per-branch facade: accessors + reservoir-stage reconstruction
+    b1 = net.branch(1)
+    assert b1.depth_at(None, -1) == pytest.approx(d2[-1, -1])
+    res = b1.prepare_results()
+    assert res.storage_stage is not None
+    np.testing.assert_allclose(
+        res.storage_stage[1:],
+        np.asarray(ref_out.reservoir_stage)[1:], atol=5e-3)
+
+    # workbook export per branch + junction CSV
+    net.save_results(str(tmp_path))
+    assert (tmp_path / "junctions.csv").exists()
+    found = list(tmp_path.glob("branch_0/*")) + list(tmp_path.glob("branch_1/*"))
+    assert found, "per-branch results files missing"
+    csv = np.genfromtxt(tmp_path / "junctions.csv", delimiter=",", names=True)
+    assert csv["stage_0"].shape[0] == net.number_of_time_levels
+    assert np.allclose(csv["outflow_0"], 0.0)
+
+
+def test_network_solver_nonconvergence_raises():
+    ref = _single_reach()
+    net = _network(ref)
+    with pytest.raises(ValueError, match="Convergence"):
+        net.run(verbose=0, tolerance=1e-13, max_iter=3)

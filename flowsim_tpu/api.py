@@ -453,7 +453,7 @@ class PreissmannSolver(_SolverBase):
     RCOND_THRESHOLD = 1e-12  # ref preissmann.py:142
 
     def run(self, tolerance=1e-4, verbose=1, max_iter=100, diagnos=False, live=False,
-            engine="xla"):
+            engine="xla", lateral_inflow=None):
         """Run the full simulation.
 
         ``live=True`` streams the per-level progress lines from *inside* the
@@ -467,16 +467,26 @@ class PreissmannSolver(_SolverBase):
         flagship-sized trapezoid and table-geometry configs on TPU),
         falling back to XLA when
         the configuration is outside the kernel's scope.
+
+        ``lateral_inflow``: distributed source q [m^2/s per unit length] —
+        scalar (uniform), per-node [N], or per-level-and-node [nt, N]
+        (a flowsim_tpu extension; XLA engine only).
         """
         sset = self.settings(tolerance, max_iter, diagnos=diagnos)
         if live:
             import dataclasses
 
             sset = dataclasses.replace(sset, live_progress=True)
+        if lateral_inflow is not None:
+            lateral_inflow = np.asarray(lateral_inflow, dtype=np.float64)
+            if lateral_inflow.ndim == 0:
+                lateral_inflow = np.full(self.number_of_nodes,
+                                         float(lateral_inflow))
         out = None
-        if engine == "fused" and (diagnos or live):
+        if engine == "fused" and (diagnos or live or lateral_inflow is not None):
             if verbose >= 1:
-                which = "diagnos" if diagnos else "live progress"
+                which = ("diagnos" if diagnos else
+                         "live progress" if live else "lateral inflow")
                 print(f"fused engine does not support {which}; using XLA path")
         elif engine == "fused":
             from flowsim_tpu.ops.pallas.fused_newton import (FusedUnsupported,
@@ -495,6 +505,8 @@ class PreissmannSolver(_SolverBase):
             out = prs.simulate(
                 self.channel.geometry, self.us_params, self.ds_params,
                 self.h0, self.Q0, sset,
+                lateral_inflow=None if lateral_inflow is None
+                else jnp.asarray(lateral_inflow, self.h0.dtype),
             )
         out = jax.tree_util.tree_map(np.asarray, out)
         self.output = out

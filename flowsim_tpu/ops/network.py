@@ -68,6 +68,10 @@ class BranchDef:
     ``us``/``ds``: either a :class:`~flowsim_tpu.ops.boundary.BoundaryParams`
     (external end) or an ``int`` junction id in ``[0, n_junctions)``.
     Flow orientation is us -> ds (positive Q flows toward ``ds``).
+
+    ``qlat``: optional distributed lateral inflow q [m^2/s per unit
+    length] on this branch — per-node [N] or per-level-and-node [nt, N]
+    (see ops/preissmann.py:cell_stencil).
     """
 
     geo: object             # TrapezoidGeometry | TableGeometry, [N] nodes
@@ -76,6 +80,7 @@ class BranchDef:
     ds: Union[bnd.BoundaryParams, int]
     h0: jnp.ndarray
     Q0: jnp.ndarray
+    qlat: object = None
 
 
 class NetworkOutput(NamedTuple):
@@ -132,9 +137,15 @@ def _assemble_branch(br: BranchDef, settings, prev: prs.PrevLevel, h, Q, k, Y,
     theta, dt = settings.theta, settings.time_step
     st = sec.section_state(geo, h)
     es = sec.energy_slope(geo, h, Q, st)
+    if br.qlat is None:
+        qc = qp = None
+    else:
+        ql = jnp.asarray(br.qlat, h.dtype)
+        qc, qp = (ql, ql) if ql.ndim == 1 else (ql[k], ql[k - 1])
     cells = prs.cell_stencil(
-        theta, dt, dx, prs.node_stencil_fields(geo, st, es, h, Q),
-        dict(A=prev.A, Se=prev.Se, Q2A=prev.Q2A, Q=prev.Q, h=prev.h))
+        theta, dt, dx,
+        dict(prs.node_stencil_fields(geo, st, es, h, Q), qlat=qc),
+        dict(A=prev.A, Se=prev.Se, Q2A=prev.Q2A, Q=prev.Q, h=prev.h, qlat=qp))
     th_dx = theta / dx
     dtype = h.dtype
     N = h.shape[0]
@@ -283,7 +294,8 @@ def simulate_network(branches: List[BranchDef], n_junctions: int,
     dyn = tuple(dict(geo=br.geo,
                      us=None if _is_junction(br.us) else br.us,
                      ds=None if _is_junction(br.ds) else br.ds,
-                     h0=jnp.asarray(br.h0), Q0=jnp.asarray(br.Q0))
+                     h0=jnp.asarray(br.h0), Q0=jnp.asarray(br.Q0),
+                     qlat=br.qlat)
                 for br in branches)
     rating = None if junction_rating is None else tuple(junction_rating)
     return _simulate_network_impl(dyn, Y0, junction_area, rating,
@@ -297,7 +309,7 @@ def _simulate_network_impl(dyn, Y0, junction_area, junction_rating, *,
     branches = [BranchDef(geo=d["geo"], dx=t[2],
                           us=t[0] if t[0] is not None else d["us"],
                           ds=t[1] if t[1] is not None else d["ds"],
-                          h0=d["h0"], Q0=d["Q0"])
+                          h0=d["h0"], Q0=d["Q0"], qlat=d["qlat"])
                 for d, t in zip(dyn, topo)]
     dtype = jnp.asarray(branches[0].h0).dtype
     nt = settings.n_time_levels

@@ -153,6 +153,13 @@ def cell_stencil(theta, dt, dx, cur: dict, prev: dict) -> CellOut:
     (parallel/domain.py:_assemble_local, which feeds halo-extended local
     arrays) both call this, so numeric hardenings apply to both paths.
     ``prev`` needs keys A, Se, Q2A, Q, h only.
+
+    Optional ``qlat`` key on both dicts ([N] lateral inflow per unit
+    length, m^2/s): continuity becomes dA/dt + dQ/dx = q with q entering
+    as the theta-weighted cell average (a flowsim_tpu extension — the
+    reference has no distributed sources; the lateral momentum flux is
+    neglected, the standard treatment for inflow entering perpendicular
+    to the channel).  State-independent, so the Jacobian is unchanged.
     """
     A, Se, Q2A, Q, hcur, z = cur["A"], cur["Se"], cur["Q2A"], cur["Q"], cur["h"], cur["z"]
     dA_dh, dSe_dA, dSe_dQ, QA = cur["dA_dh"], cur["dSe_dA"], cur["dSe_dQ"], cur["QA"]
@@ -163,6 +170,8 @@ def cell_stencil(theta, dt, dx, cur: dict, prev: dict) -> CellOut:
     cavg = lambda c, p: 0.5 * theta * (c[1:] + c[:-1]) + 0.5 * (1.0 - theta) * (p[1:] + p[:-1])
 
     Rc = tdiff(A, Ap) + sdiff(Q, Qp)
+    if cur.get("qlat") is not None:
+        Rc = Rc - cavg(cur["qlat"], prev["qlat"])
     avgA = cavg(A, Ap)
     # water-level slope as bed slope + theta-weighted depth slope: identical
     # algebra to sdiff(z+h) but cancellation-free — with z ~ 5e2 and f32 the
@@ -192,7 +201,7 @@ def cell_stencil(theta, dt, dx, cur: dict, prev: dict) -> CellOut:
 
 
 def assemble(geo, us_bc, ds_bc, settings: PreissmannSettings, prev: PrevLevel, h, Q, k, reservoir_stage_prev, bc_state=None,
-             reservoir_stage_prev_us=None):
+             reservoir_stage_prev_us=None, qlat_cur=None, qlat_prev=None):
     """Residuals + block-tridiagonal Jacobian at the current Newton iterate.
 
     Returns (L, D, U, b, err_norm, reservoir_stage, reservoir_stage_us):
@@ -213,8 +222,8 @@ def assemble(geo, us_bc, ds_bc, settings: PreissmannSettings, prev: PrevLevel, h
 
     # -- interior residuals + Jacobian, one fused stencil over cells -------
     cells = cell_stencil(
-        theta, dt, dx, node_stencil_fields(geo, st, es, h, Q),
-        dict(A=prev.A, Se=prev.Se, Q2A=prev.Q2A, Q=prev.Q, h=prev.h))
+        theta, dt, dx, dict(node_stencil_fields(geo, st, es, h, Q), qlat=qlat_cur),
+        dict(A=prev.A, Se=prev.Se, Q2A=prev.Q2A, Q=prev.Q, h=prev.h, qlat=qlat_prev))
     Rc, Rm = cells.Rc, cells.Rm
     dC_dh_i, dC_dh_i1 = cells.dC_dh_i, cells.dC_dh_i1
     dM_dh_i, dM_dh_i1 = cells.dM_dh_i, cells.dM_dh_i1
@@ -301,7 +310,7 @@ def _solve_with_diag(L, D, U, b, settings):
 
 
 def newton_solve(geo, us_bc, ds_bc, settings, prev: PrevLevel, h, Q, k, reservoir_stage_prev, bc_state=None,
-                 reservoir_stage_prev_us=None):
+                 reservoir_stage_prev_us=None, qlat_cur=None, qlat_prev=None):
     """One time level: Newton-iterate to tolerance (ref :101-163 inner loop).
 
     Returns ``(h, Q, err, iters, reservoir_stage, reservoir_stage_us,
@@ -314,6 +323,7 @@ def newton_solve(geo, us_bc, ds_bc, settings, prev: PrevLevel, h, Q, k, reservoi
         L, D, U, b, err, res_stage, res_stage_us = assemble(
             geo, us_bc, ds_bc, settings, prev, h, Q, k, reservoir_stage_prev, bc_state,
             reservoir_stage_prev_us=reservoir_stage_prev_us,
+            qlat_cur=qlat_cur, qlat_prev=qlat_prev,
         )
         delta, rc = _solve_with_diag(L, D, U, b, settings)
         return h + delta[:, 0], Q + delta[:, 1], err, res_stage, res_stage_us, rc
@@ -357,21 +367,35 @@ def newton_solve(geo, us_bc, ds_bc, settings, prev: PrevLevel, h, Q, k, reservoi
 
 
 @partial(jax.jit, static_argnames=("settings",))
-def simulate(geo, us_bc, ds_bc, h0, Q0, settings: PreissmannSettings) -> SimOutput:
-    """Full run: scan Newton-solved levels 1..nt-1 (ref :101-163 outer loop)."""
+def simulate(geo, us_bc, ds_bc, h0, Q0, settings: PreissmannSettings,
+             lateral_inflow=None) -> SimOutput:
+    """Full run: scan Newton-solved levels 1..nt-1 (ref :101-163 outer loop).
+
+    ``lateral_inflow``: optional distributed source q [m^2/s] — per-node
+    [N] (constant in time) or per-level-and-node [nt, N] (see
+    :func:`cell_stencil`); a flowsim_tpu extension beyond the reference.
+    """
     nt = settings.n_time_levels
 
     ds_bed = ds_bc.bed_level
+    if lateral_inflow is not None:
+        lateral_inflow = jnp.asarray(lateral_inflow, h0.dtype)
+        if lateral_inflow.ndim == 1:
+            lateral_inflow = jnp.broadcast_to(lateral_inflow,
+                                              (nt,) + lateral_inflow.shape)
 
     def step(carry, k):
         h_prev, Q_prev, bc_state = carry
         # per-level gate-controller update (no-op unless gated_blend ds curve)
         bc_state = bnd.update_gate_level_start(ds_bc, bc_state, k.astype(h_prev.dtype) * settings.time_step)
         prev = prev_level_state(geo, h_prev, Q_prev)
+        qlat_cur = None if lateral_inflow is None else lateral_inflow[k]
+        qlat_prev = None if lateral_inflow is None else lateral_inflow[k - 1]
         h, Q, err, iters, res_stage, res_stage_us, rcond = newton_solve(
             geo, us_bc, ds_bc, settings, prev, h_prev, Q_prev, k,
             bc_state.reservoir_stage, bc_state,
             reservoir_stage_prev_us=bc_state.reservoir_stage_us,
+            qlat_cur=qlat_cur, qlat_prev=qlat_prev,
         )
         bc_state = bc_state._replace(
             reservoir_stage=res_stage,
@@ -418,7 +442,8 @@ def simulate(geo, us_bc, ds_bc, h0, Q0, settings: PreissmannSettings) -> SimOutp
     )
 
 
-def single_step(geo, us_bc, ds_bc, h, Q, k, reservoir_stage_prev, settings: PreissmannSettings, bc_state=None):
+def single_step(geo, us_bc, ds_bc, h, Q, k, reservoir_stage_prev, settings: PreissmannSettings, bc_state=None,
+                qlat_cur=None, qlat_prev=None):
     """Advance one time level (benchmarks, __graft_entry__, checkpoint/resume).
 
     Performs the full per-level semantics of :func:`simulate`'s scan body —
@@ -443,6 +468,7 @@ def single_step(geo, us_bc, ds_bc, h, Q, k, reservoir_stage_prev, settings: Prei
     h2, Q2, err, iters, res_stage, res_stage_us, _ = newton_solve(
         geo, us_bc, ds_bc, settings, prev, h, Q, k, bc_state.reservoir_stage, bc_state,
         reservoir_stage_prev_us=bc_state.reservoir_stage_us,
+        qlat_cur=qlat_cur, qlat_prev=qlat_prev,
     )
     bc_state = bc_state._replace(
         reservoir_stage=res_stage,

@@ -256,8 +256,17 @@ def _junction_residuals(branches, Qs, Y, area, dt, dtype,
 def simulate_network(branches: List[BranchDef], n_junctions: int,
                      settings: prs.PreissmannSettings,
                      Y0=None, junction_area=None,
-                     junction_rating=None) -> NetworkOutput:
+                     junction_rating=None, engine: str = "loop") -> NetworkOutput:
     """Run the implicit network solve over ``settings.n_time_levels``.
+
+    ``engine``: ``"loop"`` (default) assembles and solves each branch as its
+    own subgraph — exact and fully general.  ``"stacked"`` pads every branch
+    to the longest branch length and runs ONE batched assembly + ONE batched
+    multi-RHS block-tridiagonal solve per Newton iteration (pad nodes carry
+    delta-copy equations, so the padded ends mirror each branch's real end) —
+    the fast path for many-branch networks on TPU, numerically equivalent to
+    within solver roundoff (the padded PCR reduces in a different order).
+    Requires all branch geometries to share one pytree structure.
 
     ``Y0``: initial junction stages [J]; defaults to the water level of the
     first downstream-connected branch end at t=0.
@@ -298,6 +307,12 @@ def simulate_network(branches: List[BranchDef], n_junctions: int,
                      qlat=br.qlat)
                 for br in branches)
     rating = None if junction_rating is None else tuple(junction_rating)
+    if engine == "stacked":
+        return _simulate_network_stacked(dyn, Y0, junction_area, rating,
+                                         topo=topo, n_junctions=n_junctions,
+                                         settings=settings)
+    if engine != "loop":
+        raise ValueError(f"unknown engine {engine!r}")
     return _simulate_network_impl(dyn, Y0, junction_area, rating,
                                   topo=topo, n_junctions=n_junctions,
                                   settings=settings)
@@ -481,6 +496,350 @@ def _simulate_network_impl(dyn, Y0, junction_area, junction_rating, *,
                   for h0, ht in zip(h0s, hs_t))
     flow = tuple(jnp.concatenate([Q0[None], qt], axis=0)
                  for Q0, qt in zip(Q0s, Qs_t))
+    stage = jnp.concatenate([Y0[None], Y_t], axis=0)
+    zero = jnp.zeros((1,), errs.dtype)
+    errs = jnp.concatenate([zero, errs])
+    iters = jnp.concatenate([jnp.zeros((1,), iters.dtype), iters])
+    converged = (errs < tol)
+    res0 = jnp.full((1,) + stages_t.shape[1:], jnp.nan, stages_t.dtype)
+    gates0 = jnp.stack([
+        jnp.stack([ests[0].gate_open, ests[1].gate_open])
+        for ests in end_states0])[None]
+    if junction_rating is None:
+        outflow = jnp.zeros_like(stage)
+    else:
+        outflow = jnp.stack(
+            [jnp.zeros((stage.shape[0],), dtype) if rc is None
+             else rcurve.discharge(rc, stage[:, j])
+             for j, rc in enumerate(junction_rating)], axis=-1)
+    return NetworkOutput(depth=depth, flow=flow, junction_stage=stage,
+                         iterations=iters, error=errs, converged=converged,
+                         reservoir_stage=jnp.concatenate([res0, stages_t]),
+                         gate_open=jnp.concatenate([gates0, gates_t]),
+                         junction_outflow=outflow)
+
+
+def _edge_pad(x, Nmax):
+    """[N, ...] -> [Nmax, ...], replicating the last row along axis 0."""
+    N = x.shape[0]
+    if N == Nmax:
+        return x
+    pad = [(0, Nmax - N)] + [(0, 0)] * (x.ndim - 1)
+    return jnp.pad(x, pad, mode="edge")
+
+
+@partial(jax.jit, static_argnames=("topo", "n_junctions", "settings"))
+def _simulate_network_stacked(dyn, Y0, junction_area, junction_rating, *,
+                              topo, n_junctions, settings):
+    """Stacked-branch engine (``engine="stacked"``).
+
+    Every branch is edge-padded to the longest branch length Nmax and the B
+    branch systems become ONE batched [B, Nmax] assembly + ONE batched
+    multi-RHS block-tridiagonal solve per Newton iteration.  Pad cells carry
+    delta-copy equations (dh_{i+1} = dh_i, dQ_{i+1} = dQ_i with zero
+    residual), so node Nmax-1 always mirrors the branch's real end: external
+    ds rows and junction couplings live at a uniform index, and the physics
+    is untouched.  Pad nodes are re-synced to the branch end at every level
+    start so float drift cannot accumulate.
+    """
+    B = len(topo)
+    dtype = jnp.asarray(dyn[0]["h0"]).dtype
+    n_bs = tuple(int(d["h0"].shape[0]) for d in dyn)
+    Nmax = max(n_bs)
+    Nc = Nmax - 1
+    theta, dt = settings.theta, settings.time_step
+    nt = settings.n_time_levels
+    tol, max_iter = settings.tolerance, settings.max_iter
+    solver_kind = settings.linear_solver
+    J = n_junctions
+    area = (jnp.zeros((J,), dtype) if junction_area is None
+            else jnp.asarray(junction_area, dtype))
+    dxs = jnp.asarray([t[2] for t in topo], dtype)
+
+    geoS = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack([_edge_pad(jnp.asarray(x), Nmax) for x in xs]),
+        *[d["geo"] for d in dyn])
+    h0S = jnp.stack([_edge_pad(jnp.asarray(d["h0"], dtype), Nmax) for d in dyn])
+    Q0S = jnp.stack([_edge_pad(jnp.asarray(d["Q0"], dtype), Nmax) for d in dyn])
+
+    if any(d["qlat"] is not None for d in dyn):
+        any2d = any(d["qlat"] is not None and jnp.ndim(d["qlat"]) == 2
+                    for d in dyn)
+        per = []
+        for d, nb in zip(dyn, n_bs):
+            q = d["qlat"]
+            q = (jnp.zeros((nb,), dtype) if q is None
+                 else jnp.asarray(q, dtype))
+            if q.ndim == 1:
+                q = _edge_pad(q, Nmax)
+                if any2d:
+                    q = jnp.broadcast_to(q, (nt, Nmax))
+            else:
+                q = _edge_pad(q.T, Nmax).T
+            per.append(q)
+        qlatS = jnp.stack(per, axis=1 if any2d else 0)  # [nt,B,Nmax]|[B,Nmax]
+        qlat_time_varying = any2d
+    else:
+        qlatS = None
+        qlat_time_varying = False
+
+    n_b_arr = jnp.asarray(n_bs)
+    node_real = jnp.arange(Nmax)[None, :] < n_b_arr[:, None]      # [B, Nmax]
+    cell_real = jnp.arange(Nc)[None, :] < (n_b_arr - 1)[:, None]  # [B, Nc]
+    end_idx = n_b_arr - 1
+
+    def sync(xS):
+        endv = jnp.take_along_axis(xS, end_idx[:, None], axis=1)
+        return jnp.where(node_real, xS, endv)
+
+    # per-branch junction couplings at the uniform stacked indices
+    coups = []
+    for t in topo:
+        c = []
+        if t[0] is not None:
+            c.append((t[0], 0, 0))          # us junction: node 0, row 0
+        if t[1] is not None:
+            c.append((t[1], Nmax - 1, 1))   # ds junction: padded end, row 1
+        coups.append(c)
+    m_rhs = 1 + max((len(c) for c in coups), default=0)
+
+    def sum_signed_ends(QS_):
+        S = jnp.zeros((J,), dtype)
+        for b, t in enumerate(topo):
+            if t[1] is not None:
+                S = S.at[t[1]].add(QS_[b, -1])
+            if t[0] is not None:
+                S = S.at[t[0]].add(-QS_[b, 0])
+        return S
+
+    if Y0 is None:
+        found = {}
+        for b, t in enumerate(topo):
+            for jid, idx in ((t[1], n_bs[b] - 1), (t[0], 0)):
+                if jid is not None and jid not in found:
+                    found[jid] = geoS.z_bed[b, idx] + h0S[b, idx]
+        Y0 = (jnp.stack([found[j] for j in range(J)]) if J
+              else jnp.zeros((0,), dtype))
+    Y0 = jnp.asarray(Y0, dtype)
+
+    def node_sec(stS, b, idx):
+        return bnd.NodeSection(
+            A=stS.A[b, idx], R=stS.R[b, idx], K=stS.K[b, idx],
+            n_eq=stS.n_eq[b, idx], dA_dh=stS.dA_dh[b, idx],
+            dR_dA=stS.dR_dA[b, idx], dK_dA=stS.dK_dA[b, idx])
+
+    nan = jnp.asarray(jnp.nan, dtype)
+    th_dx = (theta / dxs)[:, None]  # [B, 1]
+
+    def newton_level(hS, QS, Y, prevS, k, end_states):
+        Y_prev = Y
+        Sp = sum_signed_ends(prevS.Q)
+        q_out_prev, _ = _junction_outflow(junction_rating, Y_prev, dtype)
+
+        if qlatS is None:
+            qc = qp = None
+        elif qlat_time_varying:
+            qc, qp = qlatS[k], qlatS[k - 1]
+        else:
+            qc = qp = qlatS
+
+        def one_iteration(hS, QS, Y):
+            stS = jax.vmap(sec.section_state)(geoS, hS)
+            esS = jax.vmap(lambda g, h, Q, st: sec.energy_slope(g, h, Q, st))(
+                geoS, hS, QS, stS)
+
+            def stencil_one(geo_b, st_b, es_b, h_b, Q_b, dx_b, prev_b, q2):
+                qc_b, qp_b = q2
+                cur = dict(prs.node_stencil_fields(geo_b, st_b, es_b, h_b, Q_b),
+                           qlat=qc_b)
+                pv = dict(A=prev_b.A, Se=prev_b.Se, Q2A=prev_b.Q2A,
+                          Q=prev_b.Q, h=prev_b.h, qlat=qp_b)
+                return prs.cell_stencil(theta, dt, dx_b, cur, pv)
+
+            cells = jax.vmap(stencil_one)(geoS, stS, esS, hS, QS, dxs, prevS,
+                                          (qc, qp))
+
+            mask = cell_real
+            Rc = jnp.where(mask, cells.Rc, hS[:, 1:] - hS[:, :-1])
+            Rm = jnp.where(mask, cells.Rm, QS[:, 1:] - QS[:, :-1])
+            dC_dh_i = jnp.where(mask, cells.dC_dh_i, -1.0)
+            dC_dQ_i = jnp.where(mask, -th_dx, 0.0)
+            dC_dh_i1 = jnp.where(mask, cells.dC_dh_i1, 1.0)
+            dC_dQ_i1 = jnp.where(mask, th_dx, 0.0)
+            dM_dh_i = jnp.where(mask, cells.dM_dh_i, 0.0)
+            dM_dQ_i = jnp.where(mask, cells.dM_dQ_i, -1.0)
+            dM_dh_i1 = jnp.where(mask, cells.dM_dh_i1, 0.0)
+            dM_dQ_i1 = jnp.where(mask, cells.dM_dQ_i1, 1.0)
+
+            us_rows, ds_rows, stage_rows = [], [], []
+            for b, (t, d, ests) in enumerate(zip(topo, dyn, end_states)):
+                out_b = []
+                for j, (jid, bc, idx, upstream) in enumerate(
+                        ((t[0], d["us"], 0, True),
+                         (t[1], d["ds"], Nmax - 1, False))):
+                    est = ests[j]
+                    if jid is not None:
+                        z_e = geoS.z_bed[b, idx]
+                        res, dfh, dfq = _end_row_junction(hS[b, idx], z_e,
+                                                          Y[jid])
+                        out_b.append((res, dfh, dfq, nan))
+                        continue
+                    ev = bnd.evaluate(
+                        bc, node_sec(stS, b, idx), hS[b, idx], QS[b, idx],
+                        k, dt, Q_prev=prevS.Q[b, idx],
+                        reservoir_stage_prev=est.reservoir_stage,
+                        bc_state=est, upstream=upstream,
+                        h_prev=prevS.h[b, idx])
+                    out_b.append((ev.residual, ev.df_dh, ev.df_dQ,
+                                  ev.reservoir_stage))
+                us_rows.append(out_b[0])
+                ds_rows.append(out_b[1])
+                stage_rows.append(jnp.stack([out_b[0][3], out_b[1][3]]))
+            us_res, us_dh, us_dq = (jnp.stack([r[i] for r in us_rows])
+                                    for i in range(3))
+            ds_res, ds_dh, ds_dq = (jnp.stack([r[i] for r in ds_rows])
+                                    for i in range(3))
+            stages = jnp.stack(stage_rows)
+
+            z1 = jnp.zeros((B, 1), dtype)
+            L = jnp.stack(
+                [jnp.stack([jnp.concatenate([z1, dM_dh_i], 1),
+                            jnp.concatenate([z1, dM_dQ_i], 1)], -1),
+                 jnp.zeros((B, Nmax, 2), dtype)], -2)
+            D_row0 = jnp.stack([jnp.concatenate([us_dh[:, None], dM_dh_i1], 1),
+                                jnp.concatenate([us_dq[:, None], dM_dQ_i1], 1)],
+                               -1)
+            D_row1 = jnp.stack([jnp.concatenate([dC_dh_i, ds_dh[:, None]], 1),
+                                jnp.concatenate([dC_dQ_i, ds_dq[:, None]], 1)],
+                               -1)
+            D = jnp.stack([D_row0, D_row1], -2)
+            U = jnp.stack(
+                [jnp.zeros((B, Nmax, 2), dtype),
+                 jnp.stack([jnp.concatenate([dC_dh_i1, z1], 1),
+                            jnp.concatenate([dC_dQ_i1, z1], 1)], -1)], -2)
+            rhs0 = -jnp.stack([jnp.concatenate([us_res[:, None], Rm], 1),
+                               jnp.concatenate([Rc, ds_res[:, None]], 1)], -1)
+
+            q_out, dq_dz = _junction_outflow(junction_rating, Y, dtype)
+            S = sum_signed_ends(QS)
+            stor = area > 0.0
+            G_plain = S - q_out
+            G_stor = (area * (Y - Y_prev) / dt - 0.5 * (S + Sp)
+                      + 0.5 * (q_out + q_out_prev))
+            G = jnp.where(stor, G_stor, G_plain)
+
+            err = jnp.sqrt(jnp.sum(us_res**2) + jnp.sum(ds_res**2)
+                           + jnp.sum(jnp.where(mask, Rc, 0.0)**2)
+                           + jnp.sum(jnp.where(mask, Rm, 0.0)**2)
+                           + jnp.sum(G**2))
+
+            rhs = jnp.zeros((B, Nmax, 2, m_rhs), dtype)
+            rhs = rhs.at[..., 0].set(rhs0)
+            for b, coup in enumerate(coups):
+                for ci, (jid, idx, row) in enumerate(coup):
+                    rhs = rhs.at[b, idx, row, 1 + ci].set(-1.0)
+            X = solve_block_tridiag(L, D, U, rhs, method=solver_kind)
+
+            if J:
+                fac = jnp.where(area > 0.0, -0.5, 1.0)
+                M = jnp.zeros((J, J), dtype)
+                rhsJ = jnp.array(G)
+                for b, (t, coup) in enumerate(zip(topo, coups)):
+                    ends = []
+                    if t[1] is not None:
+                        ends.append((t[1], Nmax - 1, 1.0))
+                    if t[0] is not None:
+                        ends.append((t[0], 0, -1.0))
+                    for (jj, idx, sgn) in ends:
+                        rhsJ = rhsJ.at[jj].add(fac[jj] * sgn * X[b, idx, 1, 0])
+                        for ci, (jcol, _, _) in enumerate(coup):
+                            M = M.at[jj, jcol].add(
+                                fac[jj] * sgn * X[b, idx, 1, 1 + ci])
+                D_Y = jnp.where(area > 0.0, area / dt + 0.5 * dq_dz, -dq_dz)
+                M = M - jnp.diag(D_Y)
+                dY = jnp.linalg.solve(M, rhsJ) if J > 1 else rhsJ / M[0, 0]
+            else:
+                dY = jnp.zeros((0,), dtype)
+
+            delta = X[..., 0]
+            for b, coup in enumerate(coups):
+                for ci, (jcol, _, _) in enumerate(coup):
+                    delta = delta.at[b].add(-X[b, ..., 1 + ci] * dY[jcol])
+            return (hS + delta[..., 0], QS + delta[..., 1], Y + dY, err,
+                    stages)
+
+        def cond(c):
+            err, it = c[3], c[4]
+            return (err >= tol) & (it < max_iter)
+
+        def body(c):
+            hS, QS, Y, _, it, _ = c
+            hS, QS, Y, err, stages = one_iteration(hS, QS, Y)
+            return hS, QS, Y, err, it + 1, stages
+
+        stages0 = jnp.stack([
+            jnp.stack([ests[0].reservoir_stage, ests[1].reservoir_stage])
+            for ests in end_states])
+        hS, QS, Y, err, iters, stages = jax.lax.while_loop(
+            cond, body, (hS, QS, Y, jnp.asarray(jnp.inf, dtype),
+                         jnp.asarray(0, jnp.int32), stages0))
+        return hS, QS, Y, err, iters, stages
+
+    def step(carry, k):
+        hS, QS, Y, end_states = carry
+        hS, QS = sync(hS), sync(QS)  # pads re-anchored to the branch ends
+        t_now = k.astype(dtype) * dt
+        new_states = []
+        for b, (t, d, ests) in enumerate(zip(topo, dyn, end_states)):
+            pair = []
+            for j, (jid, bc) in enumerate(((t[0], d["us"]), (t[1], d["ds"]))):
+                est = ests[j]
+                if jid is None:
+                    est = bnd.update_gate_level_start(bc, est, t_now)
+                pair.append(est)
+            new_states.append(tuple(pair))
+        end_states = tuple(new_states)
+        prevS = jax.vmap(prs.prev_level_state)(geoS, hS, QS)
+        hS, QS, Y, err, iters, stages = newton_level(hS, QS, Y, prevS, k,
+                                                     end_states)
+        new_states, gate_rows = [], []
+        for b, (t, d, ests) in enumerate(zip(topo, dyn, end_states)):
+            pair = []
+            for j, (jid, bc, idx) in enumerate(((t[0], d["us"], 0),
+                                                (t[1], d["ds"], Nmax - 1))):
+                est = ests[j]
+                if jid is None:
+                    est = est._replace(reservoir_stage=stages[b, j],
+                                       gate_stage=bc.bed_level + hS[b, idx])
+                pair.append(est)
+            gate_rows.append(jnp.stack([pair[0].gate_open,
+                                        pair[1].gate_open]))
+            new_states.append(tuple(pair))
+        end_states = tuple(new_states)
+        out = (hS, QS, Y, err, iters, stages, jnp.stack(gate_rows))
+        return (hS, QS, Y, end_states), out
+
+    gate_open0 = 1.0 if settings.gate_initially_open else 0.0
+
+    def init_est(jid, bc, b, idx):
+        if jid is not None:
+            return bnd.initial_bc_state(dtype)
+        return bnd.initial_bc_state(dtype, gate_open=gate_open0,
+                                    gate_stage=bc.bed_level + h0S[b, idx])
+
+    end_states0 = tuple(
+        (init_est(t[0], d["us"], b, 0), init_est(t[1], d["ds"], b, n_bs[b] - 1))
+        for b, (t, d) in enumerate(zip(topo, dyn)))
+
+    (_, _, _, _), (hS_t, QS_t, Y_t, errs, iters, stages_t, gates_t) = (
+        jax.lax.scan(step, (h0S, Q0S, Y0, end_states0), jnp.arange(1, nt)))
+
+    depth = tuple(jnp.concatenate([h0S[b, :n_bs[b]][None],
+                                   hS_t[:, b, :n_bs[b]]], axis=0)
+                  for b in range(B))
+    flow = tuple(jnp.concatenate([Q0S[b, :n_bs[b]][None],
+                                  QS_t[:, b, :n_bs[b]]], axis=0)
+                 for b in range(B))
     stage = jnp.concatenate([Y0[None], Y_t], axis=0)
     zero = jnp.zeros((1,), errs.dtype)
     errs = jnp.concatenate([zero, errs])

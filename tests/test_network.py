@@ -447,3 +447,82 @@ def test_network_ensemble_matches_serial():
                                    rtol=0, atol=1e-10)
     # members genuinely differ
     assert np.abs(np.asarray(out.flow[1])[0] - np.asarray(out.flow[1])[2]).max() > 10.0
+
+
+def test_stacked_engine_matches_loop_tributary():
+    """engine="stacked" (one batched padded assembly + one batched multi-RHS
+    solve per iteration) must reproduce the loop engine on the tributary
+    network (unequal branch lengths) to solver roundoff, with identical
+    Newton iteration counts."""
+    from flowsim_tpu.models import gerd_tributary
+
+    branches, nj, sset, _ = gerd_tributary.build(sim_duration=3600 * 24)
+    a = simulate_network(branches, nj, sset)
+    b = simulate_network(branches, nj, sset, engine="stacked")
+    assert bool(np.asarray(b.converged).all())
+    np.testing.assert_array_equal(np.asarray(a.iterations),
+                                  np.asarray(b.iterations))
+    for i in range(3):
+        assert np.abs(np.asarray(a.depth[i]) - np.asarray(b.depth[i])).max() < 1e-9
+        assert np.abs(np.asarray(a.flow[i]) - np.asarray(b.flow[i])).max() < 1e-6
+    assert np.abs(np.asarray(a.junction_stage)
+                  - np.asarray(b.junction_stage)).max() < 1e-9
+
+
+def test_stacked_engine_storage_and_gated_ends():
+    """Stacked engine with the stateful ends: the split example case
+    (downstream lumped storage) and the split gated reach reproduce the
+    loop engine's carried reservoir stage and gate trajectory."""
+    from flowsim_tpu.models import example
+
+    solver, _ = example.build()
+    sset = solver.settings(tolerance=1e-8, max_iter=100)
+    branches = _split_in_two(solver, 10, sset)
+    a = simulate_network(branches, 1, sset)
+    b = simulate_network(branches, 1, sset, engine="stacked")
+    assert bool(np.asarray(b.converged).all())
+    rs_a = np.asarray(a.reservoir_stage)[:, 1, 1]
+    rs_b = np.asarray(b.reservoir_stage)[:, 1, 1]
+    assert np.abs(rs_a[1:] - rs_b[1:]).max() < 1e-8
+
+    from tests.test_gated_curve import _build_gated_solver
+
+    gsolver = _build_gated_solver()
+    gsset = gsolver.settings(tolerance=1e-8, max_iter=100)
+    gbranches = _split_in_two(gsolver, 10, gsset)
+    ga = simulate_network(gbranches, 1, gsset)
+    gb = simulate_network(gbranches, 1, gsset, engine="stacked")
+    assert bool(np.asarray(gb.converged).all())
+    np.testing.assert_array_equal(np.asarray(ga.gate_open),
+                                  np.asarray(gb.gate_open))
+    assert np.asarray(gb.gate_open)[:, 1, 1].max() == 1.0
+    assert np.abs(np.asarray(ga.depth[1]) - np.asarray(gb.depth[1])).max() < 1e-8
+
+
+def test_stacked_engine_dam_junction_and_qlat():
+    """Stacked engine: rated junction reservoir outflow and per-branch
+    lateral inflow both match the loop engine."""
+    from flowsim_tpu.ops import rating_curve as rcurve
+
+    solver, sset = akbari_like()
+    geo = solver.channel.geometry
+    cut = 15
+    branches = _split_in_two(solver, cut, sset)
+    N1 = cut + 1
+    branches[0] = dataclasses.replace(
+        branches[0], qlat=jnp.asarray(0.003 * np.linspace(1.0, 2.0, N1)))
+
+    SA = 5.0e5
+    z_conf = float(np.asarray(geo.z_bed)[cut])
+    Y_init = z_conf + float(np.asarray(solver.h0)[cut])
+    rc = rcurve.make_polynomial(0.0, 40.0, -40.0 * Y_init + 20.0)
+    kw = dict(junction_area=[SA], junction_rating=[rc])
+    a = simulate_network(branches, 1, sset, **kw)
+    b = simulate_network(branches, 1, sset, engine="stacked", **kw)
+    assert bool(np.asarray(b.converged).all())
+    assert np.abs(np.asarray(a.junction_stage)
+                  - np.asarray(b.junction_stage)).max() < 1e-9
+    assert np.abs(np.asarray(a.junction_outflow)
+                  - np.asarray(b.junction_outflow)).max() < 1e-7
+    for i in range(2):
+        assert np.abs(np.asarray(a.flow[i]) - np.asarray(b.flow[i])).max() < 1e-6

@@ -721,24 +721,53 @@ class NetworkSolver:
             **kw,
         )
 
-    def run(self, tolerance=1e-4, verbose=1, max_iter=100):
+    def run(self, tolerance=1e-4, verbose=1, max_iter=100, engine="loop"):
+        """``engine="stacked"`` batches all branches into one padded
+        assembly + solve per Newton iteration (the fast path for many-branch
+        networks; see ops/network.py)."""
         from flowsim_tpu.ops import network as net
 
         sset = self.settings(tolerance, max_iter)
         out = net.simulate_network(
             self.branches, self.n_junctions, sset,
             junction_area=self.junction_area,
-            junction_rating=self.junction_rating)
+            junction_rating=self.junction_rating, engine=engine)
         out = jax.tree_util.tree_map(np.asarray, out)
         self.output = out
         if not bool(out.converged.all()):
             bad = int(np.argmin(out.converged))
+            self.check_criticality(level=bad)  # ref preissmann.py:124-125
             raise ValueError(
                 f"Convergence within {int(out.iterations[bad])} iterations "
                 "couldn't be achieved.")  # ref preissmann.py:126
         if verbose >= 1:
             print("Simulation completed successfully.")
         return out
+
+    def check_criticality(self, level=-1):
+        """Per-branch Froude scan with the reference's warning lines
+        (ref preissmann.py:179-198), prefixed by the branch index."""
+        from flowsim_tpu.ops import hydraulics as hyd
+
+        fail = False
+        for bi, (ch, br) in enumerate(zip(self.channels, self.branches)):
+            h = jnp.asarray(np.asarray(self.output.depth[bi])[level])
+            Q = jnp.asarray(np.asarray(self.output.flow[bi])[level])
+            st = sec.section_state(br.geo, h)
+            fr = np.asarray(hyd.froude(st.T, st.A, Q))
+            for i, f in enumerate(fr):
+                x = ch.ch_at_node[i]
+                if f == 1.0:
+                    fail = True
+                    print(f"WARNING: [branch {bi}] Flow goes critical at "
+                          f"x = {x} m. Fr = {f}.")
+                elif f > 1.0:
+                    fail = True
+                    print(f"WARNING: [branch {bi}] Flow goes supercritical "
+                          f"at x = {x} m. Fr = {f}.")
+        if not fail:
+            print("Flow is subcritical.")
+        return fail
 
     def branch(self, i) -> _BranchView:
         """Per-branch results facade with the single-reach solver surface."""

@@ -14,6 +14,14 @@ momentum flux through the junction is neglected, as in HEC-RAS):
 sgn is +1 for a branch whose DOWNSTREAM end meets the junction (flow into
 it) and -1 for one whose UPSTREAM end does (flow out of it).
 
+Note a useful exactness property: splitting a single reach at an interior
+node loses NO physics — every theta-box cell survives the split (branch 1
+keeps cells [0, cut), branch 2 keeps [cut, N-1)), and the junction rows
+merely tie the duplicated node's (h, Q) together — so a 2-branch serial
+split solves the SAME nonlinear system as the single reach (observed
+agreement ~1e-14 in f64).  Genuine approximation enters only at >= 3-way
+junctions, where the momentum flux through the junction is neglected.
+
 TPU-native structure: each branch contributes the same fused theta-box
 interior stencil as the single-reach solver (ops/preissmann.py
 ``cell_stencil`` — single source of truth for the physics, ref
@@ -121,6 +129,29 @@ def _end_row_junction(h_end, z_end, Y_j):
     """Equal-stage row at a junction-connected branch end."""
     residual = h_end - (Y_j - z_end)
     return residual, jnp.ones_like(h_end), jnp.zeros_like(h_end)
+
+
+def _solve_junction_system(M, rhs):
+    """Solve the dense J x J Schur system, TPU-f64-safe.
+
+    TPU's LuDecomposition expander is f32-only, so an f64 system on TPU is
+    solved by f32 LU plus two f64 iterative-refinement steps (residual
+    computed in f64) — near-f64 accuracy for the well-conditioned junction
+    matrices, and the Newton increment only needs a few correct digits
+    anyway (same inexact-Newton argument as linear_solver="pcr_f32").
+    """
+    J = M.shape[0]
+    if J == 1:
+        return rhs / M[0, 0]
+    if M.dtype == jnp.float64 and jax.default_backend() == "tpu":
+        f32 = jnp.float32
+        Mf = M.astype(f32)
+        x = jnp.linalg.solve(Mf, rhs.astype(f32)).astype(M.dtype)
+        for _ in range(2):
+            r = rhs - M @ x
+            x = x + jnp.linalg.solve(Mf, r.astype(f32)).astype(M.dtype)
+        return x
+    return jnp.linalg.solve(M, rhs)
 
 
 def _assemble_branch(br: BranchDef, settings, prev: prs.PrevLevel, h, Q, k, Y,
@@ -416,7 +447,7 @@ def _simulate_network_impl(dyn, Y0, junction_area, junction_rating, *,
                 # (E V - D_Y) dY = G + E u
                 D_Y = jnp.where(area > 0.0, area / dt + 0.5 * dq_dz, -dq_dz)
                 M = M - jnp.diag(D_Y)
-                dY = jnp.linalg.solve(M, rhs) if J > 1 else rhs / M[0, 0]
+                dY = _solve_junction_system(M, rhs)
             else:
                 dY = jnp.zeros((0,), dtype)
 
@@ -757,7 +788,7 @@ def _simulate_network_stacked(dyn, Y0, junction_area, junction_rating, *,
                                 fac[jj] * sgn * X[b, idx, 1, 1 + ci])
                 D_Y = jnp.where(area > 0.0, area / dt + 0.5 * dq_dz, -dq_dz)
                 M = M - jnp.diag(D_Y)
-                dY = jnp.linalg.solve(M, rhsJ) if J > 1 else rhsJ / M[0, 0]
+                dY = _solve_junction_system(M, rhsJ)
             else:
                 dY = jnp.zeros((0,), dtype)
 

@@ -185,7 +185,8 @@ def stack_geometries(geos):
 
 def batched_simulate_network(branches, n_junctions, settings, batch,
                              Y0=None, junction_area=None, junction_rating=None,
-                             mesh: Optional[Mesh] = None, shard: bool = False):
+                             mesh: Optional[Mesh] = None, shard: bool = False,
+                             engine: str = "loop"):
     """Monte-Carlo over a river NETWORK: vmap
     :func:`flowsim_tpu.ops.network.simulate_network` over per-member branch
     overrides (roughness ensembles, inflow scenarios, initial states) — the
@@ -221,7 +222,8 @@ def batched_simulate_network(branches, n_junctions, settings, batch,
                for br, p in zip(branches, parts)]
         return net.simulate_network(brs, n_junctions, settings, Y0=Y0,
                                     junction_area=junction_area,
-                                    junction_rating=junction_rating)
+                                    junction_rating=junction_rating,
+                                    engine=engine)
 
     if shard:
         batch = shard_batch(batch, mesh)

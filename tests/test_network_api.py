@@ -88,3 +88,10 @@ def test_network_solver_nonconvergence_raises():
     net = _network(ref)
     with pytest.raises(ValueError, match="Convergence"):
         net.run(verbose=0, tolerance=1e-13, max_iter=3)
+
+
+def test_network_check_criticality_subcritical():
+    ref = _single_reach()
+    net = _network(ref)
+    net.run(verbose=0, tolerance=1e-6)
+    assert net.check_criticality() is False  # example case stays subcritical

@@ -126,3 +126,44 @@ def test_random_channel_parity(seed):
     # identical Newton work under identical pre-update-residual semantics
     it = np.asarray(ours.output.iterations)[1:]
     assert it.max() < 100 and bool(np.asarray(ours.output.converged).all())
+
+
+@pytest.mark.parametrize("seed", range(0, 10, 2))
+def test_random_serial_split_network_exactness(seed):
+    """Splitting any reach at a random interior node into a 2-branch network
+    solves the SAME nonlinear system (every theta-box cell survives; the
+    junction rows only tie the duplicated node — ops/network.py module
+    docstring), so both network engines must reproduce the single-reach
+    solution near-exactly across random geometries."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from flowsim_tpu.ops.network import BranchDef, simulate_network
+
+    cfg = draw_config(seed)
+    solver = run_ours(cfg)
+    rng = np.random.default_rng(1000 + seed)
+    cut = int(rng.integers(3, solver.number_of_nodes - 3))
+    geo = solver.channel.geometry
+    sl = lambda s: jax.tree_util.tree_map(lambda x: x[s], geo)
+    h0 = jnp.asarray(solver.depth[0])
+    Q0 = jnp.asarray(solver.flow[0])
+    brs = [BranchDef(geo=sl(slice(0, cut + 1)), dx=solver.spatial_step,
+                     us=solver.us_params, ds=0,
+                     h0=h0[: cut + 1], Q0=Q0[: cut + 1]),
+           BranchDef(geo=sl(slice(cut, None)), dx=solver.spatial_step,
+                     us=0, ds=solver.ds_params, h0=h0[cut:], Q0=Q0[cut:])]
+    sset = solver.settings(tolerance=TOL, max_iter=100)
+    for engine in ("loop", "stacked"):
+        out = simulate_network(brs, 1, sset, engine=engine)
+        assert bool(np.asarray(out.converged).all()), (cfg, cut, engine)
+        d = np.concatenate([np.asarray(out.depth[0]),
+                            np.asarray(out.depth[1])[:, 1:]], axis=1)
+        q = np.concatenate([np.asarray(out.flow[0]),
+                            np.asarray(out.flow[1])[:, 1:]], axis=1)
+        np.testing.assert_allclose(d, solver.depth, rtol=0, atol=1e-8,
+                                   err_msg=f"{cfg} cut={cut} {engine}")
+        np.testing.assert_allclose(q, solver.flow, rtol=0, atol=1e-4,
+                                   err_msg=f"{cfg} cut={cut} {engine}")

@@ -129,7 +129,10 @@ def batched_simulate(geo_batch, us_bc, ds_bc, h0, Q0, settings: prs.PreissmannSe
         if ds_axes is not None:
             ds_bc = shard_batch(ds_bc, mesh)
 
-    return jax.jit(jax.vmap(one, in_axes=in_axes))(geo_batch, us_bc, ds_bc, h0, Q0)
+    # no outer jit: `one` is a fresh closure per call, so jit(vmap(one))
+    # would retrace+recompile every time; prs.simulate's own cached jit
+    # compiles the batched executable once (see batched_simulate_network)
+    return jax.vmap(one, in_axes=in_axes)(geo_batch, us_bc, ds_bc, h0, Q0)
 
 
 def _fused_batched_simulate(geo_batch, us_bc, ds_bc, h0, Q0, settings,
@@ -227,7 +230,13 @@ def batched_simulate_network(branches, n_junctions, settings, batch,
 
     if shard:
         batch = shard_batch(batch, mesh)
-    return jax.jit(jax.vmap(run))(batch)
+    # NO outer jit: a fresh jit(vmap(run)) object would recompile on every
+    # call (measured: a flat ~5.7 s per call on CPU regardless of M).  The
+    # inner simulate_network dispatches through its own cached jit, whose
+    # batching rule compiles the vmapped executable once per (topology,
+    # settings, batch structure); the outer vmap retrace is pure Python and
+    # cheap.
+    return jax.vmap(run)(batch)
 
 
 def roughness_ensemble(geo, n_values):

@@ -131,6 +131,19 @@ def _end_row_junction(h_end, z_end, Y_j):
     return residual, jnp.ones_like(h_end), jnp.zeros_like(h_end)
 
 
+def default_initial_stages(branches, n_junctions, dtype):
+    """Default Y0: the first connected end's water level per junction, ds
+    ends preferred (traceable — works under vmap)."""
+    found = {}
+    for br in branches:
+        for end, idx in ((br.ds, -1), (br.us, 0)):
+            if _is_junction(end) and int(end) not in found:
+                found[int(end)] = (jnp.asarray(br.geo.z_bed)[idx]
+                                   + jnp.asarray(br.h0, dtype)[idx])
+    return (jnp.stack([found[j] for j in range(n_junctions)])
+            if n_junctions else jnp.zeros((0,), dtype))
+
+
 def _solve_junction_system(M, rhs):
     """Solve the dense J x J Schur system, TPU-f64-safe.
 
@@ -349,9 +362,42 @@ def simulate_network(branches: List[BranchDef], n_junctions: int,
                                   settings=settings)
 
 
-@partial(jax.jit, static_argnames=("topo", "n_junctions", "settings"))
-def _simulate_network_impl(dyn, Y0, junction_area, junction_rating, *,
-                           topo, n_junctions, settings):
+def simulate_network_chunk(branches: List[BranchDef], n_junctions: int,
+                           settings: prs.PreissmannSettings, ks, carry=None,
+                           Y0=None, junction_area=None, junction_rating=None):
+    """Advance the network over the absolute time levels ``ks`` only.
+
+    The chunked form of :func:`simulate_network` (loop engine) for
+    checkpoint/resume (utils/checkpoint.py): ``carry=None`` starts from the
+    branches' initial state; otherwise pass the carry returned by the
+    previous chunk.  Returns ``((hs_t, Qs_t, Y_t, errs, iters, stages_t,
+    gates_t), carry)`` where each output stacks the levels in ``ks`` (no
+    initial row) and ``carry = (hs, Qs, Y, end_states)`` is the full
+    restart state — chaining chunks is bitwise-identical to the one-shot
+    scan (same per-level step function).
+    """
+    _check_supported(branches, n_junctions)
+    topo = tuple((int(br.us) if _is_junction(br.us) else None,
+                  int(br.ds) if _is_junction(br.ds) else None,
+                  float(br.dx)) for br in branches)
+    dyn = tuple(dict(geo=br.geo,
+                     us=None if _is_junction(br.us) else br.us,
+                     ds=None if _is_junction(br.ds) else br.ds,
+                     h0=jnp.asarray(br.h0), Q0=jnp.asarray(br.Q0),
+                     qlat=br.qlat)
+                for br in branches)
+    rating = None if junction_rating is None else tuple(junction_rating)
+    return _simulate_network_impl(dyn, Y0, junction_area, rating,
+                                  carry, jnp.asarray(ks),
+                                  topo=topo, n_junctions=n_junctions,
+                                  settings=settings, chunked=True)
+
+
+@partial(jax.jit, static_argnames=("topo", "n_junctions", "settings",
+                                   "chunked"))
+def _simulate_network_impl(dyn, Y0, junction_area, junction_rating,
+                           carry_in=None, ks=None, *,
+                           topo, n_junctions, settings, chunked=False):
     branches = [BranchDef(geo=d["geo"], dx=t[2],
                           us=t[0] if t[0] is not None else d["us"],
                           ds=t[1] if t[1] is not None else d["ds"],
@@ -368,16 +414,7 @@ def _simulate_network_impl(dyn, Y0, junction_area, junction_rating, *,
             else jnp.asarray(junction_area, dtype))
 
     if Y0 is None:
-        # traceable (works under vmap for network ensembles): first
-        # connected end's water level per junction, ds ends preferred
-        found = {}
-        for br in branches:
-            for end, idx in ((br.ds, -1), (br.us, 0)):
-                if _is_junction(end) and int(end) not in found:
-                    found[int(end)] = (jnp.asarray(br.geo.z_bed)[idx]
-                                       + jnp.asarray(br.h0, dtype)[idx])
-        Y0 = (jnp.stack([found[j] for j in range(J)]) if J
-              else jnp.zeros((0,), dtype))
+        Y0 = default_initial_stages(branches, J, dtype)
     Y0 = jnp.asarray(Y0, dtype)
 
     h0s = tuple(jnp.asarray(br.h0, dtype) for br in branches)
@@ -520,8 +557,13 @@ def _simulate_network_impl(dyn, Y0, junction_area, junction_rating, *,
     end_states0 = tuple((init_est(br.us, h0, 0), init_est(br.ds, h0, -1))
                         for br, h0 in zip(branches, h0s))
 
-    (_, _, _, _), (hs_t, Qs_t, Y_t, errs, iters, stages_t, gates_t) = (
-        jax.lax.scan(step, (h0s, Q0s, Y0, end_states0), jnp.arange(1, nt)))
+    carry0 = ((h0s, Q0s, Y0, end_states0) if carry_in is None else carry_in)
+    if ks is None:
+        ks = jnp.arange(1, nt)
+    carry_out, (hs_t, Qs_t, Y_t, errs, iters, stages_t, gates_t) = (
+        jax.lax.scan(step, carry0, ks))
+    if chunked:
+        return (hs_t, Qs_t, Y_t, errs, iters, stages_t, gates_t), carry_out
 
     depth = tuple(jnp.concatenate([h0[None], ht], axis=0)
                   for h0, ht in zip(h0s, hs_t))

@@ -354,3 +354,143 @@ def simulate_sharded_with_checkpoints(geo, us_bc, ds_bc, h0, Q0, settings,
     cat = jax.jit(lambda *xs: jax.tree_util.tree_map(
         lambda *ls: jnp.concatenate(ls, axis=0), *xs))
     return cat(*chunks) if len(chunks) > 1 else chunks[0]
+
+
+# -- river networks ---------------------------------------------------------
+
+
+def save_network_checkpoint(directory: str, k: int, carry, hist,
+                            keep: int = 0) -> str:
+    """Atomic network checkpoint: restart carry + accumulated histories.
+
+    ``carry`` = (hs, Qs, Y, end_states) from
+    :func:`flowsim_tpu.ops.network.simulate_network_chunk`; ``hist`` is the
+    dict of history arrays accumulated so far (levels 0..k).
+    """
+    os.makedirs(directory, exist_ok=True)
+    path = os.path.join(directory, f"ckpt_{k:08d}.npz")
+    hs, Qs, Y, end_states = carry
+    payload = dict(k=np.asarray(k), Y=np.asarray(Y))
+    for b, (h, Q) in enumerate(zip(hs, Qs)):
+        payload[f"h_{b}"] = np.asarray(h)
+        payload[f"Q_{b}"] = np.asarray(Q)
+        for j in range(2):
+            for name in _BC_FIELDS:
+                payload[f"est_{b}_{j}_{name}"] = np.asarray(
+                    getattr(end_states[b][j], name))
+    for name, arr in hist.items():
+        payload["hist_" + name] = np.asarray(arr)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, **payload)
+    os.replace(tmp, path)
+    if keep > 0:
+        files = sorted(
+            (nm for nm in os.listdir(directory) if CKPT_RE.match(nm)),
+            key=lambda nm: int(CKPT_RE.match(nm).group(1)))
+        for nm in files[:-keep]:
+            os.remove(os.path.join(directory, nm))
+    return path
+
+
+def _load_network_checkpoint(path: str, n_branches: int, dtype):
+    import jax.numpy as jnp
+
+    from flowsim_tpu.ops.boundary import BCState
+
+    z = dict(np.load(path).items())
+    k = int(z["k"])
+    hs = tuple(jnp.asarray(z[f"h_{b}"], dtype) for b in range(n_branches))
+    Qs = tuple(jnp.asarray(z[f"Q_{b}"], dtype) for b in range(n_branches))
+    Y = jnp.asarray(z["Y"], dtype)
+    ests = tuple(
+        tuple(BCState(*(jnp.asarray(z[f"est_{b}_{j}_{name}"], dtype)
+                        for name in _BC_FIELDS))
+              for j in range(2))
+        for b in range(n_branches))
+    hist = {name[len("hist_"):]: z[name] for name in z if name.startswith("hist_")}
+    return k, (hs, Qs, Y, ests), hist
+
+
+def simulate_network_with_checkpoints(branches, n_junctions, settings,
+                                      directory, interval=50,
+                                      junction_area=None, junction_rating=None,
+                                      keep: int = 0):
+    """Checkpointed network run: resumable, bitwise-equal to
+    :func:`flowsim_tpu.ops.network.simulate_network` (loop engine).
+
+    Advances ``interval`` levels per chunk via ``simulate_network_chunk``
+    (the exact scan body of the one-shot run, gate/reservoir end state
+    carried), writing an ``.npz`` checkpoint after each chunk.  If
+    ``directory`` holds a checkpoint, the run resumes after its level.
+    """
+    import jax.numpy as jnp
+
+    from flowsim_tpu.ops import network as net
+    from flowsim_tpu.ops import rating_curve as rcurve
+
+    nt = settings.n_time_levels
+    B = len(branches)
+    dtype = jnp.asarray(branches[0].h0).dtype
+
+    path = latest_checkpoint(directory)
+    if path is not None:
+        k0, carry, hist = _load_network_checkpoint(path, B, dtype)
+        hist = {k: list(v) for k, v in hist.items()}
+        hist_depth = [hist.pop(f"depth_{b}") for b in range(B)]
+        hist_flow = [hist.pop(f"flow_{b}") for b in range(B)]
+    else:
+        k0 = 0
+        carry = None
+        Y0 = np.asarray(net.default_initial_stages(branches, n_junctions,
+                                                   dtype))
+        gate0 = 1.0 if settings.gate_initially_open else 0.0
+        gates0 = np.array([[gate0 if not net._is_junction(e) else 0.0
+                            for e in (br.us, br.ds)] for br in branches])
+        hist = dict(Y=[Y0], err=[0.0], iters=[0],
+                    stages=[np.full((B, 2), np.nan)], gates=[gates0])
+        hist_depth = [[np.asarray(br.h0)] for br in branches]
+        hist_flow = [[np.asarray(br.Q0)] for br in branches]
+
+    while k0 < nt - 1:
+        n_levels = min(interval, nt - 1 - k0)
+        ks = np.arange(k0 + 1, k0 + 1 + n_levels)
+        (hs_t, Qs_t, Y_t, errs, iters, stages_t, gates_t), carry = (
+            net.simulate_network_chunk(
+                branches, n_junctions, settings, ks, carry=carry,
+                junction_area=junction_area,
+                junction_rating=junction_rating))
+        for b in range(B):
+            hist_depth[b].extend(np.asarray(hs_t[b]))
+            hist_flow[b].extend(np.asarray(Qs_t[b]))
+        hist["Y"].extend(np.asarray(Y_t))
+        hist["err"].extend(np.asarray(errs))
+        hist["iters"].extend(np.asarray(iters))
+        hist["stages"].extend(np.asarray(stages_t))
+        hist["gates"].extend(np.asarray(gates_t))
+        k0 += n_levels
+        payload_hist = {k: np.asarray(v) for k, v in hist.items()}
+        for b in range(B):
+            payload_hist[f"depth_{b}"] = np.asarray(hist_depth[b])
+            payload_hist[f"flow_{b}"] = np.asarray(hist_flow[b])
+        save_network_checkpoint(directory, k0, carry, payload_hist, keep=keep)
+
+    errs = np.asarray(hist["err"])
+    stage = np.asarray(hist["Y"])
+    if junction_rating is None:
+        outflow = np.zeros_like(stage)
+    else:
+        outflow = np.stack(
+            [np.zeros(stage.shape[0]) if rc is None
+             else np.asarray(rcurve.discharge(rc, jnp.asarray(stage[:, j])))
+             for j, rc in enumerate(junction_rating)], axis=-1)
+    return net.NetworkOutput(
+        depth=tuple(np.asarray(hist_depth[b]) for b in range(B)),
+        flow=tuple(np.asarray(hist_flow[b]) for b in range(B)),
+        junction_stage=stage,
+        iterations=np.asarray(hist["iters"]),
+        error=errs,
+        converged=errs < settings.tolerance,
+        reservoir_stage=np.asarray(hist["stages"]),
+        gate_open=np.asarray(hist["gates"]),
+        junction_outflow=outflow)

@@ -526,3 +526,43 @@ def test_stacked_engine_dam_junction_and_qlat():
                   - np.asarray(b.junction_outflow)).max() < 1e-7
     for i in range(2):
         assert np.abs(np.asarray(a.flow[i]) - np.asarray(b.flow[i])).max() < 1e-6
+
+
+def test_network_checkpoint_resume_bitwise(tmp_path):
+    """Checkpointed network runs (utils/checkpoint.py): chunked advancement
+    is bitwise-equal to the one-shot scan, and resuming from a mid-run
+    checkpoint (simulated crash) reproduces it exactly — including the
+    carried gate-controller state of a gated end."""
+    from flowsim_tpu.utils.checkpoint import (latest_checkpoint,
+                                              simulate_network_with_checkpoints)
+    from tests.test_gated_curve import _build_gated_solver
+
+    solver = _build_gated_solver()
+    sset = solver.settings(tolerance=1e-8, max_iter=100)
+    branches = _split_in_two(solver, 10, sset)
+    ref = simulate_network(branches, 1, sset)
+
+    out = simulate_network_with_checkpoints(branches, 1, sset,
+                                            str(tmp_path / "a"), interval=7)
+    for i in range(2):
+        np.testing.assert_array_equal(np.asarray(out.depth[i]),
+                                      np.asarray(ref.depth[i]))
+        np.testing.assert_array_equal(np.asarray(out.flow[i]),
+                                      np.asarray(ref.flow[i]))
+    np.testing.assert_array_equal(np.asarray(out.gate_open),
+                                  np.asarray(ref.gate_open))
+    np.testing.assert_array_equal(np.asarray(out.junction_stage),
+                                  np.asarray(ref.junction_stage))
+    assert np.asarray(out.gate_open)[:, 1, 1].max() == 1.0
+
+    # crash at level 14 (partial run), then resume with the full settings
+    part = dataclasses.replace(sset, n_time_levels=15)
+    d = tmp_path / "b"
+    simulate_network_with_checkpoints(branches, 1, part, str(d), interval=7)
+    assert latest_checkpoint(str(d)).endswith("ckpt_00000014.npz")
+    out2 = simulate_network_with_checkpoints(branches, 1, sset, str(d),
+                                             interval=7)
+    np.testing.assert_array_equal(np.asarray(out2.depth[1]),
+                                  np.asarray(ref.depth[1]))
+    np.testing.assert_array_equal(np.asarray(out2.gate_open),
+                                  np.asarray(ref.gate_open))

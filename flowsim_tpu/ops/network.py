@@ -498,6 +498,30 @@ def _simulate_network_impl(dyn, Y0, junction_area, junction_rating,
             return (tuple(new_hs), tuple(new_Qs), Y + dY, err,
                     jnp.stack(stage_rows))
 
+        stages0 = jnp.stack([
+            jnp.stack([ests[0].reservoir_stage, ests[1].reservoir_stage])
+            for ests in end_states])
+        init = (hs, Qs, Y, jnp.asarray(jnp.inf, dtype),
+                jnp.asarray(0, jnp.int32), stages0)
+
+        if settings.newton == "fixed":
+            # fixed-length masked Newton: reverse-mode differentiable
+            # (gradient calibration through the network solve), mirroring
+            # ops/preissmann.py newton_solve's fixed mode
+            def fbody(c, _):
+                hs, Qs, Y, err, it, stages = c
+                active = err >= tol
+                hs2, Qs2, Y2, err2, st2 = one_iteration(hs, Qs, Y)
+                sel = lambda a, b: jnp.where(active, a, b)
+                hs = jax.tree_util.tree_map(sel, hs2, hs)
+                Qs = jax.tree_util.tree_map(sel, Qs2, Qs)
+                return (hs, Qs, sel(Y2, Y), sel(err2, err),
+                        it + active.astype(it.dtype), sel(st2, stages)), None
+
+            (hs, Qs, Y, err, iters, stages), _ = jax.lax.scan(
+                fbody, init, None, length=max_iter)
+            return hs, Qs, Y, err, iters, stages
+
         def cond(c):
             err, it = c[3], c[4]
             return (err >= tol) & (it < max_iter)
@@ -507,12 +531,7 @@ def _simulate_network_impl(dyn, Y0, junction_area, junction_rating,
             hs, Qs, Y, err, stages = one_iteration(hs, Qs, Y)
             return hs, Qs, Y, err, it + 1, stages
 
-        stages0 = jnp.stack([
-            jnp.stack([ests[0].reservoir_stage, ests[1].reservoir_stage])
-            for ests in end_states])
-        hs, Qs, Y, err, iters, stages = jax.lax.while_loop(
-            cond, body, (hs, Qs, Y, jnp.asarray(jnp.inf, dtype),
-                         jnp.asarray(0, jnp.int32), stages0))
+        hs, Qs, Y, err, iters, stages = jax.lax.while_loop(cond, body, init)
         return hs, Qs, Y, err, iters, stages
 
     def step(carry, k):
@@ -841,6 +860,26 @@ def _simulate_network_stacked(dyn, Y0, junction_area, junction_rating, *,
             return (hS + delta[..., 0], QS + delta[..., 1], Y + dY, err,
                     stages)
 
+        stages0 = jnp.stack([
+            jnp.stack([ests[0].reservoir_stage, ests[1].reservoir_stage])
+            for ests in end_states])
+        init = (hS, QS, Y, jnp.asarray(jnp.inf, dtype),
+                jnp.asarray(0, jnp.int32), stages0)
+
+        if settings.newton == "fixed":  # differentiable masked Newton
+            def fbody(c, _):
+                hS, QS, Y, err, it, stages = c
+                active = err >= tol
+                hS2, QS2, Y2, err2, st2 = one_iteration(hS, QS, Y)
+                sel = lambda a, b: jnp.where(active, a, b)
+                return (sel(hS2, hS), sel(QS2, QS), sel(Y2, Y),
+                        sel(err2, err), it + active.astype(it.dtype),
+                        sel(st2, stages)), None
+
+            (hS, QS, Y, err, iters, stages), _ = jax.lax.scan(
+                fbody, init, None, length=max_iter)
+            return hS, QS, Y, err, iters, stages
+
         def cond(c):
             err, it = c[3], c[4]
             return (err >= tol) & (it < max_iter)
@@ -850,12 +889,7 @@ def _simulate_network_stacked(dyn, Y0, junction_area, junction_rating, *,
             hS, QS, Y, err, stages = one_iteration(hS, QS, Y)
             return hS, QS, Y, err, it + 1, stages
 
-        stages0 = jnp.stack([
-            jnp.stack([ests[0].reservoir_stage, ests[1].reservoir_stage])
-            for ests in end_states])
-        hS, QS, Y, err, iters, stages = jax.lax.while_loop(
-            cond, body, (hS, QS, Y, jnp.asarray(jnp.inf, dtype),
-                         jnp.asarray(0, jnp.int32), stages0))
+        hS, QS, Y, err, iters, stages = jax.lax.while_loop(cond, body, init)
         return hS, QS, Y, err, iters, stages
 
     def step(carry, k):

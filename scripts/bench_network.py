@@ -31,17 +31,21 @@ def run(hours=384, reps=4):
     t0 = time.time()
     branches, nj, sset, _ = gerd_tributary.build(sim_duration=3600 * hours)
     # thomas is ~3x faster than pcr at this size on CPU but crashes the TPU
-    # worker (nested scan depth, CLAUDE.md) — same split as bench.py
+    # worker (nested scan depth, CLAUDE.md); on TPU the fastest validated
+    # path is the stacked engine + f32 inexact-Newton inner solve
+    # (0.458 s vs 1.32 s f64-pcr-loop on v5e, identical iteration counts)
     import dataclasses as _dc
 
-    sset = _dc.replace(sset, linear_solver="thomas" if dev.platform == "cpu"
-                       else "pcr")
+    on_cpu = dev.platform == "cpu"
+    sset = _dc.replace(sset, linear_solver="thomas" if on_cpu else "pcr_f32")
+    engine = "loop" if on_cpu else "stacked"
+    print(f"engine={engine} linear_solver={sset.linear_solver}")
     n_nodes = sum(int(np.asarray(br.h0).shape[0]) for br in branches)
     print(f"host build: {time.time() - t0:.1f}s  branches=3 junctions=1 "
           f"nodes={n_nodes} nt={sset.n_time_levels}")
 
     def sim(branches):
-        return simulate_network(branches, nj, sset)
+        return simulate_network(branches, nj, sset, engine=engine)
 
     t0 = time.time()
     out = sim(branches)

@@ -566,3 +566,37 @@ def test_network_checkpoint_resume_bitwise(tmp_path):
                                   np.asarray(ref.depth[1]))
     np.testing.assert_array_equal(np.asarray(out2.gate_open),
                                   np.asarray(ref.gate_open))
+
+
+def test_network_fixed_newton_and_gradient():
+    """settings.newton="fixed" (masked fixed-length Newton) matches the
+    while-loop mode exactly on both engines, and makes the network solve
+    reverse-mode differentiable: d(peak outflow)/d(roughness) from jax.grad
+    matches central finite differences."""
+    solver, sset = akbari_like()
+    sset = dataclasses.replace(sset, n_time_levels=9, max_iter=30)
+    branches = _split_in_two(solver, 15, sset)
+    fix = dataclasses.replace(sset, newton="fixed")
+    for engine in ("loop", "stacked"):
+        a = simulate_network(branches, 1, sset, engine=engine)
+        b = simulate_network(branches, 1, fix, engine=engine)
+        np.testing.assert_array_equal(np.asarray(a.iterations),
+                                      np.asarray(b.iterations))
+        for i in range(2):
+            np.testing.assert_array_equal(np.asarray(a.depth[i]),
+                                          np.asarray(b.depth[i]))
+
+    def loss(n_main):
+        geo1 = dataclasses.replace(
+            branches[1].geo,
+            n_main=jnp.broadcast_to(n_main, branches[1].geo.n_main.shape)
+            .astype(branches[1].geo.n_main.dtype))
+        brs = [branches[0], dataclasses.replace(branches[1], geo=geo1)]
+        out = simulate_network(brs, 1, fix)
+        return jnp.sum(out.flow[1][-1]) + jnp.sum(out.junction_stage)
+
+    g = jax.grad(loss)(jnp.asarray(0.023))
+    eps = 1e-6
+    fd = (loss(jnp.asarray(0.023 + eps)) - loss(jnp.asarray(0.023 - eps))) / (2 * eps)
+    assert np.isfinite(float(g))
+    np.testing.assert_allclose(float(g), float(fd), rtol=2e-4)

@@ -678,7 +678,15 @@ class NetworkSolver:
 
         if np.ndim(spatial_step) == 0:
             spatial_step = [spatial_step] * len(self.channels)
+        if len(spatial_step) != len(self.channels):
+            raise ValueError(
+                f"spatial_step has {len(spatial_step)} entries for "
+                f"{len(self.channels)} channels")
         ics = initial_conditions or [None] * len(self.channels)
+        if len(ics) != len(self.channels):
+            raise ValueError(
+                f"initial_conditions has {len(ics)} entries for "
+                f"{len(self.channels)} channels")
 
         self.branches = []
         self.branch_dx = []

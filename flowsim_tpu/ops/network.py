@@ -110,7 +110,8 @@ def _is_junction(end) -> bool:
     return isinstance(end, (int, np.integer))
 
 
-def _check_supported(branches: List[BranchDef], n_junctions: int):
+def _check_supported(branches: List[BranchDef], n_junctions: int,
+                     settings=None):
     for i, br in enumerate(branches):
         for end_name, end in (("us", br.us), ("ds", br.ds)):
             if _is_junction(end):
@@ -118,11 +119,35 @@ def _check_supported(branches: List[BranchDef], n_junctions: int):
                     raise ValueError(
                         f"branch {i} {end_name}: junction id {end} out of "
                         f"range [0, {n_junctions})")
+        if br.qlat is not None and settings is not None:
+            n_b = int(jnp.asarray(br.h0).shape[0])
+            shape = jnp.shape(br.qlat)
+            nt = settings.n_time_levels
+            ok = shape == (n_b,) or shape == (nt, n_b)
+            if not ok:  # a wrong time length would silently clamp-index
+                raise ValueError(
+                    f"branch {i} qlat shape {shape} must be [{n_b}] or "
+                    f"[nt={nt}, {n_b}]")
     for j in range(n_junctions):
         ends = sum(int(isinstance(e, (int, np.integer)) and int(e) == j)
                    for br in branches for e in (br.us, br.ds))
         if ends < 2:
             raise ValueError(f"junction {j} connects {ends} end(s); needs >= 2")
+
+
+def _split_branches(branches):
+    """(static topology key, dynamic pytree) per branch — the jit cache key
+    split shared by simulate_network and simulate_network_chunk."""
+    topo = tuple((int(br.us) if _is_junction(br.us) else None,
+                  int(br.ds) if _is_junction(br.ds) else None,
+                  float(br.dx)) for br in branches)
+    dyn = tuple(dict(geo=br.geo,
+                     us=None if _is_junction(br.us) else br.us,
+                     ds=None if _is_junction(br.ds) else br.ds,
+                     h0=jnp.asarray(br.h0), Q0=jnp.asarray(br.Q0),
+                     qlat=br.qlat)
+                for br in branches)
+    return topo, dyn
 
 
 def _end_row_junction(h_end, z_end, Y_j):
@@ -272,9 +297,8 @@ def _junction_outflow(junction_rating, Y, dtype):
     return jnp.stack(q), jnp.stack(dq)
 
 
-def _junction_residuals(branches, Qs, Y, area, dt, dtype,
-                        q_out, prev_terms):
-    """Junction rows.
+def _junction_residuals(S, Y, area, dt, q_out, prev_terms):
+    """Junction rows (shared by the loop and stacked engines).
 
     Plain junction (area=0): G_j = sum sgn * Q_end - Q_out(Y_j) = 0
     (continuity, with any rated outflow leaving the network).
@@ -285,11 +309,10 @@ def _junction_residuals(branches, Qs, Y, area, dt, dtype,
     (trapezoidal inflow/outflow, the same rule as the lumped storage mass
     balance, ref lumped_storage.py:24-35, at a multi-branch node).
 
+    ``S``: the current signed end-discharge sums [J];
     ``prev_terms`` = (Y_prev, Sp, q_out_prev) — level-start constants.
     """
-    J = Y.shape[0]
     Y_prev, Sp, q_out_prev = prev_terms
-    S = _sum_signed_ends(branches, Qs, J, dtype)
     stor = area > 0.0
     G_plain = S - q_out
     G_stor = (area * (Y - Y_prev) / dt - 0.5 * (S + Sp)
@@ -330,7 +353,7 @@ def simulate_network(branches: List[BranchDef], n_junctions: int,
     ``NetworkOutput.junction_outflow``.  (The gated controller is not
     supported at junctions — put it on an external end.)
     """
-    _check_supported(branches, n_junctions)
+    _check_supported(branches, n_junctions, settings)
     if junction_rating is not None:
         if len(junction_rating) != n_junctions:
             raise ValueError(f"junction_rating must have {n_junctions} entries")
@@ -341,15 +364,7 @@ def simulate_network(branches: List[BranchDef], n_junctions: int,
     # dynamic pytree, so repeated calls with the same network structure hit
     # the jit cache instead of retracing the whole scan (repeat calls were
     # ~8x slower than prs.simulate before this split)
-    topo = tuple((int(br.us) if _is_junction(br.us) else None,
-                  int(br.ds) if _is_junction(br.ds) else None,
-                  float(br.dx)) for br in branches)
-    dyn = tuple(dict(geo=br.geo,
-                     us=None if _is_junction(br.us) else br.us,
-                     ds=None if _is_junction(br.ds) else br.ds,
-                     h0=jnp.asarray(br.h0), Q0=jnp.asarray(br.Q0),
-                     qlat=br.qlat)
-                for br in branches)
+    topo, dyn = _split_branches(branches)
     rating = None if junction_rating is None else tuple(junction_rating)
     if engine == "stacked":
         return _simulate_network_stacked(dyn, Y0, junction_area, rating,
@@ -376,16 +391,8 @@ def simulate_network_chunk(branches: List[BranchDef], n_junctions: int,
     restart state — chaining chunks is bitwise-identical to the one-shot
     scan (same per-level step function).
     """
-    _check_supported(branches, n_junctions)
-    topo = tuple((int(br.us) if _is_junction(br.us) else None,
-                  int(br.ds) if _is_junction(br.ds) else None,
-                  float(br.dx)) for br in branches)
-    dyn = tuple(dict(geo=br.geo,
-                     us=None if _is_junction(br.us) else br.us,
-                     ds=None if _is_junction(br.ds) else br.ds,
-                     h0=jnp.asarray(br.h0), Q0=jnp.asarray(br.Q0),
-                     qlat=br.qlat)
-                for br in branches)
+    _check_supported(branches, n_junctions, settings)
+    topo, dyn = _split_branches(branches)
     rating = None if junction_rating is None else tuple(junction_rating)
     return _simulate_network_impl(dyn, Y0, junction_area, rating,
                                   carry, jnp.asarray(ks),
@@ -455,8 +462,8 @@ def _simulate_network_impl(dyn, Y0, junction_area, junction_rating,
                 coup_list.append(coup)
 
             q_out, dq_dz = _junction_outflow(junction_rating, Y, dtype)
-            G = _junction_residuals(branches, Qs, Y, area, dt, dtype,
-                                    q_out, prev_terms)
+            S = _sum_signed_ends(branches, Qs, J, dtype)
+            G = _junction_residuals(S, Y, area, dt, q_out, prev_terms)
             err = jnp.sqrt(err_sq + jnp.sum(G**2))
 
             if J:
@@ -814,11 +821,8 @@ def _simulate_network_stacked(dyn, Y0, junction_area, junction_rating, *,
 
             q_out, dq_dz = _junction_outflow(junction_rating, Y, dtype)
             S = sum_signed_ends(QS)
-            stor = area > 0.0
-            G_plain = S - q_out
-            G_stor = (area * (Y - Y_prev) / dt - 0.5 * (S + Sp)
-                      + 0.5 * (q_out + q_out_prev))
-            G = jnp.where(stor, G_stor, G_plain)
+            G = _junction_residuals(S, Y, area, dt, q_out,
+                                    (Y_prev, Sp, q_out_prev))
 
             err = jnp.sqrt(jnp.sum(us_res**2) + jnp.sum(ds_res**2)
                            + jnp.sum(jnp.where(mask, Rc, 0.0)**2)

@@ -380,9 +380,19 @@ def simulate(geo, us_bc, ds_bc, h0, Q0, settings: PreissmannSettings,
     ds_bed = ds_bc.bed_level
     if lateral_inflow is not None:
         lateral_inflow = jnp.asarray(lateral_inflow, h0.dtype)
+        if lateral_inflow.shape[-1] != h0.shape[0]:
+            raise ValueError(
+                f"lateral_inflow last dim {lateral_inflow.shape[-1]} != "
+                f"n_nodes {h0.shape[0]}")
         if lateral_inflow.ndim == 1:
             lateral_inflow = jnp.broadcast_to(lateral_inflow,
                                               (nt,) + lateral_inflow.shape)
+        elif lateral_inflow.ndim != 2 or lateral_inflow.shape[0] != nt:
+            # a wrong time length would otherwise clamp-index (JAX
+            # out-of-bounds gather) and silently reuse the last row
+            raise ValueError(
+                f"lateral_inflow must be [N] or [nt={nt}, N]; got "
+                f"{lateral_inflow.shape}")
 
     def step(carry, k):
         h_prev, Q_prev, bc_state = carry

@@ -118,7 +118,10 @@ def batched_simulate(geo_batch, us_bc, ds_bc, h0, Q0, settings: prs.PreissmannSe
                 m["geo"], m.get("us", us_bc), m.get("ds", ds_bc),
                 m.get("h0", h0), m.get("Q0", Q0))
 
-        out = jax.jit(lambda m: jax.lax.map(run_chunk, m))(mapped)
+        # no outer jit (fresh closure per call would recompile every time —
+        # same defect as the non-chunked path); lax.map's body traces into
+        # the cached prs.simulate jit
+        out = jax.lax.map(run_chunk, mapped)
         return jax.tree_util.tree_map(
             lambda a: a.reshape((B,) + a.shape[2:]), out)
 
@@ -209,6 +212,10 @@ def batched_simulate_network(branches, n_junctions, settings, batch,
     """
     from flowsim_tpu.ops import network as net
 
+    if len(batch) != len(branches):
+        raise ValueError(
+            f"batch has {len(batch)} entries for {len(branches)} branches; "
+            "pass one dict per branch (empty dict() for unbatched branches)")
     fields = {f.name for f in dataclasses.fields(net.BranchDef)}
     for d in batch:
         for k, v in d.items():

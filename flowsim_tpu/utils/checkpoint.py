@@ -398,7 +398,8 @@ def _load_network_checkpoint(path: str, n_branches: int, dtype):
 
     from flowsim_tpu.ops.boundary import BCState
 
-    z = dict(np.load(path).items())
+    with np.load(path) as f:
+        z = dict(f.items())
     k = int(z["k"])
     hs = tuple(jnp.asarray(z[f"h_{b}"], dtype) for b in range(n_branches))
     Qs = tuple(jnp.asarray(z[f"Q_{b}"], dtype) for b in range(n_branches))

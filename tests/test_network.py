@@ -600,3 +600,28 @@ def test_network_fixed_newton_and_gradient():
     fd = (loss(jnp.asarray(0.023 + eps)) - loss(jnp.asarray(0.023 - eps))) / (2 * eps)
     assert np.isfinite(float(g))
     np.testing.assert_allclose(float(g), float(fd), rtol=2e-4)
+
+
+def test_basin_tree_model():
+    """Dendritic-basin demo (models/basin): a 15-branch binary-tree network
+    converges, conserves discharge through every confluence, and the outlet
+    carries the sum of the headwater inflows at t=0."""
+    from flowsim_tpu.models import basin
+
+    branches, nj, sset = basin.build(levels=4, sim_hours=12)
+    out = simulate_network(branches, nj, sset, engine="stacked")
+    assert bool(np.asarray(out.converged).all())
+    n_internal = nj
+    # junction continuity at every confluence, every level
+    for i in range(n_internal):
+        qa = np.asarray(out.flow[2 * i + 1])[:, -1]
+        qb = np.asarray(out.flow[2 * i + 2])[:, -1]
+        qp = np.asarray(out.flow[i])[:, 0]
+        assert np.abs(qa + qb - qp).max() < 1e-4, i
+    # outlet base flow = sum of headwater base inflows
+    q0_out = float(np.asarray(out.flow[0])[0, -1])
+    leaf_base = sum(float(np.asarray(branches[i].Q0)[0])
+                    for i in range(n_internal, len(branches)))
+    assert abs(q0_out - leaf_base) / leaf_base < 0.02
+    # the flood actually routes: outlet peak well above base
+    assert np.asarray(out.flow[0])[:, -1].max() > 2.5 * q0_out

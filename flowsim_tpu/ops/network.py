@@ -379,25 +379,31 @@ def simulate_network(branches: List[BranchDef], n_junctions: int,
 
 def simulate_network_chunk(branches: List[BranchDef], n_junctions: int,
                            settings: prs.PreissmannSettings, ks, carry=None,
-                           Y0=None, junction_area=None, junction_rating=None):
+                           Y0=None, junction_area=None, junction_rating=None,
+                           engine: str = "loop"):
     """Advance the network over the absolute time levels ``ks`` only.
 
-    The chunked form of :func:`simulate_network` (loop engine) for
-    checkpoint/resume (utils/checkpoint.py): ``carry=None`` starts from the
-    branches' initial state; otherwise pass the carry returned by the
-    previous chunk.  Returns ``((hs_t, Qs_t, Y_t, errs, iters, stages_t,
-    gates_t), carry)`` where each output stacks the levels in ``ks`` (no
-    initial row) and ``carry = (hs, Qs, Y, end_states)`` is the full
-    restart state — chaining chunks is bitwise-identical to the one-shot
-    scan (same per-level step function).
+    The chunked form of :func:`simulate_network` for checkpoint/resume
+    (utils/checkpoint.py): ``carry=None`` starts from the branches' initial
+    state; otherwise pass the carry returned by the previous chunk.
+    Returns ``((hs_t, Qs_t, Y_t, errs, iters, stages_t, gates_t), carry)``
+    where each output stacks the levels in ``ks`` (no initial row) and
+    ``carry = (hs, Qs, Y, end_states)`` is the full restart state —
+    chaining chunks is bitwise-identical to the one-shot scan (same
+    per-level step function).  The carry uses per-branch (unpadded) arrays
+    for both engines, so a checkpointed run may switch engines between
+    chunks.
     """
     _check_supported(branches, n_junctions, settings)
     topo, dyn = _split_branches(branches)
     rating = None if junction_rating is None else tuple(junction_rating)
-    return _simulate_network_impl(dyn, Y0, junction_area, rating,
-                                  carry, jnp.asarray(ks),
-                                  topo=topo, n_junctions=n_junctions,
-                                  settings=settings, chunked=True)
+    impl = (_simulate_network_stacked if engine == "stacked"
+            else _simulate_network_impl)
+    if engine not in ("loop", "stacked"):
+        raise ValueError(f"unknown engine {engine!r}")
+    return impl(dyn, Y0, junction_area, rating, carry, jnp.asarray(ks),
+                topo=topo, n_junctions=n_junctions,
+                settings=settings, chunked=True)
 
 
 @partial(jax.jit, static_argnames=("topo", "n_junctions", "settings",
@@ -627,9 +633,11 @@ def _edge_pad(x, Nmax):
     return jnp.pad(x, pad, mode="edge")
 
 
-@partial(jax.jit, static_argnames=("topo", "n_junctions", "settings"))
-def _simulate_network_stacked(dyn, Y0, junction_area, junction_rating, *,
-                              topo, n_junctions, settings):
+@partial(jax.jit, static_argnames=("topo", "n_junctions", "settings",
+                                   "chunked"))
+def _simulate_network_stacked(dyn, Y0, junction_area, junction_rating,
+                              carry_in=None, ks=None, *,
+                              topo, n_junctions, settings, chunked=False):
     """Stacked-branch engine (``engine="stacked"``).
 
     Every branch is edge-padded to the longest branch length Nmax and the B
@@ -942,8 +950,31 @@ def _simulate_network_stacked(dyn, Y0, junction_area, junction_rating, *,
         (init_est(t[0], d["us"], b, 0), init_est(t[1], d["ds"], b, n_bs[b] - 1))
         for b, (t, d) in enumerate(zip(topo, dyn)))
 
-    (_, _, _, _), (hS_t, QS_t, Y_t, errs, iters, stages_t, gates_t) = (
-        jax.lax.scan(step, (h0S, Q0S, Y0, end_states0), jnp.arange(1, nt)))
+    if carry_in is None:
+        carry0 = (h0S, Q0S, Y0, end_states0)
+    else:
+        # carries are exchanged in the engine-agnostic per-branch tuple form
+        # (as the loop engine's), so checkpointed runs can switch engines;
+        # edge-padding reproduces exactly what sync() enforces at level start
+        hs_in, Qs_in, Y_in, ests_in = carry_in
+        carry0 = (jnp.stack([_edge_pad(jnp.asarray(h, dtype), Nmax)
+                             for h in hs_in]),
+                  jnp.stack([_edge_pad(jnp.asarray(q, dtype), Nmax)
+                             for q in Qs_in]),
+                  jnp.asarray(Y_in, dtype), ests_in)
+    if ks is None:
+        ks = jnp.arange(1, nt)
+    carry_out, (hS_t, QS_t, Y_t, errs, iters, stages_t, gates_t) = (
+        jax.lax.scan(step, carry0, ks))
+    if chunked:
+        hS_f, QS_f, Y_f, ests_f = carry_out
+        outs = (tuple(hS_t[:, b, :n_bs[b]] for b in range(B)),
+                tuple(QS_t[:, b, :n_bs[b]] for b in range(B)),
+                Y_t, errs, iters, stages_t, gates_t)
+        carry = (tuple(hS_f[b, :n_bs[b]] for b in range(B)),
+                 tuple(QS_f[b, :n_bs[b]] for b in range(B)),
+                 Y_f, ests_f)
+        return outs, carry
 
     depth = tuple(jnp.concatenate([h0S[b, :n_bs[b]][None],
                                    hS_t[:, b, :n_bs[b]]], axis=0)

@@ -416,7 +416,7 @@ def _load_network_checkpoint(path: str, n_branches: int, dtype):
 def simulate_network_with_checkpoints(branches, n_junctions, settings,
                                       directory, interval=50,
                                       junction_area=None, junction_rating=None,
-                                      keep: int = 0):
+                                      keep: int = 0, engine: str = "loop"):
     """Checkpointed network run: resumable, bitwise-equal to
     :func:`flowsim_tpu.ops.network.simulate_network` (loop engine).
 
@@ -460,7 +460,7 @@ def simulate_network_with_checkpoints(branches, n_junctions, settings,
             net.simulate_network_chunk(
                 branches, n_junctions, settings, ks, carry=carry,
                 junction_area=junction_area,
-                junction_rating=junction_rating))
+                junction_rating=junction_rating, engine=engine))
         for b in range(B):
             hist_depth[b].extend(np.asarray(hs_t[b]))
             hist_flow[b].extend(np.asarray(Qs_t[b]))

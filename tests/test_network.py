@@ -625,3 +625,31 @@ def test_basin_tree_model():
     assert abs(q0_out - leaf_base) / leaf_base < 0.02
     # the flood actually routes: outlet peak well above base
     assert np.asarray(out.flow[0])[:, -1].max() > 2.5 * q0_out
+
+
+def test_network_checkpoint_stacked_engine(tmp_path):
+    """Checkpointed stacked-engine runs match the one-shot stacked run
+    bitwise, and the engine-agnostic carry lets a resume switch engines."""
+    from flowsim_tpu.utils.checkpoint import simulate_network_with_checkpoints
+
+    solver, sset = akbari_like()
+    sset = dataclasses.replace(sset, n_time_levels=13)
+    branches = _split_in_two(solver, 15, sset)
+    ref = simulate_network(branches, 1, sset, engine="stacked")
+
+    out = simulate_network_with_checkpoints(
+        branches, 1, sset, str(tmp_path / "s"), interval=5, engine="stacked")
+    for i in range(2):
+        np.testing.assert_array_equal(np.asarray(out.depth[i]),
+                                      np.asarray(ref.depth[i]))
+
+    # loop-checkpointed partial run resumed with the stacked engine
+    part = dataclasses.replace(sset, n_time_levels=6)
+    d = tmp_path / "x"
+    simulate_network_with_checkpoints(branches, 1, part, str(d), interval=5,
+                                      engine="loop")
+    out2 = simulate_network_with_checkpoints(branches, 1, sset, str(d),
+                                             interval=5, engine="stacked")
+    assert (np.asarray(out2.error)[1:] < sset.tolerance).all()
+    assert np.abs(np.asarray(out2.depth[1])
+                  - np.asarray(ref.depth[1])).max() < 1e-8

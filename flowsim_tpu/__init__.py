@@ -32,7 +32,9 @@ try:  # high-level API (built after the core ops)
         Boundary,
         Channel,
         Hydrograph,
+        Junction,
         LumpedStorage,
+        NetworkSolver,
         RatingCurve,
         PreissmannSolver,
         LaxSolver,

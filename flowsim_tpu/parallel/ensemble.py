@@ -23,10 +23,25 @@ from flowsim_tpu.parallel.mesh import ENSEMBLE_AXIS, make_mesh
 
 
 def shard_batch(x, mesh: Optional[Mesh] = None):
-    """Place a batch-leading array (or pytree) on the ensemble mesh axis."""
+    """Place a batch-leading array (or pytree) on the ensemble mesh axis.
+
+    With a multi-process mesh every process must pass the same full host
+    values; each process contributes its addressable slice.  (device_put's
+    cross-process equality check is avoided deliberately — it compares
+    values elementwise, so identical NaN-carrying leaves, e.g. a
+    BoundaryParams' unused initial_depth, would spuriously fail.)
+    """
     mesh = mesh or make_mesh()
     sh = NamedSharding(mesh, P(ENSEMBLE_AXIS))
-    return jax.tree_util.tree_map(lambda a: jax.device_put(a, sh), x)
+    if jax.process_count() > 1:
+        def put(a):
+            a = np.asarray(a)
+            return jax.make_array_from_process_local_data(
+                sh, a, global_shape=a.shape)
+    else:
+        def put(a):
+            return jax.device_put(a, sh)
+    return jax.tree_util.tree_map(put, x)
 
 
 def batch_boundaries(bcs):

@@ -48,6 +48,45 @@ host = multihost.replicate_to_host(
     dict(depth=out.depth, flow=out.flow, iterations=out.iterations, error=out.error),
     mesh,
 )
+
+# -- network ensemble sharded over the cross-process ensemble axis ----------
+import dataclasses
+
+import jax.numpy as jnp
+
+from flowsim_tpu.ops.network import BranchDef
+from flowsim_tpu.parallel.ensemble import batched_simulate_network
+
+geo = solver.channel.geometry
+sl = lambda s: jax.tree_util.tree_map(lambda x: x[s], geo)
+cut = 32
+brs = [BranchDef(geo=sl(slice(0, cut + 1)), dx=solver.spatial_step,
+                 us=solver.us_params, ds=0,
+                 h0=solver.h0[: cut + 1], Q0=solver.Q0[: cut + 1]),
+       BranchDef(geo=sl(slice(cut, None)), dx=solver.spatial_step,
+                 us=0, ds=solver.ds_params,
+                 h0=solver.h0[cut:], Q0=solver.Q0[cut:])]
+B = 4 * nprocs
+ens_mesh = multihost.make_multihost_mesh(n_ensemble=B, n_space=1)
+scales = np.linspace(0.9, 1.1, B)
+us_members = [dataclasses.replace(
+    solver.us_params,
+    target_series=jnp.asarray(np.asarray(solver.us_params.target_series) * s))
+    for s in scales]
+us_stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *us_members)
+sset_net = dataclasses.replace(sset, n_time_levels=5)
+out_net = batched_simulate_network(brs, 1, sset_net,
+                                   [dict(us=us_stacked), dict()],
+                                   mesh=ens_mesh, shard=True,
+                                   engine="stacked")
+host_net = multihost.replicate_to_host(
+    dict(net_depth0=out_net.depth[0], net_depth1=out_net.depth[1],
+         net_Y=out_net.junction_stage,
+         net_converged=out_net.converged.astype(np.int8)),
+    ens_mesh,
+)
+host.update(host_net)
+
 if proc_id == 0:
     np.savez(out_path, **host)
     print(f"[p0] wrote {out_path}", flush=True)

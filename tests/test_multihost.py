@@ -68,3 +68,43 @@ def test_two_process_sharded_solve_matches_single_process(tmp_path):
     np.testing.assert_allclose(mh["depth"], np.asarray(ref.depth), rtol=1e-9, atol=1e-10)
     np.testing.assert_allclose(mh["flow"], np.asarray(ref.flow), rtol=1e-9, atol=1e-7)
     np.testing.assert_array_equal(mh["iterations"], np.asarray(ref.iterations))
+
+    # network ensemble sharded across the process (DCN) boundary: every
+    # member converged, members genuinely differ, and each member matches
+    # its single-process serial network run
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from flowsim_tpu.ops.network import BranchDef, simulate_network
+
+    assert mh["net_converged"].all()
+    B = mh["net_depth0"].shape[0]
+    assert B == 8
+    assert np.abs(mh["net_depth0"][0] - mh["net_depth0"][-1]).max() > 1e-4
+
+    geo = solver.channel.geometry
+    sl = lambda s: jax.tree_util.tree_map(lambda x: x[s], geo)
+    cut = 32
+    brs = [BranchDef(geo=sl(slice(0, cut + 1)), dx=solver.spatial_step,
+                     us=solver.us_params, ds=0,
+                     h0=solver.h0[: cut + 1], Q0=solver.Q0[: cut + 1]),
+           BranchDef(geo=sl(slice(cut, None)), dx=solver.spatial_step,
+                     us=0, ds=solver.ds_params,
+                     h0=solver.h0[cut:], Q0=solver.Q0[cut:])]
+    sset_net = dataclasses.replace(sset, n_time_levels=5)
+    scales = np.linspace(0.9, 1.1, B)
+    for m in (0, B - 1):
+        us_m = dataclasses.replace(
+            solver.us_params,
+            target_series=jnp.asarray(
+                np.asarray(solver.us_params.target_series) * scales[m]))
+        ser = simulate_network([dataclasses.replace(brs[0], us=us_m), brs[1]],
+                               1, sset_net, engine="stacked")
+        np.testing.assert_allclose(mh["net_depth0"][m],
+                                   np.asarray(ser.depth[0]),
+                                   rtol=0, atol=1e-10)
+        np.testing.assert_allclose(mh["net_Y"][m],
+                                   np.asarray(ser.junction_stage),
+                                   rtol=0, atol=1e-10)

@@ -710,14 +710,48 @@ def _simulate_network_stacked(dyn, Y0, junction_area, junction_rating,
         coups.append(c)
     m_rhs = 1 + max((len(c) for c in coups), default=0)
 
+    # static index maps so the per-iteration Schur assembly is a handful of
+    # gathers/scatter-adds instead of Python loops of .at ops (which made
+    # the traced graph — and TPU compile time — grow with junction count)
+    eb, eidx, esgn, ejj = [], [], [], []      # junction ends
+    for b, t in enumerate(topo):
+        if t[1] is not None:
+            eb.append(b); eidx.append(Nmax - 1); esgn.append(1.0); ejj.append(t[1])
+        if t[0] is not None:
+            eb.append(b); eidx.append(0); esgn.append(-1.0); ejj.append(t[0])
+    eb = np.asarray(eb, np.int32)
+    eidx = np.asarray(eidx, np.int32)
+    esgn = np.asarray(esgn)
+    ejj = np.asarray(ejj, np.int32)
+    # (end, coupling-of-same-branch) pairs -> M[row, col] scatter targets
+    pb, pidx, pci, prow, pcol, psgn = [], [], [], [], [], []
+    for e in range(len(eb)):
+        b = int(eb[e])
+        for ci, (jcol, _, _) in enumerate(coups[b]):
+            pb.append(b); pidx.append(int(eidx[e])); pci.append(ci)
+            prow.append(int(ejj[e])); pcol.append(jcol)
+            psgn.append(float(esgn[e]))
+    pb, pidx, pci = (np.asarray(a, np.int32) for a in (pb, pidx, pci))
+    prow, pcol = np.asarray(prow, np.int32), np.asarray(pcol, np.int32)
+    psgn = np.asarray(psgn)
+    # per-branch coupling-column -> junction id (for the dY correction)
+    colmap = np.zeros((B, max(m_rhs - 1, 1)), np.int32)
+    colmask_np = np.zeros((B, max(m_rhs - 1, 1)))
+    for b, c in enumerate(coups):
+        for ci, (jcol, _, _) in enumerate(c):
+            colmap[b, ci] = jcol
+            colmask_np[b, ci] = 1.0
+    colmask = jnp.asarray(colmask_np, dtype)
+    # constant -1 coupling columns of the multi-RHS solve
+    rhs_coup_np = np.zeros((B, Nmax, 2, max(m_rhs - 1, 1)))
+    for b, c in enumerate(coups):
+        for ci, (jcol, idx, row) in enumerate(c):
+            rhs_coup_np[b, idx, row, ci] = -1.0
+    rhs_coup = jnp.asarray(rhs_coup_np, dtype)
+
     def sum_signed_ends(QS_):
-        S = jnp.zeros((J,), dtype)
-        for b, t in enumerate(topo):
-            if t[1] is not None:
-                S = S.at[t[1]].add(QS_[b, -1])
-            if t[0] is not None:
-                S = S.at[t[0]].add(-QS_[b, 0])
-        return S
+        return (jnp.zeros((J,), dtype)
+                .at[ejj].add(jnp.asarray(esgn, dtype) * QS_[eb, eidx]))
 
     if Y0 is None:
         found = {}
@@ -837,28 +871,19 @@ def _simulate_network_stacked(dyn, Y0, junction_area, junction_rating,
                            + jnp.sum(jnp.where(mask, Rm, 0.0)**2)
                            + jnp.sum(G**2))
 
-            rhs = jnp.zeros((B, Nmax, 2, m_rhs), dtype)
-            rhs = rhs.at[..., 0].set(rhs0)
-            for b, coup in enumerate(coups):
-                for ci, (jid, idx, row) in enumerate(coup):
-                    rhs = rhs.at[b, idx, row, 1 + ci].set(-1.0)
+            if m_rhs > 1:
+                rhs = jnp.concatenate([rhs0[..., None], rhs_coup], axis=-1)
+            else:
+                rhs = rhs0[..., None]
             X = solve_block_tridiag(L, D, U, rhs, method=solver_kind)
 
             if J:
                 fac = jnp.where(area > 0.0, -0.5, 1.0)
-                M = jnp.zeros((J, J), dtype)
-                rhsJ = jnp.array(G)
-                for b, (t, coup) in enumerate(zip(topo, coups)):
-                    ends = []
-                    if t[1] is not None:
-                        ends.append((t[1], Nmax - 1, 1.0))
-                    if t[0] is not None:
-                        ends.append((t[0], 0, -1.0))
-                    for (jj, idx, sgn) in ends:
-                        rhsJ = rhsJ.at[jj].add(fac[jj] * sgn * X[b, idx, 1, 0])
-                        for ci, (jcol, _, _) in enumerate(coup):
-                            M = M.at[jj, jcol].add(
-                                fac[jj] * sgn * X[b, idx, 1, 1 + ci])
+                rhsJ = G.at[ejj].add(
+                    fac[ejj] * jnp.asarray(esgn, dtype) * X[eb, eidx, 1, 0])
+                pvals = (fac[prow] * jnp.asarray(psgn, dtype)
+                         * X[pb, pidx, 1, 1 + pci])
+                M = jnp.zeros((J, J), dtype).at[prow, pcol].add(pvals)
                 D_Y = jnp.where(area > 0.0, area / dt + 0.5 * dq_dz, -dq_dz)
                 M = M - jnp.diag(D_Y)
                 dY = _solve_junction_system(M, rhsJ)
@@ -866,9 +891,9 @@ def _simulate_network_stacked(dyn, Y0, junction_area, junction_rating,
                 dY = jnp.zeros((0,), dtype)
 
             delta = X[..., 0]
-            for b, coup in enumerate(coups):
-                for ci, (jcol, _, _) in enumerate(coup):
-                    delta = delta.at[b].add(-X[b, ..., 1 + ci] * dY[jcol])
+            if m_rhs > 1:
+                dY_cols = dY[colmap] * colmask        # [B, m_rhs-1], pads 0
+                delta = delta - jnp.einsum("bnrm,bm->bnr", X[..., 1:], dY_cols)
             return (hS + delta[..., 0], QS + delta[..., 1], Y + dY, err,
                     stages)
 

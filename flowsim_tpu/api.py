@@ -731,15 +731,33 @@ class NetworkSolver:
 
     def run(self, tolerance=1e-4, verbose=1, max_iter=100, engine="loop"):
         """``engine="stacked"`` batches all branches into one padded
-        assembly + solve per Newton iteration (the fast path for many-branch
-        networks; see ops/network.py)."""
+        assembly + solve per Newton iteration (the fast XLA path for
+        many-branch networks); ``engine="fused"`` runs the whole simulation
+        as ONE Pallas kernel dispatch (ops/pallas/fused_network.py — the
+        fastest TPU path for supported configurations, falling back to
+        "stacked" otherwise).  See ops/network.py."""
         from flowsim_tpu.ops import network as net
 
         sset = self.settings(tolerance, max_iter)
-        out = net.simulate_network(
-            self.branches, self.n_junctions, sset,
-            junction_area=self.junction_area,
-            junction_rating=self.junction_rating, engine=engine)
+        if engine == "fused":
+            from flowsim_tpu.ops.pallas.fused_newton import FusedUnsupported
+
+            try:
+                out = net.simulate_network(
+                    self.branches, self.n_junctions, sset,
+                    junction_area=self.junction_area,
+                    junction_rating=self.junction_rating, engine="fused")
+                engine = None  # handled
+            except FusedUnsupported as e:
+                if verbose >= 1:
+                    print(f"fused engine unavailable ({e}); using the "
+                          "stacked XLA path")
+                engine = "stacked"
+        if engine is not None:
+            out = net.simulate_network(
+                self.branches, self.n_junctions, sset,
+                junction_area=self.junction_area,
+                junction_rating=self.junction_rating, engine=engine)
         out = jax.tree_util.tree_map(np.asarray, out)
         self.output = out
         if not bool(out.converged.all()):

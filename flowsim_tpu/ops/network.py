@@ -366,6 +366,19 @@ def simulate_network(branches: List[BranchDef], n_junctions: int,
     # ~8x slower than prs.simulate before this split)
     topo, dyn = _split_branches(branches)
     rating = None if junction_rating is None else tuple(junction_rating)
+    if engine == "fused":
+        # whole-network single-dispatch Pallas kernel (ops/pallas/
+        # fused_network.py); raises FusedUnsupported outside its scope
+        from flowsim_tpu.ops.pallas.fused_network import (FusedUnsupported,
+                                                          fused_simulate_network)
+        if rating is not None and any(rc is not None for rc in rating):
+            raise FusedUnsupported("junction rated outflow is XLA-engine only")
+        if junction_area is not None and bool(
+                np.any(np.asarray(junction_area) > 0.0)):
+            raise FusedUnsupported("junction reservoirs are XLA-engine only")
+        return fused_simulate_network(
+            branches, n_junctions, settings, Y0=Y0,
+            interpret=jax.devices()[0].platform != "tpu")
     if engine == "stacked":
         return _simulate_network_stacked(dyn, Y0, junction_area, rating,
                                          topo=topo, n_junctions=n_junctions,

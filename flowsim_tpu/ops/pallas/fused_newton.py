@@ -572,11 +572,23 @@ def _level_state(g, h: DF, Q: DF, section_fn=None):
 def _assemble_fused(g, scal, roll, n, ds_kind,
                     h, Q, prev_h, prev_Q, prev_A, prev_Se, prev_Q2A, tgt,
                     us_kind="flow_hydrograph", y_old=None, k=None,
-                    gate_open=None, section_fn=None, ds_tgt=None, stg=None):
+                    gate_open=None, section_fn=None, ds_tgt=None, stg=None,
+                    junc=None):
     """df32 residual + f32 Jacobian, packed as the [16, Np] PCR system.
 
     Module-level (not a kernel closure) so tests can drive the exact same
     math eagerly with jnp.roll.  Returns (buf, err).
+
+    ``junc`` (network mode, ops/pallas/fused_network.py): a dict overriding
+    selected per-sublane (per-branch) end rows with equal-stage junction
+    rows (ops/network.py:_end_row_junction) and replacing the static cell
+    mask with per-branch masks — ``cell_real`` [B, Np] marks real theta-box
+    cells, ``pad_cell`` marks edge-pad cells that carry delta-copy equations
+    (dh_{i+1}=dh_i, dQ_{i+1}=dQ_i with the pad-drift residual; the stacked
+    XLA engine's padding scheme, ops/network.py:_simulate_network_stacked).
+    Keys: us_mask/ds_mask [B,1] (1.0 at junction ends), Y_us/Y_ds (DF
+    [B,1] junction stages), z_us/z_ds ([B,1] f32 end bed levels),
+    cell_real/pad_cell ([B, Np] f32).
     """
     Np = h.hi.shape[1]
     idx = jax.lax.broadcasted_iota(jnp.int32, (1, Np), 1)
@@ -765,6 +777,24 @@ def _assemble_fused(g, scal, roll, n, ds_kind,
         qm = _rating_q(scal, stage_c - df(fd), ds_kind, gate_open=gate_open)
         ds_df_dh = -((qp - qm).value) / (2.0 * fd)
 
+    if junc is not None:
+        # equal-stage junction rows override the external end rows on the
+        # branches whose end meets a junction: res = h_end + z_end - Y_j,
+        # df/dh = 1, df/dQ = 0 (ops/network.py:_end_row_junction)
+        jm_us, jm_ds = junc["us_mask"], junc["ds_mask"]
+        h_head_j = DF(h.hi[:, 0:1], h.lo[:, 0:1])
+        us_res = df32.where(jm_us > 0.0,
+                            (h_head_j + df(junc["z_us"])) - junc["Y_us"],
+                            us_res)
+        one_c = jnp.ones_like(jm_us)
+        us_df_dh = jnp.where(jm_us > 0.0, 1.0, us_df_dh * one_c)
+        us_df_dQ = jnp.where(jm_us > 0.0, 0.0, us_df_dQ * one_c)
+        ds_res = df32.where(jm_ds > 0.0,
+                            (h_tail + df(junc["z_ds"])) - junc["Y_ds"],
+                            ds_res)
+        ds_df_dh = jnp.where(jm_ds > 0.0, 1.0, ds_df_dh * one_c)
+        ds_df_dQ = jnp.where(jm_ds > 0.0, 0.0, ds_df_dQ * one_c)
+
     # f32 Jacobian entries (ops/preissmann.py:134-158)
     Af, dA_dh = A.value, st["dA_dh"]
     QA = jnp.where(Af > 0.0, Q.value / jnp.where(Af > 0.0, Af, 1.0), 0.0)
@@ -781,26 +811,44 @@ def _assemble_fused(g, scal, roll, n, ds_kind,
     dM_dQ_i1 = inv2dt + th_dx * 2.0 * QA1 + gacc * avgAf * 0.5 * theta * dSeQ1
 
     # pack the 2x2-block tridiagonal system (ops/preissmann.py:172-205)
-    Rm_f, Rc_f = Rm.value * cell_mask, Rc.value * cell_mask
+    cmask = cell_mask if junc is None else junc["cell_real"]
+    Rm_e, Rc_e = Rm.value * cmask, Rc.value * cmask
+    if junc is None:
+        Rm_f, Rc_f = Rm_e, Rc_e
+        pc = None
+    else:
+        # pad-cell delta-copy equations: residual = drift of the pad value
+        # from its neighbor, Jacobian rows (dQ_i=-1, dQ_{i+1}=+1) /
+        # (dh_i=-1, dh_{i+1}=+1) — exactly the stacked XLA engine's rows
+        pc = junc["pad_cell"]
+        Rm_f = Rm_e + cdiff_df(Q).value * pc
+        Rc_f = Rc_e + cdiff_df(h).value * pc
     us_f = us_res.value
     ds_f = ds_res.value
     zero_row = jnp.zeros_like(Rm_f)
 
-    L00 = shift_r(dM_dh_i * cell_mask)
-    L01 = shift_r(dM_dQ_i * cell_mask)
-    D00 = shift_r(dM_dh_i1 * cell_mask) + is0 * us_df_dh + pad  # pad: identity
-    D01 = shift_r(dM_dQ_i1 * cell_mask) + is0 * us_df_dQ
-    D10 = dA_dh * inv2dt * cell_mask + isl * ds_df_dh
-    D11 = -th_dx * cell_mask + isl * ds_df_dQ + pad
-    U10 = shift_l(dA_dh) * inv2dt * cell_mask
-    U11 = th_dx * cell_mask
+    L00 = shift_r(dM_dh_i * cmask)
+    D00 = shift_r(dM_dh_i1 * cmask) + is0 * us_df_dh + pad  # pad: identity
+    if pc is None:
+        L01 = shift_r(dM_dQ_i * cmask)
+        D01 = shift_r(dM_dQ_i1 * cmask) + is0 * us_df_dQ
+        D10 = dA_dh * inv2dt * cmask + isl * ds_df_dh
+        U10 = shift_l(dA_dh) * inv2dt * cmask
+    else:
+        L01 = shift_r(dM_dQ_i * cmask - pc)
+        D01 = shift_r(dM_dQ_i1 * cmask + pc) + is0 * us_df_dQ
+        D10 = dA_dh * inv2dt * cmask - pc + isl * ds_df_dh
+        U10 = shift_l(dA_dh) * inv2dt * cmask + pc
+    D11 = -th_dx * cmask + isl * ds_df_dQ + pad
+    U11 = th_dx * cmask
 
     b0 = -(shift_r(Rm_f) + is0 * us_f)
     b1 = -(Rc_f + isl * ds_f)
 
-    # per-member (per-sublane) pre-update residual norm, [B, 1]
-    err2 = (jnp.sum(Rm_f * Rm_f, axis=1, keepdims=True)
-            + jnp.sum(Rc_f * Rc_f, axis=1, keepdims=True)
+    # per-member (per-sublane) pre-update residual norm, [B, 1]; pad-cell
+    # drift residuals are excluded (ops/network.py stacked-engine rule)
+    err2 = (jnp.sum(Rm_e * Rm_e, axis=1, keepdims=True)
+            + jnp.sum(Rc_e * Rc_e, axis=1, keepdims=True)
             + us_f * us_f + ds_f * ds_f)
     err = jnp.sqrt(err2)
 

@@ -323,8 +323,11 @@ def _kernel_network(geo_ref, init_ref, net_ref, jin_ref, tgt_ref, ds_tgt_ref,
                     dx1 = dx1 - X[1 + ci][1] * dYc
 
             upd = active  # [1,1]: the whole network iterates as one Newton
-            hn = hc + df(dx0 * node_mask * upd)
-            qn = Qc + df(dx1 * node_mask * upd)
+            # lift to a [B,1] column first — a [1,1]*[B,Np] product needs a
+            # both-axes broadcast, which Mosaic does not implement
+            updc = zcol + upd
+            hn = hc + df(dx0 * node_mask * updc)
+            qn = Qc + df(dx1 * node_mask * updc)
             Yn = Yc + df(dY * upd)
             iters = iters + upd
             errf = jnp.where(upd > 0.0, err_net, errf)

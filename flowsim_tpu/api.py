@@ -806,6 +806,20 @@ class NetworkSolver:
             np.asarray(self.output.depth[i]), np.asarray(self.output.flow[i]),
             _BranchOutput(res_stage))
 
+    def summary(self) -> dict:
+        """Network-wide acceptance scalars (inflow/outflow volumes, mass
+        imbalance incl. junction-reservoir storage, peak flows, the max
+        instantaneous junction-continuity residual) — the network
+        counterpart of the reference's TXT summary (ref solver.py:203-233).
+        See :func:`flowsim_tpu.utils.results.network_summary`."""
+        from flowsim_tpu.utils import results as res_mod
+
+        if self.output is None:
+            raise ValueError("run() the solver first")
+        return res_mod.network_summary(self.output, self.branches,
+                                       self.time_step,
+                                       junction_area=self.junction_area)
+
     def save_results(self, folder_path: str):
         """Per-branch workbooks (branch_<i>/) + junction series CSV."""
         import os

@@ -191,6 +191,77 @@ def ensemble_summary(flow: np.ndarray, dt: float,
     return {"members": members, "quantiles": qs}
 
 
+def network_summary(out, branches, dt: float, junction_area=None) -> dict:
+    """Network-wide acceptance scalars (the network counterpart of
+    :func:`summary_metrics`; beyond the reference, which is single-reach).
+
+    ``out``: a :class:`~flowsim_tpu.ops.network.NetworkOutput`;
+    ``branches``: the list of BranchDefs it was produced from.
+
+    Volumes integrate the external boundary fluxes the same way the
+    reference's TXT summary does (plain sum * dt, ref solver.py:203-233):
+    inflow over external upstream ends, outflow over external downstream
+    ends plus any rated junction outflow, and junction-reservoir storage
+    change closes the balance.  ``max_junction_imbalance`` is the largest
+    instantaneous discharge-continuity residual over plain junctions and
+    levels 1+ (the quantity the solver drove below tolerance).
+    """
+    from flowsim_tpu.ops.network import _is_junction
+
+    flows = [np.asarray(q) for q in out.flow]
+    nt = flows[0].shape[0]
+    Q_in = np.zeros(nt)
+    Q_out = np.zeros(nt)
+    for br, q in zip(branches, flows):
+        if not _is_junction(br.us):
+            Q_in = Q_in + q[:, 0]
+        if not _is_junction(br.ds):
+            Q_out = Q_out + q[:, -1]
+    q_junc = (np.asarray(out.junction_outflow)
+              if out.junction_outflow is not None
+              else np.zeros((nt, 0)))
+    Q_out_total = Q_out + q_junc.sum(axis=1)
+
+    # junction-reservoir storage change (plain junctions have area 0)
+    J = np.asarray(out.junction_stage).shape[1]
+    area = np.zeros(J) if junction_area is None else np.asarray(
+        junction_area, np.float64)
+    Y = np.asarray(out.junction_stage)
+    stored = float(np.sum(area * (Y[-1] - Y[1] if nt > 1 else 0.0)))
+
+    inflow_vol = float(np.sum(Q_in) * dt)
+    outflow_vol = float(np.sum(Q_out_total) * dt)
+    imbalance = inflow_vol - outflow_vol - stored
+
+    # instantaneous continuity residual at plain junctions, levels 1+
+    max_imb = 0.0
+    if J and nt > 1:
+        S = np.zeros((nt, J))
+        for br, q in zip(branches, flows):
+            if _is_junction(br.ds):
+                S[:, int(br.ds)] += q[:, -1]
+            if _is_junction(br.us):
+                S[:, int(br.us)] -= q[:, 0]
+        plain = area <= 0.0
+        if plain.any():
+            resid = S[1:, plain] - q_junc[1:, plain]
+            max_imb = float(np.abs(resid).max())
+
+    return dict(
+        inflow_volume=inflow_vol,
+        outflow_volume=outflow_vol,
+        junction_storage_change=stored,
+        mass_imbalance=imbalance,
+        mass_imbalance_pct=(imbalance / inflow_vol * 100.0
+                            if inflow_vol else 0.0),
+        peak_inflow=float(Q_in.max()),
+        peak_outflow=float(Q_out_total.max()),
+        max_junction_imbalance=max_imb,
+        total_newton_iterations=int(np.asarray(out.iterations).sum()),
+        all_converged=bool(np.asarray(out.converged).all()),
+    )
+
+
 def save_results(solver, folder_path: str, file_name: str = None) -> None:
     """Workbook + TXT summary (ref solver.py:129-233).
 

@@ -32,13 +32,13 @@ def run(hours=384, reps=4):
     branches, nj, sset, _ = gerd_tributary.build(sim_duration=3600 * hours)
     # thomas is ~3x faster than pcr at this size on CPU but crashes the TPU
     # worker (nested scan depth, CLAUDE.md); on TPU the fastest validated
-    # path is the stacked engine + f32 inexact-Newton inner solve
-    # (0.458 s vs 1.32 s f64-pcr-loop on v5e, identical iteration counts)
+    # path is the fused whole-network kernel (0.100 s vs 0.492 s stacked
+    # XLA on v5e, identical iteration counts)
     import dataclasses as _dc
 
     on_cpu = dev.platform == "cpu"
     sset = _dc.replace(sset, linear_solver="thomas" if on_cpu else "pcr_f32")
-    engine = "loop" if on_cpu else "stacked"
+    engine = "loop" if on_cpu else "fused"
     print(f"engine={engine} linear_solver={sset.linear_solver}")
     n_nodes = sum(int(np.asarray(br.h0).shape[0]) for br in branches)
     print(f"host build: {time.time() - t0:.1f}s  branches=3 junctions=1 "
@@ -46,6 +46,15 @@ def run(hours=384, reps=4):
 
     def sim(branches):
         return simulate_network(branches, nj, sset, engine=engine)
+
+    if engine == "fused":
+        from flowsim_tpu.ops.pallas.fused_newton import FusedUnsupported
+
+        try:
+            sim(branches)
+        except FusedUnsupported as e:
+            print(f"fused unavailable ({e}); falling back to stacked")
+            engine = "stacked"
 
     t0 = time.time()
     out = sim(branches)

@@ -95,3 +95,45 @@ def test_network_check_criticality_subcritical():
     net = _network(ref)
     net.run(verbose=0, tolerance=1e-6)
     assert net.check_criticality() is False  # example case stays subcritical
+
+
+def test_network_summary_matches_single_reach():
+    """utils.results.network_summary on a serial split must reproduce the
+    single-reach summary_metrics volume balance (same external fluxes), and
+    the junction-continuity residual must sit at solver tolerance."""
+    import dataclasses
+
+    import jax
+
+    from flowsim_tpu.models import akbari_firoozi as ak
+    from flowsim_tpu.ops import preissmann as prs
+    from flowsim_tpu.ops.network import BranchDef, simulate_network
+    from flowsim_tpu.utils.results import network_summary, summary_metrics
+
+    solver, _ = ak.build()
+    sset = dataclasses.replace(
+        solver.settings(tolerance=1e-8, max_iter=100), n_time_levels=13)
+    geo = solver.channel.geometry
+    ref = prs.simulate(geo, solver.us_params, solver.ds_params,
+                       solver.h0, solver.Q0, sset)
+    ref_sum = summary_metrics(np.asarray(ref.flow), sset.time_step)
+
+    sl = lambda s: jax.tree_util.tree_map(lambda x: x[s], geo)
+    cut = 15
+    branches = [
+        BranchDef(geo=sl(slice(0, cut + 1)), dx=solver.spatial_step,
+                  us=solver.us_params, ds=0,
+                  h0=solver.h0[: cut + 1], Q0=solver.Q0[: cut + 1]),
+        BranchDef(geo=sl(slice(cut, None)), dx=solver.spatial_step,
+                  us=0, ds=solver.ds_params,
+                  h0=solver.h0[cut:], Q0=solver.Q0[cut:]),
+    ]
+    out = simulate_network(branches, 1, sset)
+    s = network_summary(out, branches, sset.time_step)
+    assert s["all_converged"]
+    assert s["max_junction_imbalance"] < 1e-6
+    assert s["junction_storage_change"] == 0.0
+    np.testing.assert_allclose(s["mass_imbalance"], ref_sum["mass_imbalance"],
+                               rtol=1e-6)
+    np.testing.assert_allclose(s["peak_inflow"], ref_sum["peak_inflow"],
+                               rtol=1e-9)

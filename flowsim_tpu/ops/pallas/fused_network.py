@@ -58,9 +58,9 @@ from flowsim_tpu.ops.pallas.df32 import DF, df
 from flowsim_tpu.ops.pallas import fused_newton as fn
 from flowsim_tpu.ops.pallas.fused_newton import (
     _NG, _NS, _S_DT, _S_DX, _S_THETA, _S_TOL, _S_ZERO, _S_DSBED,
-    FusedUnsupported, _assemble_fused, _level_state, _pack_init,
-    _pack_trap_rows, _pack_us_series, _pack_ds_config, _pack_us_config,
-    _roll, _split64)
+    FusedUnsupported, _LevelStreamer, _assemble_fused, _level_state,
+    _out_scratch_shapes, _pack_init, _pack_trap_rows, _pack_us_series,
+    _pack_ds_config, _pack_us_config, _roll, _split64)
 
 
 def _sub_sum(x):
@@ -75,14 +75,22 @@ def _sub_sum(x):
 def _kernel_network(geo_ref, init_ref, net_ref, jin_ref, tgt_ref, ds_tgt_ref,
                     scal_ref, *out_refs,
                     nt, n, B, J, Jp, m_rhs, n_sweeps, max_iter, ds_kind,
-                    us_kind, gate_init, varying, topo_j, interpret):
+                    us_kind, gate_init, varying, topo_j, out_mem, interpret):
     """The whole-network-simulation kernel body.
 
     ``topo_j``: static tuple of (us_junction_or_None, ds_junction_or_None)
     per branch sublane (None entries for external ends and pad branches).
     ``n`` = Nmax (uniform padded branch length); ``Jp`` = junction sublane
-    count (J padded to a multiple of 8).
+    count (J padded to a multiple of 8).  ``out_mem="hbm"`` streams the six
+    per-level output stacks through the double-buffered
+    :class:`_LevelStreamer` DMA stage (removes the nt VMEM ceiling).
     """
+    out_refs = list(out_refs)
+    streamer = None
+    if out_mem == "hbm":
+        sems = out_refs.pop()
+        stage_refs = [out_refs.pop() for _ in range(6)][::-1]
+        streamer = _LevelStreamer(out_refs, stage_refs, sems, nt)
     dhi_ref, dlo_ref, fhi_ref, flo_ref, stats_ref, jstat_ref = out_refs
     roll = _roll(interpret)
     geo = geo_ref[:]
@@ -180,16 +188,20 @@ def _kernel_network(geo_ref, init_ref, net_ref, jin_ref, tgt_ref, ds_tgt_ref,
                       + jnp.where(liota128 == 1, err_s, 0.0)
                       + jnp.where(liota128 == 3, gate_open, 0.0))
         stats_rows = jnp.broadcast_to(stats_rows, (B, 128))
-        dhi_ref[pl.ds(k, 1)] = h.hi[None]
-        dlo_ref[pl.ds(k, 1)] = h.lo[None]
-        fhi_ref[pl.ds(k, 1)] = Q.hi[None]
-        flo_ref[pl.ds(k, 1)] = Q.lo[None]
-        stats_ref[pl.ds(k, 1)] = stats_rows[None]
         jrows = (jnp.where(liota128 == 0, Y.hi, 0.0)
                  + jnp.where(liota128 == 1, Y.lo, 0.0)
                  + jnp.where(liota128 == 2, iters_s, 0.0)
                  + jnp.where(liota128 == 3, err_s, 0.0))
         jrows = jnp.broadcast_to(jrows, (Jp, 128))
+        if streamer is not None:
+            streamer.store(k, [h.hi[None], h.lo[None], Q.hi[None],
+                               Q.lo[None], stats_rows[None], jrows[None]])
+            return
+        dhi_ref[pl.ds(k, 1)] = h.hi[None]
+        dlo_ref[pl.ds(k, 1)] = h.lo[None]
+        fhi_ref[pl.ds(k, 1)] = Q.hi[None]
+        flo_ref[pl.ds(k, 1)] = Q.lo[None]
+        stats_ref[pl.ds(k, 1)] = stats_rows[None]
         jstat_ref[pl.ds(k, 1)] = jrows[None]
 
     z11 = h0.hi[0:1, 0:1] * np.float32(0.0)
@@ -360,17 +372,19 @@ def _kernel_network(geo_ref, init_ref, net_ref, jin_ref, tgt_ref, ds_tgt_ref,
             1, nt, level_body,
             (h0.hi, h0.lo, Q0.hi, Q0.lo, Y0.hi * 1.0, Y0.lo * 1.0,
              dz0 + np.float32(gate_init), dz0, dz0 - 1.0, gstage0))
+    if streamer is not None:
+        streamer.drain()
 
 
 @functools.lru_cache(maxsize=32)
 def _build_call_network(*, nt, n, B, Np, J, Jp, m_rhs, n_sweeps, max_iter,
                         ds_kind, us_kind, gate_init, varying, topo_j,
-                        interpret):
+                        out_mem, interpret):
     kern = functools.partial(
         _kernel_network, nt=nt, n=n, B=B, J=J, Jp=Jp, m_rhs=m_rhs,
         n_sweeps=n_sweeps, max_iter=max_iter, ds_kind=ds_kind,
         us_kind=us_kind, gate_init=gate_init, varying=varying,
-        topo_j=topo_j, interpret=interpret)
+        topo_j=topo_j, out_mem=out_mem, interpret=interpret)
     out_shapes = [
         jax.ShapeDtypeStruct((nt, B, Np), jnp.float32),   # depth hi
         jax.ShapeDtypeStruct((nt, B, Np), jnp.float32),   # depth lo
@@ -379,6 +393,7 @@ def _build_call_network(*, nt, n, B, Np, J, Jp, m_rhs, n_sweeps, max_iter,
         jax.ShapeDtypeStruct((nt, B, 128), jnp.float32),  # per-branch stats
         jax.ShapeDtypeStruct((nt, Jp, 128), jnp.float32),  # junction stats
     ]
+    out_space = pl.ANY if out_mem == "hbm" else pltpu.VMEM
     return jax.jit(pl.pallas_call(
         kern,
         out_shape=out_shapes,
@@ -391,7 +406,9 @@ def _build_call_network(*, nt, n, B, Np, J, Jp, m_rhs, n_sweeps, max_iter,
             pl.BlockSpec(memory_space=pltpu.SMEM),  # ds target series [B, nt]
             pl.BlockSpec(memory_space=pltpu.SMEM),  # scalars [B, _NS]
         ],
-        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(out_shapes),
+        out_specs=[pl.BlockSpec(memory_space=out_space)] * len(out_shapes),
+        scratch_shapes=(_out_scratch_shapes(out_shapes)
+                        if out_mem == "hbm" else []),
         interpret=interpret,
     ))
 
@@ -554,23 +571,33 @@ def fused_simulate_network(branches, n_junctions, settings, Y0=None,
     jin[0:Jp, 0] = y_hi
     jin[Jp:2 * Jp, 0] = y_lo
 
-    # VMEM budget: output stacks + inputs + per-branch working set (the
-    # PCR buffer grows to 12+2*m_rhs rows; reuse the measured single-run
-    # row budget plus the extra RHS pairs)
+    # VMEM budget: inputs + per-branch working set (the PCR buffer grows
+    # to 12+2*m_rhs rows; reuse the measured single-run row budget plus
+    # the extra RHS pairs), plus the [nt, ...] output stacks — unless
+    # out_memory="hbm" streams them (then only 2 staging slots per output
+    # stay in VMEM and nt is unbounded)
     work_rows = fn._WORK_ROWS + 2 * (m_rhs - 1) * (n_sweeps + 2)
-    vmem = (4 * nt * B * Np + nt * B * 128 + nt * Jp * 128
-            + (_NG + 4 + 7) * B * Np + work_rows * B * Np) * 4
-    if vmem > fn._FUSED_VMEM_BYTES:
+    per_level = (4 * B * Np + B * 128 + Jp * 128) * 4
+    work = ((_NG + 4 + 7) * B * Np + work_rows * B * Np) * 4
+    req = getattr(settings, "out_memory", "auto")
+    if req in ("vmem", "hbm"):
+        out_mem = req
+    else:
+        out_mem = "vmem" if work + nt * per_level <= fn._FUSED_VMEM_BYTES \
+            else "hbm"
+    out_vmem = (nt if out_mem == "vmem" else 2) * per_level
+    if work + out_vmem > fn._FUSED_VMEM_BYTES:
         raise FusedUnsupported(
-            f"network outputs + working set exceed the VMEM budget "
-            f"(B={B0}, Nmax={Nmax}, nt={nt}); run the XLA stacked engine "
-            f"or checkpoint-chunk the levels")
+            f"network working set exceeds the VMEM budget "
+            f"(B={B0}, Nmax={Nmax}, nt={nt}, out_memory='{out_mem}'); run "
+            f"the XLA stacked engine or checkpoint-chunk the levels")
 
     call = _build_call_network(
         nt=nt, n=Nmax, B=B, Np=Np, J=J, Jp=Jp, m_rhs=m_rhs, n_sweeps=n_sweeps,
         max_iter=settings.max_iter, ds_kind=ds_kind, us_kind=us_kind,
         gate_init=1.0 if settings.gate_initially_open else 0.0,
-        varying=varying, topo_j=tuple(topo_j), interpret=interpret)
+        varying=varying, topo_j=tuple(topo_j), out_mem=out_mem,
+        interpret=interpret)
     outs = call(jnp.asarray(geo_rows), jnp.asarray(init_rows),
                 jnp.asarray(net_rows), jnp.asarray(jin),
                 jnp.asarray(tgt_b), jnp.asarray(ds_tgt_b),

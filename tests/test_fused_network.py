@@ -133,3 +133,25 @@ def test_unsupported_configs_raise():
     br1s = dataclasses.replace(branches[1], ds=ds_stor)
     with pytest.raises(FusedUnsupported):
         simulate_network([branches[0], br1s], 1, sset, engine="fused")
+
+
+def test_hbm_streaming_bitwise():
+    """out_memory="hbm" (double-buffered DMA streaming of the six output
+    stacks) must be bitwise-identical to the in-VMEM store, and removes
+    the nt VMEM ceiling for network runs."""
+    branches, sset = _split_akbari(nt=7)
+    out_v = simulate_network(
+        branches, 1, dataclasses.replace(sset, out_memory="vmem"),
+        engine="fused")
+    out_h = simulate_network(
+        branches, 1, dataclasses.replace(sset, out_memory="hbm"),
+        engine="fused")
+    for b in range(2):
+        np.testing.assert_array_equal(np.asarray(out_v.depth[b]),
+                                      np.asarray(out_h.depth[b]))
+        np.testing.assert_array_equal(np.asarray(out_v.flow[b]),
+                                      np.asarray(out_h.flow[b]))
+    np.testing.assert_array_equal(np.asarray(out_v.junction_stage),
+                                  np.asarray(out_h.junction_stage))
+    np.testing.assert_array_equal(np.asarray(out_v.iterations),
+                                  np.asarray(out_h.iterations))

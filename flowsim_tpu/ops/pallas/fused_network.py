@@ -35,7 +35,9 @@ Jacobian + PCR + Schur solve (inexact Newton — the XLA ``pcr_f32`` network
 path converges with iteration counts identical to full f64, BASELINE.md).
 
 Scope (v1): TrapezoidGeometry branches, plain junctions (zero storage
-area, no junction rating), no lateral inflow, ``newton="while"``, and one
+area, no junction rating), constant-in-time lateral inflow only (a
+residual constant; time-varying [nt, N] fields fall back),
+``newton="while"``, and one
 shared external BC kind per side (all external upstream ends share
 ``us_kind``, all external downstream ends share ``ds_kind`` — any of the
 non-storage kinds fused_newton supports, including the gated controller).
@@ -75,7 +77,8 @@ def _sub_sum(x):
 def _kernel_network(geo_ref, init_ref, net_ref, jin_ref, tgt_ref, ds_tgt_ref,
                     scal_ref, *out_refs,
                     nt, n, B, J, Jp, m_rhs, n_sweeps, max_iter, ds_kind,
-                    us_kind, gate_init, varying, topo_j, out_mem, interpret):
+                    us_kind, gate_init, varying, topo_j, has_qlat, out_mem,
+                    interpret):
     """The whole-network-simulation kernel body.
 
     ``topo_j``: static tuple of (us_junction_or_None, ds_junction_or_None)
@@ -139,6 +142,7 @@ def _kernel_network(geo_ref, init_ref, net_ref, jin_ref, tgt_ref, ds_tgt_ref,
     jm_us = net[4 * B:5 * B, 0:1]
     jm_ds = net[5 * B:6 * B, 0:1]
     jm_real = net[6 * B:7 * B, 0:1]   # 0 on pad sublanes (error mask)
+    qlat_avg = net[7 * B:8 * B, :] if has_qlat else None
     pad_cell = (idx < n - 1).astype(jnp.float32) - cell_real
     z_us_col = z_rows[:, 0:1]
     z_ds_col = z_rows[:, n - 1:n]
@@ -254,7 +258,8 @@ def _kernel_network(geo_ref, init_ref, net_ref, jin_ref, tgt_ref, ds_tgt_ref,
             buf, errb, _ = _assemble_fused(
                 g, scal, roll, n, ds_kind, hc, Qc, h, Q,
                 prev_A, prev_Se, prev_Q2A, tgt, us_kind=us_kind,
-                y_old=Yc, k=k, gate_open=gopen, ds_tgt=ds_tgt, junc=junc)
+                y_old=Yc, k=k, gate_open=gopen, ds_tgt=ds_tgt, junc=junc,
+                qlat_avg=qlat_avg)
             # append the constant -1 coupling RHS pairs (the dR/dY columns
             # of the arrowhead system, ops/network.py:_simulate_network_
             # stacked rhs_coup)
@@ -379,12 +384,13 @@ def _kernel_network(geo_ref, init_ref, net_ref, jin_ref, tgt_ref, ds_tgt_ref,
 @functools.lru_cache(maxsize=32)
 def _build_call_network(*, nt, n, B, Np, J, Jp, m_rhs, n_sweeps, max_iter,
                         ds_kind, us_kind, gate_init, varying, topo_j,
-                        out_mem, interpret):
+                        has_qlat, out_mem, interpret):
     kern = functools.partial(
         _kernel_network, nt=nt, n=n, B=B, J=J, Jp=Jp, m_rhs=m_rhs,
         n_sweeps=n_sweeps, max_iter=max_iter, ds_kind=ds_kind,
         us_kind=us_kind, gate_init=gate_init, varying=varying,
-        topo_j=topo_j, out_mem=out_mem, interpret=interpret)
+        topo_j=topo_j, has_qlat=has_qlat, out_mem=out_mem,
+        interpret=interpret)
     out_shapes = [
         jax.ShapeDtypeStruct((nt, B, Np), jnp.float32),   # depth hi
         jax.ShapeDtypeStruct((nt, B, Np), jnp.float32),   # depth lo
@@ -449,9 +455,12 @@ def fused_simulate_network(branches, n_junctions, settings, Y0=None,
             raise FusedUnsupported(
                 "fused network kernel supports TrapezoidGeometry branches "
                 "only")
-        if br.qlat is not None:
-            raise FusedUnsupported("lateral inflow is XLA-engine only")
+        if br.qlat is not None and np.ndim(br.qlat) != 1:
+            raise FusedUnsupported(
+                "time-varying lateral inflow is XLA-engine only (constant "
+                "[N] qlat is supported)")
         n_bs.append(int(np.asarray(br.h0).shape[0]))
+    has_qlat = any(br.qlat is not None for br in branches)
     Nmax = max(n_bs)
     nt = settings.n_time_levels
     Np = max(128, -(-Nmax // 128) * 128)
@@ -469,7 +478,7 @@ def fused_simulate_network(branches, n_junctions, settings, Y0=None,
     f32 = np.float32
     geo_rows = np.zeros((_NG * B, Np), f32)
     init_rows = np.zeros((4 * B, Np), f32)
-    net_rows = np.zeros((7 * B, Np), f32)
+    net_rows = np.zeros((8 * B, Np), f32)
     nt_pad = max(nt, 8)
     tgt_b = np.zeros((B, nt_pad), f32)
     ds_tgt_b = np.zeros((B, nt_pad), f32)
@@ -543,7 +552,7 @@ def fused_simulate_network(branches, n_junctions, settings, Y0=None,
         scal_rows[m] = scal_m
 
         z_p = np.asarray(geo_p.z_bed, np.float64)
-        nr = net_rows.reshape(7, B, Np)
+        nr = net_rows.reshape(8, B, Np)
         nr[0, m, :Nmax] = (np.arange(Nmax) < n_b)
         nr[1, m, :Nmax] = (np.arange(Nmax) < n_b - 1)
         nr[2, m, n_b - 1] = 1.0
@@ -551,6 +560,11 @@ def fused_simulate_network(branches, n_junctions, settings, Y0=None,
         nr[4, m, 0] = 0.0 if jus is None else 1.0
         nr[5, m, 0] = 0.0 if jds is None else 1.0
         nr[6, m, 0] = 0.0 if is_pad else 1.0
+        if br.qlat is not None and not is_pad:
+            # theta-weighted cell average of a constant-in-time inflow:
+            # (q_i + q_{i+1})/2 on real cells (ops/preissmann.py:cell_stencil)
+            q = np.asarray(br.qlat, np.float64)
+            nr[7, m, : n_b - 1] = (0.5 * (q[:-1] + q[1:])).astype(f32)
 
     us_kind = us_kind or "flow_hydrograph"
     ds_kind = ds_kind or "fixed_h"
@@ -578,7 +592,7 @@ def fused_simulate_network(branches, n_junctions, settings, Y0=None,
     # stay in VMEM and nt is unbounded)
     work_rows = fn._WORK_ROWS + 2 * (m_rhs - 1) * (n_sweeps + 2)
     per_level = (4 * B * Np + B * 128 + Jp * 128) * 4
-    work = ((_NG + 4 + 7) * B * Np + work_rows * B * Np) * 4
+    work = ((_NG + 4 + 8) * B * Np + work_rows * B * Np) * 4
     req = getattr(settings, "out_memory", "auto")
     if req in ("vmem", "hbm"):
         out_mem = req
@@ -596,8 +610,8 @@ def fused_simulate_network(branches, n_junctions, settings, Y0=None,
         nt=nt, n=Nmax, B=B, Np=Np, J=J, Jp=Jp, m_rhs=m_rhs, n_sweeps=n_sweeps,
         max_iter=settings.max_iter, ds_kind=ds_kind, us_kind=us_kind,
         gate_init=1.0 if settings.gate_initially_open else 0.0,
-        varying=varying, topo_j=tuple(topo_j), out_mem=out_mem,
-        interpret=interpret)
+        varying=varying, topo_j=tuple(topo_j), has_qlat=has_qlat,
+        out_mem=out_mem, interpret=interpret)
     outs = call(jnp.asarray(geo_rows), jnp.asarray(init_rows),
                 jnp.asarray(net_rows), jnp.asarray(jin),
                 jnp.asarray(tgt_b), jnp.asarray(ds_tgt_b),

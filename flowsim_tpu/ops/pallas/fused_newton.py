@@ -573,7 +573,7 @@ def _assemble_fused(g, scal, roll, n, ds_kind,
                     h, Q, prev_h, prev_Q, prev_A, prev_Se, prev_Q2A, tgt,
                     us_kind="flow_hydrograph", y_old=None, k=None,
                     gate_open=None, section_fn=None, ds_tgt=None, stg=None,
-                    junc=None):
+                    junc=None, qlat_avg=None):
     """df32 residual + f32 Jacobian, packed as the [16, Np] PCR system.
 
     Module-level (not a kernel closure) so tests can drive the exact same
@@ -638,6 +638,11 @@ def _assemble_fused(g, scal, roll, n, ds_kind,
         return half * (th_df * csum_df(cur) + one_m_th * csum_df(prv))
 
     Rc = tdiff(A, prev_A) + sdiff(Q, prev_Q)
+    if qlat_avg is not None:
+        # constant-in-time distributed lateral inflow: the theta-weighted
+        # cell average collapses to (q_i + q_{i+1})/2, a residual constant
+        # with no Jacobian contribution (ops/preissmann.py:cell_stencil)
+        Rc = Rc - df(qlat_avg)
     dQdt = tdiff(Q, prev_Q)
     dQ2A_dx = sdiff(Q2A, prev_Q2A)
     avgA = cavg(A, prev_A)

@@ -117,9 +117,10 @@ def test_unsupported_configs_raise():
     with pytest.raises(FusedUnsupported):
         simulate_network(branches, 1, sset, engine="fused",
                          junction_area=[5e5])
-    # lateral inflow
-    br0 = dataclasses.replace(
-        branches[0], qlat=np.full(int(branches[0].h0.shape[0]), 0.1))
+    # time-varying lateral inflow (constant [N] fields ARE supported —
+    # test_branch_qlat_parity)
+    nt, n0 = sset.n_time_levels, int(branches[0].h0.shape[0])
+    br0 = dataclasses.replace(branches[0], qlat=np.full((nt, n0), 0.1))
     with pytest.raises(FusedUnsupported):
         simulate_network([br0, branches[1]], 1, sset, engine="fused")
     # fixed-Newton mode (differentiable path) is XLA-engine only
@@ -155,3 +156,23 @@ def test_hbm_streaming_bitwise():
                                   np.asarray(out_h.junction_stage))
     np.testing.assert_array_equal(np.asarray(out_v.iterations),
                                   np.asarray(out_h.iterations))
+
+
+def test_branch_qlat_parity():
+    """Constant-in-time distributed lateral inflow on network branches:
+    fused must match the XLA loop engine iteration-for-iteration (the
+    inflow is a residual constant with no Jacobian term)."""
+    branches, sset = _split_akbari(nt=9)
+    qlat = [0.004 * (1.0 + np.linspace(0.0, 1.0, int(br.h0.shape[0])))
+            for br in branches]
+    branches = [dataclasses.replace(br, qlat=jnp.asarray(q))
+                for br, q in zip(branches, qlat)]
+    out_l = simulate_network(branches, 1, sset, engine="loop")
+    out_f = simulate_network(branches, 1, sset, engine="fused")
+    _assert_parity(out_l, out_f, 2, dh=1e-6, dY=1e-6)
+    # the added volume actually shows up: downstream outflow exceeds the
+    # no-inflow run's at the last level
+    plain, _ = _split_akbari(nt=9)
+    out_p = simulate_network(plain, 1, sset, engine="fused")
+    assert (np.asarray(out_f.flow[1])[-1, -1]
+            > np.asarray(out_p.flow[1])[-1, -1] + 1.0)

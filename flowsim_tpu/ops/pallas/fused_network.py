@@ -635,7 +635,14 @@ def fused_simulate_network(branches, n_junctions, settings, Y0=None,
     res_stage = jnp.full((nt, B0, 2), jnp.nan, dtype)
     gate0 = 1.0 if settings.gate_initially_open else 0.0
     if ds_kind == "gated_blend":
-        gds = stats[:, :B0, 3].astype(dtype)
+        # junction-ds branches run the kernel's per-sublane gate state
+        # machine against an unset pivot (physics unaffected — the junction
+        # row overrides the ds residual), but the XLA engines report the
+        # inert initial state there; mask to match that contract
+        ds_is_junc = np.array([topo_j[b][1] is not None
+                               for b in range(B0)])[None, :]
+        gds = jnp.where(jnp.asarray(ds_is_junc), jnp.asarray(gate0, dtype),
+                        stats[:, :B0, 3].astype(dtype))
     else:
         gds = jnp.full((nt, B0), gate0, dtype)
     gate_open = jnp.stack([jnp.full((nt, B0), gate0, dtype), gds], axis=-1)

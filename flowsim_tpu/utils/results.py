@@ -226,8 +226,11 @@ def network_summary(out, branches, dt: float, junction_area=None) -> dict:
     J = np.asarray(out.junction_stage).shape[1]
     area = np.zeros(J) if junction_area is None else np.asarray(
         junction_area, np.float64)
+    # baseline is Y[0] (the true initial pool stage): the first trapezoidal
+    # balance spans Y[0] -> Y[1], so anchoring on Y[1] would bias the
+    # imbalance by area * (Y[1] - Y[0]) for junction-reservoir networks
     Y = np.asarray(out.junction_stage)
-    stored = float(np.sum(area * (Y[-1] - Y[1] if nt > 1 else 0.0)))
+    stored = float(np.sum(area * (Y[-1] - Y[0] if nt > 1 else 0.0)))
 
     inflow_vol = float(np.sum(Q_in) * dt)
     outflow_vol = float(np.sum(Q_out_total) * dt)

@@ -137,3 +137,51 @@ def test_network_summary_matches_single_reach():
                                rtol=1e-6)
     np.testing.assert_allclose(s["peak_inflow"], ref_sum["peak_inflow"],
                                rtol=1e-9)
+
+
+def test_network_summary_junction_reservoir():
+    """network_summary with a junction reservoir: the storage-change term
+    must anchor on Y[0] (the true initial pool stage — the first trapezoidal
+    balance spans Y[0] -> Y[1]), and the volume balance must close to the
+    integration-rule difference (summary uses the reference's plain sum*dt
+    while the solver balances trapezoidally)."""
+    import dataclasses
+
+    import jax
+
+    from flowsim_tpu.models import akbari_firoozi as ak
+    from flowsim_tpu.ops.network import BranchDef, simulate_network
+    from flowsim_tpu.utils.results import network_summary
+
+    solver, _ = ak.build()
+    sset = dataclasses.replace(
+        solver.settings(tolerance=1e-8, max_iter=100), n_time_levels=13)
+    geo = solver.channel.geometry
+    sl = lambda s: jax.tree_util.tree_map(lambda x: x[s], geo)
+    cut = 15
+    branches = [
+        BranchDef(geo=sl(slice(0, cut + 1)), dx=solver.spatial_step,
+                  us=solver.us_params, ds=0,
+                  h0=solver.h0[: cut + 1], Q0=solver.Q0[: cut + 1]),
+        BranchDef(geo=sl(slice(cut, None)), dx=solver.spatial_step,
+                  us=0, ds=solver.ds_params,
+                  h0=solver.h0[cut:], Q0=solver.Q0[cut:]),
+    ]
+    SA = 5.0e5
+    out = simulate_network(branches, 1, sset, junction_area=[SA])
+    s = network_summary(out, branches, sset.time_step, junction_area=[SA])
+    assert s["all_converged"]
+
+    Y = np.asarray(out.junction_stage)[:, 0]
+    assert abs(Y[1] - Y[0]) > 1e-6, "test needs a moving pool at level 1"
+    np.testing.assert_allclose(s["junction_storage_change"],
+                               SA * (Y[-1] - Y[0]), rtol=1e-12)
+
+    # the Y[0] anchor is what makes the stored volume equal the trapezoidal
+    # integral of the junction's net end inflow (the per-level solver
+    # balance telescopes: SA*(Y[-1]-Y[0]) = dt*trapz(S)); the old Y[1]
+    # anchor was off by SA*(Y[1]-Y[0])
+    S = (np.asarray(out.flow[0])[:, -1] - np.asarray(out.flow[1])[:, 0])
+    trapz = sset.time_step * (0.5 * S[0] + S[1:-1].sum() + 0.5 * S[-1])
+    np.testing.assert_allclose(s["junction_storage_change"], trapz,
+                               rtol=1e-6)

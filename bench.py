@@ -104,6 +104,16 @@ def _run_benchmark(force_cpu: bool = False):
         # the reliable completion barrier.
         return float(jnp.sum(x))
 
+    if device.platform != "cpu":
+        # Pay the tunnel's per-session first-contact floor on a TRIVIAL
+        # executable and report it separately: it reached 100-680 s on some
+        # days (BENCH_r03's "678 s fused compile" was almost entirely this
+        # floor — the kernel's own warm-session compile is ~17 s, measured
+        # round 4, BASELINE.md "compile-time decomposition").
+        t0 = time.time()
+        sync(jnp.ones(8))
+        log(f"tunnel session floor (trivial executable): {time.time()-t0:.1f}s")
+
     # --- fused whole-simulation Pallas kernel (TPU fast path) -------------
     # One dispatch for the entire run; df32 residual arithmetic in VMEM
     # (ops/pallas/fused_newton.py).  Validated against the CPU f64 fields

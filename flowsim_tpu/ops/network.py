@@ -369,15 +369,10 @@ def simulate_network(branches: List[BranchDef], n_junctions: int,
     if engine == "fused":
         # whole-network single-dispatch Pallas kernel (ops/pallas/
         # fused_network.py); raises FusedUnsupported outside its scope
-        from flowsim_tpu.ops.pallas.fused_network import (FusedUnsupported,
-                                                          fused_simulate_network)
-        if rating is not None and any(rc is not None for rc in rating):
-            raise FusedUnsupported("junction rated outflow is XLA-engine only")
-        if junction_area is not None and bool(
-                np.any(np.asarray(junction_area) > 0.0)):
-            raise FusedUnsupported("junction reservoirs are XLA-engine only")
+        from flowsim_tpu.ops.pallas.fused_network import fused_simulate_network
         return fused_simulate_network(
             branches, n_junctions, settings, Y0=Y0,
+            junction_area=junction_area, junction_rating=rating,
             interpret=jax.devices()[0].platform != "tpu")
     if engine == "stacked":
         return _simulate_network_stacked(dyn, Y0, junction_area, rating,

@@ -34,10 +34,13 @@ Precision design is inherited from fused_newton: df32 residuals, f32
 Jacobian + PCR + Schur solve (inexact Newton — the XLA ``pcr_f32`` network
 path converges with iteration counts identical to full f64, BASELINE.md).
 
-Scope (v1): TrapezoidGeometry branches, plain junctions (zero storage
-area, no junction rating), constant-in-time lateral inflow only (a
-residual constant; time-varying [nt, N] fields fall back),
-``newton="while"``, and one
+Scope (v2): TrapezoidGeometry branches, plain junctions AND junction
+reservoirs (0-D storage at a junction, trapezoidal mass balance — ref
+lumped_storage.py:24-35 applied at a multi-branch node) with optional
+rated outflow (quadratic polynomial / blended_poly release curves,
+ops/network.py:_junction_residuals), constant AND time-varying [nt, N]
+lateral inflow (per-level theta-weighted cell averages precomputed on the
+host), ``newton="while"``, and one
 shared external BC kind per side (all external upstream ends share
 ``us_kind``, all external downstream ends share ``ds_kind`` — any of the
 non-storage kinds fused_newton supports, including the gated controller).
@@ -74,11 +77,21 @@ def _sub_sum(x):
     return acc
 
 
-def _kernel_network(geo_ref, init_ref, net_ref, jin_ref, tgt_ref, ds_tgt_ref,
-                    scal_ref, *out_refs,
+# junction-config rows of the ``jin`` input (each a [Jp, 128] block whose
+# lane-0 column carries the per-junction value): df32 initial stages, then
+# the junction-reservoir area and rated-outflow coefficients (low/high
+# quadratics in the offset stage x = Y + xoff; polynomial ratings pack
+# high = low and bufsafe = 1e-30 so the smoothstep saturates to alpha = 1
+# and the blend collapses to the plain quadratic)
+_J_YHI, _J_YLO, _J_AREA, _J_C2, _J_C1, _J_C0, _J_D2, _J_D1, _J_D0, \
+    _J_XOFF, _J_BUFS, _J_FD = range(12)
+_NJ = 12
+
+
+def _kernel_network(*refs,
                     nt, n, B, J, Jp, m_rhs, n_sweeps, max_iter, ds_kind,
-                    us_kind, gate_init, varying, topo_j, has_qlat, out_mem,
-                    interpret):
+                    us_kind, gate_init, varying, topo_j, qlat_mode, has_jstor,
+                    has_jrate, has_stor_end, out_mem, interpret):
     """The whole-network-simulation kernel body.
 
     ``topo_j``: static tuple of (us_junction_or_None, ds_junction_or_None)
@@ -87,8 +100,19 @@ def _kernel_network(geo_ref, init_ref, net_ref, jin_ref, tgt_ref, ds_tgt_ref,
     count (J padded to a multiple of 8).  ``out_mem="hbm"`` streams the six
     per-level output stacks through the double-buffered
     :class:`_LevelStreamer` DMA stage (removes the nt VMEM ceiling).
+    ``qlat_mode``: None | "const" (theta-box cell average rides the net
+    rows) | "tv" (per-level [nt, B, Np] pre-averaged rows read per level).
     """
-    out_refs = list(out_refs)
+    refs = list(refs)
+    geo_ref = refs.pop(0)
+    init_ref = refs.pop(0)
+    net_ref = refs.pop(0)
+    jin_ref = refs.pop(0)
+    qlat_ref = refs.pop(0) if qlat_mode == "tv" else None
+    tgt_ref = refs.pop(0)
+    ds_tgt_ref = refs.pop(0)
+    scal_ref = refs.pop(0)
+    out_refs = refs
     streamer = None
     if out_mem == "hbm":
         sems = out_refs.pop()
@@ -142,15 +166,68 @@ def _kernel_network(geo_ref, init_ref, net_ref, jin_ref, tgt_ref, ds_tgt_ref,
     jm_us = net[4 * B:5 * B, 0:1]
     jm_ds = net[5 * B:6 * B, 0:1]
     jm_real = net[6 * B:7 * B, 0:1]   # 0 on pad sublanes (error mask)
-    qlat_avg = net[7 * B:8 * B, :] if has_qlat else None
+    qlat_const = net[7 * B:8 * B, :] if qlat_mode == "const" else None
+    # mixed-kind selection masks (one [B, 1] column per kind in the tuple)
+    base_r = 8
+    us_masks = ds_masks = None
+    if isinstance(us_kind, tuple):
+        us_masks = tuple(net[(base_r + i) * B:(base_r + i + 1) * B, 0:1]
+                         for i in range(len(us_kind)))
+        base_r += len(us_kind)
+    if isinstance(ds_kind, tuple):
+        ds_masks = tuple(net[(base_r + i) * B:(base_r + i + 1) * B, 0:1]
+                         for i in range(len(ds_kind)))
+    gated = "gated_blend" in ((ds_kind,) if isinstance(ds_kind, str)
+                              else ds_kind)
     pad_cell = (idx < n - 1).astype(jnp.float32) - cell_real
     z_us_col = z_rows[:, 0:1]
     z_ds_col = z_rows[:, n - 1:n]
 
     jin = jin_ref[:]
-    Y0 = DF(jin[0:Jp, 0:1], jin[Jp:2 * Jp, 0:1])
+    jrow = lambda r: jin[r * Jp:(r + 1) * Jp, 0:1]
+    Y0 = DF(jrow(_J_YHI), jrow(_J_YLO))
     jiota = jax.lax.broadcasted_iota(jnp.int32, (Jp, 1), 0)
     liota128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+    # junction-reservoir / rated-outflow config columns ([Jp, 1] f32)
+    j_area = jrow(_J_AREA)
+    stor = (j_area > 0.0).astype(jnp.float32) if has_jstor else None
+    if has_jrate:
+        j_c = (jrow(_J_C2), jrow(_J_C1), jrow(_J_C0))
+        j_d = (jrow(_J_D2), jrow(_J_D1), jrow(_J_D0))
+        j_xoff, j_bufs, j_fd = jrow(_J_XOFF), jrow(_J_BUFS), jrow(_J_FD)
+
+    def jrate_q(Y: DF) -> DF:
+        """df32 rated outflow q(Y) per junction (ops/rating_curve.py
+        ``discharge`` for polynomial/blended_poly, delta-form blend; the
+        smoothstep mirrors ``_rating_q``'s df32 form)."""
+        if not has_jrate:
+            return DF(Y.hi * 0.0, Y.hi * 0.0)
+        x = Y + df(j_xoff)
+        low = (df(j_c[0]) * x + df(j_c[1])) * x + df(j_c[2])
+        high = (df(j_d[0]) * x + df(j_d[1])) * x + df(j_d[2])
+        s = x / df(j_bufs)
+        zero = df(Y.hi * 0.0)
+        one = df(jnp.ones_like(Y.hi))
+        s = df32.where(s.hi < 0.0, zero, df32.where(s.hi > 1.0, one, s))
+        alpha = s * s * (df(3.0) - df(2.0) * s)
+        return low + alpha * (high - low)
+
+    def jrate_dq(Y: DF):
+        """f32 dq/dY via central difference (exact for the quadratics at
+        fd=1; blended curves mirror rcurve.dQ_dz's fd_step FD)."""
+        if not has_jrate:
+            return None
+
+        def q32(xv):
+            lo = (j_c[0] * xv + j_c[1]) * xv + j_c[2]
+            hi = (j_d[0] * xv + j_d[1]) * xv + j_d[2]
+            s = jnp.clip(xv / j_bufs, 0.0, 1.0)
+            a = s * s * (3.0 - 2.0 * s)
+            return lo + a * (hi - lo)
+
+        xv = Y.value + j_xoff
+        return (q32(xv + j_fd) - q32(xv - j_fd)) / (2.0 * j_fd)
 
     init = init_ref[:]
     h0 = DF(init[0 * B:1 * B, :], init[1 * B:2 * B, :])
@@ -184,13 +261,18 @@ def _kernel_network(geo_ref, init_ref, net_ref, jin_ref, tgt_ref, ds_tgt_ref,
             S = S + DF(m, m * 0.0) * q_end * df(np.float32(sgn))
         return S
 
-    def store_level(k, h, Q, iters_s, err_s, gate_open, Y):
+    def store_level(k, h, Q, iters_s, err_s, gate_open, Y, rs=None):
         """``iters_s``/``err_s`` are [1, 1] network-wide scalars; the
         per-branch stats row replicates them (lanes 0/1) and carries the
-        per-branch gate state (lane 3)."""
+        per-branch gate state (lane 3) and, with storage ends, the df32
+        reservoir-stage halves (lanes 4/5)."""
         stats_rows = (jnp.where(liota128 == 0, iters_s, 0.0)
                       + jnp.where(liota128 == 1, err_s, 0.0)
                       + jnp.where(liota128 == 3, gate_open, 0.0))
+        if rs is not None:
+            stats_rows = (stats_rows
+                          + jnp.where(liota128 == 4, rs.hi, 0.0)
+                          + jnp.where(liota128 == 5, rs.lo, 0.0))
         stats_rows = jnp.broadcast_to(stats_rows, (B, 128))
         jrows = (jnp.where(liota128 == 0, Y.hi, 0.0)
                  + jnp.where(liota128 == 1, Y.lo, 0.0)
@@ -209,7 +291,9 @@ def _kernel_network(geo_ref, init_ref, net_ref, jin_ref, tgt_ref, ds_tgt_ref,
         jstat_ref[pl.ds(k, 1)] = jrows[None]
 
     z11 = h0.hi[0:1, 0:1] * np.float32(0.0)
-    store_level(0, h0, Q0, z11, z11, zcol + np.float32(gate_init), Y0)
+    rs0 = DF(zcol, zcol) if has_stor_end else None
+    store_level(0, h0, Q0, z11, z11, zcol + np.float32(gate_init), Y0,
+                rs=rs0)
 
     def sync(x):
         """Re-anchor each branch's pad nodes to its real end (the stacked
@@ -222,11 +306,13 @@ def _kernel_network(geo_ref, init_ref, net_ref, jin_ref, tgt_ref, ds_tgt_ref,
 
     def level_body(k, carry):
         (h_hi, h_lo, Q_hi, Q_lo, y_hi, y_lo,
-         gopen, gcool, gptime, gstage) = carry
+         gopen, gcool, gptime, gstage, ry_hi, ry_lo) = carry
         h, Q = sync(DF(h_hi, h_lo)), sync(DF(Q_hi, Q_lo))
         Y = DF(y_hi, y_lo)
+        # per-branch reservoir stage entering this level (storage ends)
+        y_old_b = DF(ry_hi, ry_lo)
 
-        if ds_kind == "gated_blend":
+        if gated:
             # per-branch gate controller (same [B,1]-column state machine
             # as _kernel_batched; junction-end branches carry inert state)
             time = k.astype(jnp.float32) * scal[_S_DT]
@@ -244,22 +330,37 @@ def _kernel_network(geo_ref, init_ref, net_ref, jin_ref, tgt_ref, ds_tgt_ref,
         prev_A, prev_Se, prev_Q2A = _level_state(g, h, Q)
         tgt = member_col(tgt_ref, k)
         ds_tgt = member_col(ds_tgt_ref, k)
+        if qlat_mode == "tv":
+            # per-level pre-averaged inflow rows (theta-weighted cell
+            # average of q^k and q^{k-1}, packed host-side)
+            qlat_k = qlat_ref[pl.ds(k, 1)][0]
+        else:
+            qlat_k = qlat_const
+
+        # level-start constants of the junction rows (ops/network.py:
+        # newton_level prev_terms): signed end sums of the previous level's
+        # flows and the rated outflow at the level-start stage
+        if has_jstor or has_jrate:
+            Sp = signed_end_sum(Q)
+            q_prev = jrate_q(Y)
 
         def cond(c):
             return jnp.sum(c[8]) > 0.0
 
         def body(c):
-            hh, hl, qh, ql, yh, yl, iters, errf, active = c
+            hh, hl, qh, ql, yh, yl, iters, errf, active, rs_h, rs_l = c
             hc, Qc, Yc = DF(hh, hl), DF(qh, ql), DF(yh, yl)
             junc = dict(us_mask=jm_us, ds_mask=jm_ds,
                         Y_us=gather_Y(Yc, 0), Y_ds=gather_Y(Yc, 1),
                         z_us=z_us_col, z_ds=z_ds_col,
-                        cell_real=cell_real, pad_cell=pad_cell)
-            buf, errb, _ = _assemble_fused(
+                        cell_real=cell_real, pad_cell=pad_cell,
+                        us_kind_masks=us_masks, ds_kind_masks=ds_masks)
+            buf, errb, res_st = _assemble_fused(
                 g, scal, roll, n, ds_kind, hc, Qc, h, Q,
                 prev_A, prev_Se, prev_Q2A, tgt, us_kind=us_kind,
-                y_old=Yc, k=k, gate_open=gopen, ds_tgt=ds_tgt, junc=junc,
-                qlat_avg=qlat_avg)
+                y_old=(y_old_b if has_stor_end else Yc), k=k,
+                gate_open=gopen, ds_tgt=ds_tgt, junc=junc,
+                qlat_avg=qlat_k)
             # append the constant -1 coupling RHS pairs (the dR/dY columns
             # of the arrowhead system, ops/network.py:_simulate_network_
             # stacked rhs_coup)
@@ -279,8 +380,19 @@ def _kernel_network(geo_ref, init_ref, net_ref, jin_ref, tgt_ref, ds_tgt_ref,
                                         rhs_pairs=m_rhs, block=B)
             X = pcr_common.pcr_backsolve(red, rhs_pairs=m_rhs, block=B)
 
-            # junction residual (plain junctions): G = sum sgn Q_end
-            G = signed_end_sum(Qc)
+            # junction residuals (ops/network.py:_junction_residuals):
+            # plain: G = sum sgn Q_end - q_out(Y); reservoir: trapezoidal
+            # 0-D mass balance area (Y - Y_prev)/dt - avg inflow + avg
+            # release (ref lumped_storage.py:24-35 at a multi-branch node)
+            S = signed_end_sum(Qc)
+            q_out = jrate_q(Yc) if has_jrate else None
+            G = S - q_out if has_jrate else S
+            if has_jstor:
+                G_st = (df(j_area) * (Yc - Y) / df(scal[_S_DT])
+                        - df(0.5) * (S + Sp))
+                if has_jrate:
+                    G_st = G_st + df(0.5) * (q_out + q_prev)
+                G = df32.where(stor > 0.0, G_st, G)
             Gf = G.value
             # SELECT the pad sublanes out (a mask multiply would propagate
             # a pad branch's NaN/inf via NaN*0; pads solve a detached toy
@@ -290,16 +402,23 @@ def _kernel_network(geo_ref, init_ref, net_ref, jin_ref, tgt_ref, ds_tgt_ref,
             err2 = err2 + _sub_sum(Gf * Gf)
             err_net = jnp.sqrt(err2)
 
-            # Schur assembly: M[jj, jcol] += sgn * X_coup_Q(end), rhs[jj]
-            # += sgn * X0_Q(end) on top of G (fac = 1: plain junctions;
+            # Schur assembly: M[jj, jcol] += fac * sgn * X_coup_Q(end),
+            # rhs[jj] += fac * sgn * X0_Q(end) on top of G, minus the
+            # diag(dG/dY) term (fac = 1 plain, -1/2 reservoir;
             # ops/network.py:_simulate_network_stacked Schur block).
             # Data-derived f32 zeros: int-iota * python-float would trace
             # as f64 under x64 (Mosaic rejects 64-bit) and constant zeros
             # get REPLICATED layouts
             Mmat = (yh * np.float32(0.0)) * liota128.astype(jnp.float32)
             rhsJ = Gf
+            # np.float32 literals: two python-float branches under x64 make
+            # jnp.where produce f64, which Mosaic cannot lower
+            fac = (jnp.where(stor > 0.0, np.float32(-0.5), np.float32(1.0))
+                   if has_jstor else None)
             for (b, lane, j, sgn) in ends:
                 rowm = (jiota == j).astype(jnp.float32)
+                if has_jstor:
+                    rowm = rowm * fac  # picks fac[j] at the one-hot row
                 sg = np.float32(sgn)
                 rhsJ = rhsJ + rowm * (sg * X[0][1][b:b + 1, lane:lane + 1])
                 for (jcol, ci) in coup[b]:
@@ -309,6 +428,17 @@ def _kernel_network(geo_ref, init_ref, net_ref, jin_ref, tgt_ref, ds_tgt_ref,
                     # to [Jp,128] hits Mosaic's "broadcast in both sublanes
                     # and lanes" limitation; [Jp,1]*[1,128] is one axis each
                     Mmat = Mmat + (rowm * v) * colm
+            if has_jstor or has_jrate:
+                # M -= diag(dG/dY): area/dt + 0.5 dq/dz for a reservoir,
+                # -dq/dz for a plain junction (0 unrated)
+                dq = jrate_dq(Yc) if has_jrate else np.float32(0.0)
+                if has_jstor:
+                    DY = jnp.where(stor > 0.0,
+                                   j_area / scal[_S_DT] + np.float32(0.5) * dq,
+                                   -dq)
+                else:
+                    DY = -dq
+                Mmat = Mmat - DY * (liota128 == jiota).astype(jnp.float32)
             # identity rows for pad junctions (their M row would otherwise
             # be all-zero and break the elimination)
             padj = (jiota >= J).astype(jnp.float32)
@@ -348,10 +478,13 @@ def _kernel_network(geo_ref, init_ref, net_ref, jin_ref, tgt_ref, ds_tgt_ref,
             Yn = Yc + df(dY * upd)
             iters = iters + upd
             errf = jnp.where(upd > 0.0, err_net, errf)
+            if has_stor_end:
+                rs_h = jnp.where(updc > 0.0, res_st.hi, rs_h)
+                rs_l = jnp.where(updc > 0.0, res_st.lo, rs_l)
             active = (upd * (err_net >= tol).astype(jnp.float32)
                       * (iters < np.float32(max_iter)).astype(jnp.float32))
             return (hn.hi, hn.lo, qn.hi, qn.lo, Yn.hi, Yn.lo,
-                    iters, errf, active)
+                    iters, errf, active, rs_h, rs_l)
 
         # data-derived scalar zero (a constant-zero init would get a
         # REPLICATED Mosaic layout rejected at the carry relayout; and a
@@ -360,15 +493,19 @@ def _kernel_network(geo_ref, init_ref, net_ref, jin_ref, tgt_ref, ds_tgt_ref,
         hsafe = jnp.where(jnp.abs(hcol) < np.float32(3e38), hcol,
                           jnp.zeros_like(hcol))
         dz = hsafe * np.float32(0.0)
-        hh, hl, qh, ql, yh, yl, iters, errf, _ = jax.lax.while_loop(
+        (hh, hl, qh, ql, yh, yl, iters, errf, _,
+         rs_h, rs_l) = jax.lax.while_loop(
             cond, body,
             (h.hi, h.lo, Q.hi, Q.lo, Y.hi * 1.0, Y.lo * 1.0,
-             dz, dz + np.float32(np.inf), dz + 1.0))
+             dz, dz + np.float32(np.inf), dz + 1.0,
+             ry_hi * 1.0, ry_lo * 1.0))
 
         gstage = scal[_S_DSBED] + hh[:, n - 1:n] + hl[:, n - 1:n]
         store_level(k, DF(hh, hl), DF(qh, ql), iters, errf, gopen,
-                    DF(yh, yl))
-        return (hh, hl, qh, ql, yh, yl, gopen, gcool, gptime, gstage)
+                    DF(yh, yl),
+                    rs=DF(rs_h, rs_l) if has_stor_end else None)
+        return (hh, hl, qh, ql, yh, yl, gopen, gcool, gptime, gstage,
+                rs_h, rs_l)
 
     with df32.fenced(scal[_S_ZERO]):
         gstage0 = scal[_S_DSBED] + h0.hi[:, n - 1:n] + h0.lo[:, n - 1:n]
@@ -376,7 +513,8 @@ def _kernel_network(geo_ref, init_ref, net_ref, jin_ref, tgt_ref, ds_tgt_ref,
         jax.lax.fori_loop(
             1, nt, level_body,
             (h0.hi, h0.lo, Q0.hi, Q0.lo, Y0.hi * 1.0, Y0.lo * 1.0,
-             dz0 + np.float32(gate_init), dz0, dz0 - 1.0, gstage0))
+             dz0 + np.float32(gate_init), dz0, dz0 - 1.0, gstage0,
+             dz0 * 1.0, dz0 * 1.0))
     if streamer is not None:
         streamer.drain()
 
@@ -384,12 +522,14 @@ def _kernel_network(geo_ref, init_ref, net_ref, jin_ref, tgt_ref, ds_tgt_ref,
 @functools.lru_cache(maxsize=32)
 def _build_call_network(*, nt, n, B, Np, J, Jp, m_rhs, n_sweeps, max_iter,
                         ds_kind, us_kind, gate_init, varying, topo_j,
-                        has_qlat, out_mem, interpret):
+                        qlat_mode, has_jstor, has_jrate, has_stor_end,
+                        out_mem, interpret):
     kern = functools.partial(
         _kernel_network, nt=nt, n=n, B=B, J=J, Jp=Jp, m_rhs=m_rhs,
         n_sweeps=n_sweeps, max_iter=max_iter, ds_kind=ds_kind,
         us_kind=us_kind, gate_init=gate_init, varying=varying,
-        topo_j=topo_j, has_qlat=has_qlat, out_mem=out_mem,
+        topo_j=topo_j, qlat_mode=qlat_mode, has_jstor=has_jstor,
+        has_jrate=has_jrate, has_stor_end=has_stor_end, out_mem=out_mem,
         interpret=interpret)
     out_shapes = [
         jax.ShapeDtypeStruct((nt, B, Np), jnp.float32),   # depth hi
@@ -403,15 +543,21 @@ def _build_call_network(*, nt, n, B, Np, J, Jp, m_rhs, n_sweeps, max_iter,
     return jax.jit(pl.pallas_call(
         kern,
         out_shape=out_shapes,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # geometry rows
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # init state
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # network masks
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # junction stages Y0
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # us target series [B, nt]
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # ds target series [B, nt]
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # scalars [B, _NS]
-        ],
+        in_specs=(
+            [
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # geometry rows
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # init state
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # network masks
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # junction config
+            ]
+            + ([pl.BlockSpec(memory_space=pltpu.VMEM)]   # [nt, B, Np] qlat
+               if qlat_mode == "tv" else [])
+            + [
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # us targets [B, nt]
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # ds targets [B, nt]
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # scalars [B, _NS]
+            ]
+        ),
         out_specs=[pl.BlockSpec(memory_space=out_space)] * len(out_shapes),
         scratch_shapes=(_out_scratch_shapes(out_shapes)
                         if out_mem == "hbm" else []),
@@ -428,15 +574,19 @@ def _edge_pad_np(x, Nmax):
 
 
 def fused_simulate_network(branches, n_junctions, settings, Y0=None,
+                           junction_area=None, junction_rating=None,
                            interpret: bool = False):
     """Run a whole network simulation in ONE Pallas kernel call.
 
     Same arguments and :class:`~flowsim_tpu.ops.network.NetworkOutput`
-    contract as :func:`~flowsim_tpu.ops.network.simulate_network`; raises
-    :class:`FusedUnsupported` outside the kernel's scope (callers fall
-    back to the XLA engines).
+    contract as :func:`~flowsim_tpu.ops.network.simulate_network` —
+    including junction reservoirs (``junction_area``) and rated junction
+    outflows (``junction_rating``, quadratic polynomial / blended_poly);
+    raises :class:`FusedUnsupported` outside the kernel's scope (callers
+    fall back to the XLA engines).
     """
     from flowsim_tpu.geometry import TrapezoidGeometry
+    from flowsim_tpu.ops import rating_curve as rcurve
     from flowsim_tpu.ops.network import (NetworkOutput, _check_supported,
                                          _is_junction,
                                          default_initial_stages)
@@ -445,6 +595,21 @@ def fused_simulate_network(branches, n_junctions, settings, Y0=None,
     J = n_junctions
     if J < 1:
         raise FusedUnsupported("not a network (no junctions)")
+    if junction_rating is not None:
+        for rc in junction_rating:
+            if rc is None:
+                continue
+            if rc.kind not in ("polynomial", "blended_poly"):
+                raise FusedUnsupported(
+                    f"junction rating kind {rc.kind!r} is XLA-engine only "
+                    "(the kernel packs quadratic polynomial/blended_poly)")
+            if np.asarray(rc.coeffs).shape[-1] != 3:
+                raise FusedUnsupported("junction rating rows pack quadratics "
+                                       "(3 coefficients)")
+    has_jstor = junction_area is not None and bool(
+        np.any(np.asarray(junction_area) > 0.0))
+    has_jrate = junction_rating is not None and any(
+        rc is not None for rc in junction_rating)
     if settings.newton != "while":
         raise FusedUnsupported("fused network kernel implements the "
                                "while-Newton only")
@@ -455,12 +620,12 @@ def fused_simulate_network(branches, n_junctions, settings, Y0=None,
             raise FusedUnsupported(
                 "fused network kernel supports TrapezoidGeometry branches "
                 "only")
-        if br.qlat is not None and np.ndim(br.qlat) != 1:
-            raise FusedUnsupported(
-                "time-varying lateral inflow is XLA-engine only (constant "
-                "[N] qlat is supported)")
         n_bs.append(int(np.asarray(br.h0).shape[0]))
-    has_qlat = any(br.qlat is not None for br in branches)
+    any2d = any(br.qlat is not None and np.ndim(br.qlat) == 2
+                for br in branches)
+    qlat_mode = ("tv" if any2d
+                 else ("const" if any(br.qlat is not None for br in branches)
+                       else None))
     Nmax = max(n_bs)
     nt = settings.n_time_levels
     Np = max(128, -(-Nmax // 128) * 128)
@@ -479,12 +644,15 @@ def fused_simulate_network(branches, n_junctions, settings, Y0=None,
     geo_rows = np.zeros((_NG * B, Np), f32)
     init_rows = np.zeros((4 * B, Np), f32)
     net_rows = np.zeros((8 * B, Np), f32)
+    qlat_rows = (np.zeros((nt, B, Np), f32) if qlat_mode == "tv" else None)
     nt_pad = max(nt, 8)
     tgt_b = np.zeros((B, nt_pad), f32)
     ds_tgt_b = np.zeros((B, nt_pad), f32)
     scal_rows = np.zeros((B, _NS), f32)
     topo_j = []
-    us_kind = ds_kind = None
+    us_kind_bs = [None] * B   # per-sublane external us kind (None: junction)
+    ds_kind_bs = [None] * B
+    pad_steady = []           # pad ends needing post-loop steady targets
 
     base = np.zeros((_NS,), f32)
     base[_S_THETA] = settings.theta
@@ -508,47 +676,39 @@ def fused_simulate_network(branches, n_junctions, settings, Y0=None,
         scal_m[_S_DX] = br.dx
         jus = (int(br.us) if _is_junction(br.us) else None)
         jds = (int(br.ds) if _is_junction(br.ds) else None)
-        if is_pad:
-            # pad sublanes replicate the last branch's geometry/state but
-            # run detached: no junctions, benign steady BCs (targets = the
-            # initial state under whichever row kind the kernel computes),
-            # and they are masked out of the network error
-            jus = jds = None
-            tgt_b[m, :] = f32(Q0p[0] if us_kind in (None, "flow_hydrograph")
-                              else h0p[0])
-            ds_tgt_b[m, :] = f32(Q0p[-1] if ds_kind == "flow_q"
-                                 else h0p[-1])
-        topo_j.append((jus, jds))
+        # pad sublanes (m >= B0) replicate the last branch's geometry,
+        # state, and EXTERNAL boundary config, but run detached: no
+        # junction couplings, and they are masked out of the network
+        # error.  A pad end whose replica end is a junction gets a benign
+        # steady BC fixed up after the kind tuples are known.
+        topo_j.append((None, None) if is_pad else (jus, jds))
 
-        if not is_pad:
-            if jus is None:
-                if br.us.kind == "fixed_depth" and br.us.storage is not None:
-                    raise FusedUnsupported(
-                        "lumped-storage network ends are XLA-engine only")
-                us_kind_m, stg_u = _pack_us_config(br.us, settings, scal_m)
-                if stg_u is not None or us_kind_m.startswith("storage"):
-                    raise FusedUnsupported("lumped-storage network ends are "
-                                           "XLA-engine only")
-                tgt_b[m, :nt] = _pack_us_series(br.us, nt).astype(f32)
-                if us_kind is None:
-                    us_kind = us_kind_m
-                elif us_kind != us_kind_m:
-                    raise FusedUnsupported(
-                        "all external upstream ends must share one BC kind "
-                        "in the fused network kernel")
-            if jds is None:
-                ds_kind_m, ds_series, stg_d = _pack_ds_config(
-                    br.ds, settings, scal_m, nt)
-                if stg_d is not None or ds_kind_m.startswith("storage"):
-                    raise FusedUnsupported("lumped-storage network ends are "
-                                           "XLA-engine only")
-                ds_tgt_b[m, :nt] = ds_series.astype(f32)
-                if ds_kind is None:
-                    ds_kind = ds_kind_m
-                elif ds_kind != ds_kind_m:
-                    raise FusedUnsupported(
-                        "all external downstream ends must share one BC "
-                        "kind in the fused network kernel")
+        if jus is None:
+            us_kind_m, stg_u = _pack_us_config(br.us, settings, scal_m)
+            if stg_u is not None or us_kind_m.startswith("storage_curve"):
+                raise FusedUnsupported(
+                    "curve/loss lumped storage on network ends is "
+                    "XLA-engine only (constant-area storage is supported)")
+            us_kind_bs[m] = us_kind_m
+            tgt_b[m, :nt] = _pack_us_series(br.us, nt).astype(f32)
+        elif is_pad:
+            pad_steady.append(("us", m, f32(Q0p[0]), f32(h0p[0])))
+        if jds is None:
+            ds_kind_m, ds_series, stg_d = _pack_ds_config(
+                br.ds, settings, scal_m, nt)
+            if stg_d is not None or ds_kind_m.startswith("storage_curve"):
+                raise FusedUnsupported(
+                    "curve/loss lumped storage on network ends is "
+                    "XLA-engine only (constant-area storage is supported)")
+            ds_kind_bs[m] = ds_kind_m
+            ds_tgt_b[m, :nt] = ds_series.astype(f32)
+        elif is_pad:
+            pad_steady.append(("ds", m, f32(Q0p[-1]), f32(h0p[-1])))
+        if ((us_kind_bs[m] or "").startswith("storage")
+                and (ds_kind_bs[m] or "").startswith("storage")):
+            raise FusedUnsupported(
+                "storage on both ends of one branch shares the kernel's "
+                "per-branch storage slots; use the XLA engines")
         scal_rows[m] = scal_m
 
         z_p = np.asarray(geo_p.z_bed, np.float64)
@@ -561,29 +721,101 @@ def fused_simulate_network(branches, n_junctions, settings, Y0=None,
         nr[5, m, 0] = 0.0 if jds is None else 1.0
         nr[6, m, 0] = 0.0 if is_pad else 1.0
         if br.qlat is not None and not is_pad:
-            # theta-weighted cell average of a constant-in-time inflow:
-            # (q_i + q_{i+1})/2 on real cells (ops/preissmann.py:cell_stencil)
             q = np.asarray(br.qlat, np.float64)
-            nr[7, m, : n_b - 1] = (0.5 * (q[:-1] + q[1:])).astype(f32)
+            if qlat_mode == "const":
+                # theta-weighted cell average of a constant-in-time inflow
+                # collapses to (q_i + q_{i+1})/2 on real cells
+                # (ops/preissmann.py:cell_stencil)
+                nr[7, m, : n_b - 1] = (0.5 * (q[:-1] + q[1:])).astype(f32)
+            else:  # tv: per-level theta-weighted cell averages, precomputed
+                if q.ndim == 1:
+                    q = np.broadcast_to(q, (nt, n_b))
+                th = float(settings.theta)
+                qc, qp = q[1:], q[:-1]
+                cell = (0.5 * th * (qc[:, :-1] + qc[:, 1:])
+                        + 0.5 * (1.0 - th) * (qp[:, :-1] + qp[:, 1:]))
+                qlat_rows[1:, m, : n_b - 1] = cell.astype(f32)
 
-    us_kind = us_kind or "flow_hydrograph"
-    ds_kind = ds_kind or "fixed_h"
+    # distinct external-end kinds per side: a single kind stays the scalar
+    # fast path (identical kernels to v1); several become a static tuple
+    # with per-branch selection masks (mixed kinds)
+    uniq = lambda ks: tuple(dict.fromkeys(k for k in ks if k is not None))
+    us_kinds = uniq(us_kind_bs) or ("flow_hydrograph",)
+    ds_kinds = uniq(ds_kind_bs) or ("fixed_h",)
+    for side, m, q0, h0v in pad_steady:
+        # benign steady targets for pad ends whose replica end is a
+        # junction, under the first kind's row formula
+        if side == "us":
+            us_kind_bs[m] = us_kinds[0]
+            tgt_b[m, :] = q0 if us_kinds[0] == "flow_hydrograph" else h0v
+        else:
+            ds_kind_bs[m] = ds_kinds[0]
+            ds_tgt_b[m, :] = q0 if ds_kinds[0] == "flow_q" else h0v
+    # junction-end sublanes: any kind works (the junction row overrides)
+    us_kind_bs = [k or us_kinds[0] for k in us_kind_bs]
+    ds_kind_bs = [k or ds_kinds[0] for k in ds_kind_bs]
+    us_kind = us_kinds if len(us_kinds) > 1 else us_kinds[0]
+    ds_kind = ds_kinds if len(ds_kinds) > 1 else ds_kinds[0]
+    has_stor_end = any(k.startswith("storage")
+                       for k in us_kind_bs + ds_kind_bs)
+
+    # per-branch kind-selection masks ride extra net rows (only when mixed)
+    n_usm = len(us_kinds) if len(us_kinds) > 1 else 0
+    n_dsm = len(ds_kinds) if len(ds_kinds) > 1 else 0
+    if n_usm or n_dsm:
+        net_rows = np.concatenate(
+            [net_rows, np.zeros(((n_usm + n_dsm) * B, Np), f32)])
+        nr = net_rows.reshape(8 + n_usm + n_dsm, B, Np)
+        for i, kind in enumerate(us_kinds if n_usm else ()):
+            nr[8 + i, :, 0] = [1.0 if us_kind_bs[m] == kind else 0.0
+                               for m in range(B)]
+        for i, kind in enumerate(ds_kinds if n_dsm else ()):
+            nr[8 + n_usm + i, :, 0] = [1.0 if ds_kind_bs[m] == kind else 0.0
+                                       for m in range(B)]
 
     m_rhs = 1 + max((sum(1 for j in t if j is not None) for t in topo_j),
                     default=0)
     varying = tuple(int(i) for i in range(_NS)
                     if not np.all(scal_rows[:, i] == scal_rows[0, i]))
 
-    # initial junction stages as a df32 [Jp, 1] column (lane 0)
+    # junction config columns: df32 initial stages + reservoir areas +
+    # rated-outflow quadratics (lane 0 of each [Jp, 128] block)
     dtype = jnp.asarray(branches[0].h0).dtype
     if Y0 is None:
         Y0 = default_initial_stages(branches, J, dtype)
     Y0_np = np.zeros((Jp,), np.float64)
     Y0_np[:J] = np.asarray(jax.device_get(Y0), np.float64)
     y_hi, y_lo = _split64(Y0_np)
-    jin = np.zeros((2 * Jp, 128), f32)
-    jin[0:Jp, 0] = y_hi
-    jin[Jp:2 * Jp, 0] = y_lo
+    jin = np.zeros((_NJ * Jp, 128), f32)
+    jput = lambda r, v: jin.__setitem__(
+        (slice(r * Jp, r * Jp + len(v)), 0), np.asarray(v, f32))
+    jput(_J_YHI, y_hi)
+    jput(_J_YLO, y_lo)
+    if has_jstor:
+        jput(_J_AREA, np.asarray(junction_area, np.float64)[:J])
+    jin[_J_FD * Jp:(_J_FD + 1) * Jp, 0] = 1.0   # benign FD step (unrated)
+    jin[_J_BUFS * Jp:(_J_BUFS + 1) * Jp, 0] = 1e-30
+    if has_jrate:
+        for j, rc in enumerate(junction_rating):
+            if rc is None:
+                continue
+            c = np.asarray(rc.coeffs, np.float64)
+            if rc.kind == "polynomial":
+                # high = low and bufsafe -> 0: alpha saturates to 1 and the
+                # delta-form blend collapses to the plain quadratic; the
+                # fd=1 central difference is exact for it
+                d = c
+                xoff = float(np.asarray(rc.stage_shift, np.float64))
+                bufs, fd = 1e-30, 1.0
+            else:  # blended_poly (coeffs already centered on the pivot)
+                d = np.asarray(rc.coeffs_high, np.float64)
+                xoff = -float(np.asarray(rc.pivot_stage, np.float64))
+                bufs = max(float(np.asarray(rc.buffer, np.float64)), 1e-30)
+                fd = float(np.asarray(rc.fd_step, np.float64))
+            for row, v in ((_J_C2, c[0]), (_J_C1, c[1]), (_J_C0, c[2]),
+                           (_J_D2, d[0]), (_J_D1, d[1]), (_J_D0, d[2]),
+                           (_J_XOFF, xoff), (_J_BUFS, bufs), (_J_FD, fd)):
+                jin[row * Jp + j, 0] = np.float32(v)
 
     # VMEM budget: inputs + per-branch working set (the PCR buffer grows
     # to 12+2*m_rhs rows; reuse the measured single-run row budget plus
@@ -593,6 +825,8 @@ def fused_simulate_network(branches, n_junctions, settings, Y0=None,
     work_rows = fn._WORK_ROWS + 2 * (m_rhs - 1) * (n_sweeps + 2)
     per_level = (4 * B * Np + B * 128 + Jp * 128) * 4
     work = ((_NG + 4 + 8) * B * Np + work_rows * B * Np) * 4
+    if qlat_mode == "tv":
+        work += nt * B * Np * 4  # the per-level inflow rows stay in VMEM
     req = getattr(settings, "out_memory", "auto")
     if req in ("vmem", "hbm"):
         out_mem = req
@@ -610,12 +844,16 @@ def fused_simulate_network(branches, n_junctions, settings, Y0=None,
         nt=nt, n=Nmax, B=B, Np=Np, J=J, Jp=Jp, m_rhs=m_rhs, n_sweeps=n_sweeps,
         max_iter=settings.max_iter, ds_kind=ds_kind, us_kind=us_kind,
         gate_init=1.0 if settings.gate_initially_open else 0.0,
-        varying=varying, topo_j=tuple(topo_j), has_qlat=has_qlat,
-        out_mem=out_mem, interpret=interpret)
-    outs = call(jnp.asarray(geo_rows), jnp.asarray(init_rows),
-                jnp.asarray(net_rows), jnp.asarray(jin),
-                jnp.asarray(tgt_b), jnp.asarray(ds_tgt_b),
-                jnp.asarray(scal_rows))
+        varying=varying, topo_j=tuple(topo_j), qlat_mode=qlat_mode,
+        has_jstor=has_jstor, has_jrate=has_jrate,
+        has_stor_end=has_stor_end, out_mem=out_mem, interpret=interpret)
+    ins = [jnp.asarray(geo_rows), jnp.asarray(init_rows),
+           jnp.asarray(net_rows), jnp.asarray(jin)]
+    if qlat_mode == "tv":
+        ins.append(jnp.asarray(qlat_rows))
+    ins += [jnp.asarray(tgt_b), jnp.asarray(ds_tgt_b),
+            jnp.asarray(scal_rows)]
+    outs = call(*ins)
     dhi, dlo, fhi, flo, stats, jstat = outs
 
     def df_sum(hi, lo):
@@ -633,20 +871,861 @@ def fused_simulate_network(branches, n_junctions, settings, Y0=None,
     lvl = jnp.arange(nt)
     converged = (errs < settings.tolerance) | (lvl == 0)
     res_stage = jnp.full((nt, B0, 2), jnp.nan, dtype)
+    if has_stor_end:
+        # reservoir stages ride stats lanes 4/5 (df32 halves); report them
+        # only on the end that actually carries storage (the XLA engines'
+        # BCState contract: NaN elsewhere, NaN at level 0)
+        rs = df_sum(stats[:, :B0, 4], stats[:, :B0, 5])
+        rs = jnp.where(jnp.arange(nt)[:, None] == 0, jnp.nan, rs)
+        us_st = np.array([topo_j[b][0] is None
+                          and us_kind_bs[b].startswith("storage")
+                          for b in range(B0)])[None, :]
+        ds_st = np.array([topo_j[b][1] is None
+                          and ds_kind_bs[b].startswith("storage")
+                          for b in range(B0)])[None, :]
+        nanv = jnp.asarray(jnp.nan, dtype)
+        res_stage = jnp.stack(
+            [jnp.where(jnp.asarray(us_st), rs, nanv),
+             jnp.where(jnp.asarray(ds_st), rs, nanv)], axis=-1)
     gate0 = 1.0 if settings.gate_initially_open else 0.0
-    if ds_kind == "gated_blend":
-        # junction-ds branches run the kernel's per-sublane gate state
-        # machine against an unset pivot (physics unaffected — the junction
-        # row overrides the ds residual), but the XLA engines report the
-        # inert initial state there; mask to match that contract
-        ds_is_junc = np.array([topo_j[b][1] is not None
-                               for b in range(B0)])[None, :]
-        gds = jnp.where(jnp.asarray(ds_is_junc), jnp.asarray(gate0, dtype),
-                        stats[:, :B0, 3].astype(dtype))
+    if "gated_blend" in ds_kinds:
+        # report the kernel's gate trajectory only for external ds ends of
+        # gated branches: junction-ds sublanes run the state machine with
+        # an unset pivot (physics unaffected — the junction row overrides
+        # the ds residual), and non-gated kinds report the inert initial
+        # state, matching the XLA engines' gate_open contract
+        reports = np.array([topo_j[b][1] is None
+                            and ds_kind_bs[b] == "gated_blend"
+                            for b in range(B0)])[None, :]
+        gds = jnp.where(jnp.asarray(reports), stats[:, :B0, 3].astype(dtype),
+                        jnp.asarray(gate0, dtype))
     else:
         gds = jnp.full((nt, B0), gate0, dtype)
     gate_open = jnp.stack([jnp.full((nt, B0), gate0, dtype), gds], axis=-1)
-    outflow = jnp.zeros((nt, J), dtype)
+    if has_jrate:
+        # post-hoc reconstruction from the stored stage trajectory — the
+        # exact rule the XLA engines use (ops/network.py stacked unpack)
+        outflow = jnp.stack(
+            [jnp.zeros((nt,), dtype) if rc is None
+             else rcurve.discharge(rc, stage[:, j])
+             for j, rc in enumerate(junction_rating)], axis=-1)
+    else:
+        outflow = jnp.zeros((nt, J), dtype)
+    return NetworkOutput(depth=depth, flow=flow, junction_stage=stage,
+                         iterations=iters, error=errs, converged=converged,
+                         reservoir_stage=res_stage, gate_open=gate_open,
+                         junction_outflow=outflow)
+
+
+# ---------------------------------------------------------------------------
+# Batched (ensemble) fused NETWORK kernel: M Monte-Carlo members x B branches
+# in ONE Pallas dispatch.
+#
+# Layout: branch-major, member-minor sublanes — sublane index b*Mp + m (Mp =
+# M padded to whole vregs), so every per-branch [B, 1]/[B, Np] column of the
+# single-network kernel becomes a [B0*Mp, ...] stack of per-branch member
+# blocks, and all cross-branch data movement (junction-stage gathers, signed
+# end sums, Schur scatter, branch increments) stays STATIC block slicing +
+# concatenation at vreg-aligned offsets.  Junction state rides [J*Mp, 1]
+# columns (block j = junction j's M members); the J x J member Schur systems
+# solve as ONE blocked Gauss-Jordan on a [J*Mp, 128] augmented tableau whose
+# pivot rows are static [Mp, 128] blocks (vectorized across members on
+# sublanes).  This is the network counterpart of fused_newton's
+# ``_kernel_batched`` (DP analog, SURVEY.md §2.17; ref n_calibrate.py:58-62
+# runs one full serial re-simulation per member) — per-member Newton masks
+# reproduce each member's sequential iteration count exactly.
+# ---------------------------------------------------------------------------
+
+
+def _blocks(x, nblocks, bs):
+    """Static [nblocks*bs, X] -> list of [bs, X] block views."""
+    return [x[i * bs:(i + 1) * bs] for i in range(nblocks)]
+
+
+def _block_sum(x, nblocks, bs):
+    """Sum a [nblocks*bs, X] stack over blocks -> [bs, X] (unrolled)."""
+    acc = x[0:bs]
+    for i in range(1, nblocks):
+        acc = acc + x[i * bs:(i + 1) * bs]
+    return acc
+
+
+def _tile_sub(x, times):
+    """Tile a [bs, X] block along sublanes -> [times*bs, X]."""
+    return x if times == 1 else jnp.concatenate([x] * times, axis=0)
+
+
+def _kernel_network_batched(*refs,
+                            nt, n, B0, Mp, J, m_rhs, n_sweeps, max_iter,
+                            ds_kind, us_kind, gate_init, varying, topo_j,
+                            qlat_mode, has_jstor, has_jrate, has_stor_end,
+                            out_mem, interpret):
+    """Whole-network ensemble kernel body (see section comment above).
+
+    ``topo_j`` has B0 entries (real branches only; members replicate the
+    topology).  All row tensors carry BM = B0*Mp sublanes; junction columns
+    carry JM = J*Mp.
+    """
+    BM = B0 * Mp
+    JM = J * Mp
+    refs = list(refs)
+    geo_ref = refs.pop(0)
+    init_ref = refs.pop(0)
+    net_ref = refs.pop(0)
+    jin_ref = refs.pop(0)
+    qlat_ref = refs.pop(0) if qlat_mode == "tv" else None
+    tgt_ref = refs.pop(0)
+    ds_tgt_ref = refs.pop(0)
+    scal_ref = refs.pop(0)
+    out_refs = refs
+    streamer = None
+    if out_mem == "hbm":
+        sems = out_refs.pop()
+        stage_refs = [out_refs.pop() for _ in range(6)][::-1]
+        streamer = _LevelStreamer(out_refs, stage_refs, sems, nt)
+    dhi_ref, dlo_ref, fhi_ref, flo_ref, stats_ref, jstat_ref = out_refs
+    roll = _roll(interpret)
+    geo = geo_ref[:]
+    Np = geo.shape[1]
+    g = [geo[r * BM:(r + 1) * BM, :] for r in range(_NG)]
+    idx = jax.lax.broadcasted_iota(jnp.int32, (1, Np), 1)
+    node_mask = (idx < n).astype(jnp.float32)
+    riota = jax.lax.broadcasted_iota(jnp.int32, (BM, 1), 0)
+    zcol = jnp.zeros((BM, 1), jnp.float32)
+    liota128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    jmiota = jax.lax.broadcasted_iota(jnp.int32, (JM, 1), 0)
+
+    ends = []
+    for b in range(B0):
+        if topo_j[b][1] is not None:
+            ends.append((b, n - 1, topo_j[b][1], 1.0))
+        if topo_j[b][0] is not None:
+            ends.append((b, 0, topo_j[b][0], -1.0))
+    coup = []
+    for b in range(B0):
+        c = []
+        if topo_j[b][0] is not None:
+            c.append((topo_j[b][0], 0))
+        if topo_j[b][1] is not None:
+            c.append((topo_j[b][1], len(c)))
+        coup.append(tuple(c))
+
+    def member_col(ref, k):
+        col = zcol
+        for r in range(BM):
+            col = col + jnp.where(riota == r, ref[r, k], 0.0)
+        return col
+
+    scal = [member_col(scal_ref, i) if i in varying else scal_ref[0, i]
+            for i in range(_NS)]
+    tol = scal[_S_TOL]  # scalar (shared settings)
+
+    net = net_ref[:]
+    node_real = net[0 * BM:1 * BM, :]
+    cell_real = net[1 * BM:2 * BM, :]
+    endsel = net[2 * BM:3 * BM, :]
+    z_rows = net[3 * BM:4 * BM, :]
+    jm_us = net[4 * BM:5 * BM, 0:1]
+    jm_ds = net[5 * BM:6 * BM, 0:1]
+    qlat_const = net[7 * BM:8 * BM, :] if qlat_mode == "const" else None
+    base_r = 8
+    us_masks = ds_masks = None
+    if isinstance(us_kind, tuple):
+        us_masks = tuple(net[(base_r + i) * BM:(base_r + i + 1) * BM, 0:1]
+                         for i in range(len(us_kind)))
+        base_r += len(us_kind)
+    if isinstance(ds_kind, tuple):
+        ds_masks = tuple(net[(base_r + i) * BM:(base_r + i + 1) * BM, 0:1]
+                         for i in range(len(ds_kind)))
+    gated = "gated_blend" in ((ds_kind,) if isinstance(ds_kind, str)
+                              else ds_kind)
+    pad_cell = (idx < n - 1).astype(jnp.float32) - cell_real
+    z_us_col = z_rows[:, 0:1]
+    z_ds_col = z_rows[:, n - 1:n]
+
+    jin = jin_ref[:]
+    jrow = lambda r: jin[r * JM:(r + 1) * JM, 0:1]
+    Y0 = DF(jrow(_J_YHI), jrow(_J_YLO))
+    j_area = jrow(_J_AREA)
+    stor = (j_area > 0.0).astype(jnp.float32) if has_jstor else None
+    if has_jrate:
+        j_c = (jrow(_J_C2), jrow(_J_C1), jrow(_J_C0))
+        j_d = (jrow(_J_D2), jrow(_J_D1), jrow(_J_D0))
+        j_xoff, j_bufs, j_fd = jrow(_J_XOFF), jrow(_J_BUFS), jrow(_J_FD)
+
+    def jrate_q(Y: DF) -> DF:
+        if not has_jrate:
+            return DF(Y.hi * 0.0, Y.hi * 0.0)
+        x = Y + df(j_xoff)
+        low = (df(j_c[0]) * x + df(j_c[1])) * x + df(j_c[2])
+        high = (df(j_d[0]) * x + df(j_d[1])) * x + df(j_d[2])
+        s = x / df(j_bufs)
+        zero = df(Y.hi * 0.0)
+        one = df(jnp.ones_like(Y.hi))
+        s = df32.where(s.hi < 0.0, zero, df32.where(s.hi > 1.0, one, s))
+        alpha = s * s * (df(3.0) - df(2.0) * s)
+        return low + alpha * (high - low)
+
+    def jrate_dq(Y: DF):
+        if not has_jrate:
+            return None
+
+        def q32(xv):
+            lo = (j_c[0] * xv + j_c[1]) * xv + j_c[2]
+            hi = (j_d[0] * xv + j_d[1]) * xv + j_d[2]
+            s = jnp.clip(xv / j_bufs, 0.0, 1.0)
+            a = s * s * (3.0 - 2.0 * s)
+            return lo + a * (hi - lo)
+
+        xv = Y.value + j_xoff
+        return (q32(xv + j_fd) - q32(xv - j_fd)) / (2.0 * j_fd)
+
+    init = init_ref[:]
+    h0 = DF(init[0 * BM:1 * BM, :], init[1 * BM:2 * BM, :])
+    Q0 = DF(init[2 * BM:3 * BM, :], init[3 * BM:4 * BM, :])
+
+    def gather_Y(Y: DF, side):
+        """[BM, 1] df32 column of each branch sublane's junction stage on
+        ``side`` (member-matched static block slices; zero blocks where the
+        end is external — masked off in _assemble_fused)."""
+        his, los = [], []
+        for b in range(B0):
+            j = topo_j[b][side]
+            if j is None:
+                his.append(Y.hi[0:Mp] * 0.0)
+                los.append(Y.lo[0:Mp] * 0.0)
+            else:
+                his.append(Y.hi[j * Mp:(j + 1) * Mp])
+                los.append(Y.lo[j * Mp:(j + 1) * Mp])
+        return DF(jnp.concatenate(his, axis=0), jnp.concatenate(los, axis=0))
+
+    def signed_end_sum(Q: DF) -> DF:
+        """df32 [JM, 1] column of sum sgn * Q_end per (junction, member)."""
+        zb_hi = Y0.hi[0:Mp] * 0.0
+        S_blocks = [DF(zb_hi, zb_hi * 1.0) for _ in range(J)]
+        for (b, lane, j, sgn) in ends:
+            q_end = DF(Q.hi[b * Mp:(b + 1) * Mp, lane:lane + 1],
+                       Q.lo[b * Mp:(b + 1) * Mp, lane:lane + 1])
+            S_blocks[j] = S_blocks[j] + q_end * df(np.float32(sgn))
+        return DF(jnp.concatenate([s.hi for s in S_blocks], axis=0),
+                  jnp.concatenate([s.lo for s in S_blocks], axis=0))
+
+    def store_level(k, h, Q, iters_m, err_m, gate_open, Y, rs=None):
+        """``iters_m``/``err_m`` are per-member [Mp, 1] columns."""
+        itB, erB = _tile_sub(iters_m, B0), _tile_sub(err_m, B0)
+        stats_rows = (jnp.where(liota128 == 0, itB, 0.0)
+                      + jnp.where(liota128 == 1, erB, 0.0)
+                      + jnp.where(liota128 == 3, gate_open, 0.0))
+        if rs is not None:
+            stats_rows = (stats_rows
+                          + jnp.where(liota128 == 4, rs.hi, 0.0)
+                          + jnp.where(liota128 == 5, rs.lo, 0.0))
+        stats_rows = jnp.broadcast_to(stats_rows, (BM, 128))
+        itJ, erJ = _tile_sub(iters_m, J), _tile_sub(err_m, J)
+        jrows = (jnp.where(liota128 == 0, Y.hi, 0.0)
+                 + jnp.where(liota128 == 1, Y.lo, 0.0)
+                 + jnp.where(liota128 == 2, itJ, 0.0)
+                 + jnp.where(liota128 == 3, erJ, 0.0))
+        jrows = jnp.broadcast_to(jrows, (JM, 128))
+        if streamer is not None:
+            streamer.store(k, [h.hi[None], h.lo[None], Q.hi[None],
+                               Q.lo[None], stats_rows[None], jrows[None]])
+            return
+        dhi_ref[pl.ds(k, 1)] = h.hi[None]
+        dlo_ref[pl.ds(k, 1)] = h.lo[None]
+        fhi_ref[pl.ds(k, 1)] = Q.hi[None]
+        flo_ref[pl.ds(k, 1)] = Q.lo[None]
+        stats_ref[pl.ds(k, 1)] = stats_rows[None]
+        jstat_ref[pl.ds(k, 1)] = jrows[None]
+
+    zM = jnp.zeros((Mp, 1), jnp.float32)
+    rs0 = DF(zcol, zcol) if has_stor_end else None
+    store_level(0, h0, Q0, zM, zM, zcol + np.float32(gate_init), Y0, rs=rs0)
+
+    def sync(x):
+        end_hi = jnp.sum(x.hi * endsel, axis=1, keepdims=True)
+        end_lo = jnp.sum(x.lo * endsel, axis=1, keepdims=True)
+        return DF(x.hi * node_real + end_hi * (1.0 - node_real),
+                  x.lo * node_real + end_lo * (1.0 - node_real))
+
+    def level_body(k, carry):
+        (h_hi, h_lo, Q_hi, Q_lo, y_hi, y_lo,
+         gopen, gcool, gptime, gstage, ry_hi, ry_lo) = carry
+        h, Q = sync(DF(h_hi, h_lo)), sync(DF(Q_hi, Q_lo))
+        Y = DF(y_hi, y_lo)
+        y_old_b = DF(ry_hi, ry_lo)
+
+        if gated:
+            time = k.astype(jnp.float32) * scal[_S_DT]
+            elapsed = jnp.where(gptime >= 0.0, time - gptime, 0.0)
+            gcool = jnp.maximum(0.0, gcool - elapsed)
+            can_act = gcool <= 0.0
+            want_open = (gstage >= scal[fn._S_PIVOT] + 0.5) & (gopen < 0.5)
+            want_close = (gstage <= scal[fn._S_PIVOT] - 1.0) & (gopen > 0.5)
+            do_open = can_act & want_open
+            do_close = can_act & want_close
+            gopen = jnp.where(do_open, 1.0, jnp.where(do_close, 0.0, gopen))
+            gcool = jnp.where(do_open | do_close, scal[fn._S_MAXCD], gcool)
+            gptime = jnp.zeros_like(gptime) + time
+
+        prev_A, prev_Se, prev_Q2A = _level_state(g, h, Q)
+        tgt = member_col(tgt_ref, k)
+        ds_tgt = member_col(ds_tgt_ref, k)
+        if qlat_mode == "tv":
+            qlat_k = qlat_ref[pl.ds(k, 1)][0]
+        else:
+            qlat_k = qlat_const
+
+        if has_jstor or has_jrate:
+            Sp = signed_end_sum(Q)
+            q_prev = jrate_q(Y)
+
+        def cond(c):
+            return jnp.sum(c[8]) > 0.0
+
+        def body(c):
+            hh, hl, qh, ql, yh, yl, iters, errf, active, rs_h, rs_l = c
+            hc, Qc, Yc = DF(hh, hl), DF(qh, ql), DF(yh, yl)
+            junc = dict(us_mask=jm_us, ds_mask=jm_ds,
+                        Y_us=gather_Y(Yc, 0), Y_ds=gather_Y(Yc, 1),
+                        z_us=z_us_col, z_ds=z_ds_col,
+                        cell_real=cell_real, pad_cell=pad_cell,
+                        us_kind_masks=us_masks, ds_kind_masks=ds_masks)
+            buf, errb, res_st = _assemble_fused(
+                g, scal, roll, n, ds_kind, hc, Qc, h, Q,
+                prev_A, prev_Se, prev_Q2A, tgt, us_kind=us_kind,
+                y_old=(y_old_b if has_stor_end else Yc), k=k,
+                gate_open=gopen, ds_tgt=ds_tgt, junc=junc,
+                qlat_avg=qlat_k)
+            is0 = (idx == 0).astype(jnp.float32)
+            isl = (idx == n - 1).astype(jnp.float32)
+            jm_ds_only = jm_ds * (1.0 - jm_us)
+            jm_both = jm_ds * jm_us
+            extra = []
+            if m_rhs >= 2:
+                extra.append(-(is0 * jm_us))
+                extra.append(-(isl * jm_ds_only))
+            if m_rhs >= 3:
+                extra.append(jnp.zeros_like(hh))
+                extra.append(-(isl * jm_both))
+            buf = jnp.concatenate([buf[:14 * BM]] + extra, axis=0)
+            red = pcr_common.pcr_reduce(buf, idx, n, n_sweeps, roll,
+                                        rhs_pairs=m_rhs, block=BM)
+            X = pcr_common.pcr_backsolve(red, rhs_pairs=m_rhs, block=BM)
+
+            S = signed_end_sum(Qc)
+            q_out = jrate_q(Yc) if has_jrate else None
+            G = S - q_out if has_jrate else S
+            if has_jstor:
+                G_st = (df(j_area) * (Yc - Y) / df(scal[_S_DT])
+                        - df(0.5) * (S + Sp))
+                if has_jrate:
+                    G_st = G_st + df(0.5) * (q_out + q_prev)
+                G = df32.where(stor > 0.0, G_st, G)
+            Gf = G.value
+
+            # per-member pre-update residual: branch-block + junction-block
+            # sums (each mixes only the same member's sublane rows)
+            err2_m = _block_sum(errb * errb, B0, Mp)
+            err2_m = err2_m + _block_sum(Gf * Gf, J, Mp)
+            err_m = jnp.sqrt(err2_m)
+
+            # Schur tableau: [J*Mp, 128] with member systems on sublanes
+            if has_jstor:
+                fac = jnp.where(stor > 0.0, np.float32(-0.5),
+                                np.float32(1.0))
+            rhs_blocks = _blocks(Gf, J, Mp)
+            zMb = Gf[0:Mp] * np.float32(0.0)
+            M_blocks = [zMb * liota128.astype(jnp.float32)
+                        for _ in range(J)]
+            for (b, lane, j, sgn) in ends:
+                sg = np.float32(sgn)
+                fj = (fac[j * Mp:(j + 1) * Mp] if has_jstor
+                      else jnp.ones_like(zMb))
+                v0 = sg * X[0][1][b * Mp:(b + 1) * Mp, lane:lane + 1]
+                rhs_blocks[j] = rhs_blocks[j] + fj * v0
+                for (jcol, ci) in coup[b]:
+                    colm = (liota128 == jcol).astype(jnp.float32)
+                    vc = sg * X[1 + ci][1][b * Mp:(b + 1) * Mp,
+                                           lane:lane + 1]
+                    M_blocks[j] = M_blocks[j] + (fj * vc) * colm
+            if has_jstor or has_jrate:
+                dq = jrate_dq(Yc) if has_jrate else np.float32(0.0)
+                if has_jstor:
+                    DYc = jnp.where(stor > 0.0,
+                                    j_area / scal[_S_DT]
+                                    + np.float32(0.5) * dq, -dq)
+                else:
+                    DYc = -dq
+                for j in range(J):
+                    colm = (liota128 == j).astype(jnp.float32)
+                    M_blocks[j] = (M_blocks[j]
+                                   - DYc[j * Mp:(j + 1) * Mp] * colm)
+            rhs_col = (liota128 == J).astype(jnp.float32)
+            aug = jnp.concatenate(
+                [M_blocks[j] + rhs_col * rhs_blocks[j] for j in range(J)],
+                axis=0)
+            # blocked Gauss-Jordan: pivot rows are the [Mp, 128] member
+            # blocks of junction t — static slices, vectorized over members
+            for t in range(J):
+                prow = aug[t * Mp:(t + 1) * Mp, :]
+                piv = prow[:, t:t + 1]
+                prown = prow / piv
+                f = aug[:, t:t + 1]
+                tiled = _tile_sub(prown, J)
+                selt = ((jmiota >= t * Mp) & (jmiota < (t + 1) * Mp)
+                        ).astype(jnp.float32)
+                aug = aug - f * tiled
+                aug = aug * (1.0 - selt) + selt * tiled
+            dY = aug[:, J:J + 1]
+
+            dx0, dx1 = X[0]
+            d0_blocks, d1_blocks = [], []
+            for b in range(B0):
+                c0 = dx0[b * Mp:(b + 1) * Mp, :]
+                c1 = dx1[b * Mp:(b + 1) * Mp, :]
+                for (jcol, ci) in coup[b]:
+                    dYc = dY[jcol * Mp:(jcol + 1) * Mp, :]
+                    c0 = c0 - X[1 + ci][0][b * Mp:(b + 1) * Mp, :] * dYc
+                    c1 = c1 - X[1 + ci][1][b * Mp:(b + 1) * Mp, :] * dYc
+                d0_blocks.append(c0)
+                d1_blocks.append(c1)
+            dx0 = jnp.concatenate(d0_blocks, axis=0)
+            dx1 = jnp.concatenate(d1_blocks, axis=0)
+
+            upd = active                    # [Mp, 1] per-member mask
+            updB = _tile_sub(upd, B0)       # [BM, 1]
+            updJ = _tile_sub(upd, J)        # [JM, 1]
+            hn = hc + df(dx0 * node_mask * updB)
+            qn = Qc + df(dx1 * node_mask * updB)
+            Yn = Yc + df(dY * updJ)
+            iters = iters + upd
+            errf = jnp.where(upd > 0.0, err_m, errf)
+            if has_stor_end:
+                rs_h = jnp.where(updB > 0.0, res_st.hi, rs_h)
+                rs_l = jnp.where(updB > 0.0, res_st.lo, rs_l)
+            active = (upd * (err_m >= tol).astype(jnp.float32)
+                      * (iters < np.float32(max_iter)).astype(jnp.float32))
+            return (hn.hi, hn.lo, qn.hi, qn.lo, Yn.hi, Yn.lo,
+                    iters, errf, active, rs_h, rs_l)
+
+        hcol = h.hi[0:Mp, 0:1]
+        hsafe = jnp.where(jnp.abs(hcol) < np.float32(3e38), hcol,
+                          jnp.zeros_like(hcol))
+        dz = hsafe * np.float32(0.0)
+        (hh, hl, qh, ql, yh, yl, iters, errf, _,
+         rs_h, rs_l) = jax.lax.while_loop(
+            cond, body,
+            (h.hi, h.lo, Q.hi, Q.lo, Y.hi * 1.0, Y.lo * 1.0,
+             dz, dz + np.float32(np.inf), dz + 1.0,
+             ry_hi * 1.0, ry_lo * 1.0))
+
+        gstage = scal[_S_DSBED] + hh[:, n - 1:n] + hl[:, n - 1:n]
+        store_level(k, DF(hh, hl), DF(qh, ql), iters, errf, gopen,
+                    DF(yh, yl),
+                    rs=DF(rs_h, rs_l) if has_stor_end else None)
+        return (hh, hl, qh, ql, yh, yl, gopen, gcool, gptime, gstage,
+                rs_h, rs_l)
+
+    with df32.fenced(scal[_S_ZERO]):
+        gstage0 = scal[_S_DSBED] + h0.hi[:, n - 1:n] + h0.lo[:, n - 1:n]
+        dz0 = h0.hi[:, 0:1] * np.float32(0.0)
+        jax.lax.fori_loop(
+            1, nt, level_body,
+            (h0.hi, h0.lo, Q0.hi, Q0.lo, Y0.hi * 1.0, Y0.lo * 1.0,
+             dz0 + np.float32(gate_init), dz0, dz0 - 1.0, gstage0,
+             dz0 * 1.0, dz0 * 1.0))
+    if streamer is not None:
+        streamer.drain()
+
+
+@functools.lru_cache(maxsize=16)
+def _build_call_network_batched(*, nt, n, B0, Mp, Np, J, m_rhs, n_sweeps,
+                                max_iter, ds_kind, us_kind, gate_init,
+                                varying, topo_j, qlat_mode, has_jstor,
+                                has_jrate, has_stor_end, n_net_rows,
+                                out_mem, interpret):
+    kern = functools.partial(
+        _kernel_network_batched, nt=nt, n=n, B0=B0, Mp=Mp, J=J, m_rhs=m_rhs,
+        n_sweeps=n_sweeps, max_iter=max_iter, ds_kind=ds_kind,
+        us_kind=us_kind, gate_init=gate_init, varying=varying,
+        topo_j=topo_j, qlat_mode=qlat_mode, has_jstor=has_jstor,
+        has_jrate=has_jrate, has_stor_end=has_stor_end, out_mem=out_mem,
+        interpret=interpret)
+    BM, JM = B0 * Mp, J * Mp
+    out_shapes = [
+        jax.ShapeDtypeStruct((nt, BM, Np), jnp.float32),   # depth hi
+        jax.ShapeDtypeStruct((nt, BM, Np), jnp.float32),   # depth lo
+        jax.ShapeDtypeStruct((nt, BM, Np), jnp.float32),   # flow hi
+        jax.ShapeDtypeStruct((nt, BM, Np), jnp.float32),   # flow lo
+        jax.ShapeDtypeStruct((nt, BM, 128), jnp.float32),  # per-branch stats
+        jax.ShapeDtypeStruct((nt, JM, 128), jnp.float32),  # junction stats
+    ]
+    out_space = pl.ANY if out_mem == "hbm" else pltpu.VMEM
+    return jax.jit(pl.pallas_call(
+        kern,
+        out_shape=out_shapes,
+        in_specs=(
+            [
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # geometry rows
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # init state
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # network masks
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # junction config
+            ]
+            + ([pl.BlockSpec(memory_space=pltpu.VMEM)]
+               if qlat_mode == "tv" else [])
+            + [
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # us targets [BM, nt]
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # ds targets [BM, nt]
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # scalars [BM, _NS]
+            ]
+        ),
+        out_specs=[pl.BlockSpec(memory_space=out_space)] * len(out_shapes),
+        scratch_shapes=(_out_scratch_shapes(out_shapes)
+                        if out_mem == "hbm" else []),
+        interpret=interpret,
+    ))
+
+
+def max_fused_network_batch(branches, settings) -> int:
+    """Largest member count one batched network dispatch holds in VMEM
+    (callers chunk bigger ensembles; multiples of 8 fill whole vregs)."""
+    B0 = len(branches)
+    Nmax = max(int(np.asarray(br.h0).shape[0]) for br in branches)
+    Np = max(128, -(-Nmax // 128) * 128)
+    n_sweeps = max(1, (Nmax - 1).bit_length())
+    m_rhs = 3  # worst case bound for sizing
+    work_rows = fn._WORK_ROWS + 2 * (m_rhs - 1) * (n_sweeps + 2)
+    per_member = (_NG + 4 + 8 + work_rows) * B0 * Np * 4
+    return max(8, (fn._FUSED_VMEM_BYTES // per_member) // 8 * 8)
+
+
+def fused_simulate_network_batched(branches, n_junctions, settings, batch,
+                                   Y0=None, junction_area=None,
+                                   junction_rating=None,
+                                   interpret: bool = False):
+    """Run M Monte-Carlo members of a whole network in ONE Pallas dispatch.
+
+    Same surface as
+    :func:`flowsim_tpu.parallel.ensemble.batched_simulate_network`:
+    ``batch`` is one dict per branch of stacked BranchDef overrides (geo /
+    us / ds / h0 / Q0 with a leading member axis; junction ends cannot be
+    overridden).  Returns a :class:`NetworkOutput` whose fields carry a
+    leading member axis (the vmap contract).  Raises
+    :class:`FusedUnsupported` outside the kernel's scope.
+    """
+    from flowsim_tpu.geometry import TrapezoidGeometry
+    from flowsim_tpu.ops.network import (NetworkOutput, _check_supported,
+                                         _is_junction,
+                                         default_initial_stages)
+
+    _check_supported(branches, n_junctions, settings)
+    J = n_junctions
+    if J < 1:
+        raise FusedUnsupported("not a network (no junctions)")
+    if settings.newton != "while":
+        raise FusedUnsupported("fused network kernel implements the "
+                               "while-Newton only")
+    if len(batch) != len(branches):
+        raise ValueError(f"batch has {len(batch)} entries for "
+                         f"{len(branches)} branches")
+    if junction_rating is not None:
+        for rc in junction_rating:
+            if rc is None:
+                continue
+            if rc.kind not in ("polynomial", "blended_poly"):
+                raise FusedUnsupported(
+                    f"junction rating kind {rc.kind!r} is XLA-engine only")
+            if np.asarray(rc.coeffs).shape[-1] != 3:
+                raise FusedUnsupported("junction rating rows pack quadratics")
+    has_jstor = junction_area is not None and bool(
+        np.any(np.asarray(junction_area) > 0.0))
+    has_jrate = junction_rating is not None and any(
+        rc is not None for rc in junction_rating)
+
+    # member count from the batch overrides
+    M = None
+    tonp = lambda t: jax.tree_util.tree_map(np.asarray, t)
+    batch = [tonp(d) for d in batch]
+    for d in batch:
+        for v in jax.tree_util.tree_leaves(d):
+            M = v.shape[0] if M is None else M
+            if v.shape[0] != M:
+                raise ValueError("inconsistent member counts in batch")
+    if M is None:
+        raise ValueError("batch carries no overrides; use the single-run "
+                         "kernel")
+    Mp = -(-M // 8) * 8
+    B0 = len(branches)
+
+    def member_branch(b, m):
+        d = {k: jax.tree_util.tree_map(lambda x: x[min(m, M - 1)], v)
+             for k, v in batch[b].items()}
+        import dataclasses as _dc
+        return _dc.replace(branches[b], **d)
+
+    n_bs = []
+    for br in branches:
+        if not isinstance(br.geo, TrapezoidGeometry):
+            raise FusedUnsupported("fused network kernel supports "
+                                   "TrapezoidGeometry branches only")
+        if br.qlat is not None and np.ndim(br.qlat) == 2:
+            raise FusedUnsupported("time-varying qlat in the BATCHED "
+                                   "network kernel is not supported yet")
+        n_bs.append(int(np.asarray(br.h0).shape[0]))
+    qlat_mode = ("const" if any(br.qlat is not None for br in branches)
+                 else None)
+    Nmax = max(n_bs)
+    nt = settings.n_time_levels
+    Np = max(128, -(-Nmax // 128) * 128)
+    n_sweeps = max(1, (Nmax - 1).bit_length())
+    BM, JM = B0 * Mp, J * Mp
+    if J > 120:
+        raise FusedUnsupported("J > 120 junctions exceed the lane budget")
+    if Nmax > fn.MAX_VMEM_N:
+        raise FusedUnsupported(f"Nmax={Nmax} exceeds the VMEM kernel limit")
+
+    f32 = np.float32
+    geo_rows = np.zeros((_NG * BM, Np), f32)
+    init_rows = np.zeros((4 * BM, Np), f32)
+    net_rows = np.zeros((8 * BM, Np), f32)
+    nt_pad = max(nt, 8)
+    tgt_b = np.zeros((BM, nt_pad), f32)
+    ds_tgt_b = np.zeros((BM, nt_pad), f32)
+    scal_rows = np.zeros((BM, _NS), f32)
+    topo_j = []
+    us_kind_bs = [None] * BM
+    ds_kind_bs = [None] * BM
+
+    base = np.zeros((_NS,), f32)
+    base[_S_THETA] = settings.theta
+    base[_S_DT] = settings.time_step
+    base[_S_TOL] = settings.tolerance
+
+    # per-member initial junction stages (vmap semantics: the default
+    # derives from each member's h0)
+    Y0_np = np.zeros((JM,), np.float64)
+    for b in range(B0):
+        jus = int(branches[b].us) if _is_junction(branches[b].us) else None
+        jds = int(branches[b].ds) if _is_junction(branches[b].ds) else None
+        topo_j.append((jus, jds))
+
+    for m in range(Mp):
+        brs_m = [member_branch(b, m) for b in range(B0)]
+        if Y0 is None:
+            Y0_m = np.asarray(jax.device_get(
+                default_initial_stages(brs_m, J, jnp.float64)), np.float64)
+        else:
+            Y0_m = np.asarray(jax.device_get(Y0), np.float64)
+            if Y0_m.ndim == 2:
+                Y0_m = Y0_m[min(m, M - 1)]
+        for j in range(J):
+            Y0_np[j * Mp + m] = Y0_m[j]
+        for b in range(B0):
+            br = brs_m[b]
+            r = b * Mp + m
+            n_b = n_bs[b]
+            geo_p = jax.tree_util.tree_map(
+                lambda x: _edge_pad_np(np.asarray(x), Nmax), br.geo)
+            geo_rows.reshape(_NG, BM, Np)[:, r, :] = _pack_trap_rows(
+                geo_p, Nmax, Np)
+            h0p = _edge_pad_np(np.asarray(br.h0, np.float64), Nmax)
+            Q0p = _edge_pad_np(np.asarray(br.Q0, np.float64), Nmax)
+            init_rows.reshape(4, BM, Np)[:, r, :] = _pack_init(
+                h0p, Q0p, Nmax, Np)
+            scal_m = base.copy()
+            scal_m[_S_DX] = br.dx
+            jus, jds = topo_j[b]
+            if jus is None:
+                us_kind_m, stg_u = _pack_us_config(br.us, settings, scal_m)
+                if stg_u is not None or us_kind_m.startswith("storage_curve"):
+                    raise FusedUnsupported(
+                        "curve/loss lumped storage on network ends is "
+                        "XLA-engine only")
+                us_kind_bs[r] = us_kind_m
+                tgt_b[r, :nt] = _pack_us_series(br.us, nt).astype(f32)
+            if jds is None:
+                ds_kind_m, ds_series, stg_d = _pack_ds_config(
+                    br.ds, settings, scal_m, nt)
+                if stg_d is not None or ds_kind_m.startswith("storage_curve"):
+                    raise FusedUnsupported(
+                        "curve/loss lumped storage on network ends is "
+                        "XLA-engine only")
+                ds_kind_bs[r] = ds_kind_m
+                ds_tgt_b[r, :nt] = ds_series.astype(f32)
+            if ((us_kind_bs[r] or "").startswith("storage")
+                    and (ds_kind_bs[r] or "").startswith("storage")):
+                raise FusedUnsupported("storage on both ends of one branch "
+                                       "shares the per-branch storage slots")
+            scal_rows[r] = scal_m
+
+            z_p = np.asarray(geo_p.z_bed, np.float64)
+            nr = net_rows.reshape(8, BM, Np)
+            nr[0, r, :Nmax] = (np.arange(Nmax) < n_b)
+            nr[1, r, :Nmax] = (np.arange(Nmax) < n_b - 1)
+            nr[2, r, n_b - 1] = 1.0
+            nr[3, r, :Nmax] = z_p.astype(f32)
+            nr[4, r, 0] = 0.0 if jus is None else 1.0
+            nr[5, r, 0] = 0.0 if jds is None else 1.0
+            nr[6, r, 0] = 1.0
+            if br.qlat is not None:
+                q = np.asarray(br.qlat, np.float64)
+                nr[7, r, : n_b - 1] = (0.5 * (q[:-1] + q[1:])).astype(f32)
+
+    uniq = lambda ks: tuple(dict.fromkeys(k for k in ks if k is not None))
+    us_kinds = uniq(us_kind_bs) or ("flow_hydrograph",)
+    ds_kinds = uniq(ds_kind_bs) or ("fixed_h",)
+    us_kind_bs = [k or us_kinds[0] for k in us_kind_bs]
+    ds_kind_bs = [k or ds_kinds[0] for k in ds_kind_bs]
+    us_kind = us_kinds if len(us_kinds) > 1 else us_kinds[0]
+    ds_kind = ds_kinds if len(ds_kinds) > 1 else ds_kinds[0]
+    has_stor_end = any(k.startswith("storage")
+                       for k in us_kind_bs + ds_kind_bs)
+    n_usm = len(us_kinds) if len(us_kinds) > 1 else 0
+    n_dsm = len(ds_kinds) if len(ds_kinds) > 1 else 0
+    if n_usm or n_dsm:
+        net_rows = np.concatenate(
+            [net_rows, np.zeros(((n_usm + n_dsm) * BM, Np), f32)])
+        nr = net_rows.reshape(8 + n_usm + n_dsm, BM, Np)
+        for i, kind in enumerate(us_kinds if n_usm else ()):
+            nr[8 + i, :, 0] = [1.0 if us_kind_bs[r] == kind else 0.0
+                               for r in range(BM)]
+        for i, kind in enumerate(ds_kinds if n_dsm else ()):
+            nr[8 + n_usm + i, :, 0] = [1.0 if ds_kind_bs[r] == kind else 0.0
+                                       for r in range(BM)]
+
+    m_rhs = 1 + max((sum(1 for j in t if j is not None) for t in topo_j),
+                    default=0)
+    varying = tuple(int(i) for i in range(_NS)
+                    if not np.all(scal_rows[:, i] == scal_rows[0, i]))
+
+    y_hi, y_lo = _split64(Y0_np)
+    jin = np.zeros((_NJ * JM, 128), f32)
+    jin[0 * JM:1 * JM, 0] = y_hi
+    jin[1 * JM:2 * JM, 0] = y_lo
+    jin[_J_FD * JM:(_J_FD + 1) * JM, 0] = 1.0
+    jin[_J_BUFS * JM:(_J_BUFS + 1) * JM, 0] = 1e-30
+    if has_jstor:
+        ja = np.asarray(junction_area, np.float64)
+        for j in range(J):
+            jin[_J_AREA * JM + j * Mp:_J_AREA * JM + (j + 1) * Mp, 0] = ja[j]
+    if has_jrate:
+        for j, rc in enumerate(junction_rating):
+            if rc is None:
+                continue
+            c = np.asarray(rc.coeffs, np.float64)
+            if rc.kind == "polynomial":
+                d = c
+                xoff = float(np.asarray(rc.stage_shift, np.float64))
+                bufs, fd = 1e-30, 1.0
+            else:
+                d = np.asarray(rc.coeffs_high, np.float64)
+                xoff = -float(np.asarray(rc.pivot_stage, np.float64))
+                bufs = max(float(np.asarray(rc.buffer, np.float64)), 1e-30)
+                fd = float(np.asarray(rc.fd_step, np.float64))
+            for row, v in ((_J_C2, c[0]), (_J_C1, c[1]), (_J_C0, c[2]),
+                           (_J_D2, d[0]), (_J_D1, d[1]), (_J_D0, d[2]),
+                           (_J_XOFF, xoff), (_J_BUFS, bufs), (_J_FD, fd)):
+                jin[row * JM + j * Mp:row * JM + (j + 1) * Mp, 0] = \
+                    np.float32(v)
+
+    work_rows = fn._WORK_ROWS + 2 * (m_rhs - 1) * (n_sweeps + 2)
+    per_level = (4 * BM * Np + BM * 128 + JM * 128) * 4
+    work = ((_NG + 4 + 8) * BM * Np + work_rows * BM * Np) * 4
+    req = getattr(settings, "out_memory", "auto")
+    if req in ("vmem", "hbm"):
+        out_mem = req
+    else:
+        out_mem = "vmem" if work + nt * per_level <= fn._FUSED_VMEM_BYTES \
+            else "hbm"
+    out_vmem = (nt if out_mem == "vmem" else 2) * per_level
+    if work + out_vmem > fn._FUSED_VMEM_BYTES:
+        raise FusedUnsupported(
+            f"batched network working set exceeds the VMEM budget "
+            f"(B={B0}, M={M}, Nmax={Nmax}, nt={nt}); chunk at <= "
+            f"{max_fused_network_batch(branches, settings)} members")
+
+    call = _build_call_network_batched(
+        nt=nt, n=Nmax, B0=B0, Mp=Mp, Np=Np, J=J, m_rhs=m_rhs,
+        n_sweeps=n_sweeps, max_iter=settings.max_iter, ds_kind=ds_kind,
+        us_kind=us_kind,
+        gate_init=1.0 if settings.gate_initially_open else 0.0,
+        varying=varying, topo_j=tuple(topo_j), qlat_mode=qlat_mode,
+        has_jstor=has_jstor, has_jrate=has_jrate,
+        has_stor_end=has_stor_end,
+        n_net_rows=net_rows.shape[0] // BM,
+        out_mem=out_mem, interpret=interpret)
+    ins = [jnp.asarray(geo_rows), jnp.asarray(init_rows),
+           jnp.asarray(net_rows), jnp.asarray(jin),
+           jnp.asarray(tgt_b), jnp.asarray(ds_tgt_b),
+           jnp.asarray(scal_rows)]
+    outs = call(*ins)
+    dhi, dlo, fhi, flo, stats, jstat = outs
+
+    dtype = jnp.asarray(branches[0].h0).dtype
+
+    def df_sum(hi, lo):
+        if dtype == jnp.float64:
+            return hi.astype(jnp.float64) + lo.astype(jnp.float64)
+        return (hi + lo).astype(dtype)
+
+    # [nt, B0*Mp, X] -> member-major views [M, nt, ...]
+    def member_view(x):  # [nt, BM, X] -> [nt, B0, Mp, X]
+        return x.reshape(nt, B0, Mp, x.shape[-1])
+
+    dhi4, dlo4 = member_view(dhi), member_view(dlo)
+    fhi4, flo4 = member_view(fhi), member_view(flo)
+    stats4 = member_view(stats)
+    jstat4 = jstat.reshape(nt, J, Mp, 128)
+    depth = tuple(
+        jnp.moveaxis(df_sum(dhi4[:, b, :M, :n_bs[b]],
+                            dlo4[:, b, :M, :n_bs[b]]), 1, 0)
+        for b in range(B0))
+    flow = tuple(
+        jnp.moveaxis(df_sum(fhi4[:, b, :M, :n_bs[b]],
+                            flo4[:, b, :M, :n_bs[b]]), 1, 0)
+        for b in range(B0))
+    stage = jnp.moveaxis(
+        df_sum(jstat4[:, :, :M, 0], jstat4[:, :, :M, 1]), 2, 0)  # [M, nt, J]
+    iters = jnp.moveaxis(jstat4[:, 0, :M, 2], 1, 0).astype(jnp.int32)
+    errs = jnp.moveaxis(jstat4[:, 0, :M, 3], 1, 0).astype(dtype)
+    lvl = jnp.arange(nt)[None, :]
+    converged = (errs < settings.tolerance) | (lvl == 0)
+    res_stage = jnp.full((M, nt, B0, 2), jnp.nan, dtype)
+    if has_stor_end:
+        rs = jnp.moveaxis(df_sum(stats4[:, :, :M, 4], stats4[:, :, :M, 5]),
+                          2, 0)  # [M, nt, B0]
+        rs = jnp.where(lvl[..., None] == 0, jnp.nan, rs)
+        us_st = np.array([topo_j[b][0] is None
+                          and us_kind_bs[b * Mp].startswith("storage")
+                          for b in range(B0)])[None, None, :]
+        ds_st = np.array([topo_j[b][1] is None
+                          and ds_kind_bs[b * Mp].startswith("storage")
+                          for b in range(B0)])[None, None, :]
+        nanv = jnp.asarray(jnp.nan, dtype)
+        res_stage = jnp.stack([jnp.where(jnp.asarray(us_st), rs, nanv),
+                               jnp.where(jnp.asarray(ds_st), rs, nanv)],
+                              axis=-1)
+    gate0 = 1.0 if settings.gate_initially_open else 0.0
+    if "gated_blend" in ds_kinds:
+        reports = np.array([topo_j[b][1] is None
+                            and ds_kind_bs[b * Mp] == "gated_blend"
+                            for b in range(B0)])[None, None, :]
+        gds = jnp.where(jnp.asarray(reports),
+                        jnp.moveaxis(stats4[:, :, :M, 3], 2, 0).astype(dtype),
+                        jnp.asarray(gate0, dtype))
+    else:
+        gds = jnp.full((M, nt, B0), gate0, dtype)
+    gate_open = jnp.stack([jnp.full((M, nt, B0), gate0, dtype), gds],
+                          axis=-1)
+    if has_jrate:
+        from flowsim_tpu.ops import rating_curve as rcurve
+        outflow = jnp.stack(
+            [jnp.zeros((M, nt), dtype) if rc is None
+             else rcurve.discharge(rc, stage[:, :, j])
+             for j, rc in enumerate(junction_rating)], axis=-1)
+    else:
+        outflow = jnp.zeros((M, nt, J), dtype)
     return NetworkOutput(depth=depth, flow=flow, junction_stage=stage,
                          iterations=iters, error=errs, converged=converged,
                          reservoir_stage=res_stage, gate_open=gate_open,

@@ -569,6 +569,148 @@ def _level_state(g, h: DF, Q: DF, section_fn=None):
     return A, Se, Q2A
 
 
+def _us_row(us_kind, st, scal, h, Q, prev_h, prev_Q, tgt, y_old, k, stg):
+    """Upstream boundary row (ops/boundary.py:160-205) on [B, 1] columns.
+
+    Returns ``(us_res DF, us_df_dh, us_df_dQ, us_res_stage | None)``.
+    Factored out of :func:`_assemble_fused` so network mode can evaluate
+    several kinds and select per branch (mixed external-end kinds).
+    """
+    if us_kind == "flow_hydrograph":
+        return (DF(Q.hi[:, 0:1], Q.lo[:, 0:1]) - df(tgt),
+                np.float32(0.0), np.float32(1.0), None)
+    if us_kind == "normal_depth":
+        # Q - K(h) sqrt(S0) at the head node (ops/boundary.py:178-183)
+        sq = scal[_S_SQS0_US]
+        K_head = DF(st["K"].hi[:, 0:1], st["K"].lo[:, 0:1])
+        Q_head = DF(Q.hi[:, 0:1], Q.lo[:, 0:1])
+        us_res = Q_head - K_head * df(sq)
+        us_df_dh = -(st["dK_dA"][:, 0:1] * sq * st["dA_dh"][:, 0:1])
+        return us_res, us_df_dh, np.float32(1.0), None
+    if us_kind in ("rating_poly", "rating_blend"):
+        # Q - RC(bed + h) at the head node (ops/boundary.py:173-183), with
+        # the upstream coefficient block; central-difference dQ/dz (exact
+        # for the quadratics at fd=1, matching the ds rating row)
+        rkind = "polynomial" if us_kind == "rating_poly" else "blended_poly"
+        h_head = DF(h.hi[:, 0:1], h.lo[:, 0:1])
+        Q_head = DF(Q.hi[:, 0:1], Q.lo[:, 0:1])
+        stage_c = h_head + df(scal[_S_USTAGEC])
+        us_res = Q_head - _rating_q(scal, stage_c, rkind, slots=_US_RC_SLOTS)
+        ufd = scal[_S_UFD]
+        qp_ = _rating_q(scal, stage_c + df(ufd), rkind, slots=_US_RC_SLOTS)
+        qm_ = _rating_q(scal, stage_c - df(ufd), rkind, slots=_US_RC_SLOTS)
+        us_df_dh = -((qp_ - qm_).value) / (2.0 * ufd)
+        return us_res, us_df_dh, np.float32(1.0), None
+    if us_kind == "storage_simple":
+        # fixed_depth + constant-area storage at the head (ops/boundary.py
+        # :185-205 with upstream=True: positive Q DRAINS the reservoir)
+        h_head = DF(h.hi[:, 0:1], h.lo[:, 0:1])
+        Q_head = DF(Q.hi[:, 0:1], Q.lo[:, 0:1])
+        Qp_head = DF(prev_Q.hi[:, 0:1], prev_Q.lo[:, 0:1])
+        bed_u = scal[_S_USBED]
+        sa_u, dt_u = scal[_S_SA], scal[_S_DT]
+        first_u = k.astype(jnp.float32) == np.float32(1.0)
+        # upstream bootstrap anchors on the PREVIOUS level's surface (see
+        # ops/boundary.py evaluate upstream=True; the downstream rows keep
+        # the reference's trial-stage quirk)
+        hp_head = DF(prev_h.hi[:, 0:1], prev_h.lo[:, 0:1])
+        Y_old_u = df32.where(first_u, hp_head + df(bed_u), y_old)
+        vol_in_u = df(-0.5) * (Qp_head + Q_head) * df(dt_u)
+        Y_new_u = Y_old_u + vol_in_u / df(sa_u)
+        Y_new_u = df32.maximum(Y_new_u, df(scal[_S_MINSTAGE]))
+        us_res = h_head - (Y_new_u - df(bed_u))
+        us_df_dh = jnp.ones_like(h_head.hi)
+        dY_dvol_u = jnp.where(Y_new_u.hi <= scal[_S_MINSTAGE], 0.0, 1.0 / sa_u)
+        us_df_dQ = dY_dvol_u * 0.5 * dt_u
+        return us_res, us_df_dh, us_df_dQ, Y_new_u
+    if us_kind in ("storage_curve", "storage_curve_hl"):
+        h_head = DF(h.hi[:, 0:1], h.lo[:, 0:1])
+        Q_head = DF(Q.hi[:, 0:1], Q.lo[:, 0:1])
+        Qp_head = DF(prev_Q.hi[:, 0:1], prev_Q.lo[:, 0:1])
+        node_u = {kk: (DF(st[kk].hi[:, 0:1], st[kk].lo[:, 0:1])
+                       if isinstance(st[kk], DF) else st[kk][:, 0:1])
+                  for kk in ("A", "K", "dK_dA", "dA_dh")}
+        hp_head = DF(prev_h.hi[:, 0:1], prev_h.lo[:, 0:1])
+        return _storage_curve_eval(
+            scal, stg, h_head, Q_head, Qp_head, y_old, k,
+            scal[_S_USBED], us_kind == "storage_curve_hl", node_u,
+            sign=-1.0, h_boot=hp_head)
+    # stage_hydrograph / fixed_depth: host bakes the datum into tgt
+    return (DF(h.hi[:, 0:1], h.lo[:, 0:1]) - df(tgt),
+            np.float32(1.0), np.float32(0.0), None)
+
+
+def _ds_row(ds_kind, st, scal, h, Q, prev_Q, ds_tgt, y_old, k, gate_open,
+            stg, n):
+    """Downstream boundary row on [B, 1] columns (the ds counterpart of
+    :func:`_us_row`); returns ``(ds_res, ds_df_dh, ds_df_dQ, res_stage)``
+    with ``res_stage`` a zero DF unless the row carries storage."""
+    h_tail = DF(h.hi[:, n - 1:n], h.lo[:, n - 1:n])
+    Q_tail = DF(Q.hi[:, n - 1:n], Q.lo[:, n - 1:n])
+    res_stage = df(jnp.zeros_like(h_tail.hi))
+    if ds_kind == "fixed_h":
+        # plain fixed_depth (constant series) or a ds stage_hydrograph; the
+        # host bakes the datum/constant into ds_tgt (ops/boundary.py:185-187,
+        # 211-213; ref boundary.py:97-99,135-139)
+        ds_res = h_tail - df(ds_tgt)
+        return ds_res, jnp.ones_like(h_tail.hi), np.float32(0.0), res_stage
+    if ds_kind == "storage_simple":
+        # fixed_depth + constant-area lumped storage, closed-form mass
+        # balance (ops/boundary.py:185-205; ref boundary.py:97-133 with
+        # surface_area only): Y = max(Y_old + vol_in/SA, min_stage)
+        bed = scal[_S_DSBED]
+        sa, dt_s = scal[_S_SA], scal[_S_DT]
+        Qp_tail = DF(prev_Q.hi[:, n - 1:n], prev_Q.lo[:, n - 1:n])
+        # Compare in f32: the fori_loop level index `k` is a weak i64 under
+        # x64 (fori lowers to scan, whose index dtype is the canonical int),
+        # and an integer compare against an i32 literal inserts
+        # convert(i64->i32), which Mosaic cannot lower (its _convert_helper
+        # recurses infinitely on 64-bit ints).  i64->f32 DOES lower (the
+        # gated branch's time computation uses it), so route through f32.
+        # ref boundary.py:104-108: trial stage at level 1
+        first = k.astype(jnp.float32) == np.float32(1.0)
+        Y_old_eff = df32.where(first, h_tail + df(bed), y_old)
+        vol_in = df(0.5) * (Qp_tail + Q_tail) * df(dt_s)
+        Y_new = Y_old_eff + vol_in / df(sa)
+        Y_new = df32.maximum(Y_new, df(scal[_S_MINSTAGE]))
+        ds_res = h_tail - (Y_new - df(bed))
+        dY_dvol = jnp.where(Y_new.hi <= scal[_S_MINSTAGE], 0.0, 1.0 / sa)
+        ds_df_dQ = -(dY_dvol * 0.5 * dt_s)
+        return ds_res, jnp.ones_like(h_tail.hi), ds_df_dQ, Y_new
+    if ds_kind in ("storage_curve", "storage_curve_hl"):
+        # generalized lumped storage: stage-area curve / storage rating /
+        # entrance losses via the pack-time stage-grid tables
+        Qp_tail = DF(prev_Q.hi[:, n - 1:n], prev_Q.lo[:, n - 1:n])
+        node_d = {kk: (DF(st[kk].hi[:, n - 1:n], st[kk].lo[:, n - 1:n])
+                       if isinstance(st[kk], DF) else st[kk][:, n - 1:n])
+                  for kk in ("A", "K", "dK_dA", "dA_dh")}
+        return _storage_curve_eval(
+            scal, stg, h_tail, Q_tail, Qp_tail, y_old, k,
+            scal[_S_DSBED], ds_kind == "storage_curve_hl", node_d)
+    if ds_kind == "flow_q":
+        # downstream flow hydrograph: Q - target (ops/boundary.py:160-162)
+        ds_res = Q_tail - df(ds_tgt)
+        return (ds_res, jnp.zeros_like(h_tail.hi), np.float32(1.0),
+                res_stage)
+    if ds_kind == "normal_depth":
+        # Q - K(h) sqrt(S0); df_dh = -dK_dA sqrt(S0) dA_dh (ref boundary
+        # :91-92,179-180; S0 > 0 enforced at pack time)
+        sq = scal[_S_SQS0]
+        K_tail = DF(st["K"].hi[:, n - 1:n], st["K"].lo[:, n - 1:n])
+        ds_res = Q_tail - K_tail * df(sq)
+        ds_df_dh = -(st["dK_dA"][:, n - 1:n] * sq
+                     * st["dA_dh"][:, n - 1:n])
+        return ds_res, ds_df_dh, np.float32(1.0), res_stage
+    stage_c = h_tail + df(scal[_S_STAGEC])
+    q_curve = _rating_q(scal, stage_c, ds_kind, gate_open=gate_open)
+    ds_res = Q_tail - q_curve
+    fd = scal[_S_FD]
+    qp = _rating_q(scal, stage_c + df(fd), ds_kind, gate_open=gate_open)
+    qm = _rating_q(scal, stage_c - df(fd), ds_kind, gate_open=gate_open)
+    ds_df_dh = -((qp - qm).value) / (2.0 * fd)
+    return ds_res, ds_df_dh, np.float32(1.0), res_stage
+
+
 def _assemble_fused(g, scal, roll, n, ds_kind,
                     h, Q, prev_h, prev_Q, prev_A, prev_Se, prev_Q2A, tgt,
                     us_kind="flow_hydrograph", y_old=None, k=None,
@@ -652,135 +794,49 @@ def _assemble_fused(g, scal, roll, n, ds_kind,
     geom = dYdx + avgSe
     Rm = dQdt + dQ2A_dx + g_df * avgA * geom
 
-    # boundary rows (ops/boundary.py:160-205)
-    us_res_stage = None
-    if us_kind == "flow_hydrograph":
-        us_res = DF(Q.hi[:, 0:1], Q.lo[:, 0:1]) - df(tgt)
-        us_df_dh, us_df_dQ = np.float32(0.0), np.float32(1.0)
-    elif us_kind == "normal_depth":
-        # Q - K(h) sqrt(S0) at the head node (ops/boundary.py:178-183)
-        sq = scal[_S_SQS0_US]
-        K_head = DF(st["K"].hi[:, 0:1], st["K"].lo[:, 0:1])
-        Q_head = DF(Q.hi[:, 0:1], Q.lo[:, 0:1])
-        us_res = Q_head - K_head * df(sq)
-        us_df_dh = -(st["dK_dA"][:, 0:1] * sq * st["dA_dh"][:, 0:1])
-        us_df_dQ = np.float32(1.0)
-    elif us_kind in ("rating_poly", "rating_blend"):
-        # Q - RC(bed + h) at the head node (ops/boundary.py:173-183), with
-        # the upstream coefficient block; central-difference dQ/dz (exact
-        # for the quadratics at fd=1, matching the ds rating row)
-        rkind = "polynomial" if us_kind == "rating_poly" else "blended_poly"
-        h_head = DF(h.hi[:, 0:1], h.lo[:, 0:1])
-        Q_head = DF(Q.hi[:, 0:1], Q.lo[:, 0:1])
-        stage_c = h_head + df(scal[_S_USTAGEC])
-        us_res = Q_head - _rating_q(scal, stage_c, rkind, slots=_US_RC_SLOTS)
-        ufd = scal[_S_UFD]
-        qp_ = _rating_q(scal, stage_c + df(ufd), rkind, slots=_US_RC_SLOTS)
-        qm_ = _rating_q(scal, stage_c - df(ufd), rkind, slots=_US_RC_SLOTS)
-        us_df_dh = -((qp_ - qm_).value) / (2.0 * ufd)
-        us_df_dQ = np.float32(1.0)
-    elif us_kind == "storage_simple":
-        # fixed_depth + constant-area storage at the head (ops/boundary.py
-        # :185-205 with upstream=True: positive Q DRAINS the reservoir)
-        h_head = DF(h.hi[:, 0:1], h.lo[:, 0:1])
-        Q_head = DF(Q.hi[:, 0:1], Q.lo[:, 0:1])
-        Qp_head = DF(prev_Q.hi[:, 0:1], prev_Q.lo[:, 0:1])
-        bed_u = scal[_S_USBED]
-        sa_u, dt_u = scal[_S_SA], scal[_S_DT]
-        first_u = k.astype(jnp.float32) == np.float32(1.0)
-        # upstream bootstrap anchors on the PREVIOUS level's surface (see
-        # ops/boundary.py evaluate upstream=True; the downstream rows keep
-        # the reference's trial-stage quirk)
-        hp_head = DF(prev_h.hi[:, 0:1], prev_h.lo[:, 0:1])
-        Y_old_u = df32.where(first_u, hp_head + df(bed_u), y_old)
-        vol_in_u = df(-0.5) * (Qp_head + Q_head) * df(dt_u)
-        Y_new_u = Y_old_u + vol_in_u / df(sa_u)
-        Y_new_u = df32.maximum(Y_new_u, df(scal[_S_MINSTAGE]))
-        us_res = h_head - (Y_new_u - df(bed_u))
-        us_df_dh = jnp.ones_like(h_head.hi)
-        dY_dvol_u = jnp.where(Y_new_u.hi <= scal[_S_MINSTAGE], 0.0, 1.0 / sa_u)
-        us_df_dQ = dY_dvol_u * 0.5 * dt_u
-        us_res_stage = Y_new_u
-    elif us_kind in ("storage_curve", "storage_curve_hl"):
-        h_head = DF(h.hi[:, 0:1], h.lo[:, 0:1])
-        Q_head = DF(Q.hi[:, 0:1], Q.lo[:, 0:1])
-        Qp_head = DF(prev_Q.hi[:, 0:1], prev_Q.lo[:, 0:1])
-        node_u = {kk: (DF(st[kk].hi[:, 0:1], st[kk].lo[:, 0:1])
-                       if isinstance(st[kk], DF) else st[kk][:, 0:1])
-                  for kk in ("A", "K", "dK_dA", "dA_dh")}
-        hp_head = DF(prev_h.hi[:, 0:1], prev_h.lo[:, 0:1])
-        us_res, us_df_dh, us_df_dQ, us_res_stage = _storage_curve_eval(
-            scal, stg, h_head, Q_head, Qp_head, y_old, k,
-            scal[_S_USBED], us_kind == "storage_curve_hl", node_u,
-            sign=-1.0, h_boot=hp_head)
-    else:  # stage_hydrograph / fixed_depth: host bakes the datum into tgt
-        us_res = DF(h.hi[:, 0:1], h.lo[:, 0:1]) - df(tgt)
-        us_df_dh, us_df_dQ = np.float32(1.0), np.float32(0.0)
-    h_tail = DF(h.hi[:, n - 1:n], h.lo[:, n - 1:n])
-    Q_tail = DF(Q.hi[:, n - 1:n], Q.lo[:, n - 1:n])
-    res_stage = df(jnp.zeros_like(h_tail.hi))  # [1,1]; overwritten by storage
-    ds_df_dQ = np.float32(1.0)
-    if ds_kind == "fixed_h":
-        # plain fixed_depth (constant series) or a ds stage_hydrograph; the
-        # host bakes the datum/constant into ds_tgt (ops/boundary.py:185-187,
-        # 211-213; ref boundary.py:97-99,135-139)
-        ds_res = h_tail - df(ds_tgt)
-        ds_df_dh = jnp.ones_like(h_tail.hi)
-        ds_df_dQ = np.float32(0.0)
-    elif ds_kind == "storage_simple":
-        # fixed_depth + constant-area lumped storage, closed-form mass
-        # balance (ops/boundary.py:185-205; ref boundary.py:97-133 with
-        # surface_area only): Y = max(Y_old + vol_in/SA, min_stage)
-        bed = scal[_S_DSBED]
-        sa, dt_s = scal[_S_SA], scal[_S_DT]
-        Qp_tail = DF(prev_Q.hi[:, n - 1:n], prev_Q.lo[:, n - 1:n])
-        # Compare in f32: the fori_loop level index `k` is a weak i64 under
-        # x64 (fori lowers to scan, whose index dtype is the canonical int),
-        # and an integer compare against an i32 literal inserts
-        # convert(i64->i32), which Mosaic cannot lower (its _convert_helper
-        # recurses infinitely on 64-bit ints).  i64->f32 DOES lower (the
-        # gated branch's time computation uses it), so route through f32.
-        # ref boundary.py:104-108: trial stage at level 1
-        first = k.astype(jnp.float32) == np.float32(1.0)
-        Y_old_eff = df32.where(first, h_tail + df(bed), y_old)
-        vol_in = df(0.5) * (Qp_tail + Q_tail) * df(dt_s)
-        Y_new = Y_old_eff + vol_in / df(sa)
-        Y_new = df32.maximum(Y_new, df(scal[_S_MINSTAGE]))
-        ds_res = h_tail - (Y_new - df(bed))
-        ds_df_dh = jnp.ones_like(h_tail.hi)
-        dY_dvol = jnp.where(Y_new.hi <= scal[_S_MINSTAGE], 0.0, 1.0 / sa)
-        ds_df_dQ = -(dY_dvol * 0.5 * dt_s)
-        res_stage = Y_new
-    elif ds_kind in ("storage_curve", "storage_curve_hl"):
-        # generalized lumped storage: stage-area curve / storage rating /
-        # entrance losses via the pack-time stage-grid tables
-        Qp_tail = DF(prev_Q.hi[:, n - 1:n], prev_Q.lo[:, n - 1:n])
-        node_d = {kk: (DF(st[kk].hi[:, n - 1:n], st[kk].lo[:, n - 1:n])
-                       if isinstance(st[kk], DF) else st[kk][:, n - 1:n])
-                  for kk in ("A", "K", "dK_dA", "dA_dh")}
-        ds_res, ds_df_dh, ds_df_dQ, res_stage = _storage_curve_eval(
-            scal, stg, h_tail, Q_tail, Qp_tail, y_old, k,
-            scal[_S_DSBED], ds_kind == "storage_curve_hl", node_d)
-    elif ds_kind == "flow_q":
-        # downstream flow hydrograph: Q - target (ops/boundary.py:160-162)
-        ds_res = Q_tail - df(ds_tgt)
-        ds_df_dh = jnp.zeros_like(h_tail.hi)
-    elif ds_kind == "normal_depth":
-        # Q - K(h) sqrt(S0); df_dh = -dK_dA sqrt(S0) dA_dh (ref boundary
-        # :91-92,179-180; S0 > 0 enforced at pack time)
-        sq = scal[_S_SQS0]
-        K_tail = DF(st["K"].hi[:, n - 1:n], st["K"].lo[:, n - 1:n])
-        ds_res = Q_tail - K_tail * df(sq)
-        ds_df_dh = -(st["dK_dA"][:, n - 1:n] * sq
-                     * st["dA_dh"][:, n - 1:n])
+    # boundary rows (ops/boundary.py:160-205); a tuple kind means MIXED
+    # external-end kinds (network mode): evaluate each kind's row on the
+    # full [B, 1] columns and SELECT per branch (masks aligned with the
+    # kind tuple in junc["us_kind_masks"]/["ds_kind_masks"])
+    if isinstance(us_kind, tuple):
+        masks = junc["us_kind_masks"]
+        one_c = jnp.ones_like(masks[0])
+        us_res, us_df_dh, us_df_dQ, us_res_stage = _us_row(
+            us_kind[0], st, scal, h, Q, prev_h, prev_Q, tgt, y_old, k, stg)
+        us_df_dh = us_df_dh * one_c
+        us_df_dQ = us_df_dQ * one_c
+        for kind, m in zip(us_kind[1:], masks[1:]):
+            r2, dh2, dq2, st2 = _us_row(kind, st, scal, h, Q, prev_h,
+                                        prev_Q, tgt, y_old, k, stg)
+            sel = m > 0.0
+            us_res = df32.where(sel, r2, us_res)
+            us_df_dh = jnp.where(sel, dh2 * one_c, us_df_dh)
+            us_df_dQ = jnp.where(sel, dq2 * one_c, us_df_dQ)
+            if st2 is not None:
+                us_res_stage = (st2 if us_res_stage is None else
+                                df32.where(sel, st2, us_res_stage))
     else:
-        stage_c = h_tail + df(scal[_S_STAGEC])
-        q_curve = _rating_q(scal, stage_c, ds_kind, gate_open=gate_open)
-        ds_res = Q_tail - q_curve
-        fd = scal[_S_FD]
-        qp = _rating_q(scal, stage_c + df(fd), ds_kind, gate_open=gate_open)
-        qm = _rating_q(scal, stage_c - df(fd), ds_kind, gate_open=gate_open)
-        ds_df_dh = -((qp - qm).value) / (2.0 * fd)
+        us_res, us_df_dh, us_df_dQ, us_res_stage = _us_row(
+            us_kind, st, scal, h, Q, prev_h, prev_Q, tgt, y_old, k, stg)
+    if isinstance(ds_kind, tuple):
+        masks = junc["ds_kind_masks"]
+        one_c = jnp.ones_like(masks[0])
+        _ds = _ds_row(ds_kind[0], st, scal, h, Q, prev_Q, ds_tgt, y_old, k,
+                      gate_open, stg, n)
+        _ds = (_ds[0], _ds[1] * one_c, _ds[2] * one_c, _ds[3])
+        for kind, m in zip(ds_kind[1:], masks[1:]):
+            r2, dh2, dq2, st2 = _ds_row(kind, st, scal, h, Q, prev_Q,
+                                        ds_tgt, y_old, k, gate_open, stg, n)
+            sel = m > 0.0
+            _ds = (df32.where(sel, r2, _ds[0]),
+                   jnp.where(sel, dh2 * one_c, _ds[1]),
+                   jnp.where(sel, dq2 * one_c, _ds[2]),
+                   df32.where(sel, st2, _ds[3]))
+    else:
+        _ds = _ds_row(ds_kind, st, scal, h, Q, prev_Q, ds_tgt, y_old, k,
+                      gate_open, stg, n)
+    ds_res, ds_df_dh, ds_df_dQ, res_stage = _ds
+    h_tail = DF(h.hi[:, n - 1:n], h.lo[:, n - 1:n])
 
     if junc is not None:
         # equal-stage junction rows override the external end rows on the

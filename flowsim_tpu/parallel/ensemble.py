@@ -242,6 +242,24 @@ def batched_simulate_network(branches, n_junctions, settings, batch,
             if k == "dx":
                 raise ValueError("dx is static; rebuild the branches instead")
 
+    if engine == "fused":
+        # whole-ensemble single-dispatch Pallas kernel: members x branches
+        # on the VPU sublane axis (ops/pallas/fused_network.py
+        # fused_simulate_network_batched); raises FusedUnsupported outside
+        # its scope — callers fall back to engine="stacked"/"loop"
+        import jax as _jax
+
+        from flowsim_tpu.ops.pallas.fused_network import (
+            fused_simulate_network_batched)
+
+        if shard:
+            raise ValueError("engine='fused' ensembles run per device; use "
+                             "shard=False (shard externally per chip)")
+        return fused_simulate_network_batched(
+            branches, n_junctions, settings, batch, Y0=Y0,
+            junction_area=junction_area, junction_rating=junction_rating,
+            interpret=_jax.devices()[0].platform != "tpu")
+
     def run(parts):
         brs = [dataclasses.replace(br, **p)
                for br, p in zip(branches, parts)]

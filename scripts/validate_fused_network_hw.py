@@ -34,26 +34,26 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def _cpu_oracle(branches, nj, sset, engine="loop"):
+def _cpu_oracle(branches, nj, sset, engine="loop", **net_kw):
     import jax
 
     from flowsim_tpu.ops.network import simulate_network
 
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
-        return simulate_network(branches, nj, sset, engine=engine)
+        return simulate_network(branches, nj, sset, engine=engine, **net_kw)
 
 
-def _compare(name, branches, nj, sset, results, dh=1e-4):
+def _compare(name, branches, nj, sset, results, dh=1e-4, **net_kw):
     import jax.numpy as jnp
 
     from flowsim_tpu.ops.network import simulate_network
 
     t0 = time.time()
-    out_f = simulate_network(branches, nj, sset, engine="fused")
+    out_f = simulate_network(branches, nj, sset, engine="fused", **net_kw)
     _ = float(jnp.sum(out_f.depth[0]))
     wall = time.time() - t0
-    ref = _cpu_oracle(branches, nj, sset)
+    ref = _cpu_oracle(branches, nj, sset, **net_kw)
     il = np.asarray(ref.iterations)
     iff = np.asarray(out_f.iterations)
     same_iters = bool((il == iff).all())
@@ -135,6 +135,109 @@ def main():
             0.0, 1.0, int(br.h0.shape[0])))))
         for br in qbr]
     _compare("qlat_split", qbr, 1, sset, results, dh=1e-5)
+
+    # 5b) junction reservoir + rated dam outflow (round-4 kernel scope)
+    from flowsim_tpu.ops import rating_curve as rcurve
+
+    rbr = split_branches(solver, 15, sset)
+    SA = 5.0e5
+    z_conf = float(np.asarray(rbr[0].geo.z_bed)[-1])
+    Y_init = z_conf + float(np.asarray(rbr[0].h0)[-1])
+    _compare("junction_reservoir", rbr, 1, sset, results, dh=1e-5,
+             junction_area=[SA])
+    rc = rcurve.make_polynomial(0.0, 40.0, -40.0 * Y_init + 20.0)
+    out_f = _compare("junction_dam_rated", rbr, 1, sset, results, dh=1e-5,
+                     junction_area=[SA], junction_rating=[rc])
+    qo = np.asarray(out_f.junction_outflow)[:, 0]
+    live = bool(qo[1:].min() > 0.0)
+    results["junction_dam_rated"]["outflow_live"] = live
+    results["junction_dam_rated"]["ok"] &= live
+    rcb = rcurve.make_blended_poly(
+        [0.0, 20.0, -20.0 * Y_init + 10.0],
+        [0.0, 60.0, -60.0 * Y_init + 30.0],
+        pivot_stage=Y_init + 0.05, buffer=0.5)
+    _compare("junction_blended", rbr, 1, sset, results, dh=1e-5,
+             junction_area=[SA], junction_rating=[rcb])
+
+    # 5c) constant-area storage on an external network end + mixed kinds
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tests"))
+    import test_fused_network as tfn
+
+    from flowsim_tpu.ops import boundary as bnd
+    from flowsim_tpu.ops import initial_conditions as ic
+    from flowsim_tpu.ops import preissmann as prs
+    from flowsim_tpu.ops import storage as stg
+
+    slope, dxp, dtp, ntp = 6e-4, 1000.0, 1800.0, 13
+    pg = tfn._prismatic()
+    zp = np.asarray(pg.z_bed)
+    us_s = bnd.make_boundary(
+        "fixed_depth", bed_level=float(zp[0]),
+        storage=stg.make_storage(surface_area=4.0e6,
+                                 min_stage=float(zp[0]) - 5.0,
+                                 solution_boundaries=(0.0, 100.0)))
+    ds_n = bnd.make_boundary("normal_depth", bed_level=float(zp[-1]),
+                             bed_slope=slope)
+    h0p, Q0p = ic.initial_conditions(pg, "steady-state", 150.0, dxp)
+    pset = prs.PreissmannSettings(theta=0.6, time_step=dtp, spatial_step=dxp,
+                                  n_time_levels=ntp, tolerance=1e-8,
+                                  max_iter=100)
+    slp = lambda s: jax.tree_util.tree_map(lambda x: x[s], pg)
+    sbr = [BranchDef(geo=slp(slice(0, 9)), dx=dxp, us=us_s, ds=0,
+                     h0=h0p[:9], Q0=Q0p[:9]),
+           BranchDef(geo=slp(slice(8, None)), dx=dxp, us=0, ds=ds_n,
+                     h0=h0p[8:], Q0=Q0p[8:])]
+    out_f = _compare("storage_end", sbr, 1, pset, results, dh=1e-5)
+    ref_s = _cpu_oracle(sbr, 1, pset)
+    rs_ok = bool(np.allclose(np.asarray(out_f.reservoir_stage)[1:, 0, 0],
+                             np.asarray(ref_s.reservoir_stage)[1:, 0, 0],
+                             atol=5e-6))
+    results["storage_end"]["stage_match"] = rs_ok
+    results["storage_end"]["ok"] &= rs_ok
+
+    gm = tfn._prismatic(n=31)
+    h0g, Q0g = ic.initial_conditions(gm, "steady-state", 150.0, dxp)
+    zg = np.asarray(gm.z_bed)
+    slg = lambda s: jax.tree_util.tree_map(lambda x: x[s], gm)
+    tms = np.arange(11, dtype=np.float64)
+    flood = 150.0 + 80.0 * np.exp(-((tms - 4.0) / 2.5) ** 2)
+    mset = dataclasses.replace(pset, n_time_levels=11)
+    mbr = [
+        BranchDef(geo=slg(slice(0, 11)), dx=dxp,
+                  us=bnd.make_boundary("flow_hydrograph",
+                                       bed_level=float(zg[0]),
+                                       target_series=flood),
+                  ds=0, h0=h0g[:11], Q0=Q0g[:11]),
+        BranchDef(geo=slg(slice(0, 11)), dx=dxp,
+                  us=bnd.make_boundary(
+                      "stage_hydrograph", bed_level=float(zg[0]),
+                      target_series=np.full(11, float(zg[0] + h0g[0]))),
+                  ds=0, h0=h0g[:11], Q0=Q0g[:11]),
+        BranchDef(geo=slg(slice(10, 21)), dx=dxp, us=0,
+                  ds=bnd.make_boundary("normal_depth",
+                                       bed_level=float(zg[20]),
+                                       bed_slope=slope),
+                  h0=h0g[10:21], Q0=Q0g[10:21]),
+        BranchDef(geo=slg(slice(10, 21)), dx=dxp, us=0,
+                  ds=bnd.make_boundary("fixed_depth",
+                                       bed_level=float(zg[20]),
+                                       initial_depth=float(h0g[20])),
+                  h0=h0g[10:21], Q0=Q0g[10:21]),
+    ]
+    _compare("mixed_end_kinds", mbr, 1, mset, results, dh=1e-5)
+
+    # 5d) time-varying lateral inflow (per-level rows in VMEM)
+    tvbr = split_branches(solver, 15, sset)
+    ntv = sset.n_time_levels
+    tv = []
+    for br in tvbr:
+        nb = int(br.h0.shape[0])
+        t = np.linspace(0.0, 1.0, ntv)[:, None]
+        pulse = 0.02 * np.exp(-((t - 0.4) / 0.2) ** 2) \
+            * (1.0 + np.linspace(0.0, 1.0, nb))[None, :]
+        tv.append(dataclasses.replace(br, qlat=jnp.asarray(pulse)))
+    _compare("qlat_tv", tv, 1, sset, results, dh=1e-5)
 
     # 6) HBM streaming bitwise on the full tributary
     out_v = simulate_network(branches, nj,

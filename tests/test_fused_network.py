@@ -113,27 +113,279 @@ def test_unsupported_configs_raise():
 
     branches, sset = _split_akbari(nt=4)
 
-    # junction reservoirs / rated junction outflow are XLA-engine only
+    # non-quadratic junction rating kinds are XLA-engine only
+    from flowsim_tpu.ops import rating_curve as rcurve
+    rc_tab = rcurve.make_table(np.linspace(480.0, 490.0, 8),
+                               np.linspace(0.0, 100.0, 8))
     with pytest.raises(FusedUnsupported):
         simulate_network(branches, 1, sset, engine="fused",
-                         junction_area=[5e5])
-    # time-varying lateral inflow (constant [N] fields ARE supported —
-    # test_branch_qlat_parity)
-    nt, n0 = sset.n_time_levels, int(branches[0].h0.shape[0])
-    br0 = dataclasses.replace(branches[0], qlat=np.full((nt, n0), 0.1))
-    with pytest.raises(FusedUnsupported):
-        simulate_network([br0, branches[1]], 1, sset, engine="fused")
+                         junction_rating=[rc_tab])
     # fixed-Newton mode (differentiable path) is XLA-engine only
     s_fixed = dataclasses.replace(sset, newton="fixed")
     with pytest.raises(FusedUnsupported):
         simulate_network(branches, 1, s_fixed, engine="fused")
-    # lumped-storage external ends
+    # curve/loss lumped storage on external ends (constant-area
+    # storage_simple IS supported — test_storage_end_parity)
     ds_stor = dataclasses.replace(
         branches[1].ds, kind="fixed_depth",
-        storage=stg.make_storage(surface_area=5e6, min_stage=0.0))
+        storage=stg.make_storage(
+            area_curve=np.stack([np.linspace(0.0, 50.0, 8),
+                                 np.full(8, 5e6)], axis=-1),
+            min_stage=0.0))
     br1s = dataclasses.replace(branches[1], ds=ds_stor)
     with pytest.raises(FusedUnsupported):
         simulate_network([branches[0], br1s], 1, sset, engine="fused")
+
+
+def test_junction_reservoir_parity():
+    """Junction reservoir (0-D storage at the junction): the fused kernel's
+    trapezoidal mass-balance rows must reproduce the f64 loop engine
+    iteration-for-iteration, and the pool must actually move."""
+    branches, sset = _split_akbari(nt=9)
+    SA = 5.0e5
+    out_l = simulate_network(branches, 1, sset, junction_area=[SA],
+                             engine="loop")
+    out_f = simulate_network(branches, 1, sset, junction_area=[SA],
+                             engine="fused")
+    _assert_parity(out_l, out_f, 2, dh=5e-6, dY=5e-6)
+    Y = np.asarray(out_f.junction_stage)[:, 0]
+    assert np.abs(np.diff(Y)).max() > 1e-4, "pool must respond to the flood"
+    # the kernel's trapezoidal balance closes at solver tolerance
+    qin = np.asarray(out_f.flow[0])[:, -1]
+    qout = np.asarray(out_f.flow[1])[:, 0]
+    dt = sset.time_step
+    lhs = SA * (Y[1:] - Y[:-1]) / dt
+    rhs = 0.5 * ((qin[1:] + qin[:-1]) - (qout[1:] + qout[:-1]))
+    assert np.abs(lhs - rhs).max() < 1e-4
+
+
+def test_junction_dam_rated_parity():
+    """Junction reservoir + polynomial rated outflow (a dam at the junction
+    releasing out of the network): iteration parity vs the loop engine and
+    a live junction_outflow trajectory."""
+    from flowsim_tpu.ops import rating_curve as rcurve
+
+    branches, sset = _split_akbari(nt=9)
+    geo0 = branches[0].geo
+    z_conf = float(np.asarray(geo0.z_bed)[-1])
+    Y_init = z_conf + float(np.asarray(branches[0].h0)[-1])
+    rc = rcurve.make_polynomial(0.0, 40.0, -40.0 * Y_init + 20.0)
+    SA = 5.0e5
+    kw = dict(junction_area=[SA], junction_rating=[rc])
+    out_l = simulate_network(branches, 1, sset, engine="loop", **kw)
+    out_f = simulate_network(branches, 1, sset, engine="fused", **kw)
+    _assert_parity(out_l, out_f, 2, dh=5e-6, dY=5e-6)
+    qo_l = np.asarray(out_l.junction_outflow)[:, 0]
+    qo_f = np.asarray(out_f.junction_outflow)[:, 0]
+    assert qo_f[1:].min() > 0.0
+    np.testing.assert_allclose(qo_f, qo_l, atol=1e-3)
+
+
+def test_plain_withdrawal_parity():
+    """Rated withdrawal on a plain (area=0) junction: continuity includes
+    the stage-dependent release; parity vs the loop engine."""
+    from flowsim_tpu.ops import rating_curve as rcurve
+
+    branches, sset = _split_akbari(nt=9)
+    z_conf = float(np.asarray(branches[0].geo.z_bed)[-1])
+    Y_init = z_conf + float(np.asarray(branches[0].h0)[-1])
+    rc = rcurve.make_polynomial(0.0, 10.0, -10.0 * Y_init + 5.0)
+    out_l = simulate_network(branches, 1, sset, engine="loop",
+                             junction_rating=[rc])
+    out_f = simulate_network(branches, 1, sset, engine="fused",
+                             junction_rating=[rc])
+    _assert_parity(out_l, out_f, 2, dh=5e-6, dY=5e-6)
+    # the withdrawal drains: downstream branch carries less than the feeder
+    assert (np.asarray(out_f.flow[1])[1:, 0]
+            < np.asarray(out_f.flow[0])[1:, -1]).all()
+
+
+def test_junction_blended_rating_parity():
+    """blended_poly release curve at a junction reservoir (smoothstep gate
+    blend, the Roseires-style smooth curve): parity vs the loop engine."""
+    from flowsim_tpu.ops import rating_curve as rcurve
+
+    branches, sset = _split_akbari(nt=9)
+    z_conf = float(np.asarray(branches[0].geo.z_bed)[-1])
+    Y_init = z_conf + float(np.asarray(branches[0].h0)[-1])
+    rc = rcurve.make_blended_poly(
+        [0.0, 20.0, -20.0 * Y_init + 10.0],
+        [0.0, 60.0, -60.0 * Y_init + 30.0],
+        pivot_stage=Y_init + 0.05, buffer=0.5)
+    SA = 5.0e5
+    kw = dict(junction_area=[SA], junction_rating=[rc])
+    out_l = simulate_network(branches, 1, sset, engine="loop", **kw)
+    out_f = simulate_network(branches, 1, sset, engine="fused", **kw)
+    _assert_parity(out_l, out_f, 2, dh=5e-6, dY=5e-6)
+    np.testing.assert_allclose(np.asarray(out_f.junction_outflow),
+                               np.asarray(out_l.junction_outflow), atol=1e-3)
+
+
+def test_batched_network_parity():
+    """The batched fused-NETWORK kernel (members x branches on sublanes):
+    per-member iteration counts and fields must match the vmapped XLA loop
+    engine member-for-member (per-member inflow scaling + roughness)."""
+    from flowsim_tpu.parallel.ensemble import batched_simulate_network
+
+    branches, sset = _split_akbari(nt=9)
+    M = 3
+    us = branches[0].us
+    series = np.asarray(us.target_series, np.float64)
+    scales = np.asarray([0.9, 1.0, 1.15])
+    us_b = jax.vmap(lambda s: dataclasses.replace(
+        us, target_series=jnp.asarray(series) * s))(jnp.asarray(scales))
+    batch = [dict(us=us_b), dict()]
+
+    out_l = batched_simulate_network(branches, 1, sset, batch, engine="loop")
+    out_f = batched_simulate_network(branches, 1, sset, batch,
+                                     engine="fused")
+    assert bool(np.asarray(out_f.converged).all())
+    np.testing.assert_array_equal(np.asarray(out_f.iterations),
+                                  np.asarray(out_l.iterations))
+    for b in range(2):
+        assert np.abs(np.asarray(out_l.depth[b])
+                      - np.asarray(out_f.depth[b])).max() < 5e-6
+        assert np.abs(np.asarray(out_l.flow[b])
+                      - np.asarray(out_f.flow[b])).max() < 5e-3
+    assert np.abs(np.asarray(out_l.junction_stage)
+                  - np.asarray(out_f.junction_stage)).max() < 5e-6
+    # members genuinely differ (the scaling is live)
+    q = np.asarray(out_f.flow[0])[:, -1, 0]
+    assert q[2] > q[0] + 1.0
+
+
+def test_batched_network_dam_junction():
+    """Batched network kernel with a junction-reservoir dam (shared
+    junction config, per-member inflows): parity vs the vmapped loop
+    engine including the per-member outflow trajectories."""
+    from flowsim_tpu.ops import rating_curve as rcurve
+    from flowsim_tpu.parallel.ensemble import batched_simulate_network
+
+    branches, sset = _split_akbari(nt=9)
+    z_conf = float(np.asarray(branches[0].geo.z_bed)[-1])
+    Y_init = z_conf + float(np.asarray(branches[0].h0)[-1])
+    rc = rcurve.make_polynomial(0.0, 40.0, -40.0 * Y_init + 20.0)
+    SA = 5.0e5
+    us = branches[0].us
+    series = np.asarray(us.target_series, np.float64)
+    us_b = jax.vmap(lambda s: dataclasses.replace(
+        us, target_series=jnp.asarray(series) * s))(
+            jnp.asarray([0.95, 1.1]))
+    batch = [dict(us=us_b), dict()]
+    kw = dict(junction_area=[SA], junction_rating=[rc])
+    out_l = batched_simulate_network(branches, 1, sset, batch,
+                                     engine="loop", **kw)
+    out_f = batched_simulate_network(branches, 1, sset, batch,
+                                     engine="fused", **kw)
+    assert bool(np.asarray(out_f.converged).all())
+    np.testing.assert_array_equal(np.asarray(out_f.iterations),
+                                  np.asarray(out_l.iterations))
+    np.testing.assert_allclose(np.asarray(out_f.junction_outflow),
+                               np.asarray(out_l.junction_outflow),
+                               atol=1e-3)
+    assert np.abs(np.asarray(out_l.junction_stage)
+                  - np.asarray(out_f.junction_stage)).max() < 5e-6
+
+
+def _prismatic(n=16, slope=6e-4, width=120.0):
+    from flowsim_tpu.geometry import TrapezoidGeometry
+
+    z = np.linspace(slope * (n - 1) * 1000.0, 0.0, n)
+    ones, zeros = np.ones(n), np.zeros(n)
+    return TrapezoidGeometry(
+        z_bed=jnp.asarray(z), b_main=jnp.asarray(width * ones),
+        m_main=jnp.asarray(zeros), n_main=jnp.asarray(0.025 * ones),
+        compound=jnp.asarray(np.zeros(n, bool)),
+        h_bank=jnp.asarray(1e30 * ones),
+        b_fp_left=jnp.asarray(zeros), b_fp_right=jnp.asarray(zeros),
+        m_fp=jnp.asarray(zeros), n_left=jnp.asarray(0.025 * ones),
+        n_right=jnp.asarray(0.025 * ones),
+        bed_slope=jnp.asarray(slope * ones), curvature=jnp.asarray(zeros))
+
+
+def test_storage_end_parity():
+    """Constant-area lumped storage (storage_simple) on an external
+    UPSTREAM network end — a reservoir draining through the split reach:
+    iteration parity vs the loop engine and matching reservoir stages."""
+    from flowsim_tpu.ops import boundary as bnd
+    from flowsim_tpu.ops import initial_conditions as ic
+    from flowsim_tpu.ops import storage as stg
+
+    slope, dx, dt, nt = 6e-4, 1000.0, 1800.0, 13
+    geo = _prismatic()
+    z = np.asarray(geo.z_bed)
+    us = bnd.make_boundary(
+        "fixed_depth", bed_level=float(z[0]),
+        storage=stg.make_storage(surface_area=4.0e6,
+                                 min_stage=float(z[0]) - 5.0,
+                                 solution_boundaries=(0.0, 100.0)))
+    ds = bnd.make_boundary("normal_depth", bed_level=float(z[-1]),
+                           bed_slope=slope)
+    h0, Q0 = ic.initial_conditions(geo, "steady-state", 150.0, dx)
+    sset = prs.PreissmannSettings(theta=0.6, time_step=dt, spatial_step=dx,
+                                  n_time_levels=nt, tolerance=1e-8,
+                                  max_iter=100)
+    cut = 8
+    sl = lambda s: jax.tree_util.tree_map(lambda x: x[s], geo)
+    branches = [
+        BranchDef(geo=sl(slice(0, cut + 1)), dx=dx, us=us, ds=0,
+                  h0=h0[: cut + 1], Q0=Q0[: cut + 1]),
+        BranchDef(geo=sl(slice(cut, None)), dx=dx, us=0, ds=ds,
+                  h0=h0[cut:], Q0=Q0[cut:]),
+    ]
+    out_l = simulate_network(branches, 1, sset, engine="loop")
+    out_f = simulate_network(branches, 1, sset, engine="fused")
+    _assert_parity(out_l, out_f, 2, dh=5e-6, dY=5e-6)
+    rs_l = np.asarray(out_l.reservoir_stage)[1:, 0, 0]
+    rs_f = np.asarray(out_f.reservoir_stage)[1:, 0, 0]
+    assert np.isfinite(rs_f).all()
+    np.testing.assert_allclose(rs_f, rs_l, atol=5e-6)
+    # the other slots stay NaN (no storage there), as in the XLA contract
+    assert np.isnan(np.asarray(out_f.reservoir_stage)[1:, 0, 1]).all()
+    assert np.isnan(np.asarray(out_f.reservoir_stage)[1:, 1, :]).all()
+
+
+def test_mixed_end_kinds_parity():
+    """MIXED external-end kinds in one fused dispatch: a diversion with two
+    outlets of different ds kinds (normal_depth + fixed_h) fed by two
+    feeders of different us kinds (flow_hydrograph + stage_hydrograph)."""
+    from flowsim_tpu.ops import boundary as bnd
+    from flowsim_tpu.ops import initial_conditions as ic
+
+    slope, dx, dt, nt = 6e-4, 1000.0, 1800.0, 11
+    geo = _prismatic(n=31)
+    h0, Q0 = ic.initial_conditions(geo, "steady-state", 150.0, dx)
+    z = np.asarray(geo.z_bed)
+    sl = lambda s: jax.tree_util.tree_map(lambda x: x[s], geo)
+    sset = prs.PreissmannSettings(theta=0.6, time_step=dt, spatial_step=dx,
+                                  n_time_levels=nt, tolerance=1e-8,
+                                  max_iter=100)
+    times = np.arange(nt, dtype=np.float64)
+    flood = 150.0 + 80.0 * np.exp(-((times - 4.0) / 2.5) ** 2)
+    us_q = bnd.make_boundary("flow_hydrograph", bed_level=float(z[0]),
+                             target_series=flood)
+    # second feeder: stage hydrograph pinned at its initial water level
+    stage0 = float(z[0] + h0[0])
+    us_h = bnd.make_boundary("stage_hydrograph", bed_level=float(z[0]),
+                             target_series=np.full(nt, stage0))
+    ds_n = bnd.make_boundary("normal_depth", bed_level=float(z[-1]),
+                             bed_slope=slope)
+    ds_h = bnd.make_boundary("fixed_depth", bed_level=float(z[-1]),
+                             initial_depth=float(h0[-1]))
+    mk = lambda s, us, ds: BranchDef(geo=sl(s), dx=dx, us=us, ds=ds,
+                                     h0=h0[s], Q0=Q0[s])
+    branches = [
+        mk(slice(0, 11), us_q, 0),
+        mk(slice(0, 11), us_h, 0),
+        mk(slice(10, 21), 0, ds_n),
+        mk(slice(10, 21), 0, ds_h),
+    ]
+    out_l = simulate_network(branches, 1, sset, engine="loop")
+    out_f = simulate_network(branches, 1, sset, engine="fused")
+    _assert_parity(out_l, out_f, 4, dh=5e-6, dY=5e-6)
+    # both outlets actually carry flood water
+    assert np.asarray(out_f.flow[2]).max() > 100.0
+    assert np.asarray(out_f.flow[3]).max() > 10.0
 
 
 def test_hbm_streaming_bitwise():
@@ -176,3 +428,26 @@ def test_branch_qlat_parity():
     out_p = simulate_network(plain, 1, sset, engine="fused")
     assert (np.asarray(out_f.flow[1])[-1, -1]
             > np.asarray(out_p.flow[1])[-1, -1] + 1.0)
+
+
+def test_time_varying_qlat_parity():
+    """Time-varying [nt, N] lateral inflow (a storm pulse moving through
+    the levels, one branch constant, one varying): the per-level
+    theta-weighted cell averages must match the XLA loop engine
+    iteration-for-iteration."""
+    branches, sset = _split_akbari(nt=9)
+    nt = sset.n_time_levels
+    n0 = int(branches[0].h0.shape[0])
+    n1 = int(branches[1].h0.shape[0])
+    t = np.linspace(0.0, 1.0, nt)[:, None]
+    pulse = 0.02 * np.exp(-((t - 0.4) / 0.2) ** 2) \
+        * (1.0 + np.linspace(0.0, 1.0, n0))[None, :]
+    branches = [dataclasses.replace(branches[0], qlat=jnp.asarray(pulse)),
+                dataclasses.replace(branches[1],
+                                    qlat=jnp.asarray(np.full(n1, 0.003)))]
+    out_l = simulate_network(branches, 1, sset, engine="loop")
+    out_f = simulate_network(branches, 1, sset, engine="fused")
+    _assert_parity(out_l, out_f, 2, dh=1e-6, dY=1e-6)
+    # the pulse is live: mid-run outflow exceeds the start's
+    q = np.asarray(out_f.flow[1])[:, -1]
+    assert q[nt // 2] > q[1] + 1.0

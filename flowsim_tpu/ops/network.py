@@ -354,6 +354,7 @@ def simulate_network(branches: List[BranchDef], n_junctions: int,
     supported at junctions — put it on an external end.)
     """
     _check_supported(branches, n_junctions, settings)
+    settings = prs.guard_f32_floor(settings)
     if junction_rating is not None:
         if len(junction_rating) != n_junctions:
             raise ValueError(f"junction_rating must have {n_junctions} entries")
@@ -403,6 +404,7 @@ def simulate_network_chunk(branches: List[BranchDef], n_junctions: int,
     chunks.
     """
     _check_supported(branches, n_junctions, settings)
+    settings = prs.guard_f32_floor(settings)
     topo, dyn = _split_branches(branches)
     rating = None if junction_rating is None else tuple(junction_rating)
     impl = (_simulate_network_stacked if engine == "stacked"

@@ -366,7 +366,38 @@ def newton_solve(geo, us_bc, ds_bc, settings, prev: PrevLevel, h, Q, k, reservoi
     return h, Q, err, iters, res_stage, res_stage_us, rcond
 
 
+def guard_f32_floor(settings: PreissmannSettings) -> PreissmannSettings:
+    """Guard the f32 inner-solve precision floor (docs/PRECISION.md).
+
+    ``linear_solver="pcr_f32"`` computes Newton increments in f32: below
+    tolerance ~1e-6 the increment noise can stall the residual or NaN a
+    Monte-Carlo member (measured: 1 member in 256 NaNs at tol=1e-8 on the
+    stacked network engine, BASELINE.md round 3).  Auto-select the f64
+    ``"pcr"`` solve for tighter tolerances instead of failing silently;
+    the solver entry points call this before dispatch.
+    """
+    if settings.linear_solver == "pcr_f32" and settings.tolerance < 1e-6:
+        import dataclasses as _dc
+        import warnings
+
+        warnings.warn(
+            "tolerance < 1e-6 with linear_solver='pcr_f32' sits below the "
+            "f32 inner-solve precision floor (docs/PRECISION.md): the "
+            "residual can stall or a Monte-Carlo member can NaN. "
+            "Auto-selecting the f64 'pcr' solve; set linear_solver='pcr' "
+            "explicitly (or tolerance >= 1e-6) to silence this.",
+            stacklevel=3)
+        return _dc.replace(settings, linear_solver="pcr")
+    return settings
+
+
 @partial(jax.jit, static_argnames=("settings",))
+def _simulate_jit(geo, us_bc, ds_bc, h0, Q0, settings: PreissmannSettings,
+                  lateral_inflow=None) -> SimOutput:
+    return _simulate_impl(geo, us_bc, ds_bc, h0, Q0, settings,
+                          lateral_inflow)
+
+
 def simulate(geo, us_bc, ds_bc, h0, Q0, settings: PreissmannSettings,
              lateral_inflow=None) -> SimOutput:
     """Full run: scan Newton-solved levels 1..nt-1 (ref :101-163 outer loop).
@@ -375,6 +406,12 @@ def simulate(geo, us_bc, ds_bc, h0, Q0, settings: PreissmannSettings,
     [N] (constant in time) or per-level-and-node [nt, N] (see
     :func:`cell_stencil`); a flowsim_tpu extension beyond the reference.
     """
+    settings = guard_f32_floor(settings)
+    return _simulate_jit(geo, us_bc, ds_bc, h0, Q0, settings, lateral_inflow)
+
+
+def _simulate_impl(geo, us_bc, ds_bc, h0, Q0, settings: PreissmannSettings,
+                   lateral_inflow=None) -> SimOutput:
     nt = settings.n_time_levels
 
     ds_bed = ds_bc.bed_level

@@ -44,14 +44,29 @@ def _cpu_oracle(branches, nj, sset, engine="loop", **net_kw):
         return simulate_network(branches, nj, sset, engine=engine, **net_kw)
 
 
+ONLY = sys.argv[1:]  # optional case-name substrings to run
+
+
+def _skip(name):
+    return ONLY and not any(s in name for s in ONLY)
+
+
 def _compare(name, branches, nj, sset, results, dh=1e-4, **net_kw):
     import jax.numpy as jnp
 
     from flowsim_tpu.ops.network import simulate_network
 
+    if _skip(name):
+        return None
     t0 = time.time()
-    out_f = simulate_network(branches, nj, sset, engine="fused", **net_kw)
-    _ = float(jnp.sum(out_f.depth[0]))
+    try:
+        out_f = simulate_network(branches, nj, sset, engine="fused",
+                                 **net_kw)
+        _ = float(jnp.sum(out_f.depth[0]))
+    except Exception as e:  # noqa: BLE001 — record, keep validating
+        results[name] = dict(ok=False, error=f"{type(e).__name__}: {e}")
+        log(f"{name}: FAILED {type(e).__name__}: {e}")
+        return None
     wall = time.time() - t0
     ref = _cpu_oracle(branches, nj, sset, **net_kw)
     il = np.asarray(ref.iterations)
@@ -121,12 +136,14 @@ def main():
     gset = gsolver.settings(tolerance=1e-6, max_iter=100)
     gbr = split_branches(gsolver, 10, gset)
     out_f = _compare("gated_end", gbr, 1, gset, results, dh=1e-4)
-    ref = _cpu_oracle(gbr, 1, gset)
-    gates_equal = bool(np.array_equal(np.asarray(ref.gate_open)[:, 1, 1],
-                                      np.asarray(out_f.gate_open)[:, 1, 1]))
-    results["gated_end"]["gates_equal"] = gates_equal
-    results["gated_end"]["ok"] &= gates_equal
-    log(f"gated_end gates_equal={gates_equal}")
+    if out_f is not None:
+        ref = _cpu_oracle(gbr, 1, gset)
+        gates_equal = bool(np.array_equal(
+            np.asarray(ref.gate_open)[:, 1, 1],
+            np.asarray(out_f.gate_open)[:, 1, 1]))
+        results["gated_end"]["gates_equal"] = gates_equal
+        results["gated_end"]["ok"] &= gates_equal
+        log(f"gated_end gates_equal={gates_equal}")
 
     # 5) constant lateral inflow
     qbr = split_branches(solver, 15, sset)
@@ -148,10 +165,11 @@ def main():
     rc = rcurve.make_polynomial(0.0, 40.0, -40.0 * Y_init + 20.0)
     out_f = _compare("junction_dam_rated", rbr, 1, sset, results, dh=1e-5,
                      junction_area=[SA], junction_rating=[rc])
-    qo = np.asarray(out_f.junction_outflow)[:, 0]
-    live = bool(qo[1:].min() > 0.0)
-    results["junction_dam_rated"]["outflow_live"] = live
-    results["junction_dam_rated"]["ok"] &= live
+    if out_f is not None:
+        qo = np.asarray(out_f.junction_outflow)[:, 0]
+        live = bool(qo[1:].min() > 0.0)
+        results["junction_dam_rated"]["outflow_live"] = live
+        results["junction_dam_rated"]["ok"] &= live
     rcb = rcurve.make_blended_poly(
         [0.0, 20.0, -20.0 * Y_init + 10.0],
         [0.0, 60.0, -60.0 * Y_init + 30.0],
@@ -189,12 +207,13 @@ def main():
            BranchDef(geo=slp(slice(8, None)), dx=dxp, us=0, ds=ds_n,
                      h0=h0p[8:], Q0=Q0p[8:])]
     out_f = _compare("storage_end", sbr, 1, pset, results, dh=1e-5)
-    ref_s = _cpu_oracle(sbr, 1, pset)
-    rs_ok = bool(np.allclose(np.asarray(out_f.reservoir_stage)[1:, 0, 0],
-                             np.asarray(ref_s.reservoir_stage)[1:, 0, 0],
-                             atol=5e-6))
-    results["storage_end"]["stage_match"] = rs_ok
-    results["storage_end"]["ok"] &= rs_ok
+    if out_f is not None:
+        ref_s = _cpu_oracle(sbr, 1, pset)
+        rs_ok = bool(np.allclose(
+            np.asarray(out_f.reservoir_stage)[1:, 0, 0],
+            np.asarray(ref_s.reservoir_stage)[1:, 0, 0], atol=5e-6))
+        results["storage_end"]["stage_match"] = rs_ok
+        results["storage_end"]["ok"] &= rs_ok
 
     gm = tfn._prismatic(n=31)
     h0g, Q0g = ic.initial_conditions(gm, "steady-state", 150.0, dxp)
@@ -240,6 +259,19 @@ def main():
     _compare("qlat_tv", tv, 1, sset, results, dh=1e-5)
 
     # 6) HBM streaming bitwise on the full tributary
+    if not _skip("hbm_bitwise"):
+        _run_hbm_bitwise(simulate_network, branches, nj, tset, results)
+    if not _skip("year_long"):
+        _run_year_long(simulate_network, gerd_tributary, jnp, results)
+
+    all_ok = all(r.get("ok") for r in results.values())
+    print(json.dumps(dict(ok=all_ok, device=str(dev.device_kind),
+                          cases=results)))
+    return 0 if all_ok else 1
+
+
+def _run_hbm_bitwise(simulate_network, branches, nj, tset, results):
+    import dataclasses
     out_v = simulate_network(branches, nj,
                              dataclasses.replace(tset, out_memory="vmem"),
                              engine="fused")
@@ -253,7 +285,8 @@ def main():
     results["hbm_bitwise"] = dict(ok=bool(bitwise))
     log(f"hbm_bitwise: {bitwise}")
 
-    # 7) year-long tributary (streaming only)
+
+def _run_year_long(simulate_network, gerd_tributary, jnp, results):
     b2, nj2, ss2, _ = gerd_tributary.build(sim_duration=3600 * 8760)
     t0 = time.time()
     out = simulate_network(b2, nj2, ss2, engine="fused")
@@ -265,11 +298,6 @@ def main():
                                 converged=conv)
     log(f"year_long: conv={conv} iters={results['year_long']['iters']} "
         f"first={wall:.1f}s")
-
-    all_ok = all(r.get("ok") for r in results.values())
-    print(json.dumps(dict(ok=all_ok, device=str(dev.device_kind),
-                          cases=results)))
-    return 0 if all_ok else 1
 
 
 if __name__ == "__main__":

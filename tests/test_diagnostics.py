@@ -140,3 +140,63 @@ def test_live_progress_streams_reference_lines(capfd):
     assert "> Time level #24" in out
     assert ">> Error = " in out
     assert out.index("#1") < out.index("#24")  # ordered callbacks
+
+
+def test_f32_floor_guard_auto_upgrades():
+    """tolerance < 1e-6 with linear_solver='pcr_f32' sits below the f32
+    inner-solve precision floor (docs/PRECISION.md; a Monte-Carlo member
+    NaN'd at tol=1e-8 on the stacked network engine, BASELINE.md r3): the
+    solver entries now warn and auto-select the f64 'pcr' solve, so the
+    tight-tolerance ensemble converges on every member."""
+    import dataclasses
+    import warnings
+
+    import jax
+    import jax.numpy as jnp
+
+    from flowsim_tpu.models import akbari_firoozi as ak
+    from flowsim_tpu.ops import preissmann as prs
+    from flowsim_tpu.ops.network import BranchDef
+    from flowsim_tpu.parallel.ensemble import batched_simulate_network
+
+    s = prs.PreissmannSettings(theta=0.6, time_step=3600.0,
+                               spatial_step=1000.0, n_time_levels=5,
+                               tolerance=1e-8, max_iter=100,
+                               linear_solver="pcr_f32")
+    with pytest.warns(UserWarning, match="precision floor"):
+        g = prs.guard_f32_floor(s)
+    assert g.linear_solver == "pcr"
+    # tolerance >= 1e-6 passes through untouched (no warning)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        s6 = dataclasses.replace(s, tolerance=1e-6)
+        assert prs.guard_f32_floor(s6) is s6
+
+    # end-to-end: the stacked network ensemble at tol=1e-8 converges on
+    # every member through the auto-upgraded f64 solve
+    solver, _ = ak.build()
+    sset = dataclasses.replace(
+        solver.settings(tolerance=1e-8, max_iter=100), n_time_levels=7,
+        linear_solver="pcr_f32")
+    geo = solver.channel.geometry
+    sl = lambda sli: jax.tree_util.tree_map(lambda x: x[sli], geo)
+    cut = 15
+    branches = [
+        BranchDef(geo=sl(slice(0, cut + 1)), dx=solver.spatial_step,
+                  us=solver.us_params, ds=0,
+                  h0=solver.h0[: cut + 1], Q0=solver.Q0[: cut + 1]),
+        BranchDef(geo=sl(slice(cut, None)), dx=solver.spatial_step,
+                  us=0, ds=solver.ds_params,
+                  h0=solver.h0[cut:], Q0=solver.Q0[cut:]),
+    ]
+    us = branches[0].us
+    series = np.asarray(us.target_series, np.float64)
+    us_b = jax.vmap(lambda sc: dataclasses.replace(
+        us, target_series=jnp.asarray(series) * sc))(
+            jnp.asarray([0.9, 1.0, 1.1, 1.2]))
+    with pytest.warns(UserWarning, match="precision floor"):
+        out = batched_simulate_network(branches, 1, sset,
+                                       [dict(us=us_b), dict()],
+                                       engine="stacked")
+    assert bool(np.asarray(out.converged).all())
+    assert np.isfinite(np.asarray(out.depth[0])).all()

@@ -22,6 +22,7 @@ single-threaded NumPy loops; `spsolve` per iteration).
 from __future__ import annotations
 
 from functools import partial
+from typing import NamedTuple
 
 import numpy as np
 import jax
@@ -153,16 +154,32 @@ def _spike_solve(L, D, U, b, axis_name):
     return G - tridiag._mv(V, x_prev_last) - tridiag._mv(W, x_next_first)
 
 
+class _RowEval(NamedTuple):
+    """End-row override carrier (same fields bnd.evaluate returns)."""
+
+    residual: jnp.ndarray
+    df_dh: jnp.ndarray
+    df_dQ: jnp.ndarray
+    reservoir_stage: jnp.ndarray
+
+
 def _assemble_local(geo, us_bc, ds_bc, settings, prev_fields, h, Q, k,
                     reservoir_stage_prev, axis_name, bc_state=None,
-                    reservoir_stage_prev_us=None):
+                    reservoir_stage_prev_us=None, us_row=None, ds_row=None,
+                    dx=None):
     """Local rows of the global block-tridiagonal system + residual norm.
 
     Returns ``(L, D, U, b, err, res_stage, res_stage_us)`` — the merged
     (ds-preferred) storage stage plus the upstream boundary's own stage so
     both-ends storage runs carry independent histories (mirrors
-    ops.preissmann.assemble)."""
-    theta, dt, dx = settings.theta, settings.time_step, settings.spatial_step
+    ops.preissmann.assemble).
+
+    ``us_row``/``ds_row``: optional ``(residual, df_dh, df_dQ)`` end-row
+    overrides (junction equal-stage rows of a sharded NETWORK branch,
+    parallel/network_domain.py) — when given, the corresponding
+    ``bnd.evaluate`` is skipped."""
+    theta, dt = settings.theta, settings.time_step
+    dx = settings.spatial_step if dx is None else dx
     S = lax.axis_size(axis_name)
     s_idx = lax.axis_index(axis_name)
     first_shard = s_idx == 0
@@ -185,13 +202,23 @@ def _assemble_local(geo, us_bc, ds_bc, settings, prev_fields, h, Q, k,
 
     if reservoir_stage_prev_us is None:
         reservoir_stage_prev_us = reservoir_stage_prev
-    us = bnd.evaluate(us_bc, node_sec(0), h[0], Q[0], k, dt,
-                      Q_prev=prev_fields["Q"][0], reservoir_stage_prev=reservoir_stage_prev_us,
-                      bc_state=bc_state, upstream=True,
-                      h_prev=prev_fields["h"][0])
-    ds = bnd.evaluate(ds_bc, node_sec(-1), h[-1], Q[-1], k, dt,
-                      Q_prev=prev_fields["Q"][n - 1], reservoir_stage_prev=reservoir_stage_prev,
-                      bc_state=bc_state)
+    if us_row is None:
+        us = bnd.evaluate(us_bc, node_sec(0), h[0], Q[0], k, dt,
+                          Q_prev=prev_fields["Q"][0],
+                          reservoir_stage_prev=reservoir_stage_prev_us,
+                          bc_state=bc_state, upstream=True,
+                          h_prev=prev_fields["h"][0])
+    else:
+        us = _RowEval(*[jnp.asarray(v, dtype) for v in us_row],
+                      jnp.asarray(jnp.nan, dtype))
+    if ds_row is None:
+        ds = bnd.evaluate(ds_bc, node_sec(-1), h[-1], Q[-1], k, dt,
+                          Q_prev=prev_fields["Q"][n - 1],
+                          reservoir_stage_prev=reservoir_stage_prev,
+                          bc_state=bc_state)
+    else:
+        ds = _RowEval(*[jnp.asarray(v, dtype) for v in ds_row],
+                      jnp.asarray(jnp.nan, dtype))
     # broadcast the owning shard's reservoir stage to all shards (NaN-safe).
     # Downstream (last shard) wins; otherwise fall back to an upstream
     # storage's stage (first shard) — same precedence as the single-device

@@ -209,3 +209,109 @@ def test_ensemble_times_space_mesh():
                                    rtol=1e-8, atol=1e-10)
         np.testing.assert_allclose(np.asarray(out.flow[j]), np.asarray(ref.flow),
                                    rtol=1e-8, atol=1e-7)
+
+
+def test_network_sharded_long_branch():
+    """Space-sharded NETWORK (parallel/network_domain.py): a long main stem
+    with a short tributary, main stem decomposed over the space axis, must
+    match the single-device loop engine to solver roundoff — including the
+    junction trajectory."""
+    import dataclasses
+
+    from flowsim_tpu.ops import boundary as bnd_m
+    from flowsim_tpu.ops import initial_conditions as ic
+    from flowsim_tpu.ops.network import BranchDef, simulate_network
+    from flowsim_tpu.parallel.network_domain import simulate_network_sharded
+    from tests.test_fused_network import _prismatic
+
+    slope, dx, dt, nt = 6e-4, 1000.0, 1800.0, 9
+    main = _prismatic(n=48, slope=slope)      # split 17 + 32 (shared node)
+    z = np.asarray(main.z_bed)
+    sl = lambda s: jax.tree_util.tree_map(lambda x: x[s], main)
+    h0, Q0 = ic.initial_conditions(main, "steady-state", 150.0, dx)
+    times = np.arange(nt, dtype=np.float64)
+    flood = 150.0 + 60.0 * np.exp(-((times - 3.0) / 2.0) ** 2)
+    us_q = bnd_m.make_boundary("flow_hydrograph", bed_level=float(z[0]),
+                               target_series=flood)
+    ds_n = bnd_m.make_boundary("normal_depth", bed_level=float(z[-1]),
+                               bed_slope=slope)
+    trib = _prismatic(n=9, slope=slope, width=60.0)
+    # tributary joins at the stem's node 16: shift its bed to match
+    zt = np.asarray(trib.z_bed) - np.asarray(trib.z_bed)[-1] + z[16]
+    trib = dataclasses.replace(trib, z_bed=jnp.asarray(zt))
+    ht, Qt = ic.initial_conditions(trib, "steady-state", 40.0, dx)
+    us_t = bnd_m.make_boundary(
+        "flow_hydrograph", bed_level=float(zt[0]),
+        target_series=np.full(nt, 40.0))
+    sset = prs.PreissmannSettings(theta=0.6, time_step=dt, spatial_step=dx,
+                                  n_time_levels=nt, tolerance=1e-8,
+                                  max_iter=100)
+    branches = [
+        BranchDef(geo=sl(slice(0, 17)), dx=dx, us=us_q, ds=0,
+                  h0=h0[:17], Q0=Q0[:17]),
+        BranchDef(geo=trib, dx=dx, us=us_t, ds=0, h0=ht, Q0=Qt),
+        # the long lower stem: 32 nodes, sharded over space
+        BranchDef(geo=sl(slice(16, None)), dx=dx, us=0, ds=ds_n,
+                  h0=h0[16:], Q0=Q0[16:]),
+    ]
+    ref = simulate_network(branches, 1, sset, engine="loop")
+    for n_space in (2, 4):
+        mesh = make_mesh(n_ensemble=8 // n_space, n_space=n_space)
+        out = simulate_network_sharded(branches, 1, sset, mesh,
+                                       long_branch=2)
+        assert bool(np.asarray(out.converged).all())
+        np.testing.assert_array_equal(np.asarray(out.iterations),
+                                      np.asarray(ref.iterations))
+        for b in range(3):
+            assert np.abs(np.asarray(out.depth[b])
+                          - np.asarray(ref.depth[b])).max() < 1e-9
+        assert np.abs(np.asarray(out.junction_stage)
+                      - np.asarray(ref.junction_stage)).max() < 1e-9
+
+
+def test_network_sharded_dam_junction():
+    """Space-sharded network with a junction RESERVOIR + rated outflow
+    (the [J]-scalar junction physics is replicated per shard)."""
+    import dataclasses
+
+    from flowsim_tpu.ops import boundary as bnd_m
+    from flowsim_tpu.ops import initial_conditions as ic
+    from flowsim_tpu.ops import rating_curve as rcurve
+    from flowsim_tpu.ops.network import BranchDef, simulate_network
+    from flowsim_tpu.parallel.network_domain import simulate_network_sharded
+    from tests.test_fused_network import _prismatic
+
+    slope, dx, dt, nt = 6e-4, 1000.0, 1800.0, 7
+    main = _prismatic(n=40, slope=slope)
+    z = np.asarray(main.z_bed)
+    sl = lambda s: jax.tree_util.tree_map(lambda x: x[s], main)
+    h0, Q0 = ic.initial_conditions(main, "steady-state", 150.0, dx)
+    times = np.arange(nt, dtype=np.float64)
+    flood = 150.0 + 60.0 * np.exp(-((times - 3.0) / 2.0) ** 2)
+    us_q = bnd_m.make_boundary("flow_hydrograph", bed_level=float(z[0]),
+                               target_series=flood)
+    ds_n = bnd_m.make_boundary("normal_depth", bed_level=float(z[-1]),
+                               bed_slope=slope)
+    sset = prs.PreissmannSettings(theta=0.6, time_step=dt, spatial_step=dx,
+                                  n_time_levels=nt, tolerance=1e-8,
+                                  max_iter=100)
+    branches = [
+        BranchDef(geo=sl(slice(0, 9)), dx=dx, us=us_q, ds=0,
+                  h0=h0[:9], Q0=Q0[:9]),
+        BranchDef(geo=sl(slice(8, None)), dx=dx, us=0, ds=ds_n,
+                  h0=h0[8:], Q0=Q0[8:]),  # 32 nodes, sharded
+    ]
+    Yj = float(z[8] + h0[8])
+    rc = rcurve.make_polynomial(0.0, 30.0, -30.0 * Yj + 15.0)
+    kw = dict(junction_area=[5e5], junction_rating=[rc])
+    ref = simulate_network(branches, 1, sset, engine="loop", **kw)
+    mesh = make_mesh(n_ensemble=4, n_space=2)
+    out = simulate_network_sharded(branches, 1, sset, mesh, long_branch=1,
+                                   **kw)
+    assert bool(np.asarray(out.converged).all())
+    np.testing.assert_array_equal(np.asarray(out.iterations),
+                                  np.asarray(ref.iterations))
+    assert np.abs(np.asarray(out.junction_stage)
+                  - np.asarray(ref.junction_stage)).max() < 1e-9
+    np.testing.assert_allclose(np.asarray(out.junction_outflow),
+                               np.asarray(ref.junction_outflow), atol=1e-7)

@@ -246,19 +246,47 @@ def batched_simulate_network(branches, n_junctions, settings, batch,
         # whole-ensemble single-dispatch Pallas kernel: members x branches
         # on the VPU sublane axis (ops/pallas/fused_network.py
         # fused_simulate_network_batched); raises FusedUnsupported outside
-        # its scope — callers fall back to engine="stacked"/"loop"
+        # its scope — callers fall back to engine="stacked"/"loop".
+        # Ensembles beyond the VMEM member cap run as sequential chunked
+        # dispatches, concatenated on the member axis.
         import jax as _jax
 
         from flowsim_tpu.ops.pallas.fused_network import (
-            fused_simulate_network_batched)
+            fused_simulate_network_batched, max_fused_network_batch)
 
         if shard:
             raise ValueError("engine='fused' ensembles run per device; use "
                              "shard=False (shard externally per chip)")
-        return fused_simulate_network_batched(
-            branches, n_junctions, settings, batch, Y0=Y0,
-            junction_area=junction_area, junction_rating=junction_rating,
-            interpret=_jax.devices()[0].platform != "tpu")
+        interp = _jax.devices()[0].platform != "tpu"
+        M = None
+        for d in batch:
+            for v in jax.tree_util.tree_leaves(d):
+                M = v.shape[0] if M is None else M
+        cap = max_fused_network_batch(branches, settings)
+        kw = dict(Y0=Y0, junction_area=junction_area,
+                  junction_rating=junction_rating, interpret=interp)
+        if M is None or M <= cap:
+            return fused_simulate_network_batched(
+                branches, n_junctions, settings, batch, **kw)
+        outs = []
+        for lo in range(0, M, cap):
+            part = [jax.tree_util.tree_map(lambda x: x[lo:lo + cap], d)
+                    for d in batch]
+            outs.append(fused_simulate_network_batched(
+                branches, n_junctions, settings, part, **kw))
+        cat = lambda xs: jnp.concatenate(xs, axis=0)
+        return net.NetworkOutput(
+            depth=tuple(cat([o.depth[b] for o in outs])
+                        for b in range(len(branches))),
+            flow=tuple(cat([o.flow[b] for o in outs])
+                       for b in range(len(branches))),
+            junction_stage=cat([o.junction_stage for o in outs]),
+            iterations=cat([o.iterations for o in outs]),
+            error=cat([o.error for o in outs]),
+            converged=cat([o.converged for o in outs]),
+            reservoir_stage=cat([o.reservoir_stage for o in outs]),
+            gate_open=cat([o.gate_open for o in outs]),
+            junction_outflow=cat([o.junction_outflow for o in outs]))
 
     def run(parts):
         brs = [dataclasses.replace(br, **p)

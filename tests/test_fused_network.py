@@ -451,3 +451,33 @@ def test_time_varying_qlat_parity():
     # the pulse is live: mid-run outflow exceeds the start's
     q = np.asarray(out_f.flow[1])[:, -1]
     assert q[nt // 2] > q[1] + 1.0
+
+
+def test_batched_network_chunked(monkeypatch):
+    """Ensembles beyond the VMEM member cap run as sequential fused
+    dispatches, concatenated on the member axis — bitwise identical to
+    one big dispatch."""
+    import flowsim_tpu.ops.pallas.fused_network as fnet
+    from flowsim_tpu.parallel.ensemble import batched_simulate_network
+
+    branches, sset = _split_akbari(nt=7)
+    us = branches[0].us
+    series = np.asarray(us.target_series, np.float64)
+    scales = np.asarray([0.9, 0.95, 1.0, 1.05, 1.1])
+    us_b = jax.vmap(lambda s: dataclasses.replace(
+        us, target_series=jnp.asarray(series) * s))(jnp.asarray(scales))
+    batch = [dict(us=us_b), dict()]
+
+    out_one = batched_simulate_network(branches, 1, sset, batch,
+                                       engine="fused")
+    monkeypatch.setattr(fnet, "max_fused_network_batch",
+                        lambda *a, **k: 2)
+    out_chk = batched_simulate_network(branches, 1, sset, batch,
+                                       engine="fused")
+    np.testing.assert_array_equal(np.asarray(out_chk.iterations),
+                                  np.asarray(out_one.iterations))
+    for b in range(2):
+        np.testing.assert_array_equal(np.asarray(out_chk.depth[b]),
+                                      np.asarray(out_one.depth[b]))
+    np.testing.assert_array_equal(np.asarray(out_chk.junction_stage),
+                                  np.asarray(out_one.junction_stage))

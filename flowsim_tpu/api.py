@@ -483,10 +483,9 @@ class PreissmannSolver(_SolverBase):
                 lateral_inflow = np.full(self.number_of_nodes,
                                          float(lateral_inflow))
         out = None
-        if engine == "fused" and (diagnos or live or lateral_inflow is not None):
+        if engine == "fused" and (diagnos or live):
             if verbose >= 1:
-                which = ("diagnos" if diagnos else
-                         "live progress" if live else "lateral inflow")
+                which = "diagnos" if diagnos else "live progress"
                 print(f"fused engine does not support {which}; using XLA path")
         elif engine == "fused":
             from flowsim_tpu.ops.pallas.fused_newton import (FusedUnsupported,
@@ -497,6 +496,7 @@ class PreissmannSolver(_SolverBase):
                     self.channel.geometry, self.us_params, self.ds_params,
                     self.h0, self.Q0, sset,
                     interpret=jax.devices()[0].platform != "tpu",
+                    lateral_inflow=lateral_inflow,
                 )
             except FusedUnsupported as e:
                 if verbose >= 2:

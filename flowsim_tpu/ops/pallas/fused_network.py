@@ -1389,7 +1389,12 @@ def _build_call_network_batched(*, nt, n, B0, Mp, Np, J, m_rhs, n_sweeps,
 
 def max_fused_network_batch(branches, settings) -> int:
     """Largest member count one batched network dispatch holds in VMEM
-    (callers chunk bigger ensembles; multiples of 8 fill whole vregs)."""
+    (callers chunk bigger ensembles; multiples of 8 fill whole vregs).
+
+    Returns 0 when not even one 8-member vreg block fits — many-branch
+    networks multiply the per-member working set by B0, so basin-scale
+    ensembles belong on the stacked XLA engine (see the support matrix in
+    docs/PERFORMANCE.md)."""
     B0 = len(branches)
     Nmax = max(int(np.asarray(br.h0).shape[0]) for br in branches)
     Np = max(128, -(-Nmax // 128) * 128)
@@ -1397,7 +1402,9 @@ def max_fused_network_batch(branches, settings) -> int:
     m_rhs = 3  # worst case bound for sizing
     work_rows = fn._WORK_ROWS + 2 * (m_rhs - 1) * (n_sweeps + 2)
     per_member = (_NG + 4 + 8 + work_rows) * B0 * Np * 4
-    return max(8, (fn._FUSED_VMEM_BYTES // per_member) // 8 * 8)
+    # plus the 2 HBM staging slots per output (J bounded by B0)
+    per_member += 2 * (4 * B0 * Np + 2 * B0 * 128) * 4
+    return (fn._FUSED_VMEM_BYTES // per_member) // 8 * 8
 
 
 def fused_simulate_network_batched(branches, n_junctions, settings, batch,

@@ -1009,12 +1009,13 @@ def _out_scratch_shapes(out_shapes):
 
 
 def _kernel(*refs, nt, n, n_sweeps, max_iter, ds_kind, us_kind, gate_init,
-            geo_kind, tab_M, tab_stride, has_stg, store, out_mem, unroll,
-            interpret):
+            geo_kind, tab_M, tab_stride, has_stg, qlat_mode, store, out_mem,
+            unroll, interpret):
     refs = list(refs)
     geo_ref = refs.pop(0)
     tab_ref = refs.pop(0) if geo_kind == "table" else None
     stg_ref = refs.pop(0) if has_stg else None
+    qlat_ref = refs.pop(0) if qlat_mode else None
     streamer = None
     if out_mem == "hbm":
         n_out = 1 if store == "boundaries" else 5
@@ -1047,14 +1048,15 @@ def _kernel(*refs, nt, n, n_sweeps, max_iter, ds_kind, us_kind, gate_init,
         section_fn = None
 
     def newton_iter(h, Q, prev_h, prev_Q, prev_A, prev_Se, prev_Q2A, tgt,
-                    y_old, k, gate_open, ds_tgt):
+                    y_old, k, gate_open, ds_tgt, qlat_k):
         buf, err, res_stage = _assemble_fused(g, scal, roll, n, ds_kind,
                                               h, Q, prev_h, prev_Q,
                                               prev_A, prev_Se, prev_Q2A, tgt,
                                               us_kind=us_kind, y_old=y_old, k=k,
                                               gate_open=gate_open,
                                               section_fn=section_fn,
-                                              ds_tgt=ds_tgt, stg=stg_ref)
+                                              ds_tgt=ds_tgt, stg=stg_ref,
+                                              qlat_avg=qlat_k)
         x0, x1 = _pcr_solve(buf, idx, n, n_sweeps, roll)
         h = h + df(x0 * node_mask)
         Q = Q + df(x1 * node_mask)
@@ -1133,6 +1135,13 @@ def _kernel(*refs, nt, n, n_sweeps, max_iter, ds_kind, us_kind, gate_init,
         prev_A, prev_Se, prev_Q2A = _level_state(g, h, Q, section_fn=section_fn)
         tgt = tgt_ref[k]
         ds_tgt = ds_tgt_ref[k]
+        if qlat_mode == "tv":
+            # per-level theta-weighted cell averages, precomputed host-side
+            qlat_k = qlat_ref[pl.ds(k, 1), :]
+        elif qlat_mode == "const":
+            qlat_k = qlat_ref[:]
+        else:
+            qlat_k = None
 
         def cond(c):
             err, it = c[4], c[5]
@@ -1150,14 +1159,15 @@ def _kernel(*refs, nt, n, n_sweeps, max_iter, ds_kind, us_kind, gate_init,
             hh, hl, qh, ql, _, it, _, _ = c
             h1, Q1, e1, rs1 = newton_iter(DF(hh, hl), DF(qh, ql), h, Q,
                                           prev_A, prev_Se, prev_Q2A, tgt,
-                                          y_old, k, gopen, ds_tgt)
+                                          y_old, k, gopen, ds_tgt, qlat_k)
             st = (h1, Q1, e1, it + np.int32(1), rs1.hi[0, 0], rs1.lo[0, 0])
             for _ in range(unroll - 1):
                 hp, Qp, ep, itv, rh, rl = st
                 cont = (ep >= tol) & (itv < max_iter)
                 h2, Q2, e2, rs2 = newton_iter(hp, Qp, h, Q,
                                               prev_A, prev_Se, prev_Q2A, tgt,
-                                              y_old, k, gopen, ds_tgt)
+                                              y_old, k, gopen, ds_tgt,
+                                              qlat_k)
                 pick = lambda a, b: jnp.where(cont, a, b)
                 st = (DF(pick(h2.hi, hp.hi), pick(h2.lo, hp.lo)),
                       DF(pick(Q2.hi, Qp.hi), pick(Q2.lo, Qp.lo)),
@@ -1186,7 +1196,8 @@ def _kernel(*refs, nt, n, n_sweeps, max_iter, ds_kind, us_kind, gate_init,
 @functools.lru_cache(maxsize=64)
 def _build_call(*, nt, n, Np, tgt_len, n_sweeps, max_iter, ds_kind, us_kind,
                 gate_init, interpret, geo_kind="trap", tab_M=0, tab_stride=0,
-                has_stg=False, store="full", out_mem="vmem", unroll=2):
+                has_stg=False, qlat_mode=None, store="full", out_mem="vmem",
+                unroll=2):
     """Cache the pallas_call wrapper per static configuration.
 
     Rebuilding the closure per invocation defeats jax's trace cache: every
@@ -1199,8 +1210,8 @@ def _build_call(*, nt, n, Np, tgt_len, n_sweeps, max_iter, ds_kind, us_kind,
         _kernel, nt=nt, n=n, n_sweeps=n_sweeps, max_iter=max_iter,
         ds_kind=ds_kind, us_kind=us_kind, gate_init=gate_init,
         geo_kind=geo_kind, tab_M=tab_M, tab_stride=tab_stride,
-        has_stg=has_stg, store=store, out_mem=out_mem, unroll=unroll,
-        interpret=interpret)
+        has_stg=has_stg, qlat_mode=qlat_mode, store=store, out_mem=out_mem,
+        unroll=unroll, interpret=interpret)
     if store == "boundaries":
         out_shapes = [
             jax.ShapeDtypeStruct((nt, 128), jnp.float32),  # stats+bnd
@@ -1224,6 +1235,7 @@ def _build_call(*, nt, n, Np, tgt_len, n_sweeps, max_iter, ds_kind, us_kind,
             + ([pl.BlockSpec(memory_space=pltpu.VMEM)]
                if geo_kind == "table" else [])
             + ([pl.BlockSpec(memory_space=pltpu.VMEM)] if has_stg else [])
+            + ([pl.BlockSpec(memory_space=pltpu.VMEM)] if qlat_mode else [])
             + [
                 pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),  # us target series
@@ -1536,8 +1548,14 @@ def _pack_us_config(us_bc, settings, scal):
     return us_kind_str, stg_rows
 
 
-def fused_simulate(geo, us_bc, ds_bc, h0, Q0, settings, interpret: bool = False):
+def fused_simulate(geo, us_bc, ds_bc, h0, Q0, settings, interpret: bool = False,
+                   lateral_inflow=None):
     """Run the full simulation in one Pallas kernel; returns a SimOutput.
+
+    ``lateral_inflow``: optional distributed source q [m^2/s], per-node [N]
+    (constant) or per-level [nt, N] — same contract as
+    :func:`ops.preissmann.simulate` (theta-weighted cell averages are
+    precomputed host-side; a residual constant with no Jacobian term).
 
     Raises :class:`FusedUnsupported` for configurations outside the kernel's
     scope (callers fall back to :func:`ops.preissmann.simulate`).
@@ -1555,6 +1573,32 @@ def fused_simulate(geo, us_bc, ds_bc, h0, Q0, settings, interpret: bool = False)
     n_sweeps = max(1, (n - 1).bit_length())
 
     f32 = np.float32
+
+    qlat_mode = None
+    qlat_rows = None
+    if lateral_inflow is not None:
+        q = np.asarray(lateral_inflow, np.float64)
+        if q.shape[-1] != n or q.ndim not in (1, 2) or (
+                q.ndim == 2 and q.shape[0] != nt):
+            raise ValueError(
+                f"lateral_inflow must be [N={n}] or [nt={nt}, N]; got "
+                f"{q.shape}")
+        if q.ndim == 1:
+            qlat_mode = "const"
+            qlat_rows = np.zeros((1, Np), f32)
+            qlat_rows[0, : n - 1] = (0.5 * (q[:-1] + q[1:])).astype(f32)
+        else:
+            qlat_mode = "tv"
+            th = float(settings.theta)
+            qlat_rows = np.zeros((max(nt, 8), Np), f32)
+            qc, qp = q[1:], q[:-1]
+            cell = (0.5 * th * (qc[:, :-1] + qc[:, 1:])
+                    + 0.5 * (1.0 - th) * (qp[:, :-1] + qp[:, 1:]))
+            qlat_rows[1:nt, : n - 1] = cell.astype(f32)
+            if nt * Np * 4 > 2 * 1024 * 1024:
+                raise FusedUnsupported(
+                    "time-varying lateral inflow rows exceed the VMEM "
+                    "side budget at this nt; use the XLA path")
 
     from flowsim_tpu.geometry import TableGeometry
 
@@ -1616,7 +1660,7 @@ def fused_simulate(geo, us_bc, ds_bc, h0, Q0, settings, interpret: bool = False)
                        gate_init=1.0 if settings.gate_initially_open else 0.0,
                        geo_kind="table" if is_table else "trap",
                        tab_M=tab_M, tab_stride=tab_stride,
-                       has_stg=stg_rows is not None,
+                       has_stg=stg_rows is not None, qlat_mode=qlat_mode,
                        store=store, out_mem=out_mem,
                        unroll=max(1, int(getattr(settings, "fused_unroll", 2))),
                        interpret=interpret)
@@ -1625,6 +1669,8 @@ def fused_simulate(geo, us_bc, ds_bc, h0, Q0, settings, interpret: bool = False)
         ins.append(jnp.asarray(tabs))
     if stg_rows is not None:
         ins.append(jnp.asarray(stg_rows))
+    if qlat_mode:
+        ins.append(jnp.asarray(qlat_rows))
     ins += [jnp.asarray(init), jnp.asarray(tgt), jnp.asarray(ds_tgt),
             jnp.asarray(scal)]
     outs = call(*ins)

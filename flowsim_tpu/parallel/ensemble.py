@@ -263,6 +263,13 @@ def batched_simulate_network(branches, n_junctions, settings, batch,
             for v in jax.tree_util.tree_leaves(d):
                 M = v.shape[0] if M is None else M
         cap = max_fused_network_batch(branches, settings)
+        if cap < 8:
+            from flowsim_tpu.ops.pallas.fused_newton import FusedUnsupported
+
+            raise FusedUnsupported(
+                f"{len(branches)}-branch networks exceed the fused VMEM "
+                "member budget (not even one 8-member vreg block fits); "
+                "use engine='stacked'")
         kw = dict(Y0=Y0, junction_area=junction_area,
                   junction_rating=junction_rating, interpret=interp)
         if M is None or M <= cap:

@@ -81,7 +81,8 @@ def run(mode="tributary", M=None, reps=3):
     else:
         from flowsim_tpu.models import basin
 
-        branches, nj, sset = basin.build(levels=4, sim_hours=24)
+        levels = 3 if mode == "basin7" else 4
+        branches, nj, sset = basin.build(levels=levels, sim_hours=24)
         M = M or 256
     sset = dataclasses.replace(sset, linear_solver="pcr_f32",
                                out_memory="hbm" if not on_cpu else "auto")
@@ -100,9 +101,10 @@ def run(mode="tributary", M=None, reps=3):
 
     def run_fused(scales_m):
         """Chunked at the VMEM cap (sequential dispatches)."""
+        step = max(cap, 8)  # cap < 8: one call that raises FusedUnsupported
         outs = []
-        for lo in range(0, len(scales_m), cap):
-            batch = _scale_us(branches, scales_m[lo:lo + cap])
+        for lo in range(0, len(scales_m), step):
+            batch = _scale_us(branches, scales_m[lo:lo + step])
             outs.append(batched_simulate_network(branches, nj, sset, batch,
                                                  engine="fused"))
         return outs
@@ -112,36 +114,75 @@ def run(mode="tributary", M=None, reps=3):
         return batched_simulate_network(branches, nj, sset, batch,
                                         engine="stacked")
 
-    # --- validation: per-member iteration equality on a small batch ------
-    Mv = min(M, 8)
-    out_f = run_fused(scales[:Mv])[0]
-    out_s = run_stacked(scales[:Mv])
-    it_f = np.asarray(out_f.iterations)
-    it_s = np.asarray(out_s.iterations)
-    same = bool(np.array_equal(it_f, it_s))
+    # --- validation: per-member parity vs serial CPU f64 loop runs -------
+    from flowsim_tpu.ops.network import _is_junction, simulate_network
+
+    Mv = min(M, 4)
+    try:
+        out_f = run_fused(scales[:Mv])[0]
+    except FusedUnsupported as e:
+        log(f"fused unsupported at this config ({e}); timing stacked only")
+        results = dict(mode=mode, M=M, cap=int(cap),
+                       fused=dict(error=str(e)))
+        _time_engines(results, {"stacked": run_stacked}, scales, M, reps)
+        print(json.dumps(results))
+        return
+    cpu = jax.devices("cpu")[0]
+    it_ref, Y_ref = [], []
+    with jax.default_device(cpu):
+        for m in range(Mv):
+            brs = []
+            for br in branches:
+                if (not _is_junction(br.us)
+                        and br.us.kind == "flow_hydrograph"):
+                    se = np.asarray(br.us.target_series, np.float64)
+                    brs.append(dataclasses.replace(
+                        br, us=dataclasses.replace(
+                            br.us,
+                            target_series=jnp.asarray(se * scales[m]))))
+                else:
+                    brs.append(br)
+            o = simulate_network(brs, nj, sset, engine="loop")
+            it_ref.append(np.asarray(o.iterations))
+            Y_ref.append(np.asarray(o.junction_stage))
+    it_f = np.asarray(out_f.iterations)[:Mv]
+    same = bool(np.array_equal(it_f, np.stack(it_ref)))
     conv = bool(np.asarray(out_f.converged).all())
-    dY = float(np.abs(np.asarray(out_f.junction_stage)
-                      - np.asarray(out_s.junction_stage)).max())
-    log(f"validate M={Mv}: same_iters={same} converged={conv} |dY|={dY:.2e}")
+    dY = float(np.abs(np.asarray(out_f.junction_stage)[:Mv]
+                      - np.stack(Y_ref)).max())
+    log(f"validate M={Mv} vs serial CPU f64 loop: same_iters={same} "
+        f"converged={conv} |dY|={dY:.2e}")
 
     results = dict(mode=mode, M=M, cap=int(cap), same_iters=same,
                    converged=conv, max_dY=dY)
 
     # --- timing ----------------------------------------------------------
-    for name, fn in (("fused", run_fused), ("stacked", run_stacked)):
+    _time_engines(results, {"fused": run_fused, "stacked": run_stacked},
+                  scales, M, reps)
+    print(json.dumps(results))
+
+
+def _time_engines(results, engines, scales, M, reps):
+    import time as _t
+
+    import numpy as _np
+
+    from flowsim_tpu.ops.pallas.fused_network import FusedUnsupported
+
+    for name, fn in engines.items():
         try:
-            t0 = time.time()
+            t0 = _t.time()
             out = fn(scales)
             _sync((out[-1] if isinstance(out, list) else out).junction_stage)
-            first = time.time() - t0
-            best = np.inf
+            first = _t.time() - t0
+            best = _np.inf
             for r in range(reps):
                 sc = scales * (1.0 + 1e-9 * (r + 1))
-                t0 = time.time()
+                t0 = _t.time()
                 out = fn(sc)
                 _sync((out[-1] if isinstance(out, list)
                        else out).junction_stage)
-                best = min(best, time.time() - t0)
+                best = min(best, _t.time() - t0)
             results[name] = dict(first=round(first, 3),
                                  steady=round(best, 3),
                                  sims_per_s=round(M / best, 1))
@@ -150,7 +191,6 @@ def run(mode="tributary", M=None, reps=3):
         except FusedUnsupported as e:
             results[name] = dict(error=str(e))
             log(f"{name}: unsupported ({e})")
-    print(json.dumps(results))
 
 
 if __name__ == "__main__":

@@ -463,7 +463,7 @@ def test_batched_network_chunked(monkeypatch):
     branches, sset = _split_akbari(nt=7)
     us = branches[0].us
     series = np.asarray(us.target_series, np.float64)
-    scales = np.asarray([0.9, 0.95, 1.0, 1.05, 1.1])
+    scales = np.linspace(0.9, 1.1, 10)
     us_b = jax.vmap(lambda s: dataclasses.replace(
         us, target_series=jnp.asarray(series) * s))(jnp.asarray(scales))
     batch = [dict(us=us_b), dict()]
@@ -471,7 +471,7 @@ def test_batched_network_chunked(monkeypatch):
     out_one = batched_simulate_network(branches, 1, sset, batch,
                                        engine="fused")
     monkeypatch.setattr(fnet, "max_fused_network_batch",
-                        lambda *a, **k: 2)
+                        lambda *a, **k: 8)
     out_chk = batched_simulate_network(branches, 1, sset, batch,
                                        engine="fused")
     np.testing.assert_array_equal(np.asarray(out_chk.iterations),
@@ -481,3 +481,25 @@ def test_batched_network_chunked(monkeypatch):
                                       np.asarray(out_one.depth[b]))
     np.testing.assert_array_equal(np.asarray(out_chk.junction_stage),
                                   np.asarray(out_one.junction_stage))
+
+
+def test_batched_network_vmem_cap_raises():
+    """Many-branch networks whose per-member working set can't fit even one
+    8-member vreg block raise FusedUnsupported with a clear message (the
+    basin-scale ensembles belong on the stacked engine)."""
+    from flowsim_tpu.models import basin
+    from flowsim_tpu.ops.pallas.fused_network import max_fused_network_batch
+    from flowsim_tpu.parallel.ensemble import batched_simulate_network
+
+    from flowsim_tpu.ops.network import _is_junction
+
+    bb, bnj, bsset = basin.build(levels=4, sim_hours=6)
+    assert max_fused_network_batch(bb, bsset) < 8
+    bi = next(i for i, br in enumerate(bb) if not _is_junction(br.us))
+    us0 = bb[bi].us
+    se = np.asarray(us0.target_series, np.float64)
+    us_b = jax.vmap(lambda s: dataclasses.replace(
+        us0, target_series=jnp.asarray(se) * s))(jnp.asarray([0.9, 1.1]))
+    batch = [dict(us=us_b) if i == bi else dict() for i in range(len(bb))]
+    with pytest.raises(FusedUnsupported, match="stacked"):
+        batched_simulate_network(bb, bnj, bsset, batch, engine="fused")

@@ -427,3 +427,38 @@ def test_hbm_streaming_lifts_nt_ceiling():
     s_vmem.out_memory = "vmem"
     with pytest.raises(FusedUnsupported):
         _pick_out_mem(s_vmem, nt_huge, 128, "full")
+
+
+def test_lateral_inflow_parity():
+    """Single-reach fused kernel with distributed lateral inflow, constant
+    [N] and time-varying [nt, N]: iteration counts identical to the f64
+    XLA path (the inflow is a residual constant with no Jacobian term)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts"))
+    from bench_scaling import build_long_reach
+
+    geo, us, ds, h0, Q0, sset = build_long_reach(128, np.float64, levels=10)
+    n = geo.n_nodes
+    nt = sset.n_time_levels
+    q_const = 0.004 * (1.0 + np.linspace(0.0, 1.0, n))
+    t = np.linspace(0.0, 1.0, nt)[:, None]
+    q_tv = 0.01 * np.exp(-((t - 0.4) / 0.25) ** 2) * (q_const / 0.004)[None]
+    for q in (q_const, q_tv):
+        ref = prs.simulate(geo, us, ds, h0, Q0, sset,
+                           lateral_inflow=jnp.asarray(q))
+        fused = fused_simulate(geo, us, ds, h0, Q0, sset, interpret=True,
+                               lateral_inflow=q)
+        np.testing.assert_array_equal(np.asarray(fused.iterations),
+                                      np.asarray(ref.iterations))
+        assert bool(np.asarray(fused.converged).all())
+        assert np.abs(np.asarray(fused.depth)
+                      - np.asarray(ref.depth)).max() < 1e-5
+    # the inflow is live: more outflow than the dry run at the last level
+    dry = fused_simulate(geo, us, ds, h0, Q0, sset, interpret=True)
+    wet = fused_simulate(geo, us, ds, h0, Q0, sset, interpret=True,
+                         lateral_inflow=q_const)
+    assert (np.asarray(wet.flow)[-1, -1]
+            > np.asarray(dry.flow)[-1, -1] + 1.0)

@@ -1742,8 +1742,19 @@ def fused_simulate(geo, us_bc, ds_bc, h0, Q0, settings, interpret: bool = False,
 
 def _kernel_batched(geo_ref, init_ref, tgt_ref, ds_tgt_ref, scal_ref,
                     *out_refs, nt, n, B, n_sweeps, max_iter, ds_kind, us_kind,
-                    gate_init, varying, store, out_mem, interpret):
+                    gate_init, varying, qlat_mode, store, out_mem, interpret):
     out_refs = list(out_refs)
+    # per-member lateral inflow theta-box cell averages: "const" is a
+    # loop-invariant VMEM [B, Np] row; "tv" keeps the [nt, B, Np] stack in
+    # HBM and DMAs level k's [B, Np] slice into a VMEM staging row at the
+    # top of each level (the copy is ~1000x shorter than the level's Newton
+    # solve, so a blocking wait costs nothing and VMEM holds one row/member
+    # either way — inside the _WORK_ROWS envelope)
+    qlat_ref = out_refs.pop(0) if qlat_mode else None
+    qstage = qsem = None
+    if qlat_mode == "tv":
+        qsem = out_refs.pop()
+        qstage = out_refs.pop()
     streamer = None
     if out_mem == "hbm":
         n_out = 1 if store == "boundaries" else 5
@@ -1784,6 +1795,7 @@ def _kernel_batched(geo_ref, init_ref, tgt_ref, ds_tgt_ref, scal_ref,
     init = init_ref[:]
     h0 = DF(init[0 * B:1 * B, :], init[1 * B:2 * B, :])
     Q0 = DF(init[2 * B:3 * B, :], init[3 * B:4 * B, :])
+    qlat_const = qlat_ref[:] if qlat_mode == "const" else None
 
     def store_level(k, h, Q, iters, err, res_stage, gate_open):
         # outputs are rank-3 [nt, B, lanes] with the dynamic level index on
@@ -1850,6 +1862,17 @@ def _kernel_batched(geo_ref, init_ref, tgt_ref, ds_tgt_ref, scal_ref,
         prev_A, prev_Se, prev_Q2A = _level_state(g, h, Q)
         tgt = member_col(tgt_ref, k)
         ds_tgt = member_col(ds_tgt_ref, k)
+        if qlat_mode == "tv":
+            # route the (weak-i64 under x64) loop index through f32 to the
+            # i32 Mosaic DMA slice index (see _LevelStreamer.store)
+            k32 = k.astype(jnp.float32).astype(jnp.int32)
+            cp = pltpu.make_async_copy(qlat_ref.at[pl.ds(k32, 1)], qstage,
+                                       qsem)
+            cp.start()
+            cp.wait()
+            qlat_k = qstage[0]
+        else:
+            qlat_k = qlat_const
 
         def cond(c):
             return jnp.sum(c[4]) > 0.0
@@ -1859,7 +1882,8 @@ def _kernel_batched(geo_ref, init_ref, tgt_ref, ds_tgt_ref, scal_ref,
             buf, errb, res_stage = _assemble_fused(
                 g, scal, roll, n, ds_kind, DF(hh, hl), DF(qh, ql), h, Q,
                 prev_A, prev_Se, prev_Q2A, tgt, us_kind=us_kind,
-                y_old=y_old, k=k, gate_open=gopen, ds_tgt=ds_tgt)
+                y_old=y_old, k=k, gate_open=gopen, ds_tgt=ds_tgt,
+                qlat_avg=qlat_k)
             x0, x1 = _pcr_solve(buf, idx, n, n_sweeps, roll)
             upd = active  # [B,1] f32 mask: members still iterating
             hn = DF(hh, hl) + df(x0 * node_mask * upd)
@@ -1911,13 +1935,13 @@ def _kernel_batched(geo_ref, init_ref, tgt_ref, ds_tgt_ref, scal_ref,
 
 @functools.lru_cache(maxsize=64)
 def _build_call_batched(*, nt, n, B, Np, n_sweeps, max_iter, ds_kind,
-                        us_kind, gate_init, varying, store, out_mem,
-                        interpret):
+                        us_kind, gate_init, varying, qlat_mode=None,
+                        store="full", out_mem="vmem", interpret=False):
     kern = functools.partial(
         _kernel_batched, nt=nt, n=n, B=B, n_sweeps=n_sweeps,
         max_iter=max_iter, ds_kind=ds_kind, us_kind=us_kind,
-        gate_init=gate_init, varying=varying, store=store,
-        out_mem=out_mem, interpret=interpret)
+        gate_init=gate_init, varying=varying, qlat_mode=qlat_mode,
+        store=store, out_mem=out_mem, interpret=interpret)
     if store == "boundaries":
         out_shapes = [
             jax.ShapeDtypeStruct((nt, B, 128), jnp.float32),  # stats+bnd
@@ -1940,10 +1964,15 @@ def _build_call_batched(*, nt, n, B, Np, n_sweeps, max_iter, ds_kind,
             pl.BlockSpec(memory_space=pltpu.SMEM),  # us target series [B, nt]
             pl.BlockSpec(memory_space=pltpu.SMEM),  # ds target series [B, nt]
             pl.BlockSpec(memory_space=pltpu.SMEM),  # scalars
-        ],
+        ] + ([pl.BlockSpec(memory_space=pltpu.VMEM  # [B, Np] qlat cells
+                           if qlat_mode == "const" else pl.ANY)]
+             if qlat_mode else []),  # tv: [nt, B, Np] stays in HBM
         out_specs=[pl.BlockSpec(memory_space=out_space)] * len(out_shapes),
-        scratch_shapes=(_out_scratch_shapes(out_shapes)
-                        if out_mem == "hbm" else []),
+        scratch_shapes=((_out_scratch_shapes(out_shapes)
+                         if out_mem == "hbm" else [])
+                        + ([pltpu.VMEM((1, B, Np), jnp.float32),
+                            pltpu.SemaphoreType.DMA]
+                           if qlat_mode == "tv" else [])),
         interpret=interpret,
     ))
 
@@ -2014,7 +2043,8 @@ def max_fused_batch(n_nodes: int, n_time_levels: int,
 
 
 def _prepare_batched(geo_batch, us_bc, ds_bc, h0, Q0, settings,
-                     us_batched, ds_batched, B_pad=None):
+                     us_batched, ds_batched, B_pad=None,
+                     lateral_inflow=None):
     """Host-side pack shared by the single-device and sharded batched
     drivers: checks the configuration, packs the five kernel input arrays,
     and returns ``(cfg, ins)`` where ``cfg`` carries every static kernel
@@ -2109,12 +2139,49 @@ def _prepare_batched(geo_batch, us_bc, ds_bc, h0, Q0, settings,
     varying = tuple(int(i) for i in range(_NS)
                     if not np.all(scal_rows[:, i] == scal_rows[0, i]))
 
+    # lateral inflow: shared [N], per-member constants [B0, N] (a 2D
+    # argument is ALWAYS member-major here), or per-member time-varying
+    # [B0, nt, N] (packed as an HBM [nt, B, Np] stack the kernel streams
+    # one level-row at a time — express a shared time-varying inflow by
+    # broadcasting to [B0, nt, N])
+    qlat_mode = None
+    qlat_rows = None
+    if lateral_inflow is not None:
+        q = np.asarray(lateral_inflow, np.float64)
+        if q.ndim == 1 and q.shape[0] == n:
+            q = np.broadcast_to(q, (B0, n))
+        if q.ndim == 2 and q.shape == (B0, n):
+            qlat_mode = "const"
+            qlat_rows = np.zeros((B, Np), f32)
+            for m in range(B):
+                qm = q[min(m, B0 - 1)]
+                qlat_rows[m, : n - 1] = (0.5 * (qm[:-1] + qm[1:])).astype(f32)
+        elif q.ndim == 3 and q.shape == (B0, nt, n):
+            qlat_mode = "tv"
+            th = float(settings.theta)
+            qlat_rows = np.zeros((nt, B, Np), f32)
+            for m in range(B):
+                qm = q[min(m, B0 - 1)]
+                qc, qp = qm[1:], qm[:-1]
+                cell = (0.5 * th * (qc[:, :-1] + qc[:, 1:])
+                        + 0.5 * (1.0 - th) * (qp[:, :-1] + qp[:, 1:]))
+                qlat_rows[1:nt, m, : n - 1] = cell.astype(f32)
+        else:
+            raise FusedUnsupported(
+                f"batched kernel lateral_inflow must be [N={n}], "
+                f"[B={B0}, N] per-member constants, or [B, nt={nt}, N] "
+                f"per-member time series; got {q.shape}")
+
     cfg = dict(nt=nt, n=n, B=B, B0=B0, Np=Np, n_sweeps=n_sweeps,
                max_iter=settings.max_iter, ds_kind=ds_kind,
                us_kind=us_kind_str,
                gate_init=1.0 if settings.gate_initially_open else 0.0,
-               varying=varying, store=store, out_mem=out_mem)
-    return cfg, (geo_rows, init_rows, tgt_b, ds_tgt_b, scal_rows)
+               varying=varying, qlat_mode=qlat_mode,
+               store=store, out_mem=out_mem)
+    ins = (geo_rows, init_rows, tgt_b, ds_tgt_b, scal_rows)
+    if qlat_rows is not None:
+        ins = ins + (qlat_rows,)
+    return cfg, ins
 
 
 def _unpack_batched(outs, cfg, settings, out_dtype):
@@ -2174,7 +2241,8 @@ def _unpack_batched(outs, cfg, settings, out_dtype):
 
 def fused_simulate_batched(geo_batch, us_bc, ds_bc, h0, Q0, settings,
                            interpret: bool = False,
-                           us_batched: bool = False, ds_batched: bool = False):
+                           us_batched: bool = False, ds_batched: bool = False,
+                           lateral_inflow=None):
     """Run a member-batch of full simulations in ONE Pallas kernel call.
 
     ``geo_batch``: TrapezoidGeometry with a leading member axis on every
@@ -2201,13 +2269,15 @@ def fused_simulate_batched(geo_batch, us_bc, ds_bc, h0, Q0, settings,
     — see :func:`max_fused_batch`).
     """
     cfg, ins = _prepare_batched(geo_batch, us_bc, ds_bc, h0, Q0, settings,
-                                us_batched, ds_batched)
+                                us_batched, ds_batched,
+                                lateral_inflow=lateral_inflow)
     call = _build_call_batched(
         nt=cfg["nt"], n=cfg["n"], B=cfg["B"], Np=cfg["Np"],
         n_sweeps=cfg["n_sweeps"], max_iter=cfg["max_iter"],
         ds_kind=cfg["ds_kind"], us_kind=cfg["us_kind"],
         gate_init=cfg["gate_init"], varying=cfg["varying"],
-        store=cfg["store"], out_mem=cfg["out_mem"], interpret=interpret)
+        qlat_mode=cfg["qlat_mode"], store=cfg["store"],
+        out_mem=cfg["out_mem"], interpret=interpret)
     outs = call(*(jnp.asarray(x) for x in ins))
     return _unpack_batched(outs, cfg, settings, jnp.asarray(h0).dtype)
 
@@ -2215,7 +2285,8 @@ def fused_simulate_batched(geo_batch, us_bc, ds_bc, h0, Q0, settings,
 def fused_simulate_batched_sharded(geo_batch, us_bc, ds_bc, h0, Q0, settings,
                                    mesh, axis=None, interpret: bool = False,
                                    us_batched: bool = False,
-                                   ds_batched: bool = False):
+                                   ds_batched: bool = False,
+                                   lateral_inflow=None):
     """Shard a member-batch across the mesh's ensemble axis, each device
     running its VMEM-resident slice through its own fused-kernel dispatch
     (``shard_map`` over the kernel; the multi-chip Monte-Carlo path for
@@ -2251,7 +2322,11 @@ def fused_simulate_batched_sharded(geo_batch, us_bc, ds_bc, h0, Q0, settings,
             if np.ndim(h0) > 1 else h0,
             np.asarray(Q0)[np.minimum(np.arange(lo, lo + Bd), B0 - 1)]
             if np.ndim(Q0) > 1 else Q0,
-            settings, us_batched, ds_batched, B_pad=Bd)
+            settings, us_batched, ds_batched, B_pad=Bd,
+            lateral_inflow=(
+                np.asarray(lateral_inflow)[
+                    np.minimum(np.arange(lo, lo + Bd), B0 - 1)]
+                if np.ndim(lateral_inflow) > 1 else lateral_inflow))
         cfgs.append(cfg_d)
         ins_dev.append(ins_d)
     cfg = dict(cfgs[0])
@@ -2269,7 +2344,8 @@ def fused_simulate_batched_sharded(geo_batch, us_bc, ds_bc, h0, Q0, settings,
         n_sweeps=cfg["n_sweeps"], max_iter=cfg["max_iter"],
         ds_kind=cfg["ds_kind"], us_kind=cfg["us_kind"],
         gate_init=cfg["gate_init"], varying=cfg["varying"],
-        store=cfg["store"], out_mem=cfg["out_mem"], interpret=interpret)
+        qlat_mode=cfg["qlat_mode"], store=cfg["store"],
+        out_mem=cfg["out_mem"], interpret=interpret)
 
     stacked = [jnp.asarray(np.stack([ins_dev[d][i] for d in range(D)]))
                for i in range(len(ins_dev[0]))]

@@ -69,7 +69,7 @@ def batch_boundaries(bcs):
 def batched_simulate(geo_batch, us_bc, ds_bc, h0, Q0, settings: prs.PreissmannSettings,
                      mesh: Optional[Mesh] = None, shard: bool = True,
                      us_axes=None, ds_axes=None, chunk_size: Optional[int] = None,
-                     engine: str = "xla"):
+                     engine: str = "xla", lateral_inflow=None):
     """Simulate a batch of scenarios differing in geometry (e.g. roughness)
     and, optionally, boundary forcing.
 
@@ -94,13 +94,22 @@ def batched_simulate(geo_batch, us_bc, ds_bc, h0, Q0, settings: prs.PreissmannSe
     if engine == "fused":
         return _fused_batched_simulate(geo_batch, us_bc, ds_bc, h0, Q0,
                                        settings, us_axes, ds_axes, chunk_size,
-                                       mesh=mesh if shard else None)
+                                       mesh=mesh if shard else None,
+                                       lateral_inflow=lateral_inflow)
 
-    def one(geo, us, ds, h, Q):
-        return prs.simulate(geo, us, ds, h, Q, settings)
+    # lateral_inflow: shared [N], per-member [B, N] constants, or per-member
+    # time-varying [B, nt, N] (express a shared time-varying inflow by
+    # broadcasting — a 2D argument is member-major at this entry, matching
+    # the fused kernel's contract)
+    q = lateral_inflow
+    q_ax = 0 if (q is not None and jnp.ndim(q) >= 2) else None
+
+    def one(geo, us, ds, h, Q, qm=None):
+        return prs.simulate(geo, us, ds, h, Q, settings, lateral_inflow=qm)
 
     in_axes = (0, us_axes, ds_axes,
-               0 if jnp.ndim(h0) > 1 else None, 0 if jnp.ndim(Q0) > 1 else None)
+               0 if jnp.ndim(h0) > 1 else None, 0 if jnp.ndim(Q0) > 1 else None,
+               q_ax)
 
     B = jax.tree_util.tree_leaves(geo_batch)[0].shape[0]
     if chunk_size is not None and B > chunk_size:
@@ -127,11 +136,13 @@ def batched_simulate(geo_batch, us_bc, ds_bc, h0, Q0, settings: prs.PreissmannSe
             mapped["h0"] = prep(h0)
         if jnp.ndim(Q0) > 1:
             mapped["Q0"] = prep(Q0)
+        if q_ax is not None:
+            mapped["q"] = prep(jnp.asarray(q))
 
         def run_chunk(m):
             return jax.vmap(one, in_axes=in_axes)(
                 m["geo"], m.get("us", us_bc), m.get("ds", ds_bc),
-                m.get("h0", h0), m.get("Q0", Q0))
+                m.get("h0", h0), m.get("Q0", Q0), m.get("q", q))
 
         # no outer jit (fresh closure per call would recompile every time —
         # same defect as the non-chunked path); lax.map's body traces into
@@ -146,15 +157,18 @@ def batched_simulate(geo_batch, us_bc, ds_bc, h0, Q0, settings: prs.PreissmannSe
             us_bc = shard_batch(us_bc, mesh)
         if ds_axes is not None:
             ds_bc = shard_batch(ds_bc, mesh)
+        if q_ax is not None:
+            q = shard_batch(jnp.asarray(q), mesh)
 
     # no outer jit: `one` is a fresh closure per call, so jit(vmap(one))
     # would retrace+recompile every time; prs.simulate's own cached jit
     # compiles the batched executable once (see batched_simulate_network)
-    return jax.vmap(one, in_axes=in_axes)(geo_batch, us_bc, ds_bc, h0, Q0)
+    return jax.vmap(one, in_axes=in_axes)(geo_batch, us_bc, ds_bc, h0, Q0, q)
 
 
 def _fused_batched_simulate(geo_batch, us_bc, ds_bc, h0, Q0, settings,
-                            us_axes, ds_axes, chunk_size, mesh=None):
+                            us_axes, ds_axes, chunk_size, mesh=None,
+                            lateral_inflow=None):
     """Drive :func:`fused_simulate_batched` in VMEM-sized member chunks.
 
     With ``mesh`` the chunks are additionally spread over the mesh's
@@ -177,6 +191,8 @@ def _fused_batched_simulate(geo_batch, us_bc, ds_bc, h0, Q0, settings,
     h0b = jnp.ndim(h0) > 1
     Q0b = jnp.ndim(Q0) > 1
 
+    qb = np.ndim(lateral_inflow) > 1
+
     outs = []
     for s in range(0, B, cap):
         e = min(B, s + cap)
@@ -187,7 +203,9 @@ def _fused_batched_simulate(geo_batch, us_bc, ds_bc, h0, Q0, settings,
             jax.tree_util.tree_map(sl, ds_bc) if ds_axes is not None else ds_bc,
             sl(h0) if h0b else h0, sl(Q0) if Q0b else Q0, settings)
         kw = dict(interpret=interpret, us_batched=us_axes is not None,
-                  ds_batched=ds_axes is not None)
+                  ds_batched=ds_axes is not None,
+                  lateral_inflow=(sl(np.asarray(lateral_inflow)) if qb
+                                  else lateral_inflow))
         if mesh is not None:
             out = fused_simulate_batched_sharded(*args, mesh=mesh, **kw)
         else:

@@ -462,3 +462,66 @@ def test_lateral_inflow_parity():
                          lateral_inflow=q_const)
     assert (np.asarray(wet.flow)[-1, -1]
             > np.asarray(dry.flow)[-1, -1] + 1.0)
+
+
+def test_batched_lateral_inflow_parity():
+    """Batched fused kernel with per-member lateral inflow [B, N]:
+    iteration counts identical to the XLA vmap ensemble path; shared [N]
+    inflow broadcasts; time-varying shapes raise FusedUnsupported."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts"))
+    import jax
+
+    from bench_scaling import build_long_reach
+    from flowsim_tpu.ops.pallas.fused_newton import fused_simulate_batched
+    from flowsim_tpu.parallel.ensemble import batched_simulate
+
+    geo, us, ds, h0, Q0, sset = build_long_reach(128, np.float64, levels=8)
+    n = geo.n_nodes
+    B = 4
+    geob = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (B,) + x.shape), geo)
+    rng = np.random.default_rng(0)
+    q = 0.004 * (1.0 + rng.random((B, n)))
+
+    out_f = fused_simulate_batched(geob, us, ds, h0, Q0, sset,
+                                   interpret=True, lateral_inflow=q)
+    out_x = batched_simulate(geob, us, ds, h0, Q0, sset, shard=False,
+                             lateral_inflow=jnp.asarray(q))
+    np.testing.assert_array_equal(np.asarray(out_f.iterations),
+                                  np.asarray(out_x.iterations))
+    assert np.abs(np.asarray(out_f.depth)
+                  - np.asarray(out_x.depth)).max() < 1e-5
+    # members actually differ (the per-member inflow is live)
+    fl = np.asarray(out_f.flow)[:, -1, -1]
+    assert len(set(np.round(fl, 4))) == B
+
+    # shared [N] broadcasts to every member
+    out_s = fused_simulate_batched(geob, us, ds, h0, Q0, sset,
+                                   interpret=True, lateral_inflow=q[0])
+    one = np.asarray(out_s.depth)
+    assert np.abs(one - one[0][None]).max() == 0.0
+
+    # per-member TIME-VARYING [B, nt, N]: the [nt, B, Np] cell-average
+    # stack stays in HBM and the kernel DMA-streams one level-row per
+    # level — parity vs the XLA vmap path again
+    nt = sset.n_time_levels
+    t = np.linspace(0.0, 1.0, nt)[None, :, None]
+    q_tv = q[:, None, :] * (1.0 + 0.8 * np.sin(
+        2 * np.pi * (t + np.arange(B)[:, None, None] / B)))
+    out_ftv = fused_simulate_batched(geob, us, ds, h0, Q0, sset,
+                                     interpret=True, lateral_inflow=q_tv)
+    out_xtv = batched_simulate(geob, us, ds, h0, Q0, sset, shard=False,
+                               lateral_inflow=jnp.asarray(q_tv))
+    np.testing.assert_array_equal(np.asarray(out_ftv.iterations),
+                                  np.asarray(out_xtv.iterations))
+    assert np.abs(np.asarray(out_ftv.depth)
+                  - np.asarray(out_xtv.depth)).max() < 1e-5
+
+    # wrong time axis still raises with a clear message
+    with pytest.raises(FusedUnsupported, match="lateral_inflow"):
+        fused_simulate_batched(geob, us, ds, h0, Q0, sset, interpret=True,
+                               lateral_inflow=np.zeros((B, 5, n)))

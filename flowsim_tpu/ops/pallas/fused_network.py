@@ -34,17 +34,24 @@ Precision design is inherited from fused_newton: df32 residuals, f32
 Jacobian + PCR + Schur solve (inexact Newton — the XLA ``pcr_f32`` network
 path converges with iteration counts identical to full f64, BASELINE.md).
 
-Scope (v2): TrapezoidGeometry branches, plain junctions AND junction
-reservoirs (0-D storage at a junction, trapezoidal mass balance — ref
-lumped_storage.py:24-35 applied at a multi-branch node) with optional
-rated outflow (quadratic polynomial / blended_poly release curves,
-ops/network.py:_junction_residuals), constant AND time-varying [nt, N]
-lateral inflow (per-level theta-weighted cell averages precomputed on the
-host), ``newton="while"``, and one
-shared external BC kind per side (all external upstream ends share
-``us_kind``, all external downstream ends share ``ds_kind`` — any of the
-non-storage kinds fused_newton supports, including the gated controller).
-Everything else falls back to the XLA engines via
+Scope (v3): TrapezoidGeometry AND TableGeometry branches (mixed networks
+evaluate both closures per sublane and select — each branch's physics
+matches the XLA engines exactly, so iteration-count parity holds; the
+per-branch lookup tables must share one depth-grid resolution M and their
+_NT * (M + 8-16) * B * Np f32 rows must fit the VMEM budget alongside the
+working set, which bounds M to ~100 at flagship branch sizes — rebuild
+tables with a coarser grid or fall back to the XLA engines beyond that),
+plain junctions AND junction reservoirs (0-D storage at a junction,
+trapezoidal mass balance — ref lumped_storage.py:24-35 applied at a
+multi-branch node) with optional rated outflow (quadratic polynomial /
+blended_poly release curves, ops/network.py:_junction_residuals),
+constant AND time-varying [nt, N] lateral inflow (per-level
+theta-weighted cell averages precomputed on the host),
+``newton="while"``, and one shared external BC kind per side (all
+external upstream ends share ``us_kind``, all external downstream ends
+share ``ds_kind`` — any of the non-storage kinds fused_newton supports,
+including the gated controller).  Everything else falls back to the XLA
+engines via
 :class:`~flowsim_tpu.ops.pallas.fused_newton.FusedUnsupported`.
 """
 
@@ -91,7 +98,8 @@ _NJ = 12
 def _kernel_network(*refs,
                     nt, n, B, J, Jp, m_rhs, n_sweeps, max_iter, ds_kind,
                     us_kind, gate_init, varying, topo_j, qlat_mode, has_jstor,
-                    has_jrate, has_stor_end, out_mem, interpret):
+                    has_jrate, has_stor_end, geo_kind, tab_M, tab_stride,
+                    tab_b, out_mem, interpret):
     """The whole-network-simulation kernel body.
 
     ``topo_j``: static tuple of (us_junction_or_None, ds_junction_or_None)
@@ -105,6 +113,7 @@ def _kernel_network(*refs,
     """
     refs = list(refs)
     geo_ref = refs.pop(0)
+    tab_ref = refs.pop(0) if geo_kind == "table" else None
     init_ref = refs.pop(0)
     net_ref = refs.pop(0)
     jin_ref = refs.pop(0)
@@ -127,6 +136,30 @@ def _kernel_network(*refs,
     node_mask = (idx < n).astype(jnp.float32)
     riota = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
     zcol = jnp.zeros((B, 1), jnp.float32)
+
+    # per-branch section closures: trapezoid sublanes use the analytic
+    # closures, table sublanes the per-sublane lookup-table evaluation —
+    # both evaluated and selected by the static per-sublane kind mask
+    # (exactness per branch matches the XLA engines, so mixed networks
+    # keep iteration-count parity)
+    section_fn = None
+    if geo_kind == "table":
+        tmask = zcol
+        for b in range(B):
+            if tab_b[b]:
+                tmask = tmask + (riota == b).astype(jnp.float32)
+        tbool = tmask > 0.0
+
+        def section_fn(hh):
+            st_t = fn._section_df_table_rows(g, tab_ref, hh, M=tab_M,
+                                             stride=tab_stride, B=B)
+            if all(tab_b):
+                return st_t
+            st_s = fn._section_df(g, hh)
+            return {key: (df32.where(tbool, v, st_s[key])
+                          if isinstance(v, DF)
+                          else jnp.where(tbool, v, st_s[key]))
+                    for key, v in st_t.items()}
 
     # (branch, end lane, junction, sign): +1 for a ds end (flow INTO the
     # junction), -1 for an us end (ops/network.py:_sum_signed_ends)
@@ -327,7 +360,8 @@ def _kernel_network(*refs,
             gcool = jnp.where(do_open | do_close, scal[fn._S_MAXCD], gcool)
             gptime = jnp.zeros_like(gptime) + time
 
-        prev_A, prev_Se, prev_Q2A = _level_state(g, h, Q)
+        prev_A, prev_Se, prev_Q2A = _level_state(g, h, Q,
+                                                 section_fn=section_fn)
         tgt = member_col(tgt_ref, k)
         ds_tgt = member_col(ds_tgt_ref, k)
         if qlat_mode == "tv":
@@ -360,7 +394,7 @@ def _kernel_network(*refs,
                 prev_A, prev_Se, prev_Q2A, tgt, us_kind=us_kind,
                 y_old=(y_old_b if has_stor_end else Yc), k=k,
                 gate_open=gopen, ds_tgt=ds_tgt, junc=junc,
-                qlat_avg=qlat_k)
+                qlat_avg=qlat_k, section_fn=section_fn)
             # append the constant -1 coupling RHS pairs (the dR/dY columns
             # of the arrowhead system, ops/network.py:_simulate_network_
             # stacked rhs_coup)
@@ -523,13 +557,15 @@ def _kernel_network(*refs,
 def _build_call_network(*, nt, n, B, Np, J, Jp, m_rhs, n_sweeps, max_iter,
                         ds_kind, us_kind, gate_init, varying, topo_j,
                         qlat_mode, has_jstor, has_jrate, has_stor_end,
-                        out_mem, interpret):
+                        geo_kind="trap", tab_M=0, tab_stride=0, tab_b=(),
+                        out_mem="vmem", interpret=False):
     kern = functools.partial(
         _kernel_network, nt=nt, n=n, B=B, J=J, Jp=Jp, m_rhs=m_rhs,
         n_sweeps=n_sweeps, max_iter=max_iter, ds_kind=ds_kind,
         us_kind=us_kind, gate_init=gate_init, varying=varying,
         topo_j=topo_j, qlat_mode=qlat_mode, has_jstor=has_jstor,
-        has_jrate=has_jrate, has_stor_end=has_stor_end, out_mem=out_mem,
+        has_jrate=has_jrate, has_stor_end=has_stor_end, geo_kind=geo_kind,
+        tab_M=tab_M, tab_stride=tab_stride, tab_b=tab_b, out_mem=out_mem,
         interpret=interpret)
     out_shapes = [
         jax.ShapeDtypeStruct((nt, B, Np), jnp.float32),   # depth hi
@@ -544,8 +580,10 @@ def _build_call_network(*, nt, n, B, Np, J, Jp, m_rhs, n_sweeps, max_iter,
         kern,
         out_shape=out_shapes,
         in_specs=(
-            [
-                pl.BlockSpec(memory_space=pltpu.VMEM),  # geometry rows
+            [pl.BlockSpec(memory_space=pltpu.VMEM)]      # geometry rows
+            + ([pl.BlockSpec(memory_space=pltpu.VMEM)]   # per-branch tables
+               if geo_kind == "table" else [])
+            + [
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # init state
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # network masks
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # junction config
@@ -571,6 +609,57 @@ def _edge_pad_np(x, Nmax):
         return x
     pad = [(0, Nmax - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
     return np.pad(x, pad, mode="edge")
+
+
+def _pack_table_geo_rows(geo_p, n, Np, tab_M):
+    """[_NG, Np] geometry rows for a TableGeometry branch sublane.
+
+    Row 0 carries the reciprocal depth-grid (fn._TG_INVDG, as in the
+    single-reach table mode) and _G_CURV/_G_DZ their real values; the
+    remaining trapezoid rows are packed BENIGN (unit widths and Manning n,
+    zero slopes) because mixed networks evaluate BOTH closures on every
+    sublane and select — the trap closure must stay finite here even
+    though its result is discarded.
+    """
+    f32 = np.float32
+    a = lambda x: np.asarray(x, np.float64)
+    rows = np.zeros((_NG, Np), f32)
+    rows[fn._TG_INVDG, :n] = ((tab_M - 1) / a(geo_p.depth_max)).astype(f32)
+    rows[fn._G_CURV, :n] = a(geo_p.curvature).astype(f32)
+    z = a(geo_p.z_bed)
+    rows[fn._G_DZ, : n - 1] = (z[1:] - z[:-1]).astype(f32)
+    for r in (fn._G_N_MAIN, fn._G_N_LEFT, fn._G_N_RIGHT):
+        rows[r, :] = 1.0
+    return rows
+
+
+def _pack_table_blocks(geo_p, n, Np, tab_M, tab_stride):
+    """[_NT * tab_stride, Np] per-node lookup-table rows for one branch
+    (same layout and benign-pad convention as the single-reach table pack,
+    fused_newton.fused_simulate)."""
+    f32 = np.float32
+    benign = (1.0, 1.0, 1.0, 1.0, 1.0, 0.0, 0.0)
+    tabs = np.zeros((fn._NT * tab_stride, Np), f32)
+    for t, arr in enumerate((geo_p.area, geo_p.perimeter, geo_p.top_width,
+                             geo_p.conveyance, geo_p.n_eq,
+                             geo_p.dK_dA, geo_p.dR_dA)):
+        block = np.full((tab_stride, Np), benign[t], f32)
+        a2 = np.asarray(arr, np.float64).T.astype(f32)  # [M, n]
+        block[:tab_M, :n] = a2
+        block[tab_M:, :n] = a2[-1]
+        tabs[t * tab_stride:(t + 1) * tab_stride] = block
+    return tabs
+
+
+def _benign_table_blocks(Np, tab_stride):
+    """Benign [_NT * tab_stride, Np] table rows for a trapezoid sublane of
+    a mixed network (finite discarded values: unit A/P/T/K/n_eq)."""
+    f32 = np.float32
+    benign = (1.0, 1.0, 1.0, 1.0, 1.0, 0.0, 0.0)
+    tabs = np.zeros((fn._NT * tab_stride, Np), f32)
+    for t in range(fn._NT):
+        tabs[t * tab_stride:(t + 1) * tab_stride] = benign[t]
+    return tabs
 
 
 def fused_simulate_network(branches, n_junctions, settings, Y0=None,
@@ -613,14 +702,30 @@ def fused_simulate_network(branches, n_junctions, settings, Y0=None,
     if settings.newton != "while":
         raise FusedUnsupported("fused network kernel implements the "
                                "while-Newton only")
+    from flowsim_tpu.geometry import TableGeometry
+
     B0 = len(branches)
     n_bs = []
+    is_tab_b = []
     for i, br in enumerate(branches):
-        if not isinstance(br.geo, TrapezoidGeometry):
+        if not isinstance(br.geo, (TrapezoidGeometry, TableGeometry)):
             raise FusedUnsupported(
-                "fused network kernel supports TrapezoidGeometry branches "
-                "only")
+                "fused network kernel supports TrapezoidGeometry and "
+                "TableGeometry branches")
+        is_tab_b.append(isinstance(br.geo, TableGeometry))
         n_bs.append(int(np.asarray(br.h0).shape[0]))
+    geo_kind = "table" if any(is_tab_b) else "trap"
+    tab_M = tab_stride = 0
+    if geo_kind == "table":
+        Ms = {int(np.asarray(br.geo.area).shape[-1])
+              for br, t in zip(branches, is_tab_b) if t}
+        if len(Ms) > 1:
+            raise FusedUnsupported(
+                f"TableGeometry branches must share one depth-grid "
+                f"resolution (got M = {sorted(Ms)}); rebuild the tables "
+                "with a common resolution")
+        tab_M = Ms.pop()
+        tab_stride = -(-tab_M // 8) * 8 + 8
     any2d = any(br.qlat is not None and np.ndim(br.qlat) == 2
                 for br in branches)
     qlat_mode = ("tv" if any2d
@@ -642,6 +747,8 @@ def fused_simulate_network(branches, n_junctions, settings, Y0=None,
     # kernel us_kind; every external ds end one ds_kind
     f32 = np.float32
     geo_rows = np.zeros((_NG * B, Np), f32)
+    tab_rows = (np.zeros((fn._NT * tab_stride * B, Np), f32)
+                if geo_kind == "table" else None)
     init_rows = np.zeros((4 * B, Np), f32)
     net_rows = np.zeros((8 * B, Np), f32)
     qlat_rows = (np.zeros((nt, B, Np), f32) if qlat_mode == "tv" else None)
@@ -666,8 +773,17 @@ def fused_simulate_network(branches, n_junctions, settings, Y0=None,
         n_b = n_bs[mm]
         geo_p = jax.tree_util.tree_map(
             lambda x: _edge_pad_np(np.asarray(x), Nmax), br.geo)
-        geo_rows.reshape(_NG, B, Np)[:, m, :] = _pack_trap_rows(geo_p, Nmax,
-                                                                Np)
+        if is_tab_b[mm]:
+            geo_rows.reshape(_NG, B, Np)[:, m, :] = _pack_table_geo_rows(
+                geo_p, Nmax, Np, tab_M)
+        else:
+            geo_rows.reshape(_NG, B, Np)[:, m, :] = _pack_trap_rows(
+                geo_p, Nmax, Np)
+        if geo_kind == "table":
+            blocks = (_pack_table_blocks(geo_p, Nmax, Np, tab_M, tab_stride)
+                      if is_tab_b[mm]
+                      else _benign_table_blocks(Np, tab_stride))
+            tab_rows.reshape(fn._NT * tab_stride, B, Np)[:, m, :] = blocks
         h0p = _edge_pad_np(np.asarray(br.h0, np.float64), Nmax)
         Q0p = _edge_pad_np(np.asarray(br.Q0, np.float64), Nmax)
         init_rows.reshape(4, B, Np)[:, m, :] = _pack_init(h0p, Q0p, Nmax, Np)
@@ -827,6 +943,8 @@ def fused_simulate_network(branches, n_junctions, settings, Y0=None,
     work = ((_NG + 4 + 8) * B * Np + work_rows * B * Np) * 4
     if qlat_mode == "tv":
         work += nt * B * Np * 4  # the per-level inflow rows stay in VMEM
+    if geo_kind == "table":
+        work += fn._NT * tab_stride * B * Np * 4  # per-branch lookup tables
     req = getattr(settings, "out_memory", "auto")
     if req in ("vmem", "hbm"):
         out_mem = req
@@ -840,15 +958,20 @@ def fused_simulate_network(branches, n_junctions, settings, Y0=None,
             f"(B={B0}, Nmax={Nmax}, nt={nt}, out_memory='{out_mem}'); run "
             f"the XLA stacked engine or checkpoint-chunk the levels")
 
+    tab_b = tuple(bool(is_tab_b[min(m, B0 - 1)]) for m in range(B))
     call = _build_call_network(
         nt=nt, n=Nmax, B=B, Np=Np, J=J, Jp=Jp, m_rhs=m_rhs, n_sweeps=n_sweeps,
         max_iter=settings.max_iter, ds_kind=ds_kind, us_kind=us_kind,
         gate_init=1.0 if settings.gate_initially_open else 0.0,
         varying=varying, topo_j=tuple(topo_j), qlat_mode=qlat_mode,
         has_jstor=has_jstor, has_jrate=has_jrate,
-        has_stor_end=has_stor_end, out_mem=out_mem, interpret=interpret)
-    ins = [jnp.asarray(geo_rows), jnp.asarray(init_rows),
-           jnp.asarray(net_rows), jnp.asarray(jin)]
+        has_stor_end=has_stor_end, geo_kind=geo_kind, tab_M=tab_M,
+        tab_stride=tab_stride, tab_b=tab_b if geo_kind == "table" else (),
+        out_mem=out_mem, interpret=interpret)
+    ins = [jnp.asarray(geo_rows)]
+    if geo_kind == "table":
+        ins.append(jnp.asarray(tab_rows))
+    ins += [jnp.asarray(init_rows), jnp.asarray(net_rows), jnp.asarray(jin)]
     if qlat_mode == "tv":
         ins.append(jnp.asarray(qlat_rows))
     ins += [jnp.asarray(tgt_b), jnp.asarray(ds_tgt_b),

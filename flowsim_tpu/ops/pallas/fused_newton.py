@@ -301,6 +301,12 @@ def _section_df_table(g, tab_ref, h: DF, *, M, stride):
     v0 = [_gather_vreg8(W0[t], s0) for t in range(_NT)]
     W1 = [jnp.concatenate([W0[t][1:8, :], r8[t]], axis=0) for t in range(_NT)]
     v1 = [_gather_vreg8(W1[t], s0) for t in range(_NT)]
+    return _section_from_brackets(h, v0, v1, frac)
+
+
+def _section_from_brackets(h: DF, v0, v1, frac: DF):
+    """Section closures from the two bracketing table sample rows (shared
+    tail of :func:`_section_df_table` / :func:`_section_df_table_rows`)."""
 
     def lerp_df(t):
         return df(v0[t]) + frac * df(v1[t] - v0[t])
@@ -320,6 +326,43 @@ def _section_df_table(g, tab_ref, h: DF, *, M, stride):
     dR_dA = v0[_T_DR] + fr * (v1[_T_DR] - v0[_T_DR])
     return dict(A=A, P=P, R=R, T=T, K=K, n_eq=n_eq, depth=h,
                 dA_dh=T.value, dR_dA=dR_dA, dK_dA=dK_dA)
+
+
+def _section_df_table_rows(g, tab_ref, h: DF, *, M, stride, B):
+    """Per-sublane table closures for kernels whose sublanes carry
+    BRANCHES, each with its own per-node lookup tables (the network
+    kernel).  The within-vreg sublane gather of :func:`_section_df_table`
+    cannot apply — sublanes are branches, not table windows — so every
+    sample row j in [0, M-1) is mask-accumulated directly:
+    ``v[t] = sum_j (j0 == j) * tab[t, j]`` with the mask shared across the
+    7 tables and both brackets (tab[t, j+1] reuses it).  Cost is O(M)
+    [B, Np] FMAs per evaluation (~2x a trap-branch iteration at M ~ 40);
+    VMEM holds _NT * stride * B rows.
+
+    ``tab_ref`` rows are [B, Np] blocks laid out as row (t*stride + j)*B + b
+    (same convention as the network geometry rows).  Interpolation
+    semantics identical to :func:`_section_df_table` (clip to [0, M-2],
+    extrapolate first/last interval, wet-mask A/P/T/K only).
+    """
+    invdg = g[_TG_INVDG]
+    x = h * df(invdg)
+    jf = jnp.clip(jnp.floor(x.hi), 0.0, np.float32(M - 2))
+    j0 = jf.astype(jnp.int32)
+    frac = x - df(jf)
+
+    def blk(t, j):
+        r = (t * stride + j) * B
+        return tab_ref[r:r + B, :]
+
+    zero_b = jnp.zeros_like(h.hi)
+    v0 = [zero_b for _ in range(_NT)]
+    v1 = [zero_b for _ in range(_NT)]
+    for j in range(M - 1):  # j0 <= M-2
+        m = (j0 == np.int32(j)).astype(jnp.float32)
+        for t in range(_NT):
+            v0[t] = v0[t] + m * blk(t, j)
+            v1[t] = v1[t] + m * blk(t, j + 1)
+    return _section_from_brackets(h, v0, v1, frac)
 
 
 def _energy_slope_df(g, st, Q: DF):

@@ -258,6 +258,69 @@ def main():
         tv.append(dataclasses.replace(br, qlat=jnp.asarray(pulse)))
     _compare("qlat_tv", tv, 1, sset, results, dh=1e-5)
 
+    # 5e) TableGeometry branches (per-sublane mask-accumulated lookup) and
+    # a MIXED table+trapezoid network (both closures evaluated + selected)
+    if not (_skip("table_net") and _skip("mixed_geo")):
+        from flowsim_tpu.geometry import (interpolate_stations,
+                                          trapezoid_station)
+        from flowsim_tpu.geometry_tables import (IrregularStation,
+                                                 build_table_geometry)
+        from flowsim_tpu.ops import initial_conditions as ic
+
+        length, slope_t = 8000.0, 2e-4
+
+        def section_pts(seed, z0):
+            rng = np.random.default_rng(seed)
+            x = np.linspace(0, 220, 21)
+            z = z0 + 8.0 * ((x - 110) / 110) ** 2 \
+                + rng.uniform(0, 0.5, x.size)
+            return x, z
+
+        x1, z1 = section_pts(1, slope_t * length)
+        x2, z2 = section_pts(2, 0.0)
+        node_ch = np.linspace(0, length, 9)
+        stg = [IrregularStation(x=x1, z=z1, n_main=0.03, bed_slope=slope_t),
+               IrregularStation(x=x2, z=z2, n_main=0.03, bed_slope=slope_t)]
+        tgeo = build_table_geometry(stg, [0.0, length], node_ch, samples=48)
+        h0t, Q0t = ic.initial_conditions(tgeo, "steady-state", 400.0, 1000.0)
+        ntt = 17
+        times_t = np.arange(ntt) * 1800.0
+        us_t = bnd.make_boundary(
+            "flow_hydrograph", bed_level=float(tgeo.z_bed[0]),
+            target_series=[400.0 + 600.0 * min(t / (4 * 3600.0), 1.0)
+                           for t in times_t])
+        ds_t = bnd.make_boundary(
+            "normal_depth", bed_level=float(tgeo.z_bed[-1]),
+            bed_slope=float(tgeo.bed_slope[-1]))
+        tset2 = dataclasses.replace(sset, n_time_levels=ntt,
+                                    time_step=1800.0, tolerance=1e-8)
+        slt = lambda s: jax.tree_util.tree_map(lambda x: x[s], tgeo)
+        tbr = [BranchDef(geo=slt(slice(0, 5)), dx=1000.0, us=us_t, ds=0,
+                         h0=h0t[:5], Q0=Q0t[:5]),
+               BranchDef(geo=slt(slice(4, None)), dx=1000.0, us=0, ds=ds_t,
+                         h0=h0t[4:], Q0=Q0t[4:])]
+        _compare("table_net", tbr, 1, tset2, results, dh=1e-5)
+
+        z_conf = float(np.asarray(tgeo.z_bed)[4])
+        st_a = trapezoid_station(z_bed=z_conf + 4000.0 * slope_t,
+                                 b_main=40.0, m_main=2.0, n_main=0.03,
+                                 bed_slope=slope_t)
+        st_b = trapezoid_station(z_bed=z_conf, b_main=40.0, m_main=2.0,
+                                 n_main=0.03, bed_slope=slope_t)
+        gT = interpolate_stations([st_a, st_b], [0.0, 4000.0],
+                                  np.linspace(0.0, 4000.0, 5))
+        hT, QT = ic.initial_conditions(gT, "steady-state", 150.0, 1000.0)
+        us_trib = bnd.make_boundary(
+            "flow_hydrograph", bed_level=float(gT.z_bed[0]),
+            target_series=[150.0 + 150.0 * min(t / (4 * 3600.0), 1.0)
+                           for t in times_t])
+        mixbr = [tbr[0],
+                 BranchDef(geo=gT, dx=1000.0, us=us_trib, ds=0,
+                           h0=hT, Q0=QT),
+                 BranchDef(geo=slt(slice(4, None)), dx=1000.0, us=0,
+                           ds=ds_t, h0=h0t[4:], Q0=Q0t[4:] + 150.0)]
+        _compare("mixed_geo", mixbr, 1, tset2, results, dh=1e-5)
+
     # 6) HBM streaming bitwise on the full tributary
     if not _skip("hbm_bitwise"):
         _run_hbm_bitwise(simulate_network, branches, nj, tset, results)

@@ -503,3 +503,122 @@ def test_batched_network_vmem_cap_raises():
     batch = [dict(us=us_b) if i == bi else dict() for i in range(len(bb))]
     with pytest.raises(FusedUnsupported, match="stacked"):
         batched_simulate_network(bb, bnj, bsset, batch, engine="fused")
+
+
+def _table_reach(samples=48, n_nodes=9, nt=17):
+    """A TableGeometry reach + BCs + settings (the test_fused_newton
+    table-parity builder at a network-friendly resolution)."""
+    from flowsim_tpu.geometry_tables import (IrregularStation,
+                                             build_table_geometry)
+    from flowsim_tpu.ops import boundary as bnd
+    from flowsim_tpu.ops import initial_conditions as ic
+
+    length, slope = 8000.0, 2e-4
+
+    def section_pts(seed, z0):
+        rng = np.random.default_rng(seed)
+        x = np.linspace(0, 220, 21)
+        z = z0 + 8.0 * ((x - 110) / 110) ** 2 + rng.uniform(0, 0.5, x.size)
+        return x, z
+
+    x1, z1 = section_pts(1, slope * length)
+    x2, z2 = section_pts(2, 0.0)
+    node_ch = np.linspace(0, length, n_nodes)
+    sts = [IrregularStation(x=x1, z=z1, n_main=0.03, bed_slope=slope),
+           IrregularStation(x=x2, z=z2, n_main=0.03, bed_slope=slope)]
+    geo = build_table_geometry(sts, [0.0, length], node_ch, samples=samples)
+    h0, Q0 = ic.initial_conditions(geo, "steady-state", 400.0, 1000.0)
+    times = np.arange(nt) * 1800.0
+    us_p = bnd.make_boundary(
+        "flow_hydrograph", bed_level=float(geo.z_bed[0]),
+        target_series=[400.0 + 600.0 * min(t / (4 * 3600.0), 1.0)
+                       for t in times])
+    ds_p = bnd.make_boundary("normal_depth", bed_level=float(geo.z_bed[-1]),
+                             bed_slope=float(geo.bed_slope[-1]))
+    sset = prs.PreissmannSettings(theta=0.7, time_step=1800.0,
+                                  spatial_step=1000.0, n_time_levels=nt,
+                                  tolerance=1e-8, max_iter=100)
+    return geo, us_p, ds_p, h0, Q0, sset, times
+
+
+def test_table_network_parity():
+    """TableGeometry branches in the fused network kernel (per-sublane
+    mask-accumulated table lookup, fused_newton._section_df_table_rows):
+    a split table reach matches the loop engine with identical iteration
+    counts."""
+    geo, us_p, ds_p, h0, Q0, sset, _ = _table_reach()
+    sl = lambda s: jax.tree_util.tree_map(lambda x: x[s], geo)
+    brs = [BranchDef(geo=sl(slice(0, 5)), dx=1000.0, us=us_p, ds=0,
+                     h0=h0[:5], Q0=Q0[:5]),
+           BranchDef(geo=sl(slice(4, None)), dx=1000.0, us=0, ds=ds_p,
+                     h0=h0[4:], Q0=Q0[4:])]
+    ref = simulate_network(brs, 1, sset, engine="loop")
+    out = fused_simulate_network(brs, 1, sset, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out.iterations),
+                                  np.asarray(ref.iterations))
+    assert bool(np.asarray(out.converged).all())
+    for b in range(2):
+        assert np.abs(np.asarray(out.depth[b])
+                      - np.asarray(ref.depth[b])).max() < 1e-5
+    assert np.abs(np.asarray(out.junction_stage)
+                  - np.asarray(ref.junction_stage)).max() < 1e-5
+
+
+def test_mixed_table_trap_network_parity():
+    """MIXED networks (table main stem + trapezoid tributary): both
+    closures evaluate per sublane and the static kind mask selects, so
+    each branch's physics matches the XLA loop engine exactly."""
+    from flowsim_tpu.geometry import interpolate_stations, trapezoid_station
+    from flowsim_tpu.ops import boundary as bnd
+    from flowsim_tpu.ops import initial_conditions as ic
+
+    geo, us_p, ds_p, h0, Q0, sset, times = _table_reach()
+    slope = 2e-4
+    sl = lambda s: jax.tree_util.tree_map(lambda x: x[s], geo)
+    z_conf = float(np.asarray(geo.z_bed)[4])
+    st_a = trapezoid_station(z_bed=z_conf + 4000.0 * slope, b_main=40.0,
+                             m_main=2.0, n_main=0.03, bed_slope=slope)
+    st_b = trapezoid_station(z_bed=z_conf, b_main=40.0, m_main=2.0,
+                             n_main=0.03, bed_slope=slope)
+    gT = interpolate_stations([st_a, st_b], [0.0, 4000.0],
+                              np.linspace(0.0, 4000.0, 5))
+    hT, QT = ic.initial_conditions(gT, "steady-state", 150.0, 1000.0)
+    us_t = bnd.make_boundary(
+        "flow_hydrograph", bed_level=float(gT.z_bed[0]),
+        target_series=[150.0 + 150.0 * min(t / (4 * 3600.0), 1.0)
+                       for t in times])
+    brs = [BranchDef(geo=sl(slice(0, 5)), dx=1000.0, us=us_p, ds=0,
+                     h0=h0[:5], Q0=Q0[:5]),
+           BranchDef(geo=gT, dx=1000.0, us=us_t, ds=0, h0=hT, Q0=QT),
+           BranchDef(geo=sl(slice(4, None)), dx=1000.0, us=0, ds=ds_p,
+                     h0=h0[4:], Q0=Q0[4:] + 150.0)]
+    ref = simulate_network(brs, 1, sset, engine="loop")
+    out = fused_simulate_network(brs, 1, sset, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out.iterations),
+                                  np.asarray(ref.iterations))
+    assert bool(np.asarray(out.converged).all())
+    for b in range(3):
+        assert np.abs(np.asarray(out.depth[b])
+                      - np.asarray(ref.depth[b])).max() < 1e-5
+
+
+def test_table_network_guards():
+    """Mismatched depth-grid resolutions and VMEM-exceeding tables raise
+    FusedUnsupported with actionable messages."""
+    geo, us_p, ds_p, h0, Q0, sset, _ = _table_reach()
+    geo64, *_ = _table_reach(samples=64)
+    sl = lambda g, s: jax.tree_util.tree_map(lambda x: x[s], g)
+    brs = [BranchDef(geo=sl(geo, slice(0, 5)), dx=1000.0, us=us_p, ds=0,
+                     h0=h0[:5], Q0=Q0[:5]),
+           BranchDef(geo=sl(geo64, slice(4, None)), dx=1000.0, us=0,
+                     ds=ds_p, h0=h0[4:], Q0=Q0[4:])]
+    with pytest.raises(FusedUnsupported, match="resolution"):
+        fused_simulate_network(brs, 1, sset, interpret=True)
+
+    geo_big, *_ = _table_reach(samples=4096)
+    brs_big = [BranchDef(geo=sl(geo_big, slice(0, 5)), dx=1000.0, us=us_p,
+                         ds=0, h0=h0[:5], Q0=Q0[:5]),
+               BranchDef(geo=sl(geo_big, slice(4, None)), dx=1000.0, us=0,
+                         ds=ds_p, h0=h0[4:], Q0=Q0[4:])]
+    with pytest.raises(FusedUnsupported, match="VMEM"):
+        fused_simulate_network(brs_big, 1, sset, interpret=True)

@@ -95,6 +95,52 @@ _J_YHI, _J_YLO, _J_AREA, _J_C2, _J_C1, _J_C0, _J_D2, _J_D1, _J_D0, \
 _NJ = 12
 
 
+def _make_jrate(jrow, has_jrate):
+    """Rated-outflow closures on junction sublane columns, shared by the
+    single and batched network kernels (``jrow`` views the jin input —
+    [Jp, 1] or [J*Mp, 1] columns; every op is elementwise across sublanes).
+
+    ``jrate_q``: df32 q(Y) per junction (ops/rating_curve.py ``discharge``
+    for polynomial/blended_poly, delta-form blend; the smoothstep mirrors
+    ``_rating_q``'s df32 form).  ``jrate_dq``: f32 dq/dY via central
+    difference (exact for the quadratics at fd=1; blended curves mirror
+    rcurve.dQ_dz's fd_step FD).
+    """
+    if has_jrate:
+        j_c = (jrow(_J_C2), jrow(_J_C1), jrow(_J_C0))
+        j_d = (jrow(_J_D2), jrow(_J_D1), jrow(_J_D0))
+        j_xoff, j_bufs, j_fd = jrow(_J_XOFF), jrow(_J_BUFS), jrow(_J_FD)
+
+    def jrate_q(Y: DF) -> DF:
+        if not has_jrate:
+            return DF(Y.hi * 0.0, Y.hi * 0.0)
+        x = Y + df(j_xoff)
+        low = (df(j_c[0]) * x + df(j_c[1])) * x + df(j_c[2])
+        high = (df(j_d[0]) * x + df(j_d[1])) * x + df(j_d[2])
+        s = x / df(j_bufs)
+        zero = df(Y.hi * 0.0)
+        one = df(jnp.ones_like(Y.hi))
+        s = df32.where(s.hi < 0.0, zero, df32.where(s.hi > 1.0, one, s))
+        alpha = s * s * (df(3.0) - df(2.0) * s)
+        return low + alpha * (high - low)
+
+    def jrate_dq(Y: DF):
+        if not has_jrate:
+            return None
+
+        def q32(xv):
+            lo = (j_c[0] * xv + j_c[1]) * xv + j_c[2]
+            hi = (j_d[0] * xv + j_d[1]) * xv + j_d[2]
+            s = jnp.clip(xv / j_bufs, 0.0, 1.0)
+            a = s * s * (3.0 - 2.0 * s)
+            return lo + a * (hi - lo)
+
+        xv = Y.value + j_xoff
+        return (q32(xv + j_fd) - q32(xv - j_fd)) / (2.0 * j_fd)
+
+    return jrate_q, jrate_dq
+
+
 def _kernel_network(*refs,
                     nt, n, B, J, Jp, m_rhs, n_sweeps, max_iter, ds_kind,
                     us_kind, gate_init, varying, topo_j, qlat_mode, has_jstor,
@@ -225,42 +271,7 @@ def _kernel_network(*refs,
     # junction-reservoir / rated-outflow config columns ([Jp, 1] f32)
     j_area = jrow(_J_AREA)
     stor = (j_area > 0.0).astype(jnp.float32) if has_jstor else None
-    if has_jrate:
-        j_c = (jrow(_J_C2), jrow(_J_C1), jrow(_J_C0))
-        j_d = (jrow(_J_D2), jrow(_J_D1), jrow(_J_D0))
-        j_xoff, j_bufs, j_fd = jrow(_J_XOFF), jrow(_J_BUFS), jrow(_J_FD)
-
-    def jrate_q(Y: DF) -> DF:
-        """df32 rated outflow q(Y) per junction (ops/rating_curve.py
-        ``discharge`` for polynomial/blended_poly, delta-form blend; the
-        smoothstep mirrors ``_rating_q``'s df32 form)."""
-        if not has_jrate:
-            return DF(Y.hi * 0.0, Y.hi * 0.0)
-        x = Y + df(j_xoff)
-        low = (df(j_c[0]) * x + df(j_c[1])) * x + df(j_c[2])
-        high = (df(j_d[0]) * x + df(j_d[1])) * x + df(j_d[2])
-        s = x / df(j_bufs)
-        zero = df(Y.hi * 0.0)
-        one = df(jnp.ones_like(Y.hi))
-        s = df32.where(s.hi < 0.0, zero, df32.where(s.hi > 1.0, one, s))
-        alpha = s * s * (df(3.0) - df(2.0) * s)
-        return low + alpha * (high - low)
-
-    def jrate_dq(Y: DF):
-        """f32 dq/dY via central difference (exact for the quadratics at
-        fd=1; blended curves mirror rcurve.dQ_dz's fd_step FD)."""
-        if not has_jrate:
-            return None
-
-        def q32(xv):
-            lo = (j_c[0] * xv + j_c[1]) * xv + j_c[2]
-            hi = (j_d[0] * xv + j_d[1]) * xv + j_d[2]
-            s = jnp.clip(xv / j_bufs, 0.0, 1.0)
-            a = s * s * (3.0 - 2.0 * s)
-            return lo + a * (hi - lo)
-
-        xv = Y.value + j_xoff
-        return (q32(xv + j_fd) - q32(xv - j_fd)) / (2.0 * j_fd)
+    jrate_q, jrate_dq = _make_jrate(jrow, has_jrate)
 
     init = init_ref[:]
     h0 = DF(init[0 * B:1 * B, :], init[1 * B:2 * B, :])
@@ -1171,37 +1182,7 @@ def _kernel_network_batched(*refs,
     Y0 = DF(jrow(_J_YHI), jrow(_J_YLO))
     j_area = jrow(_J_AREA)
     stor = (j_area > 0.0).astype(jnp.float32) if has_jstor else None
-    if has_jrate:
-        j_c = (jrow(_J_C2), jrow(_J_C1), jrow(_J_C0))
-        j_d = (jrow(_J_D2), jrow(_J_D1), jrow(_J_D0))
-        j_xoff, j_bufs, j_fd = jrow(_J_XOFF), jrow(_J_BUFS), jrow(_J_FD)
-
-    def jrate_q(Y: DF) -> DF:
-        if not has_jrate:
-            return DF(Y.hi * 0.0, Y.hi * 0.0)
-        x = Y + df(j_xoff)
-        low = (df(j_c[0]) * x + df(j_c[1])) * x + df(j_c[2])
-        high = (df(j_d[0]) * x + df(j_d[1])) * x + df(j_d[2])
-        s = x / df(j_bufs)
-        zero = df(Y.hi * 0.0)
-        one = df(jnp.ones_like(Y.hi))
-        s = df32.where(s.hi < 0.0, zero, df32.where(s.hi > 1.0, one, s))
-        alpha = s * s * (df(3.0) - df(2.0) * s)
-        return low + alpha * (high - low)
-
-    def jrate_dq(Y: DF):
-        if not has_jrate:
-            return None
-
-        def q32(xv):
-            lo = (j_c[0] * xv + j_c[1]) * xv + j_c[2]
-            hi = (j_d[0] * xv + j_d[1]) * xv + j_d[2]
-            s = jnp.clip(xv / j_bufs, 0.0, 1.0)
-            a = s * s * (3.0 - 2.0 * s)
-            return lo + a * (hi - lo)
-
-        xv = Y.value + j_xoff
-        return (q32(xv + j_fd) - q32(xv - j_fd)) / (2.0 * j_fd)
+    jrate_q, jrate_dq = _make_jrate(jrow, has_jrate)
 
     init = init_ref[:]
     h0 = DF(init[0 * BM:1 * BM, :], init[1 * BM:2 * BM, :])
@@ -1603,7 +1584,15 @@ def fused_simulate_network_batched(branches, n_junctions, settings, batch,
             raise FusedUnsupported("time-varying qlat in the BATCHED "
                                    "network kernel is not supported yet")
         n_bs.append(int(np.asarray(br.h0).shape[0]))
-    qlat_mode = ("const" if any(br.qlat is not None for br in branches)
+    # a per-member batch override can INTRODUCE qlat on a branch whose
+    # base qlat is None — the mode must consider both, or the override
+    # would be packed into net row 7 but never read by the kernel
+    for b, d in enumerate(batch):
+        if "qlat" in d and np.ndim(d["qlat"]) > 2:
+            raise FusedUnsupported("time-varying qlat in the BATCHED "
+                                   "network kernel is not supported yet")
+    qlat_mode = ("const" if (any(br.qlat is not None for br in branches)
+                             or any("qlat" in d for d in batch))
                  else None)
     Nmax = max(n_bs)
     nt = settings.n_time_levels
@@ -1640,15 +1629,28 @@ def fused_simulate_network_batched(branches, n_junctions, settings, batch,
         jds = int(branches[b].ds) if _is_junction(branches[b].ds) else None
         topo_j.append((jus, jds))
 
+    def _np_default_stages(brs_m):
+        # numpy twin of ops.network.default_initial_stages — the host pack
+        # loop runs Mp times, and a traced jnp computation + blocking
+        # device_get per member costs O(M) dispatch syncs for identical
+        # arithmetic
+        found = {}
+        for br in brs_m:
+            for end, idx in ((br.ds, -1), (br.us, 0)):
+                if _is_junction(end) and int(end) not in found:
+                    found[int(end)] = (
+                        float(np.asarray(br.geo.z_bed)[idx])
+                        + float(np.asarray(br.h0)[idx]))
+        return np.array([found[j] for j in range(J)], np.float64)
+
+    Y0_all = (None if Y0 is None
+              else np.asarray(jax.device_get(Y0), np.float64))
     for m in range(Mp):
         brs_m = [member_branch(b, m) for b in range(B0)]
-        if Y0 is None:
-            Y0_m = np.asarray(jax.device_get(
-                default_initial_stages(brs_m, J, jnp.float64)), np.float64)
+        if Y0_all is None:
+            Y0_m = _np_default_stages(brs_m)
         else:
-            Y0_m = np.asarray(jax.device_get(Y0), np.float64)
-            if Y0_m.ndim == 2:
-                Y0_m = Y0_m[min(m, M - 1)]
+            Y0_m = Y0_all[min(m, M - 1)] if Y0_all.ndim == 2 else Y0_all
         for j in range(J):
             Y0_np[j * Mp + m] = Y0_m[j]
         for b in range(B0):

@@ -957,9 +957,26 @@ def _assemble_fused(g, scal, roll, n, ds_kind,
     err = jnp.sqrt(err2)
 
     if us_res_stage is not None:
-        # only one boundary may carry storage (_check_supported), so the
-        # upstream stage takes the single reservoir-stage slot
-        res_stage = us_res_stage
+        if junc is None:
+            # single reach: only one boundary may carry storage
+            # (_check_supported), so the upstream stage takes the slot
+            res_stage = us_res_stage
+        else:
+            # network mode: different SUBLANES may carry storage on
+            # different sides (branch A us-storage, branch B ds-storage) —
+            # take the us stage only on branches whose EXTERNAL us end is
+            # a storage kind; everywhere else keep the ds-row stage
+            if isinstance(us_kind, tuple):
+                m_st = jnp.zeros_like(junc["us_mask"])
+                for kind, m in zip(us_kind, junc["us_kind_masks"]):
+                    if kind.startswith("storage"):
+                        m_st = m_st + m
+            else:
+                m_st = (jnp.ones_like(junc["us_mask"])
+                        if us_kind.startswith("storage")
+                        else jnp.zeros_like(junc["us_mask"]))
+            m_st = m_st * (1.0 - junc["us_mask"])
+            res_stage = df32.where(m_st > 0.0, us_res_stage, res_stage)
 
     # broadcast every group to the full member batch: rows built purely from
     # scalars x [1,Np] masks (e.g. U11, or D11 under a scalar ds_df_dQ) have
@@ -2349,6 +2366,17 @@ def fused_simulate_batched_sharded(geo_batch, us_bc, ds_bc, h0, Q0, settings,
     D = mesh.shape[axis]
     B0 = np.shape(jax.tree_util.tree_leaves(geo_batch)[0])[0]
     Bd = -(-(-(-B0 // D)) // 8) * 8  # per-device members, whole vregs
+
+    # validate the GLOBAL member-major shape before slicing: a shared
+    # [nt, N] time series would otherwise be member-sliced into per-member
+    # constants that pass the per-device shape check (silently wrong)
+    if lateral_inflow is not None and np.ndim(lateral_inflow) > 1:
+        qs = np.shape(lateral_inflow)
+        if qs[0] != B0:
+            raise FusedUnsupported(
+                f"batched lateral_inflow must be member-major with "
+                f"leading dim B={B0}; got {qs} (a shared time-varying "
+                f"field must be broadcast to [B, nt, N])")
 
     def take(tree, lo):
         idx = np.minimum(np.arange(lo, lo + Bd), B0 - 1)

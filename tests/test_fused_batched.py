@@ -435,3 +435,28 @@ def test_sharded_fused_ensemble_bitwise(example_ensemble):
         assert np.array_equal(np.asarray(getattr(ref, f)),
                               np.asarray(getattr(via_api, f)),
                               equal_nan=True), f
+
+
+def test_sharded_lateral_inflow_shape_guard(example_ensemble):
+    """The sharded driver validates the GLOBAL member-major shape of
+    lateral_inflow before member-slicing (regression: a shared [nt, N]
+    time series used to be silently sliced into per-member constants)."""
+    from flowsim_tpu.ops.pallas.fused_newton import (
+        FusedUnsupported, fused_simulate_batched_sharded)
+    from flowsim_tpu.parallel.mesh import make_mesh
+
+    solver, sset, _, _, _ = example_ensemble
+    from flowsim_tpu.models import example as _ex
+
+    geo = _ex.build()[1].geometry
+    B0 = 16
+    geob = roughness_ensemble(geo, np.linspace(0.025, 0.035, B0))
+    mesh = make_mesh(n_ensemble=4, n_space=2)
+    n = geo.n_nodes
+    nt = sset.n_time_levels
+    assert nt != B0  # the guard must catch the [nt, N] shape below
+    q_shared_tv = np.zeros((nt, n))
+    with pytest.raises(FusedUnsupported, match="member-major"):
+        fused_simulate_batched_sharded(
+            geob, solver.us_params, solver.ds_params, solver.h0, solver.Q0,
+            sset, mesh=mesh, interpret=True, lateral_inflow=q_shared_tv)

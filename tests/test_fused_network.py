@@ -622,3 +622,88 @@ def test_table_network_guards():
                          ds=ds_p, h0=h0[4:], Q0=Q0[4:])]
     with pytest.raises(FusedUnsupported, match="VMEM"):
         fused_simulate_network(brs_big, 1, sset, interpret=True)
+
+
+def test_cross_branch_storage_ends_parity():
+    """Branch A carries storage on its external UPSTREAM end while branch
+    B carries storage on its external DOWNSTREAM end (regression: the
+    single-reach rule "the upstream stage takes the reservoir-stage slot"
+    used to clobber branch B's ds stage carry in network mode)."""
+    from flowsim_tpu.ops import boundary as bnd
+    from flowsim_tpu.ops import initial_conditions as ic
+    from flowsim_tpu.ops import storage as stg
+
+    slope, dx, dt, nt = 6e-4, 1000.0, 1800.0, 13
+    geo = _prismatic()
+    z = np.asarray(geo.z_bed)
+    us = bnd.make_boundary(
+        "fixed_depth", bed_level=float(z[0]),
+        storage=stg.make_storage(surface_area=4.0e6,
+                                 min_stage=float(z[0]) - 5.0,
+                                 solution_boundaries=(0.0, 100.0)))
+    ds = bnd.make_boundary(
+        "fixed_depth", bed_level=float(z[-1]),
+        storage=stg.make_storage(surface_area=6.0e6,
+                                 min_stage=float(z[-1]) - 5.0,
+                                 solution_boundaries=(0.0, 100.0)))
+    h0, Q0 = ic.initial_conditions(geo, "steady-state", 150.0, dx)
+    sset = prs.PreissmannSettings(theta=0.6, time_step=dt, spatial_step=dx,
+                                  n_time_levels=nt, tolerance=1e-8,
+                                  max_iter=100)
+    cut = 8
+    sl = lambda s: jax.tree_util.tree_map(lambda x: x[s], geo)
+    branches = [
+        BranchDef(geo=sl(slice(0, cut + 1)), dx=dx, us=us, ds=0,
+                  h0=h0[: cut + 1], Q0=Q0[: cut + 1]),
+        BranchDef(geo=sl(slice(cut, None)), dx=dx, us=0, ds=ds,
+                  h0=h0[cut:], Q0=Q0[cut:]),
+    ]
+    out_l = simulate_network(branches, 1, sset, engine="loop")
+    out_f = simulate_network(branches, 1, sset, engine="fused")
+    # the dual-reservoir bootstrap level is stiff: BOTH engines hit
+    # max_iter at k=1 identically, so assert engine parity (identical
+    # per-level iterations/convergence), not absolute convergence
+    np.testing.assert_array_equal(np.asarray(out_f.iterations),
+                                  np.asarray(out_l.iterations))
+    np.testing.assert_array_equal(np.asarray(out_f.converged),
+                                  np.asarray(out_l.converged))
+    for b in range(2):
+        assert np.abs(np.asarray(out_f.depth[b])
+                      - np.asarray(out_l.depth[b])).max() < 5e-6
+    # branch 0's us slot and branch 1's ds slot both carry their OWN stage
+    for b, side in ((0, 0), (1, 1)):
+        rs_l = np.asarray(out_l.reservoir_stage)[1:, b, side]
+        rs_f = np.asarray(out_f.reservoir_stage)[1:, b, side]
+        assert np.isfinite(rs_f).all()
+        np.testing.assert_allclose(rs_f, rs_l, atol=5e-6)
+    assert np.isnan(np.asarray(out_f.reservoir_stage)[1:, 0, 1]).all()
+    assert np.isnan(np.asarray(out_f.reservoir_stage)[1:, 1, 0]).all()
+
+
+def test_batched_network_qlat_override():
+    """A per-member batch override can INTRODUCE lateral inflow on a
+    branch whose base qlat is None (regression: qlat_mode was derived
+    from the base branches only, silently dropping the override)."""
+    import dataclasses as _dc
+
+    from flowsim_tpu.parallel.ensemble import batched_simulate_network
+
+    branches, sset = _split_akbari(nt=7)
+    scales = np.asarray([0.5, 1.0, 2.0])
+    n0 = int(np.asarray(branches[0].h0).shape[0])
+    q_base = 0.01 * (1.0 + np.linspace(0.0, 1.0, n0))
+    q_b = jnp.asarray(scales[:, None] * q_base[None, :])
+    batch = [dict(qlat=q_b), dict()]
+    out = batched_simulate_network(branches, 1, sset, batch, engine="fused")
+    for m, s in enumerate(scales):
+        brm = [_dc.replace(branches[0], qlat=jnp.asarray(q_base * s)),
+               branches[1]]
+        ref = simulate_network(brm, 1, sset, engine="loop")
+        np.testing.assert_array_equal(np.asarray(out.iterations)[m],
+                                      np.asarray(ref.iterations))
+        for b in range(2):
+            assert np.abs(np.asarray(out.depth[b])[m]
+                          - np.asarray(ref.depth[b])).max() < 5e-6
+    # members actually differ
+    fl = np.asarray(out.flow[1])[:, -1, -1]
+    assert len(set(np.round(fl, 5))) == 3

@@ -47,10 +47,11 @@ multi-branch node) with optional rated outflow (quadratic polynomial /
 blended_poly release curves, ops/network.py:_junction_residuals),
 constant AND time-varying [nt, N] lateral inflow (per-level
 theta-weighted cell averages precomputed on the host),
-``newton="while"``, and one shared external BC kind per side (all
-external upstream ends share ``us_kind``, all external downstream ends
-share ``ds_kind`` — any of the non-storage kinds fused_newton supports,
-including the gated controller).  Everything else falls back to the XLA
+``newton="while"``, and per-branch external BC kinds — ALL the kinds
+fused_newton supports, including the gated controller and BOTH lumped
+storage forms (constant-area and generalized curve/rating/loss storage,
+the latter via per-branch stage-grid tables evaluated per sublane —
+one storage end per branch).  Everything else falls back to the XLA
 engines via
 :class:`~flowsim_tpu.ops.pallas.fused_newton.FusedUnsupported`.
 """
@@ -145,7 +146,7 @@ def _kernel_network(*refs,
                     nt, n, B, J, Jp, m_rhs, n_sweeps, max_iter, ds_kind,
                     us_kind, gate_init, varying, topo_j, qlat_mode, has_jstor,
                     has_jrate, has_stor_end, geo_kind, tab_M, tab_stride,
-                    tab_b, out_mem, interpret):
+                    tab_b, has_stg, out_mem, interpret):
     """The whole-network-simulation kernel body.
 
     ``topo_j``: static tuple of (us_junction_or_None, ds_junction_or_None)
@@ -163,6 +164,7 @@ def _kernel_network(*refs,
     init_ref = refs.pop(0)
     net_ref = refs.pop(0)
     jin_ref = refs.pop(0)
+    stg_ref = refs.pop(0) if has_stg else None
     qlat_ref = refs.pop(0) if qlat_mode == "tv" else None
     tgt_ref = refs.pop(0)
     ds_tgt_ref = refs.pop(0)
@@ -405,7 +407,7 @@ def _kernel_network(*refs,
                 prev_A, prev_Se, prev_Q2A, tgt, us_kind=us_kind,
                 y_old=(y_old_b if has_stor_end else Yc), k=k,
                 gate_open=gopen, ds_tgt=ds_tgt, junc=junc,
-                qlat_avg=qlat_k, section_fn=section_fn)
+                qlat_avg=qlat_k, section_fn=section_fn, stg=stg_ref)
             # append the constant -1 coupling RHS pairs (the dR/dY columns
             # of the arrowhead system, ops/network.py:_simulate_network_
             # stacked rhs_coup)
@@ -569,15 +571,15 @@ def _build_call_network(*, nt, n, B, Np, J, Jp, m_rhs, n_sweeps, max_iter,
                         ds_kind, us_kind, gate_init, varying, topo_j,
                         qlat_mode, has_jstor, has_jrate, has_stor_end,
                         geo_kind="trap", tab_M=0, tab_stride=0, tab_b=(),
-                        out_mem="vmem", interpret=False):
+                        has_stg=False, out_mem="vmem", interpret=False):
     kern = functools.partial(
         _kernel_network, nt=nt, n=n, B=B, J=J, Jp=Jp, m_rhs=m_rhs,
         n_sweeps=n_sweeps, max_iter=max_iter, ds_kind=ds_kind,
         us_kind=us_kind, gate_init=gate_init, varying=varying,
         topo_j=topo_j, qlat_mode=qlat_mode, has_jstor=has_jstor,
         has_jrate=has_jrate, has_stor_end=has_stor_end, geo_kind=geo_kind,
-        tab_M=tab_M, tab_stride=tab_stride, tab_b=tab_b, out_mem=out_mem,
-        interpret=interpret)
+        tab_M=tab_M, tab_stride=tab_stride, tab_b=tab_b, has_stg=has_stg,
+        out_mem=out_mem, interpret=interpret)
     out_shapes = [
         jax.ShapeDtypeStruct((nt, B, Np), jnp.float32),   # depth hi
         jax.ShapeDtypeStruct((nt, B, Np), jnp.float32),   # depth lo
@@ -599,6 +601,8 @@ def _build_call_network(*, nt, n, B, Np, J, Jp, m_rhs, n_sweeps, max_iter,
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # network masks
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # junction config
             ]
+            + ([pl.BlockSpec(memory_space=pltpu.VMEM)]   # storage tables
+               if has_stg else [])
             + ([pl.BlockSpec(memory_space=pltpu.VMEM)]   # [nt, B, Np] qlat
                if qlat_mode == "tv" else [])
             + [
@@ -771,6 +775,7 @@ def fused_simulate_network(branches, n_junctions, settings, Y0=None,
     us_kind_bs = [None] * B   # per-sublane external us kind (None: junction)
     ds_kind_bs = [None] * B
     pad_steady = []           # pad ends needing post-loop steady targets
+    stg_list = []             # per-sublane storage stage-grid tables
 
     base = np.zeros((_NS,), f32)
     base[_S_THETA] = settings.theta
@@ -810,12 +815,9 @@ def fused_simulate_network(branches, n_junctions, settings, Y0=None,
         # steady BC fixed up after the kind tuples are known.
         topo_j.append((None, None) if is_pad else (jus, jds))
 
+        stg_u = stg_d = None
         if jus is None:
             us_kind_m, stg_u = _pack_us_config(br.us, settings, scal_m)
-            if stg_u is not None or us_kind_m.startswith("storage_curve"):
-                raise FusedUnsupported(
-                    "curve/loss lumped storage on network ends is "
-                    "XLA-engine only (constant-area storage is supported)")
             us_kind_bs[m] = us_kind_m
             tgt_b[m, :nt] = _pack_us_series(br.us, nt).astype(f32)
         elif is_pad:
@@ -823,14 +825,13 @@ def fused_simulate_network(branches, n_junctions, settings, Y0=None,
         if jds is None:
             ds_kind_m, ds_series, stg_d = _pack_ds_config(
                 br.ds, settings, scal_m, nt)
-            if stg_d is not None or ds_kind_m.startswith("storage_curve"):
-                raise FusedUnsupported(
-                    "curve/loss lumped storage on network ends is "
-                    "XLA-engine only (constant-area storage is supported)")
             ds_kind_bs[m] = ds_kind_m
             ds_tgt_b[m, :nt] = ds_series.astype(f32)
         elif is_pad:
             pad_steady.append(("ds", m, f32(Q0p[-1]), f32(h0p[-1])))
+        # per-branch stage-grid tables (curve/rating/loss storage on an
+        # external end; at most one storage end per branch — checked below)
+        stg_list.append(stg_u if stg_u is not None else stg_d)
         if ((us_kind_bs[m] or "").startswith("storage")
                 and (ds_kind_bs[m] or "").startswith("storage")):
             raise FusedUnsupported(
@@ -956,6 +957,9 @@ def fused_simulate_network(branches, n_junctions, settings, Y0=None,
         work += nt * B * Np * 4  # the per-level inflow rows stay in VMEM
     if geo_kind == "table":
         work += fn._NT * tab_stride * B * Np * 4  # per-branch lookup tables
+    has_stg_cur = any(r is not None for r in stg_list)
+    if has_stg_cur:
+        work += fn._STG_BYTES * B  # per-branch storage stage-grid tables
     req = getattr(settings, "out_memory", "auto")
     if req in ("vmem", "hbm"):
         out_mem = req
@@ -978,11 +982,13 @@ def fused_simulate_network(branches, n_junctions, settings, Y0=None,
         has_jstor=has_jstor, has_jrate=has_jrate,
         has_stor_end=has_stor_end, geo_kind=geo_kind, tab_M=tab_M,
         tab_stride=tab_stride, tab_b=tab_b if geo_kind == "table" else (),
-        out_mem=out_mem, interpret=interpret)
+        has_stg=has_stg_cur, out_mem=out_mem, interpret=interpret)
     ins = [jnp.asarray(geo_rows)]
     if geo_kind == "table":
         ins.append(jnp.asarray(tab_rows))
     ins += [jnp.asarray(init_rows), jnp.asarray(net_rows), jnp.asarray(jin)]
+    if has_stg_cur:
+        ins.append(jnp.asarray(fn._stack_storage_rows(stg_list)))
     if qlat_mode == "tv":
         ins.append(jnp.asarray(qlat_rows))
     ins += [jnp.asarray(tgt_b), jnp.asarray(ds_tgt_b),

@@ -438,26 +438,51 @@ def _rating_q(scal, stage_c: DF, kind: str, gate_open=None,
     return low + alpha * (high - low)
 
 
-def _stg_row(stg, t):
-    """(SR, 128) block of storage table ``t`` (works on refs and arrays)."""
-    return stg[t * _STG_SR:(t + 1) * _STG_SR, :]
+def _stg_B(stg):
+    """Sublane batch of a stacked storage-table block (1 = single run)."""
+    return stg.shape[0] // (_NSTG * _STG_SR)
 
 
-def _stg_flat():
-    """f32 flattened grid index over the (SR, 128) storage-table block."""
-    r = jax.lax.broadcasted_iota(jnp.int32, (_STG_SR, 128), 0)
-    c = jax.lax.broadcasted_iota(jnp.int32, (_STG_SR, 128), 1)
-    return (r * np.int32(128) + c).astype(jnp.float32)
+def _stg_blk(stg, t, c, B):
+    """[B, 128] chunk ``c`` of table ``t`` (grid points c*128..c*128+127,
+    one row per sublane member/branch; layout row (t*SR + c)*B + b)."""
+    r = (t * _STG_SR + c) * B
+    return stg[r:r + B, :]
 
 
-def _stg_pick(tab, mask):
-    """Scalar ``tab[j]`` as a [1,1] vector via a masked reduction (exactly
-    one mask element is 1)."""
-    return jnp.zeros((1, 1), jnp.float32) + jnp.sum(tab * mask)
+def _stg_liota():
+    return jax.lax.broadcasted_iota(
+        jnp.int32, (1, 128), 1).astype(jnp.float32)
+
+
+def _stg_bracket(jf):
+    """(chunk, lane) f32 indices of integer-valued grid index jf — exact:
+    jf <= 2047 is exactly representable and /128 is a power-of-two scale."""
+    c0 = jnp.floor(jf * np.float32(1.0 / 128.0))
+    l0 = jf - c0 * np.float32(128.0)
+    return c0, l0
+
+
+def _stg_pick(stg, t, jf, liota):
+    """[B, 1] column of ``tab_t[jf[b]]`` per sublane: lane one-hot x
+    chunk one-hot, mask-accumulated over the _STG_SR chunks.  All masks
+    are [B, 1] x [1, 128] products — per-sublane grid indices without the
+    scalar extraction the flat single-run layout needed (a [1,1] vector
+    broadcast in both axes does not lower; [B,1] against [1,128] does)."""
+    B = _stg_B(stg)
+    c0, l0 = _stg_bracket(jf)
+    lm = (liota == l0).astype(jnp.float32)          # [B, 128]
+    acc = jnp.zeros_like(jf)
+    for c in range(_STG_SR):
+        cm = (c0 == np.float32(c)).astype(jnp.float32)   # [B, 1]
+        acc = acc + cm * jnp.sum(_stg_blk(stg, t, c, B) * lm,
+                                 axis=1, keepdims=True)
+    return acc
 
 
 def _stg_lookup_df(stg, thi, tlo, scal, Y: DF) -> DF:
-    """df32 linear interpolation of the (hi, lo) table pair at stage Y.
+    """df32 linear interpolation of the (hi, lo) table pair at stage Y,
+    per sublane ([B, 1] stages against per-sublane tables).
 
     Table VALUES are split-f64 constants; the interpolation weight is df32 in
     the iterate, so the result is a smooth df32 function of Y (same design as
@@ -465,32 +490,25 @@ def _stg_lookup_df(stg, thi, tlo, scal, Y: DF) -> DF:
     or last cell — callers clamp Y to the grid range first where the XLA
     bisection would have clamped to its bracket (ops/storage.py:150-166).
     """
-    flat = _stg_flat()
+    liota = _stg_liota()
     u = (Y - df(scal[_S_STG_YMIN])) * df(scal[_S_STG_INVDY])
     jf = jnp.clip(jnp.floor(u.hi), 0.0, np.float32(_STG_P - 2))
     frac = u - df(jf)
-    # compare against the extracted SCALAR: Mosaic cannot broadcast a [1,1]
-    # vector in both sublanes and lanes, but scalar broadcasts lower fine
-    jfs = jf[0, 0]
-    m0 = (flat == jfs).astype(jnp.float32)
-    m1 = (flat == jfs + 1.0).astype(jnp.float32)
-    hi_t, lo_t = _stg_row(stg, thi), _stg_row(stg, tlo)
-    v0 = df(_stg_pick(hi_t, m0)) + df(_stg_pick(lo_t, m0))
-    v1 = df(_stg_pick(hi_t, m1)) + df(_stg_pick(lo_t, m1))
+    v0 = df(_stg_pick(stg, thi, jf, liota)) \
+        + df(_stg_pick(stg, tlo, jf, liota))
+    v1 = df(_stg_pick(stg, thi, jf + 1.0, liota)) \
+        + df(_stg_pick(stg, tlo, jf + 1.0, liota))
     return v0 + frac * (v1 - v0)
 
 
 def _stg_lookup32(stg, t, scal, y):
-    """f32 linear interpolation of a single-row table at f32 stage ``y``."""
-    flat = _stg_flat()
+    """f32 per-sublane linear interpolation of a single table at stage y."""
+    liota = _stg_liota()
     u = (y - scal[_S_STG_YMIN]) * scal[_S_STG_INVDY]
     jf = jnp.clip(jnp.floor(u), 0.0, np.float32(_STG_P - 2))
     frac = u - jf
-    jfs = jf[0, 0]  # scalar: [1,1]-vector broadcasts don't lower (see above)
-    m0 = (flat == jfs).astype(jnp.float32)
-    m1 = (flat == jfs + 1.0).astype(jnp.float32)
-    tab = _stg_row(stg, t)
-    v0, v1 = _stg_pick(tab, m0), _stg_pick(tab, m1)
+    v0 = _stg_pick(stg, t, jf, liota)
+    v1 = _stg_pick(stg, t, jf + 1.0, liota)
     return v0 + frac * (v1 - v0)
 
 
@@ -528,17 +546,21 @@ def _storage_curve_eval(scal, stg, h_node: DF, Q_node: DF, Qp_node: DF,
     q_old = _stg_lookup_df(stg, _STG_QHI, _STG_QLO, scal, Y_old_eff)
     C = V_old + vol_in - df(0.5) * df(dt) * q_old
 
-    # monotone inverse of g on the grid: count cells below C, then lerp
-    # (scalar broadcasts only — a [1,1] vector broadcast does not lower)
-    flat = _stg_flat()
-    ghi, glo = _stg_row(stg, _STG_GHI), _stg_row(stg, _STG_GLO)
-    below = ((ghi + glo) < C.value[0, 0]).astype(jnp.float32)
-    jfs = jnp.clip(jnp.sum(below) - 1.0, 0.0, np.float32(_STG_P - 2))
-    jf = jnp.zeros((1, 1), jnp.float32) + jfs
-    m0 = (flat == jfs).astype(jnp.float32)
-    m1 = (flat == jfs + 1.0).astype(jnp.float32)
-    g0 = df(_stg_pick(ghi, m0)) + df(_stg_pick(glo, m0))
-    g1 = df(_stg_pick(ghi, m1)) + df(_stg_pick(glo, m1))
+    # monotone inverse of g on the grid: count cells below C per sublane,
+    # then lerp (per-sublane [B, 1] columns throughout)
+    B = _stg_B(stg)
+    liota = _stg_liota()
+    Cv = C.value
+    below = jnp.zeros_like(Cv)
+    for c in range(_STG_SR):
+        gsum = _stg_blk(stg, _STG_GHI, c, B) + _stg_blk(stg, _STG_GLO, c, B)
+        below = below + jnp.sum((gsum < Cv).astype(jnp.float32),
+                                axis=1, keepdims=True)
+    jf = jnp.clip(below - 1.0, 0.0, np.float32(_STG_P - 2))
+    g0 = df(_stg_pick(stg, _STG_GHI, jf, liota)) \
+        + df(_stg_pick(stg, _STG_GLO, jf, liota))
+    g1 = df(_stg_pick(stg, _STG_GHI, jf + 1.0, liota)) \
+        + df(_stg_pick(stg, _STG_GLO, jf + 1.0, liota))
     dy = scal[_S_STG_DY]
     slope = dy / jnp.maximum((g1 - g0).value, np.float32(1e-30))
     ymin = scal[_S_STG_YMIN]
@@ -1450,6 +1472,20 @@ def _pack_storage_tables(sp, dt: float):
     return rows, scalars
 
 
+def _stack_storage_rows(rows_list):
+    """Interleave per-sublane storage tables for the batched/network
+    kernels: row (t*SR + c)*B + b (``_stg_blk``'s layout; B=1 collapses to
+    the single-run layout).  ``None`` entries (sublanes without a storage
+    end) get all-zero tables — every value they produce is finite and is
+    discarded by the kind/junction selection masks."""
+    B = len(rows_list)
+    out = np.zeros((_NSTG * _STG_SR * B, 128), np.float32)
+    for b, r in enumerate(rows_list):
+        if r is not None:
+            out[b::B] = r
+    return out
+
+
 def _split64(x):
     x = np.asarray(x, np.float64)
     hi = x.astype(np.float32)
@@ -1802,7 +1838,8 @@ def fused_simulate(geo, us_bc, ds_bc, h0, Q0, settings, interpret: bool = False,
 
 def _kernel_batched(geo_ref, init_ref, tgt_ref, ds_tgt_ref, scal_ref,
                     *out_refs, nt, n, B, n_sweeps, max_iter, ds_kind, us_kind,
-                    gate_init, varying, qlat_mode, store, out_mem, interpret):
+                    gate_init, varying, qlat_mode, has_stg, store, out_mem,
+                    interpret):
     out_refs = list(out_refs)
     # per-member lateral inflow theta-box cell averages: "const" is a
     # loop-invariant VMEM [B, Np] row; "tv" keeps the [nt, B, Np] stack in
@@ -1811,6 +1848,9 @@ def _kernel_batched(geo_ref, init_ref, tgt_ref, ds_tgt_ref, scal_ref,
     # solve, so a blocking wait costs nothing and VMEM holds one row/member
     # either way — inside the _WORK_ROWS envelope)
     qlat_ref = out_refs.pop(0) if qlat_mode else None
+    # per-member stage-grid storage tables (curve/rating/loss lumped
+    # storage; _stg_blk's (t*SR + c)*B + b row layout)
+    stg_ref = out_refs.pop(0) if has_stg else None
     qstage = qsem = None
     if qlat_mode == "tv":
         qsem = out_refs.pop()
@@ -1943,7 +1983,7 @@ def _kernel_batched(geo_ref, init_ref, tgt_ref, ds_tgt_ref, scal_ref,
                 g, scal, roll, n, ds_kind, DF(hh, hl), DF(qh, ql), h, Q,
                 prev_A, prev_Se, prev_Q2A, tgt, us_kind=us_kind,
                 y_old=y_old, k=k, gate_open=gopen, ds_tgt=ds_tgt,
-                qlat_avg=qlat_k)
+                qlat_avg=qlat_k, stg=stg_ref)
             x0, x1 = _pcr_solve(buf, idx, n, n_sweeps, roll)
             upd = active  # [B,1] f32 mask: members still iterating
             hn = DF(hh, hl) + df(x0 * node_mask * upd)
@@ -1996,12 +2036,13 @@ def _kernel_batched(geo_ref, init_ref, tgt_ref, ds_tgt_ref, scal_ref,
 @functools.lru_cache(maxsize=64)
 def _build_call_batched(*, nt, n, B, Np, n_sweeps, max_iter, ds_kind,
                         us_kind, gate_init, varying, qlat_mode=None,
-                        store="full", out_mem="vmem", interpret=False):
+                        has_stg=False, store="full", out_mem="vmem",
+                        interpret=False):
     kern = functools.partial(
         _kernel_batched, nt=nt, n=n, B=B, n_sweeps=n_sweeps,
         max_iter=max_iter, ds_kind=ds_kind, us_kind=us_kind,
         gate_init=gate_init, varying=varying, qlat_mode=qlat_mode,
-        store=store, out_mem=out_mem, interpret=interpret)
+        has_stg=has_stg, store=store, out_mem=out_mem, interpret=interpret)
     if store == "boundaries":
         out_shapes = [
             jax.ShapeDtypeStruct((nt, B, 128), jnp.float32),  # stats+bnd
@@ -2026,7 +2067,9 @@ def _build_call_batched(*, nt, n, B, Np, n_sweeps, max_iter, ds_kind,
             pl.BlockSpec(memory_space=pltpu.SMEM),  # scalars
         ] + ([pl.BlockSpec(memory_space=pltpu.VMEM  # [B, Np] qlat cells
                            if qlat_mode == "const" else pl.ANY)]
-             if qlat_mode else []),  # tv: [nt, B, Np] stays in HBM
+             if qlat_mode else [])  # tv: [nt, B, Np] stays in HBM
+          + ([pl.BlockSpec(memory_space=pltpu.VMEM)]  # storage tables
+             if has_stg else []),
         out_specs=[pl.BlockSpec(memory_space=out_space)] * len(out_shapes),
         scratch_shapes=((_out_scratch_shapes(out_shapes)
                          if out_mem == "hbm" else [])
@@ -2051,6 +2094,9 @@ _FUSED_VMEM_BYTES = 14 * 1024 * 1024  # ~16 MB/core VMEM minus headroom
 _WORK_ROWS = 176
 
 
+_STG_BYTES = _NSTG * _STG_SR * 128 * 4  # per-sublane storage stage tables
+
+
 def _vmem_per_member(n_time_levels: int, Np: int, store: str,
                      out_mem: str = "vmem") -> int:
     out_lanes = 128 if store == "boundaries" else 4 * Np + 128
@@ -2060,7 +2106,8 @@ def _vmem_per_member(n_time_levels: int, Np: int, store: str,
     return (out_levels * out_lanes + _WORK_ROWS * Np) * 4
 
 
-def _pick_out_mem(settings, nt: int, Np: int, store: str, B: int = 1) -> str:
+def _pick_out_mem(settings, nt: int, Np: int, store: str, B: int = 1,
+                  extra_per_member: int = 0) -> str:
     """Output memory space: settings.out_memory, or smallest that fits.
 
     "vmem" (direct vector stores, no DMA machinery) is preferred when the
@@ -2073,10 +2120,13 @@ def _pick_out_mem(settings, nt: int, Np: int, store: str, B: int = 1) -> str:
         out_mem = req
     else:
         out_mem = ("vmem"
-                   if B * _vmem_per_member(nt, Np, store, "vmem")
+                   if B * (_vmem_per_member(nt, Np, store, "vmem")
+                           + extra_per_member)
                    <= _FUSED_VMEM_BYTES else "hbm")
-    if B * _vmem_per_member(nt, Np, store, out_mem) > _FUSED_VMEM_BYTES:
-        limit = max_fused_batch(Np, nt, store, out_mem)
+    if B * (_vmem_per_member(nt, Np, store, out_mem)
+            + extra_per_member) > _FUSED_VMEM_BYTES:
+        limit = max_fused_batch(Np, nt, store, out_mem,
+                                stg_curve=extra_per_member > 0)
         raise FusedUnsupported(
             f"per-member working set exceeds the VMEM budget at Np={Np} "
             f"with out_memory='{out_mem}' (B={B}; cap {limit})")
@@ -2084,7 +2134,8 @@ def _pick_out_mem(settings, nt: int, Np: int, store: str, B: int = 1) -> str:
 
 
 def max_fused_batch(n_nodes: int, n_time_levels: int,
-                    store: str = "full", out_memory: str = "auto") -> int:
+                    store: str = "full", out_memory: str = "auto",
+                    stg_curve: bool = False) -> int:
     """Largest member count one batched kernel call can hold in VMEM
     (callers chunk bigger ensembles; multiples of 8 fill whole vregs).
 
@@ -2099,6 +2150,8 @@ def max_fused_batch(n_nodes: int, n_time_levels: int,
     mems = ("vmem", "hbm") if out_memory == "auto" else (out_memory,)
     per_member = min(_vmem_per_member(n_time_levels, Np, store, m)
                      for m in mems)
+    if stg_curve:
+        per_member += _STG_BYTES  # per-member stage-grid storage tables
     return max(8, (_FUSED_VMEM_BYTES // per_member) // 8 * 8)
 
 
@@ -2141,20 +2194,23 @@ def _prepare_batched(geo_batch, us_bc, ds_bc, h0, Q0, settings,
     us0 = member(us_bc, 0) if us_batched else us_bc
     ds0 = member(ds_bc, 0) if ds_batched else ds_bc
     _check_supported(geo0, us0, ds0, settings)
-    for bc, end in ((us0, "upstream"), (ds0, "downstream")):
-        sp = bc.storage if bc.kind == "fixed_depth" else None
-        if sp is not None and _storage_mode(sp) != "storage_simple":
-            raise FusedUnsupported(
-                f"batched kernel supports constant-area storage only "
-                f"({end} storage uses the scalar stage-grid lookup)")
+    # per-member stage-grid tables (curve/rating/loss storage) add
+    # _STG_BYTES of VMEM per sublane — budget them before picking out_mem
+    stg_curve = any(
+        bc.kind == "fixed_depth" and bc.storage is not None
+        and _storage_mode(bc.storage) != "storage_simple"
+        for bc in (us0, ds0))
     store = getattr(settings, "store", "full")
     try:
-        out_mem = _pick_out_mem(settings, nt, Np, store, B=B)
+        out_mem = _pick_out_mem(settings, nt, Np, store, B=B,
+                                extra_per_member=_STG_BYTES if stg_curve
+                                else 0)
     except FusedUnsupported:
         raise FusedUnsupported(
             f"batch {B0} x {nt} levels exceeds the VMEM budget "
-            f"(per-member working set); "
-            f"chunk at <= {max_fused_batch(n, nt, store)} members") from None
+            f"(per-member working set); chunk at <= "
+            f"{max_fused_batch(n, nt, store, stg_curve=stg_curve)} "
+            f"members") from None
 
     f32 = np.float32
     geo_rows = np.zeros((_NG * B, Np), f32)
@@ -2171,6 +2227,7 @@ def _prepare_batched(geo_batch, us_bc, ds_bc, h0, Q0, settings,
     base[_S_TOL] = settings.tolerance
     scal_rows = np.zeros((B, _NS), f32)
     ds_kind = us_kind_str = None
+    stg_list = []
     for m in range(B):
         mm = min(m, B0 - 1)  # pad members replicate the last real member
         gm = member(geo_batch, mm)
@@ -2181,8 +2238,12 @@ def _prepare_batched(geo_batch, us_bc, ds_bc, h0, Q0, settings,
         us_m = member(us_bc, mm) if us_batched else us_bc
         ds_m = member(ds_bc, mm) if ds_batched else ds_bc
         scal_m = base.copy()
-        ds_kind_m, ds_series, _ = _pack_ds_config(ds_m, settings, scal_m, nt)
-        us_kind_m, _ = _pack_us_config(us_m, settings, scal_m)
+        ds_kind_m, ds_series, stg_d = _pack_ds_config(ds_m, settings,
+                                                      scal_m, nt)
+        us_kind_m, stg_u = _pack_us_config(us_m, settings, scal_m)
+        # one storage end per reach (_check_supported): the us rows win the
+        # stg slot when present, as in the single-run driver
+        stg_list.append(stg_u if stg_u is not None else stg_d)
         scal_rows[m] = scal_m
         tgt_b[m, :nt] = _pack_us_series(us_m, nt).astype(f32)
         ds_tgt_b[m, :nt] = ds_series.astype(f32)
@@ -2232,15 +2293,18 @@ def _prepare_batched(geo_batch, us_bc, ds_bc, h0, Q0, settings,
                 f"[B={B0}, N] per-member constants, or [B, nt={nt}, N] "
                 f"per-member time series; got {q.shape}")
 
+    has_stg = any(r is not None for r in stg_list)
     cfg = dict(nt=nt, n=n, B=B, B0=B0, Np=Np, n_sweeps=n_sweeps,
                max_iter=settings.max_iter, ds_kind=ds_kind,
                us_kind=us_kind_str,
                gate_init=1.0 if settings.gate_initially_open else 0.0,
-               varying=varying, qlat_mode=qlat_mode,
+               varying=varying, qlat_mode=qlat_mode, has_stg=has_stg,
                store=store, out_mem=out_mem)
     ins = (geo_rows, init_rows, tgt_b, ds_tgt_b, scal_rows)
     if qlat_rows is not None:
         ins = ins + (qlat_rows,)
+    if has_stg:
+        ins = ins + (_stack_storage_rows(stg_list),)
     return cfg, ins
 
 
@@ -2317,9 +2381,13 @@ def fused_simulate_batched(geo_batch, us_bc, ds_bc, h0, Q0, settings,
     ``h0``/``Q0``: [N] shared or [B, N] per-member initial state.
 
     Supported BC surface: everything the single-run kernel supports except
-    the tabulated storage paths (``storage_curve*`` — their stage lookup is
-    scalar-only) and TableGeometry; constant-area lumped storage
-    (``storage_simple``) carries a per-member reservoir stage.
+    TableGeometry (per-member table windows don't fit the member-on-sublane
+    layout).  Lumped storage batches in BOTH forms: constant-area
+    (``storage_simple``, per-member scalar slots) and generalized
+    curve/rating/loss storage (``storage_curve*`` — per-member stage-grid
+    tables ride sublane-interleaved VMEM rows, _STG_BYTES/member, and the
+    grid lookups run per sublane; see :func:`_stg_pick`); each member
+    carries its own reservoir-stage trajectory.
 
     Returns a SimOutput whose fields carry a leading member axis (the same
     shapes as ``vmap(prs.simulate)``).  ``settings.store="boundaries"``
@@ -2336,7 +2404,8 @@ def fused_simulate_batched(geo_batch, us_bc, ds_bc, h0, Q0, settings,
         n_sweeps=cfg["n_sweeps"], max_iter=cfg["max_iter"],
         ds_kind=cfg["ds_kind"], us_kind=cfg["us_kind"],
         gate_init=cfg["gate_init"], varying=cfg["varying"],
-        qlat_mode=cfg["qlat_mode"], store=cfg["store"],
+        qlat_mode=cfg["qlat_mode"], has_stg=cfg["has_stg"],
+        store=cfg["store"],
         out_mem=cfg["out_mem"], interpret=interpret)
     outs = call(*(jnp.asarray(x) for x in ins))
     return _unpack_batched(outs, cfg, settings, jnp.asarray(h0).dtype)
@@ -2415,7 +2484,8 @@ def fused_simulate_batched_sharded(geo_batch, us_bc, ds_bc, h0, Q0, settings,
         n_sweeps=cfg["n_sweeps"], max_iter=cfg["max_iter"],
         ds_kind=cfg["ds_kind"], us_kind=cfg["us_kind"],
         gate_init=cfg["gate_init"], varying=cfg["varying"],
-        qlat_mode=cfg["qlat_mode"], store=cfg["store"],
+        qlat_mode=cfg["qlat_mode"], has_stg=cfg["has_stg"],
+        store=cfg["store"],
         out_mem=cfg["out_mem"], interpret=interpret)
 
     stacked = [jnp.asarray(np.stack([ins_dev[d][i] for d in range(D)]))

@@ -176,14 +176,23 @@ def _fused_batched_simulate(geo_batch, us_bc, ds_bc, h0, Q0, settings,
     member slice (``fused_simulate_batched_sharded``), so one "chunk" holds
     ``n_devices x`` the per-device VMEM cap."""
     from flowsim_tpu.ops.pallas.fused_newton import (
-        fused_simulate_batched, fused_simulate_batched_sharded,
+        _storage_mode, fused_simulate_batched, fused_simulate_batched_sharded,
         max_fused_batch)
 
     B = jax.tree_util.tree_leaves(geo_batch)[0].shape[0]
     n = geo_batch.n_nodes
+
+    def _curve(bc):  # per-member stage-grid tables cost VMEM; shrink cap
+        bc0 = (jax.tree_util.tree_map(lambda x: x[0], bc)
+               if (bc is us_bc and us_axes is not None)
+               or (bc is ds_bc and ds_axes is not None) else bc)
+        return (bc0.kind == "fixed_depth" and bc0.storage is not None
+                and _storage_mode(bc0.storage) != "storage_simple")
+
     cap = chunk_size or max_fused_batch(n, settings.n_time_levels,
                                         getattr(settings, "store", "full"),
-                                        getattr(settings, "out_memory", "auto"))
+                                        getattr(settings, "out_memory", "auto"),
+                                        stg_curve=_curve(us_bc) or _curve(ds_bc))
     if mesh is not None:
         cap = cap * mesh.shape[ENSEMBLE_AXIS]
     # same convention as api.Solver.run: Mosaic on TPU, interpret elsewhere

@@ -132,5 +132,128 @@ def main():
     return 0 if ok else 1
 
 
+def validate_storage_curves():
+    """Round-4 per-sublane stage-grid eval: single-reach storage curve
+    (rewritten lookups), per-member batched curves, network curve end —
+    each vs CPU f64 XLA.  Run: python scripts/validate_qlat_hw.py storage"""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_enable_x64", True)
+
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), "tests"))
+    from test_fused_newton import _rect_reach
+
+    from flowsim_tpu.ops import boundary as bnd
+    from flowsim_tpu.ops import initial_conditions as ic
+    from flowsim_tpu.ops import preissmann as prs
+    from flowsim_tpu.ops import rating_curve as rcurve
+    from flowsim_tpu.ops import storage as stg
+    from flowsim_tpu.ops.pallas.fused_newton import (fused_simulate,
+                                                     fused_simulate_batched)
+    from flowsim_tpu.parallel.ensemble import batch_boundaries
+
+    dev = jax.devices()[0]
+    on_tpu = dev.platform == "tpu"
+    cpu = jax.devices("cpu")[0]
+    results = {}
+    ok = True
+
+    slope, nt, dx, dt = 0.00061, 15, 1000.0, 3600.0
+    geo = _rect_reach(slope=slope)
+    z = np.asarray(geo.z_bed)
+    h0, Q0 = ic.initial_conditions(geo, "steady-state", 100.0, dx)
+    bed_us, bed_ds = float(z[0]), float(z[-1])
+    sset = prs.PreissmannSettings(theta=0.6, time_step=dt, spatial_step=dx,
+                                  n_time_levels=nt, tolerance=1e-6,
+                                  max_iter=100)
+    inflow = 100.0 + 200.0 * np.sin(np.linspace(0, np.pi, nt))
+    us_hyd = bnd.make_boundary("flow_hydrograph", bed_level=bed_us,
+                               target_series=inflow)
+    ac_stages = bed_ds + np.linspace(-2.0, 20.0, 12)
+
+    def mk_ds(fA, fQ):
+        sp = stg.make_storage(
+            area_curve=np.stack(
+                [ac_stages, fA * 4.0e5 * (1.0 + 0.08 * np.arange(12))],
+                axis=1),
+            min_stage=bed_ds - 1.0,
+            rating=rcurve.make_polynomial(0.0, fQ, -fQ * (bed_ds - 1.0)),
+            capture_losses=True, reservoir_length=1500.0, K_q=0.2)
+        return bnd.make_boundary("fixed_depth", bed_level=bed_ds,
+                                 storage=sp)
+
+    def pin(name, it_f, d_f, rs_f, ds_p):
+        with jax.default_device(cpu):
+            ref = prs.simulate(geo, us_hyd, ds_p, h0, Q0, sset)
+        di = int(np.abs(np.asarray(ref.iterations) - it_f).max())
+        dd = float(np.abs(d_f - np.asarray(ref.depth)).max())
+        drs = float(np.abs(rs_f[1:]
+                           - np.asarray(ref.reservoir_stage)[1:]).max())
+        good = di <= 1 and dd < 1e-4 and drs < 1e-4
+        results[name] = dict(ok=good, d_iters=di, max_dh=round(dd, 9),
+                             max_dY=round(drs, 9))
+        print(f"{name}: ok={good} d_iters={di} |dh|={dd:.2e} "
+              f"|dY|={drs:.2e}", file=sys.stderr)
+        return good
+
+    out1 = fused_simulate(geo, us_hyd, mk_ds(1.0, 30.0), h0, Q0, sset,
+                          interpret=not on_tpu)
+    _sync(out1.depth)
+    ok &= pin("single_curve", np.asarray(out1.iterations),
+              np.asarray(out1.depth), np.asarray(out1.reservoir_stage),
+              mk_ds(1.0, 30.0))
+
+    members = [mk_ds(fA, fQ)
+               for fA, fQ in ((0.8, 25.0), (1.0, 30.0), (1.3, 35.0))]
+    ds_b, _ = batch_boundaries(members)
+    B = 3
+    geob = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (B,) + x.shape), geo)
+    outb = fused_simulate_batched(geob, us_hyd, ds_b, h0, Q0, sset,
+                                  interpret=not on_tpu, ds_batched=True)
+    _sync(outb.depth)
+    for m in range(B):
+        ok &= pin(f"batched_curve_m{m}", np.asarray(outb.iterations)[m],
+                  np.asarray(outb.depth)[m],
+                  np.asarray(outb.reservoir_stage)[m], members[m])
+
+    from flowsim_tpu.ops.network import BranchDef, simulate_network
+    cut = 8
+    sl = lambda s: jax.tree_util.tree_map(lambda x: x[s], geo)
+    brs = [BranchDef(geo=sl(slice(0, cut + 1)), dx=dx, us=us_hyd, ds=0,
+                     h0=h0[: cut + 1], Q0=Q0[: cut + 1]),
+           BranchDef(geo=sl(slice(cut, None)), dx=dx, us=0,
+                     ds=mk_ds(1.0, 30.0), h0=h0[cut:], Q0=Q0[cut:])]
+    outn = simulate_network(brs, 1, sset, engine="fused")
+    _sync(outn.depth[0])
+    with jax.default_device(cpu):
+        refn = simulate_network(brs, 1, sset, engine="loop")
+    din = int(np.abs(np.asarray(refn.iterations)
+                     - np.asarray(outn.iterations)).max())
+    ddn = max(float(np.abs(np.asarray(outn.depth[b])
+                           - np.asarray(refn.depth[b])).max())
+              for b in range(2))
+    drn = float(np.abs(np.asarray(outn.reservoir_stage)[1:, 1, 1]
+                       - np.asarray(refn.reservoir_stage)[1:, 1, 1]).max())
+    goodn = din <= 1 and ddn < 1e-4 and drn < 1e-4
+    results["network_curve_end"] = dict(ok=goodn, d_iters=din,
+                                        max_dh=round(ddn, 9),
+                                        max_dY=round(drn, 9))
+    print(f"network_curve_end: ok={goodn} d_iters={din} |dh|={ddn:.2e} "
+          f"|dY|={drn:.2e}", file=sys.stderr)
+    ok &= goodn
+
+    results["platform"] = dev.platform
+    results["ok"] = bool(ok)
+    print(json.dumps(results))
+    return 0 if ok else 1
+
+
 if __name__ == "__main__":
+    if "storage" in sys.argv[1:]:
+        raise SystemExit(validate_storage_curves())
     raise SystemExit(main())

@@ -123,13 +123,9 @@ def test_batched_unsupported_configs(example_ensemble):
         fused_simulate_batched(geo0, solver.us_params, solver.ds_params,
                                solver.h0, solver.Q0, sset, interpret=True)
 
-    # non-constant-area storage (the stage-grid lookup is scalar-only)
-    sp = dataclasses.replace(solver.ds_params.storage, capture_losses=True)
-    ds_hl = dataclasses.replace(solver.ds_params, storage=sp)
-    with pytest.raises(FusedUnsupported):
-        fused_simulate_batched(geob, us_stacked, ds_hl,
-                               solver.h0, solver.Q0, sset,
-                               interpret=True, us_batched=True)
+    # (curve/rating/loss storage IS now supported per member — the
+    # per-sublane stage-grid tables; see test_batched_storage_curve_per_
+    # member)
 
     # output-VMEM budget: a batch far beyond the cap must be rejected
     big = jax.tree_util.tree_map(
@@ -460,3 +456,57 @@ def test_sharded_lateral_inflow_shape_guard(example_ensemble):
         fused_simulate_batched_sharded(
             geob, solver.us_params, solver.ds_params, solver.h0, solver.Q0,
             sset, mesh=mesh, interpret=True, lateral_inflow=q_shared_tv)
+
+
+def test_batched_storage_curve_per_member():
+    """Per-member generalized lumped storage in the batched kernel: each
+    member carries its OWN stage-area curve and storage rating (the
+    stage-grid tables ride sublane-interleaved VMEM rows and the grid
+    lookups run per sublane) — parity vs per-member XLA runs."""
+    from flowsim_tpu.ops import boundary as bnd
+    from flowsim_tpu.ops import initial_conditions as ic
+    from flowsim_tpu.ops import rating_curve as rcurve
+    from flowsim_tpu.ops import storage as stg
+    from tests.test_fused_newton import _rect_reach
+
+    slope, nt, dx, dt = 0.00061, 15, 1000.0, 3600.0
+    geo = _rect_reach(slope=slope)
+    z = np.asarray(geo.z_bed)
+    h0, Q0 = ic.initial_conditions(geo, "steady-state", 100.0, dx)
+    bed_us, bed_ds = float(z[0]), float(z[-1])
+    sset = prs.PreissmannSettings(theta=0.6, time_step=dt, spatial_step=dx,
+                                  n_time_levels=nt, tolerance=1e-6,
+                                  max_iter=100)
+    inflow = 100.0 + 200.0 * np.sin(np.linspace(0, np.pi, nt))
+    us_hyd = bnd.make_boundary("flow_hydrograph", bed_level=bed_us,
+                               target_series=inflow)
+    ac_stages = bed_ds + np.linspace(-2.0, 20.0, 12)
+    members = []
+    for fA, fQ in ((0.8, 25.0), (1.0, 30.0), (1.3, 35.0)):
+        sp = stg.make_storage(
+            area_curve=np.stack(
+                [ac_stages, fA * 4.0e5 * (1.0 + 0.08 * np.arange(12))],
+                axis=1),
+            min_stage=bed_ds - 1.0,
+            rating=rcurve.make_polynomial(0.0, fQ, -fQ * (bed_ds - 1.0)),
+            capture_losses=True, reservoir_length=1500.0, K_q=0.2)
+        members.append(bnd.make_boundary("fixed_depth", bed_level=bed_ds,
+                                         storage=sp))
+    ds_b, _ = batch_boundaries(members)
+    B = 3
+    geob = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (B,) + x.shape), geo)
+    out = fused_simulate_batched(geob, us_hyd, ds_b, h0, Q0, sset,
+                                 interpret=True, ds_batched=True)
+    for m in range(B):
+        ref = prs.simulate(geo, us_hyd, members[m], h0, Q0, sset)
+        assert (np.abs(np.asarray(ref.iterations)
+                       - np.asarray(out.iterations)[m]) <= 1).all()
+        assert np.abs(np.asarray(out.depth)[m]
+                      - np.asarray(ref.depth)).max() < 1e-4
+        rs_r = np.asarray(ref.reservoir_stage)[1:]
+        rs_f = np.asarray(out.reservoir_stage)[m][1:]
+        np.testing.assert_allclose(rs_f, rs_r, atol=1e-4)
+    # members actually differ (per-member reservoir physics is live)
+    rs_all = np.asarray(out.reservoir_stage)[:, -1]
+    assert len(set(np.round(rs_all, 4))) == B

@@ -124,8 +124,11 @@ def test_unsupported_configs_raise():
     s_fixed = dataclasses.replace(sset, newton="fixed")
     with pytest.raises(FusedUnsupported):
         simulate_network(branches, 1, s_fixed, engine="fused")
-    # curve/loss lumped storage on external ends (constant-area
-    # storage_simple IS supported — test_storage_end_parity)
+    # curve/loss lumped storage on external ends runs in the SINGLE
+    # network kernel (test_network_storage_curve_parity) but the BATCHED
+    # network kernel still rejects it (per-member x per-branch stage-grid
+    # tables)
+    from flowsim_tpu.parallel.ensemble import batched_simulate_network
     ds_stor = dataclasses.replace(
         branches[1].ds, kind="fixed_depth",
         storage=stg.make_storage(
@@ -133,8 +136,13 @@ def test_unsupported_configs_raise():
                                  np.full(8, 5e6)], axis=-1),
             min_stage=0.0))
     br1s = dataclasses.replace(branches[1], ds=ds_stor)
+    us0 = branches[0].us
+    se = np.asarray(us0.target_series, np.float64)
+    us_b = jax.vmap(lambda s: dataclasses.replace(
+        us0, target_series=jnp.asarray(se) * s))(jnp.asarray([0.9, 1.1]))
     with pytest.raises(FusedUnsupported):
-        simulate_network([branches[0], br1s], 1, sset, engine="fused")
+        batched_simulate_network([branches[0], br1s], 1, sset,
+                                 [dict(us=us_b), dict()], engine="fused")
 
 
 def test_junction_reservoir_parity():
@@ -707,3 +715,39 @@ def test_batched_network_qlat_override():
     # members actually differ
     fl = np.asarray(out.flow[1])[:, -1, -1]
     assert len(set(np.round(fl, 5))) == 3
+
+
+def test_network_storage_curve_parity():
+    """Generalized lumped storage (stage-area curve + storage rating +
+    entrance losses) on an external network end, evaluated per sublane on
+    the stage grid (fused_newton._stg_pick): parity vs the loop engine."""
+    from flowsim_tpu.ops import rating_curve as rcurve
+    from flowsim_tpu.ops import storage as stg
+
+    branches, sset = _split_akbari(nt=9)
+    bed_ds = float(np.asarray(branches[1].geo.z_bed)[-1])
+    ac_stages = bed_ds + np.linspace(-2.0, 25.0, 12)
+    sp = stg.make_storage(
+        area_curve=np.stack([ac_stages,
+                             4.0e5 * (1.0 + 0.08 * np.arange(12))], axis=1),
+        min_stage=bed_ds - 1.0,
+        rating=rcurve.make_polynomial(0.0, 30.0, -30.0 * (bed_ds - 1.0)),
+        capture_losses=True, reservoir_length=1500.0, K_q=0.2)
+    ds_new = dataclasses.replace(branches[1].ds, kind="fixed_depth",
+                                 storage=sp)
+    brs = [branches[0], dataclasses.replace(branches[1], ds=ds_new)]
+    out_l = simulate_network(brs, 1, sset, engine="loop")
+    out_f = simulate_network(brs, 1, sset, engine="fused")
+    it_l = np.asarray(out_l.iterations)
+    it_f = np.asarray(out_f.iterations)
+    # within-1: the grid inverse vs bisection can sit a hair apart at a
+    # single level (same tolerance band as the single-reach curve tests)
+    assert (np.abs(it_l - it_f) <= 1).all()
+    assert bool(np.asarray(out_f.converged).all())
+    for b in range(2):
+        assert np.abs(np.asarray(out_f.depth[b])
+                      - np.asarray(out_l.depth[b])).max() < 1e-4
+    rs_l = np.asarray(out_l.reservoir_stage)[1:, 1, 1]
+    rs_f = np.asarray(out_f.reservoir_stage)[1:, 1, 1]
+    assert np.isfinite(rs_f).all()
+    np.testing.assert_allclose(rs_f, rs_l, atol=1e-4)

@@ -1099,7 +1099,7 @@ def _kernel_network_batched(*refs,
                             nt, n, B0, Mp, J, m_rhs, n_sweeps, max_iter,
                             ds_kind, us_kind, gate_init, varying, topo_j,
                             qlat_mode, has_jstor, has_jrate, has_stor_end,
-                            out_mem, interpret):
+                            has_stg, out_mem, interpret):
     """Whole-network ensemble kernel body (see section comment above).
 
     ``topo_j`` has B0 entries (real branches only; members replicate the
@@ -1113,6 +1113,7 @@ def _kernel_network_batched(*refs,
     init_ref = refs.pop(0)
     net_ref = refs.pop(0)
     jin_ref = refs.pop(0)
+    stg_ref = refs.pop(0) if has_stg else None
     qlat_ref = refs.pop(0) if qlat_mode == "tv" else None
     tgt_ref = refs.pop(0)
     ds_tgt_ref = refs.pop(0)
@@ -1306,7 +1307,7 @@ def _kernel_network_batched(*refs,
                 prev_A, prev_Se, prev_Q2A, tgt, us_kind=us_kind,
                 y_old=(y_old_b if has_stor_end else Yc), k=k,
                 gate_open=gopen, ds_tgt=ds_tgt, junc=junc,
-                qlat_avg=qlat_k)
+                qlat_avg=qlat_k, stg=stg_ref)
             is0 = (idx == 0).astype(jnp.float32)
             isl = (idx == n - 1).astype(jnp.float32)
             jm_ds_only = jm_ds * (1.0 - jm_us)
@@ -1454,14 +1455,15 @@ def _build_call_network_batched(*, nt, n, B0, Mp, Np, J, m_rhs, n_sweeps,
                                 max_iter, ds_kind, us_kind, gate_init,
                                 varying, topo_j, qlat_mode, has_jstor,
                                 has_jrate, has_stor_end, n_net_rows,
-                                out_mem, interpret):
+                                has_stg=False, out_mem="vmem",
+                                interpret=False):
     kern = functools.partial(
         _kernel_network_batched, nt=nt, n=n, B0=B0, Mp=Mp, J=J, m_rhs=m_rhs,
         n_sweeps=n_sweeps, max_iter=max_iter, ds_kind=ds_kind,
         us_kind=us_kind, gate_init=gate_init, varying=varying,
         topo_j=topo_j, qlat_mode=qlat_mode, has_jstor=has_jstor,
-        has_jrate=has_jrate, has_stor_end=has_stor_end, out_mem=out_mem,
-        interpret=interpret)
+        has_jrate=has_jrate, has_stor_end=has_stor_end, has_stg=has_stg,
+        out_mem=out_mem, interpret=interpret)
     BM, JM = B0 * Mp, J * Mp
     out_shapes = [
         jax.ShapeDtypeStruct((nt, BM, Np), jnp.float32),   # depth hi
@@ -1482,6 +1484,8 @@ def _build_call_network_batched(*, nt, n, B0, Mp, Np, J, m_rhs, n_sweeps,
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # network masks
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # junction config
             ]
+            + ([pl.BlockSpec(memory_space=pltpu.VMEM)]  # storage tables
+               if has_stg else [])
             + ([pl.BlockSpec(memory_space=pltpu.VMEM)]
                if qlat_mode == "tv" else [])
             + [
@@ -1505,6 +1509,8 @@ def max_fused_network_batch(branches, settings) -> int:
     networks multiply the per-member working set by B0, so basin-scale
     ensembles belong on the stacked XLA engine (see the support matrix in
     docs/PERFORMANCE.md)."""
+    from flowsim_tpu.ops.network import _is_junction
+
     B0 = len(branches)
     Nmax = max(int(np.asarray(br.h0).shape[0]) for br in branches)
     Np = max(128, -(-Nmax // 128) * 128)
@@ -1514,6 +1520,12 @@ def max_fused_network_batch(branches, settings) -> int:
     per_member = (_NG + 4 + 8 + work_rows) * B0 * Np * 4
     # plus the 2 HBM staging slots per output (J bounded by B0)
     per_member += 2 * (4 * B0 * Np + 2 * B0 * 128) * 4
+    if any(not _is_junction(e) and e.kind == "fixed_depth"
+           and e.storage is not None
+           and fn._storage_mode(e.storage) != "storage_simple"
+           for br in branches for e in (br.us, br.ds)):
+        # per-(member x branch) stage-grid storage tables
+        per_member += fn._STG_BYTES * B0
     return (fn._FUSED_VMEM_BYTES // per_member) // 8 * 8
 
 
@@ -1621,6 +1633,7 @@ def fused_simulate_network_batched(branches, n_junctions, settings, batch,
     topo_j = []
     us_kind_bs = [None] * BM
     ds_kind_bs = [None] * BM
+    stg_bm = [None] * BM
 
     base = np.zeros((_NS,), f32)
     base[_S_THETA] = settings.theta
@@ -1674,23 +1687,18 @@ def fused_simulate_network_batched(branches, n_junctions, settings, batch,
             scal_m = base.copy()
             scal_m[_S_DX] = br.dx
             jus, jds = topo_j[b]
+            stg_u = stg_d = None
             if jus is None:
                 us_kind_m, stg_u = _pack_us_config(br.us, settings, scal_m)
-                if stg_u is not None or us_kind_m.startswith("storage_curve"):
-                    raise FusedUnsupported(
-                        "curve/loss lumped storage on network ends is "
-                        "XLA-engine only")
                 us_kind_bs[r] = us_kind_m
                 tgt_b[r, :nt] = _pack_us_series(br.us, nt).astype(f32)
             if jds is None:
                 ds_kind_m, ds_series, stg_d = _pack_ds_config(
                     br.ds, settings, scal_m, nt)
-                if stg_d is not None or ds_kind_m.startswith("storage_curve"):
-                    raise FusedUnsupported(
-                        "curve/loss lumped storage on network ends is "
-                        "XLA-engine only")
                 ds_kind_bs[r] = ds_kind_m
                 ds_tgt_b[r, :nt] = ds_series.astype(f32)
+            # per-(member x branch) stage-grid tables (curve/loss storage)
+            stg_bm[r] = stg_u if stg_u is not None else stg_d
             if ((us_kind_bs[r] or "").startswith("storage")
                     and (ds_kind_bs[r] or "").startswith("storage")):
                 raise FusedUnsupported("storage on both ends of one branch "
@@ -1770,6 +1778,9 @@ def fused_simulate_network_batched(branches, n_junctions, settings, batch,
     work_rows = fn._WORK_ROWS + 2 * (m_rhs - 1) * (n_sweeps + 2)
     per_level = (4 * BM * Np + BM * 128 + JM * 128) * 4
     work = ((_NG + 4 + 8) * BM * Np + work_rows * BM * Np) * 4
+    has_stg_cur = any(r is not None for r in stg_bm)
+    if has_stg_cur:
+        work += fn._STG_BYTES * BM  # per-(member x branch) storage tables
     req = getattr(settings, "out_memory", "auto")
     if req in ("vmem", "hbm"):
         out_mem = req
@@ -1790,13 +1801,15 @@ def fused_simulate_network_batched(branches, n_junctions, settings, batch,
         gate_init=1.0 if settings.gate_initially_open else 0.0,
         varying=varying, topo_j=tuple(topo_j), qlat_mode=qlat_mode,
         has_jstor=has_jstor, has_jrate=has_jrate,
-        has_stor_end=has_stor_end,
+        has_stor_end=has_stor_end, has_stg=has_stg_cur,
         n_net_rows=net_rows.shape[0] // BM,
         out_mem=out_mem, interpret=interpret)
     ins = [jnp.asarray(geo_rows), jnp.asarray(init_rows),
-           jnp.asarray(net_rows), jnp.asarray(jin),
-           jnp.asarray(tgt_b), jnp.asarray(ds_tgt_b),
-           jnp.asarray(scal_rows)]
+           jnp.asarray(net_rows), jnp.asarray(jin)]
+    if has_stg_cur:
+        ins.append(jnp.asarray(fn._stack_storage_rows(stg_bm)))
+    ins += [jnp.asarray(tgt_b), jnp.asarray(ds_tgt_b),
+            jnp.asarray(scal_rows)]
     outs = call(*ins)
     dhi, dlo, fhi, flo, stats, jstat = outs
 

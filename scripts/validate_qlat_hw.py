@@ -247,6 +247,33 @@ def validate_storage_curves():
           f"|dY|={drn:.2e}", file=sys.stderr)
     ok &= goodn
 
+    # batched NETWORK kernel with the same curve end, 3 members scaling
+    # the inflow (stage-grid tables per member x branch sublane)
+    from flowsim_tpu.parallel.ensemble import batched_simulate_network
+    scales = np.asarray([0.9, 1.0, 1.1])
+    se = np.asarray(us_hyd.target_series, np.float64)
+    us_b = jax.vmap(lambda s: dataclasses.replace(
+        us_hyd, target_series=jnp.asarray(se) * s))(jnp.asarray(scales))
+    outm = batched_simulate_network(brs, 1, sset, [dict(us=us_b), dict()],
+                                    engine="fused")
+    _sync(outm.junction_stage)
+    goodm = True
+    for m, s in enumerate(scales):
+        brm = [dataclasses.replace(brs[0], us=dataclasses.replace(
+            us_hyd, target_series=jnp.asarray(se * s))), brs[1]]
+        with jax.default_device(cpu):
+            refm = simulate_network(brm, 1, sset, engine="loop")
+        dim = int(np.abs(np.asarray(refm.iterations)
+                         - np.asarray(outm.iterations)[m]).max())
+        ddm = max(float(np.abs(np.asarray(outm.depth[b])[m]
+                               - np.asarray(refm.depth[b])).max())
+                  for b in range(2))
+        goodm &= dim <= 1 and ddm < 1e-4
+        print(f"batched_net_curve_m{m}: d_iters={dim} |dh|={ddm:.2e}",
+              file=sys.stderr)
+    results["batched_network_curve"] = dict(ok=goodm)
+    ok &= goodm
+
     results["platform"] = dev.platform
     results["ok"] = bool(ok)
     print(json.dumps(results))

@@ -124,25 +124,9 @@ def test_unsupported_configs_raise():
     s_fixed = dataclasses.replace(sset, newton="fixed")
     with pytest.raises(FusedUnsupported):
         simulate_network(branches, 1, s_fixed, engine="fused")
-    # curve/loss lumped storage on external ends runs in the SINGLE
-    # network kernel (test_network_storage_curve_parity) but the BATCHED
-    # network kernel still rejects it (per-member x per-branch stage-grid
-    # tables)
-    from flowsim_tpu.parallel.ensemble import batched_simulate_network
-    ds_stor = dataclasses.replace(
-        branches[1].ds, kind="fixed_depth",
-        storage=stg.make_storage(
-            area_curve=np.stack([np.linspace(0.0, 50.0, 8),
-                                 np.full(8, 5e6)], axis=-1),
-            min_stage=0.0))
-    br1s = dataclasses.replace(branches[1], ds=ds_stor)
-    us0 = branches[0].us
-    se = np.asarray(us0.target_series, np.float64)
-    us_b = jax.vmap(lambda s: dataclasses.replace(
-        us0, target_series=jnp.asarray(se) * s))(jnp.asarray([0.9, 1.1]))
-    with pytest.raises(FusedUnsupported):
-        batched_simulate_network([branches[0], br1s], 1, sset,
-                                 [dict(us=us_b), dict()], engine="fused")
+    # (curve/loss lumped storage on external ends now runs in ALL network
+    # kernels — test_network_storage_curve_parity and
+    # test_batched_network_storage_curve)
 
 
 def test_junction_reservoir_parity():
@@ -751,3 +735,43 @@ def test_network_storage_curve_parity():
     rs_f = np.asarray(out_f.reservoir_stage)[1:, 1, 1]
     assert np.isfinite(rs_f).all()
     np.testing.assert_allclose(rs_f, rs_l, atol=1e-4)
+
+
+def test_batched_network_storage_curve():
+    """Per-member generalized lumped storage on a network end in the
+    BATCHED network kernel (stage-grid tables per member x branch
+    sublane): each member matches its own serial loop-engine run."""
+    from flowsim_tpu.ops import rating_curve as rcurve
+    from flowsim_tpu.ops import storage as stg
+    from flowsim_tpu.parallel.ensemble import batched_simulate_network
+
+    branches, sset = _split_akbari(nt=9)
+    bed_ds = float(np.asarray(branches[1].geo.z_bed)[-1])
+    ac_stages = bed_ds + np.linspace(-2.0, 25.0, 12)
+    sp = stg.make_storage(
+        area_curve=np.stack([ac_stages,
+                             4.0e5 * (1.0 + 0.08 * np.arange(12))], axis=1),
+        min_stage=bed_ds - 1.0,
+        rating=rcurve.make_polynomial(0.0, 30.0, -30.0 * (bed_ds - 1.0)))
+    ds_new = dataclasses.replace(branches[1].ds, kind="fixed_depth",
+                                 storage=sp)
+    brs = [branches[0], dataclasses.replace(branches[1], ds=ds_new)]
+    us0 = brs[0].us
+    se = np.asarray(us0.target_series, np.float64)
+    scales = np.asarray([0.9, 1.0, 1.1])
+    us_b = jax.vmap(lambda s: dataclasses.replace(
+        us0, target_series=jnp.asarray(se) * s))(jnp.asarray(scales))
+    out = batched_simulate_network(brs, 1, sset, [dict(us=us_b), dict()],
+                                   engine="fused")
+    for m, s in enumerate(scales):
+        brm = [dataclasses.replace(brs[0], us=dataclasses.replace(
+            us0, target_series=jnp.asarray(se * s))), brs[1]]
+        ref = simulate_network(brm, 1, sset, engine="loop")
+        assert (np.abs(np.asarray(out.iterations)[m]
+                       - np.asarray(ref.iterations)) <= 1).all()
+        for b in range(2):
+            assert np.abs(np.asarray(out.depth[b])[m]
+                          - np.asarray(ref.depth[b])).max() < 1e-4
+        rs_r = np.asarray(ref.reservoir_stage)[1:, 1, 1]
+        rs_f = np.asarray(out.reservoir_stage)[m][1:, 1, 1]
+        np.testing.assert_allclose(rs_f, rs_r, atol=1e-4)

@@ -1789,10 +1789,14 @@ def fused_simulate_network_batched(branches, n_junctions, settings, batch,
             else "hbm"
     out_vmem = (nt if out_mem == "vmem" else 2) * per_level
     if work + out_vmem > fn._FUSED_VMEM_BYTES:
+        # compute the chunking hint from member-0 EFFECTIVE branches so
+        # override-introduced storage tables are budgeted in the advice
+        hint = max_fused_network_batch(
+            [member_branch(b, 0) for b in range(B0)], settings)
         raise FusedUnsupported(
             f"batched network working set exceeds the VMEM budget "
             f"(B={B0}, M={M}, Nmax={Nmax}, nt={nt}); chunk at <= "
-            f"{max_fused_network_batch(branches, settings)} members")
+            f"{hint} members")
 
     call = _build_call_network_batched(
         nt=nt, n=Nmax, B0=B0, Mp=Mp, Np=Np, J=J, m_rhs=m_rhs,

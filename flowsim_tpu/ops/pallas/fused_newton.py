@@ -463,21 +463,31 @@ def _stg_bracket(jf):
     return c0, l0
 
 
-def _stg_pick(stg, t, jf, liota):
-    """[B, 1] column of ``tab_t[jf[b]]`` per sublane: lane one-hot x
-    chunk one-hot, mask-accumulated over the _STG_SR chunks.  All masks
-    are [B, 1] x [1, 128] products — per-sublane grid indices without the
-    scalar extraction the flat single-run layout needed (a [1,1] vector
-    broadcast in both axes does not lower; [B,1] against [1,128] does)."""
-    B = _stg_B(stg)
+def _stg_masks(jf, liota):
+    """Shared one-hot masks of grid index ``jf`` ([B, 1] f32): the [B, 128]
+    lane mask and the _STG_SR per-chunk [B, 1] masks.  All products are
+    [B, 1] x [1, 128] — per-sublane grid indices without the scalar
+    extraction the flat single-run layout needed (a [1,1] vector broadcast
+    in both axes does not lower; [B,1] against [1,128] does)."""
     c0, l0 = _stg_bracket(jf)
-    lm = (liota == l0).astype(jnp.float32)          # [B, 128]
-    acc = jnp.zeros_like(jf)
+    lm = (liota == l0).astype(jnp.float32)
+    cms = [(c0 == np.float32(c)).astype(jnp.float32)
+           for c in range(_STG_SR)]
+    return lm, cms
+
+
+def _stg_pick_tabs(stg, ts, lm, cms):
+    """[B, 1] columns of several tables at ONE grid index (the bracket and
+    one-hot masks are computed once by the caller and shared across the
+    tables and, between brackets, across table pairs — this runs in the
+    hot while-Newton loop)."""
+    B = _stg_B(stg)
+    outs = [jnp.zeros_like(cms[0]) for _ in ts]
     for c in range(_STG_SR):
-        cm = (c0 == np.float32(c)).astype(jnp.float32)   # [B, 1]
-        acc = acc + cm * jnp.sum(_stg_blk(stg, t, c, B) * lm,
-                                 axis=1, keepdims=True)
-    return acc
+        for i, t in enumerate(ts):
+            outs[i] = outs[i] + cms[c] * jnp.sum(
+                _stg_blk(stg, t, c, B) * lm, axis=1, keepdims=True)
+    return outs
 
 
 def _stg_lookup_df(stg, thi, tlo, scal, Y: DF) -> DF:
@@ -494,10 +504,11 @@ def _stg_lookup_df(stg, thi, tlo, scal, Y: DF) -> DF:
     u = (Y - df(scal[_S_STG_YMIN])) * df(scal[_S_STG_INVDY])
     jf = jnp.clip(jnp.floor(u.hi), 0.0, np.float32(_STG_P - 2))
     frac = u - df(jf)
-    v0 = df(_stg_pick(stg, thi, jf, liota)) \
-        + df(_stg_pick(stg, tlo, jf, liota))
-    v1 = df(_stg_pick(stg, thi, jf + 1.0, liota)) \
-        + df(_stg_pick(stg, tlo, jf + 1.0, liota))
+    v0h, v0l = _stg_pick_tabs(stg, (thi, tlo), *_stg_masks(jf, liota))
+    v1h, v1l = _stg_pick_tabs(stg, (thi, tlo),
+                              *_stg_masks(jf + 1.0, liota))
+    v0 = df(v0h) + df(v0l)
+    v1 = df(v1h) + df(v1l)
     return v0 + frac * (v1 - v0)
 
 
@@ -507,8 +518,8 @@ def _stg_lookup32(stg, t, scal, y):
     u = (y - scal[_S_STG_YMIN]) * scal[_S_STG_INVDY]
     jf = jnp.clip(jnp.floor(u), 0.0, np.float32(_STG_P - 2))
     frac = u - jf
-    v0 = _stg_pick(stg, t, jf, liota)
-    v1 = _stg_pick(stg, t, jf + 1.0, liota)
+    (v0,) = _stg_pick_tabs(stg, (t,), *_stg_masks(jf, liota))
+    (v1,) = _stg_pick_tabs(stg, (t,), *_stg_masks(jf + 1.0, liota))
     return v0 + frac * (v1 - v0)
 
 
@@ -557,10 +568,12 @@ def _storage_curve_eval(scal, stg, h_node: DF, Q_node: DF, Qp_node: DF,
         below = below + jnp.sum((gsum < Cv).astype(jnp.float32),
                                 axis=1, keepdims=True)
     jf = jnp.clip(below - 1.0, 0.0, np.float32(_STG_P - 2))
-    g0 = df(_stg_pick(stg, _STG_GHI, jf, liota)) \
-        + df(_stg_pick(stg, _STG_GLO, jf, liota))
-    g1 = df(_stg_pick(stg, _STG_GHI, jf + 1.0, liota)) \
-        + df(_stg_pick(stg, _STG_GLO, jf + 1.0, liota))
+    g0h, g0l = _stg_pick_tabs(stg, (_STG_GHI, _STG_GLO),
+                              *_stg_masks(jf, liota))
+    g1h, g1l = _stg_pick_tabs(stg, (_STG_GHI, _STG_GLO),
+                              *_stg_masks(jf + 1.0, liota))
+    g0 = df(g0h) + df(g0l)
+    g1 = df(g1h) + df(g1l)
     dy = scal[_S_STG_DY]
     slope = dy / jnp.maximum((g1 - g0).value, np.float32(1e-30))
     ymin = scal[_S_STG_YMIN]

@@ -289,7 +289,15 @@ def batched_simulate_network(branches, n_junctions, settings, batch,
         for d in batch:
             for v in jax.tree_util.tree_leaves(d):
                 M = v.shape[0] if M is None else M
-        cap = max_fused_network_batch(branches, settings)
+        # compute the VMEM member cap from EFFECTIVE branches (member-0
+        # overrides applied): a batch override can introduce curve storage
+        # whose per-member stage-grid tables shrink the cap
+        eff = []
+        for br, d in zip(branches, batch):
+            o = {k: jax.tree_util.tree_map(lambda x: x[0], v)
+                 for k, v in d.items() if k in ("us", "ds")}
+            eff.append(dataclasses.replace(br, **o) if o else br)
+        cap = max_fused_network_batch(eff, settings)
         if cap < 8:
             from flowsim_tpu.ops.pallas.fused_newton import FusedUnsupported
 

@@ -109,8 +109,6 @@ def test_gated_end_parity():
 
 
 def test_unsupported_configs_raise():
-    from flowsim_tpu.ops import storage as stg
-
     branches, sset = _split_akbari(nt=4)
 
     # non-quadratic junction rating kinds are XLA-engine only

@@ -1119,6 +1119,12 @@ def _kernel_network_batched(*refs,
     ds_tgt_ref = refs.pop(0)
     scal_ref = refs.pop(0)
     out_refs = refs
+    # tv qlat: the [nt, BM, Np] stack stays in HBM; a VMEM staging row +
+    # DMA semaphore scratch pair sits at the END of the scratch list
+    qstage = qsem = None
+    if qlat_mode == "tv":
+        qsem = out_refs.pop()
+        qstage = out_refs.pop()
     streamer = None
     if out_mem == "hbm":
         sems = out_refs.pop()
@@ -1283,7 +1289,15 @@ def _kernel_network_batched(*refs,
         tgt = member_col(tgt_ref, k)
         ds_tgt = member_col(ds_tgt_ref, k)
         if qlat_mode == "tv":
-            qlat_k = qlat_ref[pl.ds(k, 1)][0]
+            # DMA level k's [BM, Np] cell-average row from the HBM stack
+            # (blocking ~us copy vs a >=100 us level solve; the loop index
+            # routes i64->f32->i32 for Mosaic's memref_slice)
+            k32 = k.astype(jnp.float32).astype(jnp.int32)
+            cp = pltpu.make_async_copy(qlat_ref.at[pl.ds(k32, 1)], qstage,
+                                       qsem)
+            cp.start()
+            cp.wait()
+            qlat_k = qstage[0]
         else:
             qlat_k = qlat_const
 
@@ -1486,8 +1500,8 @@ def _build_call_network_batched(*, nt, n, B0, Mp, Np, J, m_rhs, n_sweeps,
             ]
             + ([pl.BlockSpec(memory_space=pltpu.VMEM)]  # storage tables
                if has_stg else [])
-            + ([pl.BlockSpec(memory_space=pltpu.VMEM)]
-               if qlat_mode == "tv" else [])
+            + ([pl.BlockSpec(memory_space=pl.ANY)]  # [nt, BM, Np] tv qlat
+               if qlat_mode == "tv" else [])        # stack stays in HBM
             + [
                 pl.BlockSpec(memory_space=pltpu.SMEM),  # us targets [BM, nt]
                 pl.BlockSpec(memory_space=pltpu.SMEM),  # ds targets [BM, nt]
@@ -1495,8 +1509,11 @@ def _build_call_network_batched(*, nt, n, B0, Mp, Np, J, m_rhs, n_sweeps,
             ]
         ),
         out_specs=[pl.BlockSpec(memory_space=out_space)] * len(out_shapes),
-        scratch_shapes=(_out_scratch_shapes(out_shapes)
-                        if out_mem == "hbm" else []),
+        scratch_shapes=((_out_scratch_shapes(out_shapes)
+                         if out_mem == "hbm" else [])
+                        + ([pltpu.VMEM((1, BM, Np), jnp.float32),
+                            pltpu.SemaphoreType.DMA]
+                           if qlat_mode == "tv" else [])),
         interpret=interpret,
     ))
 
@@ -1598,20 +1615,22 @@ def fused_simulate_network_batched(branches, n_junctions, settings, batch,
         if not isinstance(br.geo, TrapezoidGeometry):
             raise FusedUnsupported("fused network kernel supports "
                                    "TrapezoidGeometry branches only")
-        if br.qlat is not None and np.ndim(br.qlat) == 2:
-            raise FusedUnsupported("time-varying qlat in the BATCHED "
-                                   "network kernel is not supported yet")
         n_bs.append(int(np.asarray(br.h0).shape[0]))
     # a per-member batch override can INTRODUCE qlat on a branch whose
     # base qlat is None — the mode must consider both, or the override
-    # would be packed into net row 7 but never read by the kernel
-    for b, d in enumerate(batch):
-        if "qlat" in d and np.ndim(d["qlat"]) > 2:
-            raise FusedUnsupported("time-varying qlat in the BATCHED "
-                                   "network kernel is not supported yet")
-    qlat_mode = ("const" if (any(br.qlat is not None for br in branches)
-                             or any("qlat" in d for d in batch))
-                 else None)
+    # would be packed into net row 7 but never read by the kernel.  Any
+    # time-varying field (base [nt, N] or override [M, nt, N]) upgrades
+    # the whole dispatch to "tv": the [nt, BM, Np] cell-average stack
+    # lives in HBM and the kernel DMA-streams one level-row per level.
+    any_tv = (any(br.qlat is not None and np.ndim(br.qlat) == 2
+                  for br in branches)
+              or any("qlat" in d and np.ndim(d["qlat"]) == 3
+                     for d in batch))
+    qlat_mode = ("tv" if any_tv
+                 else ("const"
+                       if (any(br.qlat is not None for br in branches)
+                           or any("qlat" in d for d in batch))
+                       else None))
     Nmax = max(n_bs)
     nt = settings.n_time_levels
     Np = max(128, -(-Nmax // 128) * 128)
@@ -1626,6 +1645,7 @@ def fused_simulate_network_batched(branches, n_junctions, settings, batch,
     geo_rows = np.zeros((_NG * BM, Np), f32)
     init_rows = np.zeros((4 * BM, Np), f32)
     net_rows = np.zeros((8 * BM, Np), f32)
+    qlat_rows = (np.zeros((nt, BM, Np), f32) if qlat_mode == "tv" else None)
     nt_pad = max(nt, 8)
     tgt_b = np.zeros((BM, nt_pad), f32)
     ds_tgt_b = np.zeros((BM, nt_pad), f32)
@@ -1716,7 +1736,16 @@ def fused_simulate_network_batched(branches, n_junctions, settings, batch,
             nr[6, r, 0] = 1.0
             if br.qlat is not None:
                 q = np.asarray(br.qlat, np.float64)
-                nr[7, r, : n_b - 1] = (0.5 * (q[:-1] + q[1:])).astype(f32)
+                if qlat_mode == "const":
+                    nr[7, r, : n_b - 1] = (0.5 * (q[:-1] + q[1:])).astype(f32)
+                else:  # tv: per-level theta-weighted cell averages
+                    if q.ndim == 1:
+                        q = np.broadcast_to(q, (nt, n_b))
+                    th = float(settings.theta)
+                    qc, qp = q[1:], q[:-1]
+                    cell = (0.5 * th * (qc[:, :-1] + qc[:, 1:])
+                            + 0.5 * (1.0 - th) * (qp[:, :-1] + qp[:, 1:]))
+                    qlat_rows[1:, r, : n_b - 1] = cell.astype(f32)
 
     uniq = lambda ks: tuple(dict.fromkeys(k for k in ks if k is not None))
     us_kinds = uniq(us_kind_bs) or ("flow_hydrograph",)
@@ -1781,6 +1810,8 @@ def fused_simulate_network_batched(branches, n_junctions, settings, batch,
     has_stg_cur = any(r is not None for r in stg_bm)
     if has_stg_cur:
         work += fn._STG_BYTES * BM  # per-(member x branch) storage tables
+    if qlat_mode == "tv":
+        work += BM * Np * 4  # the VMEM staging row (the stack is in HBM)
     req = getattr(settings, "out_memory", "auto")
     if req in ("vmem", "hbm"):
         out_mem = req
@@ -1812,6 +1843,8 @@ def fused_simulate_network_batched(branches, n_junctions, settings, batch,
            jnp.asarray(net_rows), jnp.asarray(jin)]
     if has_stg_cur:
         ins.append(jnp.asarray(fn._stack_storage_rows(stg_bm)))
+    if qlat_mode == "tv":
+        ins.append(jnp.asarray(qlat_rows))
     ins += [jnp.asarray(tgt_b), jnp.asarray(ds_tgt_b),
             jnp.asarray(scal_rows)]
     outs = call(*ins)

@@ -773,3 +773,37 @@ def test_batched_network_storage_curve():
         rs_r = np.asarray(ref.reservoir_stage)[1:, 1, 1]
         rs_f = np.asarray(out.reservoir_stage)[m][1:, 1, 1]
         np.testing.assert_allclose(rs_f, rs_r, atol=1e-4)
+
+
+def test_batched_network_tv_qlat():
+    """Time-varying lateral inflow in the BATCHED network kernel: the
+    [nt, BM, Np] cell-average stack stays in HBM and the kernel
+    DMA-streams one level-row per level.  Mixed sources — a shared
+    [nt, N] field on one branch plus per-member [M, nt, N] overrides on
+    another — each member matches its serial loop run."""
+    from flowsim_tpu.parallel.ensemble import batched_simulate_network
+
+    branches, sset = _split_akbari(nt=9)
+    nt = sset.n_time_levels
+    n0 = int(np.asarray(branches[0].h0).shape[0])
+    n1 = int(np.asarray(branches[1].h0).shape[0])
+    t = np.linspace(0, 1, nt)[:, None]
+    q1_tv = 0.02 * np.exp(-((t - 0.4) / 0.25) ** 2) \
+        * (1 + np.linspace(0, 1, n1))[None]
+    br1 = dataclasses.replace(branches[1], qlat=jnp.asarray(q1_tv))
+    scales = np.asarray([0.5, 1.0, 2.0])
+    q0_base = (0.01 * (1 + np.linspace(0, 1, n0))[None, :]
+               * np.ones((nt, 1)) * (1 + 0.5 * np.sin(2 * np.pi * t)))
+    q0_mem = jnp.asarray(scales[:, None, None] * q0_base[None])
+    out = batched_simulate_network([branches[0], br1], 1, sset,
+                                   [dict(qlat=q0_mem), dict()],
+                                   engine="fused")
+    for m, s in enumerate(scales):
+        brm = [dataclasses.replace(branches[0],
+                                   qlat=jnp.asarray(q0_base * s)), br1]
+        ref = simulate_network(brm, 1, sset, engine="loop")
+        np.testing.assert_array_equal(np.asarray(out.iterations)[m],
+                                      np.asarray(ref.iterations))
+        for b in range(2):
+            assert np.abs(np.asarray(out.depth[b])[m]
+                          - np.asarray(ref.depth[b])).max() < 1e-4

@@ -43,8 +43,9 @@ working set, which bounds M to ~100 at flagship branch sizes — rebuild
 tables with a coarser grid or fall back to the XLA engines beyond that),
 plain junctions AND junction reservoirs (0-D storage at a junction,
 trapezoidal mass balance — ref lumped_storage.py:24-35 applied at a
-multi-branch node) with optional rated outflow (quadratic polynomial /
-blended_poly release curves, ops/network.py:_junction_residuals),
+multi-branch node) with optional rated outflow (polynomial /
+arbitrary-degree poly_n with its analytic derivative / blended_poly
+release curves, ops/network.py:_junction_residuals),
 constant AND time-varying [nt, N] lateral inflow (per-level
 theta-weighted cell averages precomputed on the host),
 ``newton="while"``, and per-branch external BC kinds — ALL the kinds
@@ -96,28 +97,53 @@ _J_YHI, _J_YLO, _J_AREA, _J_C2, _J_C1, _J_C0, _J_D2, _J_D1, _J_D0, \
 _NJ = 12
 
 
-def _make_jrate(jrow, has_jrate):
+def _make_jrate(jrow, has_jrate, deg=2):
     """Rated-outflow closures on junction sublane columns, shared by the
     single and batched network kernels (``jrow`` views the jin input —
     [Jp, 1] or [J*Mp, 1] columns; every op is elementwise across sublanes).
 
     ``jrate_q``: df32 q(Y) per junction (ops/rating_curve.py ``discharge``
-    for polynomial/blended_poly, delta-form blend; the smoothstep mirrors
-    ``_rating_q``'s df32 form).  ``jrate_dq``: f32 dq/dY via central
+    for polynomial/poly_n/blended_poly, delta-form blend; the smoothstep
+    mirrors ``_rating_q``'s df32 form).  ``jrate_dq``: f32 dq/dY — central
     difference (exact for the quadratics at fd=1; blended curves mirror
-    rcurve.dQ_dz's fd_step FD).
+    rcurve.dQ_dz's fd_step FD) or, on junctions whose fd column is the
+    0.0 sentinel (poly_n), the analytic derivative polynomial (matching
+    rcurve.dQ_dz's jnp.polyval exactly).
+
+    ``deg``: static maximum polynomial degree across junctions.  deg == 2
+    reads the fixed quadratic rows (byte-identical math to v2); deg > 2
+    reads descending-coefficient blocks appended after the _NJ base rows:
+    low (deg+1), high (deg+1), d(low)/dY (deg).
     """
     if has_jrate:
-        j_c = (jrow(_J_C2), jrow(_J_C1), jrow(_J_C0))
-        j_d = (jrow(_J_D2), jrow(_J_D1), jrow(_J_D0))
+        if deg == 2:
+            j_c = (jrow(_J_C2), jrow(_J_C1), jrow(_J_C0))
+            j_d = (jrow(_J_D2), jrow(_J_D1), jrow(_J_D0))
+            j_dc = None
+        else:
+            j_c = tuple(jrow(_NJ + i) for i in range(deg + 1))
+            j_d = tuple(jrow(_NJ + (deg + 1) + i) for i in range(deg + 1))
+            j_dc = tuple(jrow(_NJ + 2 * (deg + 1) + i) for i in range(deg))
         j_xoff, j_bufs, j_fd = jrow(_J_XOFF), jrow(_J_BUFS), jrow(_J_FD)
+
+    def horner_df(cs, x: DF) -> DF:
+        acc = df(cs[0]) * x + df(cs[1])
+        for c in cs[2:]:
+            acc = acc * x + df(c)
+        return acc
+
+    def horner32(cs, xv):
+        acc = cs[0] * xv + cs[1]
+        for c in cs[2:]:
+            acc = acc * xv + c
+        return acc
 
     def jrate_q(Y: DF) -> DF:
         if not has_jrate:
             return DF(Y.hi * 0.0, Y.hi * 0.0)
         x = Y + df(j_xoff)
-        low = (df(j_c[0]) * x + df(j_c[1])) * x + df(j_c[2])
-        high = (df(j_d[0]) * x + df(j_d[1])) * x + df(j_d[2])
+        low = horner_df(j_c, x)
+        high = horner_df(j_d, x)
         s = x / df(j_bufs)
         zero = df(Y.hi * 0.0)
         one = df(jnp.ones_like(Y.hi))
@@ -130,23 +156,96 @@ def _make_jrate(jrow, has_jrate):
             return None
 
         def q32(xv):
-            lo = (j_c[0] * xv + j_c[1]) * xv + j_c[2]
-            hi = (j_d[0] * xv + j_d[1]) * xv + j_d[2]
+            lo = horner32(j_c, xv)
+            hi = horner32(j_d, xv)
             s = jnp.clip(xv / j_bufs, 0.0, 1.0)
             a = s * s * (3.0 - 2.0 * s)
             return lo + a * (hi - lo)
 
         xv = Y.value + j_xoff
-        return (q32(xv + j_fd) - q32(xv - j_fd)) / (2.0 * j_fd)
+        fd_safe = jnp.maximum(j_fd, np.float32(1e-30))
+        dq = (q32(xv + fd_safe) - q32(xv - fd_safe)) / (2.0 * fd_safe)
+        if j_dc is not None:
+            # fd == 0 sentinel: analytic derivative (poly_n junctions)
+            dq = jnp.where(j_fd > 0.0, dq, horner32(j_dc, xv))
+        return dq
 
     return jrate_q, jrate_dq
+
+
+def _jrate_deg(junction_rating):
+    """Static max polynomial degree across junction ratings (>= 2)."""
+    deg = 2
+    for rc in junction_rating or ():
+        if rc is not None and rc.kind == "poly_n":
+            deg = max(deg, int(np.asarray(rc.coeffs).shape[-1]) - 1)
+    return deg
+
+
+def _jrate_extra_rows(deg):
+    """jin rows appended after the _NJ base block when deg > 2."""
+    return 2 * (deg + 1) + deg if deg > 2 else 0
+
+
+def _pack_jrate_rows(put, rc, deg):
+    """Fill one junction's rating config through ``put(row, value)``.
+
+    deg == 2 uses the legacy quadratic rows (byte-identical packing to
+    v2); deg > 2 writes DESCENDING coefficient blocks after the _NJ base
+    rows: low (deg+1), high (deg+1), d(low)/dY (deg; zeros for junctions
+    on the FD path).  ``fd = 0.0`` is the analytic-derivative sentinel
+    (poly_n above quadratic); quadratics keep fd = 1 (central difference
+    exact), blended curves their fd_step (mirrors rcurve.dQ_dz).
+    """
+    c = np.asarray(rc.coeffs, np.float64)
+    dlo = None
+    if rc.kind == "polynomial":
+        lo = hi = c
+        xoff = float(np.asarray(rc.stage_shift, np.float64))
+        bufs, fd = 1e-30, 1.0
+    elif rc.kind == "poly_n":
+        lo = hi = c[::-1]  # ascending fit -> descending Horner order
+        xoff = float(np.asarray(rc.stage_shift, np.float64))
+        bufs = 1e-30
+        if len(c) - 1 <= 2:
+            fd = 1.0
+        else:
+            fd = 0.0
+            dasc = c[1:] * np.arange(1, len(c), dtype=np.float64)
+            dlo = dasc[::-1]
+    else:  # blended_poly
+        lo = c
+        hi = np.asarray(rc.coeffs_high, np.float64)
+        xoff = -float(np.asarray(rc.pivot_stage, np.float64))
+        bufs = max(float(np.asarray(rc.buffer, np.float64)), 1e-30)
+        fd = float(np.asarray(rc.fd_step, np.float64))
+
+    def pad(v, k):
+        v = np.asarray(v, np.float64)
+        return np.concatenate([np.zeros(k - len(v)), v])
+
+    if deg == 2:
+        lo3, hi3 = pad(lo, 3), pad(hi, 3)
+        for row, v in ((_J_C2, lo3[0]), (_J_C1, lo3[1]), (_J_C0, lo3[2]),
+                       (_J_D2, hi3[0]), (_J_D1, hi3[1]), (_J_D0, hi3[2])):
+            put(row, v)
+    else:
+        lo_p, hi_p = pad(lo, deg + 1), pad(hi, deg + 1)
+        dlo_p = pad(dlo, deg) if dlo is not None else np.zeros(deg)
+        for i in range(deg + 1):
+            put(_NJ + i, lo_p[i])
+            put(_NJ + (deg + 1) + i, hi_p[i])
+        for i in range(deg):
+            put(_NJ + 2 * (deg + 1) + i, dlo_p[i])
+    for row, v in ((_J_XOFF, xoff), (_J_BUFS, bufs), (_J_FD, fd)):
+        put(row, v)
 
 
 def _kernel_network(*refs,
                     nt, n, B, J, Jp, m_rhs, n_sweeps, max_iter, ds_kind,
                     us_kind, gate_init, varying, topo_j, qlat_mode, has_jstor,
                     has_jrate, has_stor_end, geo_kind, tab_M, tab_stride,
-                    tab_b, has_stg, out_mem, interpret):
+                    tab_b, has_stg, jrate_deg, out_mem, interpret):
     """The whole-network-simulation kernel body.
 
     ``topo_j``: static tuple of (us_junction_or_None, ds_junction_or_None)
@@ -273,7 +372,7 @@ def _kernel_network(*refs,
     # junction-reservoir / rated-outflow config columns ([Jp, 1] f32)
     j_area = jrow(_J_AREA)
     stor = (j_area > 0.0).astype(jnp.float32) if has_jstor else None
-    jrate_q, jrate_dq = _make_jrate(jrow, has_jrate)
+    jrate_q, jrate_dq = _make_jrate(jrow, has_jrate, deg=jrate_deg)
 
     init = init_ref[:]
     h0 = DF(init[0 * B:1 * B, :], init[1 * B:2 * B, :])
@@ -571,7 +670,8 @@ def _build_call_network(*, nt, n, B, Np, J, Jp, m_rhs, n_sweeps, max_iter,
                         ds_kind, us_kind, gate_init, varying, topo_j,
                         qlat_mode, has_jstor, has_jrate, has_stor_end,
                         geo_kind="trap", tab_M=0, tab_stride=0, tab_b=(),
-                        has_stg=False, out_mem="vmem", interpret=False):
+                        has_stg=False, jrate_deg=2, out_mem="vmem",
+                        interpret=False):
     kern = functools.partial(
         _kernel_network, nt=nt, n=n, B=B, J=J, Jp=Jp, m_rhs=m_rhs,
         n_sweeps=n_sweeps, max_iter=max_iter, ds_kind=ds_kind,
@@ -579,7 +679,7 @@ def _build_call_network(*, nt, n, B, Np, J, Jp, m_rhs, n_sweeps, max_iter,
         topo_j=topo_j, qlat_mode=qlat_mode, has_jstor=has_jstor,
         has_jrate=has_jrate, has_stor_end=has_stor_end, geo_kind=geo_kind,
         tab_M=tab_M, tab_stride=tab_stride, tab_b=tab_b, has_stg=has_stg,
-        out_mem=out_mem, interpret=interpret)
+        jrate_deg=jrate_deg, out_mem=out_mem, interpret=interpret)
     out_shapes = [
         jax.ShapeDtypeStruct((nt, B, Np), jnp.float32),   # depth hi
         jax.ShapeDtypeStruct((nt, B, Np), jnp.float32),   # depth lo
@@ -703,13 +803,16 @@ def fused_simulate_network(branches, n_junctions, settings, Y0=None,
         for rc in junction_rating:
             if rc is None:
                 continue
-            if rc.kind not in ("polynomial", "blended_poly"):
+            if rc.kind not in ("polynomial", "blended_poly", "poly_n"):
                 raise FusedUnsupported(
                     f"junction rating kind {rc.kind!r} is XLA-engine only "
-                    "(the kernel packs quadratic polynomial/blended_poly)")
-            if np.asarray(rc.coeffs).shape[-1] != 3:
+                    "(the kernel packs polynomial/poly_n/blended_poly)")
+            if (rc.kind != "poly_n"
+                    and np.asarray(rc.coeffs).shape[-1] != 3):
                 raise FusedUnsupported("junction rating rows pack quadratics "
-                                       "(3 coefficients)")
+                                       "(3 coefficients; use poly_n for "
+                                       "higher degrees)")
+    jrate_deg = _jrate_deg(junction_rating)
     has_jstor = junction_area is not None and bool(
         np.any(np.asarray(junction_area) > 0.0))
     has_jrate = junction_rating is not None and any(
@@ -914,7 +1017,7 @@ def fused_simulate_network(branches, n_junctions, settings, Y0=None,
     Y0_np = np.zeros((Jp,), np.float64)
     Y0_np[:J] = np.asarray(jax.device_get(Y0), np.float64)
     y_hi, y_lo = _split64(Y0_np)
-    jin = np.zeros((_NJ * Jp, 128), f32)
+    jin = np.zeros(((_NJ + _jrate_extra_rows(jrate_deg)) * Jp, 128), f32)
     jput = lambda r, v: jin.__setitem__(
         (slice(r * Jp, r * Jp + len(v)), 0), np.asarray(v, f32))
     jput(_J_YHI, y_hi)
@@ -927,23 +1030,12 @@ def fused_simulate_network(branches, n_junctions, settings, Y0=None,
         for j, rc in enumerate(junction_rating):
             if rc is None:
                 continue
-            c = np.asarray(rc.coeffs, np.float64)
-            if rc.kind == "polynomial":
-                # high = low and bufsafe -> 0: alpha saturates to 1 and the
-                # delta-form blend collapses to the plain quadratic; the
-                # fd=1 central difference is exact for it
-                d = c
-                xoff = float(np.asarray(rc.stage_shift, np.float64))
-                bufs, fd = 1e-30, 1.0
-            else:  # blended_poly (coeffs already centered on the pivot)
-                d = np.asarray(rc.coeffs_high, np.float64)
-                xoff = -float(np.asarray(rc.pivot_stage, np.float64))
-                bufs = max(float(np.asarray(rc.buffer, np.float64)), 1e-30)
-                fd = float(np.asarray(rc.fd_step, np.float64))
-            for row, v in ((_J_C2, c[0]), (_J_C1, c[1]), (_J_C0, c[2]),
-                           (_J_D2, d[0]), (_J_D1, d[1]), (_J_D0, d[2]),
-                           (_J_XOFF, xoff), (_J_BUFS, bufs), (_J_FD, fd)):
-                jin[row * Jp + j, 0] = np.float32(v)
+            # high = low and bufsafe -> 0 collapses the delta-form blend
+            # to the plain polynomial (see _pack_jrate_rows)
+            _pack_jrate_rows(
+                lambda row, v: jin.__setitem__((row * Jp + j, 0),
+                                               np.float32(v)),
+                rc, jrate_deg)
 
     # VMEM budget: inputs + per-branch working set (the PCR buffer grows
     # to 12+2*m_rhs rows; reuse the measured single-run row budget plus
@@ -982,7 +1074,8 @@ def fused_simulate_network(branches, n_junctions, settings, Y0=None,
         has_jstor=has_jstor, has_jrate=has_jrate,
         has_stor_end=has_stor_end, geo_kind=geo_kind, tab_M=tab_M,
         tab_stride=tab_stride, tab_b=tab_b if geo_kind == "table" else (),
-        has_stg=has_stg_cur, out_mem=out_mem, interpret=interpret)
+        has_stg=has_stg_cur, jrate_deg=jrate_deg,
+        out_mem=out_mem, interpret=interpret)
     ins = [jnp.asarray(geo_rows)]
     if geo_kind == "table":
         ins.append(jnp.asarray(tab_rows))
@@ -1099,7 +1192,7 @@ def _kernel_network_batched(*refs,
                             nt, n, B0, Mp, J, m_rhs, n_sweeps, max_iter,
                             ds_kind, us_kind, gate_init, varying, topo_j,
                             qlat_mode, has_jstor, has_jrate, has_stor_end,
-                            has_stg, out_mem, interpret):
+                            has_stg, jrate_deg, out_mem, interpret):
     """Whole-network ensemble kernel body (see section comment above).
 
     ``topo_j`` has B0 entries (real branches only; members replicate the
@@ -1195,7 +1288,7 @@ def _kernel_network_batched(*refs,
     Y0 = DF(jrow(_J_YHI), jrow(_J_YLO))
     j_area = jrow(_J_AREA)
     stor = (j_area > 0.0).astype(jnp.float32) if has_jstor else None
-    jrate_q, jrate_dq = _make_jrate(jrow, has_jrate)
+    jrate_q, jrate_dq = _make_jrate(jrow, has_jrate, deg=jrate_deg)
 
     init = init_ref[:]
     h0 = DF(init[0 * BM:1 * BM, :], init[1 * BM:2 * BM, :])
@@ -1469,15 +1562,15 @@ def _build_call_network_batched(*, nt, n, B0, Mp, Np, J, m_rhs, n_sweeps,
                                 max_iter, ds_kind, us_kind, gate_init,
                                 varying, topo_j, qlat_mode, has_jstor,
                                 has_jrate, has_stor_end, n_net_rows,
-                                has_stg=False, out_mem="vmem",
-                                interpret=False):
+                                has_stg=False, jrate_deg=2,
+                                out_mem="vmem", interpret=False):
     kern = functools.partial(
         _kernel_network_batched, nt=nt, n=n, B0=B0, Mp=Mp, J=J, m_rhs=m_rhs,
         n_sweeps=n_sweeps, max_iter=max_iter, ds_kind=ds_kind,
         us_kind=us_kind, gate_init=gate_init, varying=varying,
         topo_j=topo_j, qlat_mode=qlat_mode, has_jstor=has_jstor,
         has_jrate=has_jrate, has_stor_end=has_stor_end, has_stg=has_stg,
-        out_mem=out_mem, interpret=interpret)
+        jrate_deg=jrate_deg, out_mem=out_mem, interpret=interpret)
     BM, JM = B0 * Mp, J * Mp
     out_shapes = [
         jax.ShapeDtypeStruct((nt, BM, Np), jnp.float32),   # depth hi
@@ -1579,11 +1672,13 @@ def fused_simulate_network_batched(branches, n_junctions, settings, batch,
         for rc in junction_rating:
             if rc is None:
                 continue
-            if rc.kind not in ("polynomial", "blended_poly"):
+            if rc.kind not in ("polynomial", "blended_poly", "poly_n"):
                 raise FusedUnsupported(
                     f"junction rating kind {rc.kind!r} is XLA-engine only")
-            if np.asarray(rc.coeffs).shape[-1] != 3:
+            if (rc.kind != "poly_n"
+                    and np.asarray(rc.coeffs).shape[-1] != 3):
                 raise FusedUnsupported("junction rating rows pack quadratics")
+    jrate_deg = _jrate_deg(junction_rating)
     has_jstor = junction_area is not None and bool(
         np.any(np.asarray(junction_area) > 0.0))
     has_jrate = junction_rating is not None and any(
@@ -1775,7 +1870,7 @@ def fused_simulate_network_batched(branches, n_junctions, settings, batch,
                     if not np.all(scal_rows[:, i] == scal_rows[0, i]))
 
     y_hi, y_lo = _split64(Y0_np)
-    jin = np.zeros((_NJ * JM, 128), f32)
+    jin = np.zeros(((_NJ + _jrate_extra_rows(jrate_deg)) * JM, 128), f32)
     jin[0 * JM:1 * JM, 0] = y_hi
     jin[1 * JM:2 * JM, 0] = y_lo
     jin[_J_FD * JM:(_J_FD + 1) * JM, 0] = 1.0
@@ -1788,21 +1883,11 @@ def fused_simulate_network_batched(branches, n_junctions, settings, batch,
         for j, rc in enumerate(junction_rating):
             if rc is None:
                 continue
-            c = np.asarray(rc.coeffs, np.float64)
-            if rc.kind == "polynomial":
-                d = c
-                xoff = float(np.asarray(rc.stage_shift, np.float64))
-                bufs, fd = 1e-30, 1.0
-            else:
-                d = np.asarray(rc.coeffs_high, np.float64)
-                xoff = -float(np.asarray(rc.pivot_stage, np.float64))
-                bufs = max(float(np.asarray(rc.buffer, np.float64)), 1e-30)
-                fd = float(np.asarray(rc.fd_step, np.float64))
-            for row, v in ((_J_C2, c[0]), (_J_C1, c[1]), (_J_C0, c[2]),
-                           (_J_D2, d[0]), (_J_D1, d[1]), (_J_D0, d[2]),
-                           (_J_XOFF, xoff), (_J_BUFS, bufs), (_J_FD, fd)):
-                jin[row * JM + j * Mp:row * JM + (j + 1) * Mp, 0] = \
-                    np.float32(v)
+            _pack_jrate_rows(
+                lambda row, v: jin.__setitem__(
+                    (slice(row * JM + j * Mp, row * JM + (j + 1) * Mp), 0),
+                    np.float32(v)),
+                rc, jrate_deg)
 
     work_rows = fn._WORK_ROWS + 2 * (m_rhs - 1) * (n_sweeps + 2)
     per_level = (4 * BM * Np + BM * 128 + JM * 128) * 4
@@ -1837,7 +1922,7 @@ def fused_simulate_network_batched(branches, n_junctions, settings, batch,
         varying=varying, topo_j=tuple(topo_j), qlat_mode=qlat_mode,
         has_jstor=has_jstor, has_jrate=has_jrate,
         has_stor_end=has_stor_end, has_stg=has_stg_cur,
-        n_net_rows=net_rows.shape[0] // BM,
+        jrate_deg=jrate_deg, n_net_rows=net_rows.shape[0] // BM,
         out_mem=out_mem, interpret=interpret)
     ins = [jnp.asarray(geo_rows), jnp.asarray(init_rows),
            jnp.asarray(net_rows), jnp.asarray(jin)]

@@ -807,3 +807,44 @@ def test_batched_network_tv_qlat():
         for b in range(2):
             assert np.abs(np.asarray(out.depth[b])[m]
                           - np.asarray(ref.depth[b])).max() < 1e-4
+
+
+def test_junction_poly_n_rating_parity():
+    """Arbitrary-degree (poly_n) rated junction outflow: the kernel packs
+    descending-coefficient Horner blocks and uses the ANALYTIC derivative
+    polynomial (matching rcurve.dQ_dz), so iteration counts match the
+    loop engine exactly — single and member-batched network kernels."""
+    from flowsim_tpu.ops import rating_curve as rcurve
+    from flowsim_tpu.parallel.ensemble import batched_simulate_network
+
+    branches, sset = _split_akbari(nt=9)
+    z_conf = float(np.asarray(branches[0].geo.z_bed)[-1])
+    Y_init = z_conf + float(np.asarray(branches[0].h0)[-1])
+    rc = rcurve.make_polynomial_general(
+        np.array([5.0, 20.0, 6.0, 1.5, 0.25]),  # ascending, degree 4
+        stage_shift=-(Y_init - 1.0))
+    assert rc.kind == "poly_n"
+    SA = 5.0e5
+    kw = dict(junction_area=[SA], junction_rating=[rc])
+    out_l = simulate_network(branches, 1, sset, engine="loop", **kw)
+    out_f = simulate_network(branches, 1, sset, engine="fused", **kw)
+    _assert_parity(out_l, out_f, 2, dh=1e-4, dY=1e-4)
+    assert np.asarray(out_f.junction_outflow)[1:, 0].min() > 0.0
+
+    us0 = branches[0].us
+    se = np.asarray(us0.target_series, np.float64)
+    scales = np.asarray([0.9, 1.1])
+    us_b = jax.vmap(lambda s: dataclasses.replace(
+        us0, target_series=jnp.asarray(se) * s))(jnp.asarray(scales))
+    outb = batched_simulate_network(branches, 1, sset,
+                                    [dict(us=us_b), dict()],
+                                    engine="fused", **kw)
+    for m, s in enumerate(scales):
+        brm = [dataclasses.replace(branches[0], us=dataclasses.replace(
+            us0, target_series=jnp.asarray(se * s))), branches[1]]
+        ref = simulate_network(brm, 1, sset, engine="loop", **kw)
+        np.testing.assert_array_equal(np.asarray(outb.iterations)[m],
+                                      np.asarray(ref.iterations))
+        for b in range(2):
+            assert np.abs(np.asarray(outb.depth[b])[m]
+                          - np.asarray(ref.depth[b])).max() < 1e-4

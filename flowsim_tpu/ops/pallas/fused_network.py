@@ -269,6 +269,12 @@ def _kernel_network(*refs,
     ds_tgt_ref = refs.pop(0)
     scal_ref = refs.pop(0)
     out_refs = refs
+    # tv qlat: the [nt, B, Np] stack stays in HBM; a VMEM staging row +
+    # DMA semaphore scratch pair sits at the END of the scratch list
+    qstage = qsem = None
+    if qlat_mode == "tv":
+        qsem = out_refs.pop()
+        qstage = out_refs.pop()
     streamer = None
     if out_mem == "hbm":
         sems = out_refs.pop()
@@ -477,9 +483,15 @@ def _kernel_network(*refs,
         tgt = member_col(tgt_ref, k)
         ds_tgt = member_col(ds_tgt_ref, k)
         if qlat_mode == "tv":
-            # per-level pre-averaged inflow rows (theta-weighted cell
-            # average of q^k and q^{k-1}, packed host-side)
-            qlat_k = qlat_ref[pl.ds(k, 1)][0]
+            # DMA level k's [B, Np] pre-averaged inflow row from the HBM
+            # stack (theta-weighted cells packed host-side; i64->f32->i32
+            # index routing for Mosaic's memref_slice)
+            k32 = k.astype(jnp.float32).astype(jnp.int32)
+            cp = pltpu.make_async_copy(qlat_ref.at[pl.ds(k32, 1)], qstage,
+                                       qsem)
+            cp.start()
+            cp.wait()
+            qlat_k = qstage[0]
         else:
             qlat_k = qlat_const
 
@@ -703,8 +715,8 @@ def _build_call_network(*, nt, n, B, Np, J, Jp, m_rhs, n_sweeps, max_iter,
             ]
             + ([pl.BlockSpec(memory_space=pltpu.VMEM)]   # storage tables
                if has_stg else [])
-            + ([pl.BlockSpec(memory_space=pltpu.VMEM)]   # [nt, B, Np] qlat
-               if qlat_mode == "tv" else [])
+            + ([pl.BlockSpec(memory_space=pl.ANY)]   # [nt, B, Np] tv qlat
+               if qlat_mode == "tv" else [])         # stack stays in HBM
             + [
                 pl.BlockSpec(memory_space=pltpu.SMEM),  # us targets [B, nt]
                 pl.BlockSpec(memory_space=pltpu.SMEM),  # ds targets [B, nt]
@@ -712,8 +724,11 @@ def _build_call_network(*, nt, n, B, Np, J, Jp, m_rhs, n_sweeps, max_iter,
             ]
         ),
         out_specs=[pl.BlockSpec(memory_space=out_space)] * len(out_shapes),
-        scratch_shapes=(_out_scratch_shapes(out_shapes)
-                        if out_mem == "hbm" else []),
+        scratch_shapes=((_out_scratch_shapes(out_shapes)
+                         if out_mem == "hbm" else [])
+                        + ([pltpu.VMEM((1, B, Np), jnp.float32),
+                            pltpu.SemaphoreType.DMA]
+                           if qlat_mode == "tv" else [])),
         interpret=interpret,
     ))
 
@@ -1046,7 +1061,7 @@ def fused_simulate_network(branches, n_junctions, settings, Y0=None,
     per_level = (4 * B * Np + B * 128 + Jp * 128) * 4
     work = ((_NG + 4 + 8) * B * Np + work_rows * B * Np) * 4
     if qlat_mode == "tv":
-        work += nt * B * Np * 4  # the per-level inflow rows stay in VMEM
+        work += B * Np * 4  # the VMEM staging row (the stack is in HBM)
     if geo_kind == "table":
         work += fn._NT * tab_stride * B * Np * 4  # per-branch lookup tables
     has_stg_cur = any(r is not None for r in stg_list)

@@ -219,6 +219,11 @@ def _pack_jrate_rows(put, rc, deg):
         xoff = -float(np.asarray(rc.pivot_stage, np.float64))
         bufs = max(float(np.asarray(rc.buffer, np.float64)), 1e-30)
         fd = float(np.asarray(rc.fd_step, np.float64))
+        if fd <= 0.0:
+            # fd == 0 is the poly_n analytic-derivative sentinel in the
+            # kernel; a blended curve with it would silently zero dq/dY
+            raise FusedUnsupported(
+                "blended junction rating needs fd_step > 0")
 
     def pad(v, k):
         v = np.asarray(v, np.float64)
@@ -483,15 +488,7 @@ def _kernel_network(*refs,
         tgt = member_col(tgt_ref, k)
         ds_tgt = member_col(ds_tgt_ref, k)
         if qlat_mode == "tv":
-            # DMA level k's [B, Np] pre-averaged inflow row from the HBM
-            # stack (theta-weighted cells packed host-side; i64->f32->i32
-            # index routing for Mosaic's memref_slice)
-            k32 = k.astype(jnp.float32).astype(jnp.int32)
-            cp = pltpu.make_async_copy(qlat_ref.at[pl.ds(k32, 1)], qstage,
-                                       qsem)
-            cp.start()
-            cp.wait()
-            qlat_k = qstage[0]
+            qlat_k = fn._stream_qlat_row(qlat_ref, qstage, qsem, k)
         else:
             qlat_k = qlat_const
 
@@ -976,11 +973,8 @@ def fused_simulate_network(branches, n_junctions, settings, Y0=None,
             else:  # tv: per-level theta-weighted cell averages, precomputed
                 if q.ndim == 1:
                     q = np.broadcast_to(q, (nt, n_b))
-                th = float(settings.theta)
-                qc, qp = q[1:], q[:-1]
-                cell = (0.5 * th * (qc[:, :-1] + qc[:, 1:])
-                        + 0.5 * (1.0 - th) * (qp[:, :-1] + qp[:, 1:]))
-                qlat_rows[1:, m, : n_b - 1] = cell.astype(f32)
+                qlat_rows[1:, m, : n_b - 1] = fn._qlat_tv_cells(
+                    q, float(settings.theta)).astype(f32)
 
     # distinct external-end kinds per side: a single kind stays the scalar
     # fast path (identical kernels to v1); several become a static tuple
@@ -1397,15 +1391,7 @@ def _kernel_network_batched(*refs,
         tgt = member_col(tgt_ref, k)
         ds_tgt = member_col(ds_tgt_ref, k)
         if qlat_mode == "tv":
-            # DMA level k's [BM, Np] cell-average row from the HBM stack
-            # (blocking ~us copy vs a >=100 us level solve; the loop index
-            # routes i64->f32->i32 for Mosaic's memref_slice)
-            k32 = k.astype(jnp.float32).astype(jnp.int32)
-            cp = pltpu.make_async_copy(qlat_ref.at[pl.ds(k32, 1)], qstage,
-                                       qsem)
-            cp.start()
-            cp.wait()
-            qlat_k = qstage[0]
+            qlat_k = fn._stream_qlat_row(qlat_ref, qstage, qsem, k)
         else:
             qlat_k = qlat_const
 
@@ -1651,6 +1637,9 @@ def max_fused_network_batch(branches, settings) -> int:
            for br in branches for e in (br.us, br.ds)):
         # per-(member x branch) stage-grid storage tables
         per_member += fn._STG_BYTES * B0
+    if any(br.qlat is not None and np.ndim(br.qlat) == 2
+           for br in branches):
+        per_member += B0 * Np * 4  # tv-qlat VMEM staging row
     return (fn._FUSED_VMEM_BYTES // per_member) // 8 * 8
 
 
@@ -1851,11 +1840,8 @@ def fused_simulate_network_batched(branches, n_junctions, settings, batch,
                 else:  # tv: per-level theta-weighted cell averages
                     if q.ndim == 1:
                         q = np.broadcast_to(q, (nt, n_b))
-                    th = float(settings.theta)
-                    qc, qp = q[1:], q[:-1]
-                    cell = (0.5 * th * (qc[:, :-1] + qc[:, 1:])
-                            + 0.5 * (1.0 - th) * (qp[:, :-1] + qp[:, 1:]))
-                    qlat_rows[1:, r, : n_b - 1] = cell.astype(f32)
+                    qlat_rows[1:, r, : n_b - 1] = fn._qlat_tv_cells(
+                        q, float(settings.theta)).astype(f32)
 
     uniq = lambda ks: tuple(dict.fromkeys(k for k in ks if k is not None))
     us_kinds = uniq(us_kind_bs) or ("flow_hydrograph",)

@@ -1485,6 +1485,28 @@ def _pack_storage_tables(sp, dt: float):
     return rows, scalars
 
 
+def _qlat_tv_cells(q, theta):
+    """[nt-1, n-1] theta-weighted cell averages of a [nt, n] inflow field
+    (ops/preissmann.py:cell_stencil's cavg applied to the source term;
+    shared by every kernel's host-side time-varying qlat pack)."""
+    q = np.asarray(q, np.float64)
+    qc, qp = q[1:], q[:-1]
+    return (0.5 * theta * (qc[:, :-1] + qc[:, 1:])
+            + 0.5 * (1.0 - theta) * (qp[:, :-1] + qp[:, 1:]))
+
+
+def _stream_qlat_row(qlat_ref, qstage, qsem, k):
+    """DMA level ``k``'s row of the HBM inflow stack into the VMEM staging
+    slot and return it (blocking — the copy is ~1000x shorter than a level
+    solve; the loop index routes i64->f32->i32 for Mosaic's memref_slice).
+    Shared by every kernel's time-varying qlat path."""
+    k32 = k.astype(jnp.float32).astype(jnp.int32)
+    cp = pltpu.make_async_copy(qlat_ref.at[pl.ds(k32, 1)], qstage, qsem)
+    cp.start()
+    cp.wait()
+    return qstage[0]
+
+
 def _stack_storage_rows(rows_list):
     """Interleave per-sublane storage tables for the batched/network
     kernels: row (t*SR + c)*B + b (``_stg_blk``'s layout; B=1 collapses to
@@ -1698,12 +1720,9 @@ def fused_simulate(geo, us_bc, ds_bc, h0, Q0, settings, interpret: bool = False,
             qlat_rows[0, : n - 1] = (0.5 * (q[:-1] + q[1:])).astype(f32)
         else:
             qlat_mode = "tv"
-            th = float(settings.theta)
             qlat_rows = np.zeros((max(nt, 8), Np), f32)
-            qc, qp = q[1:], q[:-1]
-            cell = (0.5 * th * (qc[:, :-1] + qc[:, 1:])
-                    + 0.5 * (1.0 - th) * (qp[:, :-1] + qp[:, 1:]))
-            qlat_rows[1:nt, : n - 1] = cell.astype(f32)
+            qlat_rows[1:nt, : n - 1] = _qlat_tv_cells(
+                q, float(settings.theta)).astype(f32)
             if nt * Np * 4 > 2 * 1024 * 1024:
                 raise FusedUnsupported(
                     "time-varying lateral inflow rows exceed the VMEM "
@@ -1976,14 +1995,7 @@ def _kernel_batched(geo_ref, init_ref, tgt_ref, ds_tgt_ref, scal_ref,
         tgt = member_col(tgt_ref, k)
         ds_tgt = member_col(ds_tgt_ref, k)
         if qlat_mode == "tv":
-            # route the (weak-i64 under x64) loop index through f32 to the
-            # i32 Mosaic DMA slice index (see _LevelStreamer.store)
-            k32 = k.astype(jnp.float32).astype(jnp.int32)
-            cp = pltpu.make_async_copy(qlat_ref.at[pl.ds(k32, 1)], qstage,
-                                       qsem)
-            cp.start()
-            cp.wait()
-            qlat_k = qstage[0]
+            qlat_k = _stream_qlat_row(qlat_ref, qstage, qsem, k)
         else:
             qlat_k = qlat_const
 
@@ -2295,11 +2307,8 @@ def _prepare_batched(geo_batch, us_bc, ds_bc, h0, Q0, settings,
             th = float(settings.theta)
             qlat_rows = np.zeros((nt, B, Np), f32)
             for m in range(B):
-                qm = q[min(m, B0 - 1)]
-                qc, qp = qm[1:], qm[:-1]
-                cell = (0.5 * th * (qc[:, :-1] + qc[:, 1:])
-                        + 0.5 * (1.0 - th) * (qp[:, :-1] + qp[:, 1:]))
-                qlat_rows[1:nt, m, : n - 1] = cell.astype(f32)
+                qlat_rows[1:nt, m, : n - 1] = _qlat_tv_cells(
+                    q[min(m, B0 - 1)], th).astype(f32)
         else:
             raise FusedUnsupported(
                 f"batched kernel lateral_inflow must be [N={n}], "

@@ -74,9 +74,12 @@ def make_polynomial_general(coefficients, stage_shift=0.0) -> RatingCurveParams:
 
     The reference's ``scale=True`` fit path supports any degree (ref
     rating_curve.py:84,101-105 stores a numpy Polynomial and evaluates it);
-    kind="poly_n" is the device evaluation of the same fit.  The fused
-    kernel packs quadratics only and falls back to the XLA path for this
-    kind (FusedUnsupported)."""
+    kind="poly_n" is the device evaluation of the same fit.  As a
+    JUNCTION release curve the fused network kernels evaluate it in-kernel
+    (descending Horner blocks + the analytic derivative polynomial,
+    ops/pallas/fused_network._pack_jrate_rows); as a single-reach BOUNDARY
+    rating the fused kernel still packs quadratics only and falls back to
+    the XLA path for this kind (FusedUnsupported)."""
     return RatingCurveParams(
         kind="poly_n",
         coeffs=farray(np.atleast_1d(coefficients)),

@@ -66,6 +66,18 @@ def _run_benchmark(force_cpu: bool = False):
         jax.config.update("jax_platforms", "cpu")
 
     jax.config.update("jax_enable_x64", True)
+
+    # persistent compilation cache: pay each executable's compile once per
+    # machine instead of once per process (round-5; utils/compile_cache.py)
+    from flowsim_tpu.utils import compile_cache
+
+    cache_dir = compile_cache.enable()
+    try:
+        n_entries = len(os.listdir(cache_dir))
+    except OSError:
+        n_entries = 0
+    log(f"compile cache: {cache_dir} ({n_entries} entries)")
+
     import jax.numpy as jnp
 
     from flowsim_tpu.models.gerd_roseires import model, settings

@@ -438,7 +438,7 @@ class PreissmannSolver(_SolverBase):
         self.ds_params = channel.downstream_boundary.build(times, geo.z_bed[-1], geo.bed_slope[-1])
 
     def settings(self, tolerance, max_iter, diagnos=False) -> prs.PreissmannSettings:
-        return prs.PreissmannSettings(
+        sset = prs.PreissmannSettings(
             theta=self.theta,
             time_step=self.time_step,
             spatial_step=self.spatial_step,
@@ -449,6 +449,8 @@ class PreissmannSolver(_SolverBase):
             newton=self.newton,
             diagnos=bool(diagnos),
         )
+        prs.guard_tpu_thomas(sset)  # 'thomas' crashes the TPU runtime worker
+        return sset
 
     RCOND_THRESHOLD = 1e-12  # ref preissmann.py:142
 
@@ -717,7 +719,7 @@ class NetworkSolver:
         self.output = None
 
     def settings(self, tolerance, max_iter, **kw) -> prs.PreissmannSettings:
-        return prs.PreissmannSettings(
+        sset = prs.PreissmannSettings(
             theta=self.theta,
             time_step=self.time_step,
             spatial_step=self.branch_dx[0],
@@ -728,6 +730,8 @@ class NetworkSolver:
             newton=self.newton,
             **kw,
         )
+        prs.guard_tpu_thomas(sset)  # 'thomas' crashes the TPU runtime worker
+        return sset
 
     def run(self, tolerance=1e-4, verbose=1, max_iter=100, engine="loop"):
         """``engine="stacked"`` batches all branches into one padded

@@ -117,14 +117,45 @@ def rmse_sweep(geo, us_bc, ds_bc, h0, Q0, settings, Q_targets, H_targets, n_valu
 
 
 def gradient_calibrate(geo, us_bc, ds_bc, h0, Q0, settings, Q_targets, H_targets,
-                       n0=0.028, lr=2e-4, steps=25, bounds=(0.020, 0.060)):
+                       n0=0.028, lr=2e-4, steps=25, bounds=(0.020, 0.060),
+                       newton: str = "implicit", engine: str = "xla"):
     """Gradient descent on the squared-stage objective through the solver.
 
-    Requires settings.newton == 'fixed' (differentiable Newton).  Returns
-    (n_opt, history of (n, loss)).
+    ``newton="implicit"`` (default) uses the adjoint path (ops/adjoint.py):
+    fast while-Newton forward + one transposed block-tridiagonal solve per
+    level backward — O(1) gradient memory.  ``newton="fixed"`` keeps the
+    legacy unrolled-autodiff path (max_iter x nt assemblies on the tape).
+
+    ``engine="fused"`` additionally runs each step's FORWARD through the
+    fused whole-simulation Pallas kernel (gradients at fused-kernel speed;
+    ops/adjoint.simulate_value_and_grad) — the TPU fast path.
+
+    Returns (n_opt, history of (n, loss)).
     """
-    if settings.newton != "fixed":
-        settings = dataclasses.replace(settings, newton="fixed")
+    if engine == "fused":
+        from flowsim_tpu.ops import adjoint
+
+        sset = dataclasses.replace(settings, newton="while")
+
+        def loss_fn(out):
+            H = upstream_stage_at(out, geo.z_bed[0], Q_targets)
+            return jnp.sum((H - jnp.asarray(H_targets)) ** 2)
+
+        n = jnp.asarray(float(n0))
+        history = []
+        for _ in range(steps):
+            g_geo = set_main_roughness(geo, n)
+            v, grads, _ = adjoint.simulate_value_and_grad(
+                loss_fn, g_geo, us_bc, ds_bc, h0, Q0, sset)
+            # d loss / d n_main: the roughness broadcast sums per-node grads
+            g = jnp.sum(grads[0].n_main)
+            history.append((float(n), float(v)))
+            step = jnp.clip(lr * g, -2e-3, 2e-3)
+            n = jnp.clip(n - step, bounds[0], bounds[1])
+        return float(n), history
+
+    if settings.newton != newton:
+        settings = dataclasses.replace(settings, newton=newton)
 
     def loss(n_main):
         out = simulate_with_roughness(geo, us_bc, ds_bc, h0, Q0, settings, n_main)

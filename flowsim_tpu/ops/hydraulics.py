@@ -33,12 +33,18 @@ _EPS = 1e-30  # guards 0/0 only; never changes well-posed values
 
 
 def _cbrt(x):
-    r = jnp.cbrt(x)
-    # one Newton step restores full-precision roots even if cbrt is sloppy;
-    # multiplicative form is safe at x = 0 (r = 0 stays 0).
+    # the x == 0 sentinel keeps autodiff finite: jnp.cbrt's derivative at 0
+    # is +inf, and a downstream 0 * inf turns into NaN in both jvp and vjp
+    # even when the 0-valued branch is the selected one (the adjoint path,
+    # ops/adjoint.py, needs d/dh of every closure).  Values are unchanged:
+    # x != 0 follows the exact old formula, x == 0 returns the same 0.
+    zero_in = x == 0.0
+    xs = jnp.where(zero_in, 1.0, x)
+    r = jnp.cbrt(xs)
+    # one Newton step restores full-precision roots even if cbrt is sloppy
     r2 = r * r
     r3 = r2 * r
-    return jnp.where(r2 > 0.0, r - (r3 - x) / (3.0 * jnp.where(r2 > 0.0, r2, 1.0)), r)
+    return jnp.where(zero_in, 0.0, r - (r3 - xs) / (3.0 * r2))
 
 
 def pow_2_3(x):
@@ -55,7 +61,13 @@ def pow_1_6(x):
 
 
 def pow_3_2(x):
-    return x * jnp.sqrt(x)
+    # d/dx = sqrt(x) + x/(2 sqrt(x)) is 0/0 at x = 0; the sentinel keeps
+    # jvp/vjp finite (the Horton sum feeds K = 0 inactive subsections here).
+    # Values unchanged: x > 0 exact old formula, x <= 0 returns 0 (x = 0
+    # returned 0 before; negative conveyances cannot occur).
+    pos = x > 0.0
+    xs = jnp.where(pos, x, 1.0)
+    return jnp.where(pos, xs * jnp.sqrt(xs), 0.0)
 
 
 def conveyance(A, n, R):

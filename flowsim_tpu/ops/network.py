@@ -355,6 +355,7 @@ def simulate_network(branches: List[BranchDef], n_junctions: int,
     """
     _check_supported(branches, n_junctions, settings)
     settings = prs.guard_f32_floor(settings)
+    prs.guard_tpu_thomas(settings)
     if junction_rating is not None:
         if len(junction_rating) != n_junctions:
             raise ValueError(f"junction_rating must have {n_junctions} entries")
@@ -405,6 +406,7 @@ def simulate_network_chunk(branches: List[BranchDef], n_junctions: int,
     """
     _check_supported(branches, n_junctions, settings)
     settings = prs.guard_f32_floor(settings)
+    prs.guard_tpu_thomas(settings)
     topo, dyn = _split_branches(branches)
     rating = None if junction_rating is None else tuple(junction_rating)
     impl = (_simulate_network_stacked if engine == "stacked"

@@ -51,7 +51,13 @@ class PreissmannSettings:
     tolerance: float = field(metadata=dict(static=True))
     max_iter: int = field(metadata=dict(static=True))
     linear_solver: str = field(default="pcr", metadata=dict(static=True))
-    newton: str = field(default="while", metadata=dict(static=True))  # 'while' | 'fixed'
+    # 'while': data-dependent Newton loop (fastest forward; not reverse-
+    #          differentiable on its own);
+    # 'fixed': fixed-length masked Newton (reverse-differentiable by
+    #          unrolling — stores max_iter x nt iterates on the tape);
+    # 'implicit': while-Newton forward + adjoint/IFT backward via
+    #          custom_vjp (ops/adjoint.py) — the fast differentiable path.
+    newton: str = field(default="while", metadata=dict(static=True))
     gate_initially_open: bool = field(default=False, metadata=dict(static=True))
     # diagnos=True mirrors the reference's per-iteration ill-conditioning
     # check (ref preissmann.py:133-144): an in-graph PCR-pivot rcond proxy is
@@ -391,6 +397,29 @@ def guard_f32_floor(settings: PreissmannSettings) -> PreissmannSettings:
     return settings
 
 
+def guard_tpu_thomas(settings: PreissmannSettings, platform: str = None):
+    """Reject ``linear_solver="thomas"`` on a TPU backend.
+
+    The sequential block-Thomas solve is a nested ``lax.scan`` inside the
+    Newton while-loop inside the level scan; that scan-nesting depth
+    reproducibly CRASHES the TPU runtime worker (wedging a shared device
+    for every client — observed on v5e, CLAUDE.md "Known divergences").
+    It is also algorithmically wrong for the hardware: O(N) sequential
+    depth where PCR is O(log N).  'thomas' remains the fastest choice on
+    CPU at flagship sizes; every solver entry point calls this guard
+    before dispatching, so the combination cannot reach a TPU backend.
+    """
+    if platform is None:
+        platform = jax.default_backend()
+    if settings.linear_solver == "thomas" and platform == "tpu":
+        raise ValueError(
+            "linear_solver='thomas' is not supported on TPU backends: the "
+            "nested sequential scan reproducibly crashes the TPU runtime "
+            "worker (and can wedge a shared device). Use 'pcr' (f64 "
+            "emulation) or 'pcr_f32' (inexact-Newton, tolerance >= 1e-6) "
+            "on TPU; 'thomas' remains the CPU fast path.")
+
+
 @partial(jax.jit, static_argnames=("settings",))
 def _simulate_jit(geo, us_bc, ds_bc, h0, Q0, settings: PreissmannSettings,
                   lateral_inflow=None) -> SimOutput:
@@ -407,6 +436,15 @@ def simulate(geo, us_bc, ds_bc, h0, Q0, settings: PreissmannSettings,
     :func:`cell_stencil`); a flowsim_tpu extension beyond the reference.
     """
     settings = guard_f32_floor(settings)
+    guard_tpu_thomas(settings)
+    if settings.newton == "implicit":
+        # adjoint-differentiable path: while-Newton forward + IFT backward
+        # (ops/adjoint.py) — usable under jax.grad unlike newton="while",
+        # and O(1)-memory unlike newton="fixed"
+        from flowsim_tpu.ops import adjoint
+
+        return adjoint.simulate_implicit(geo, us_bc, ds_bc, h0, Q0,
+                                         settings, lateral_inflow)
     return _simulate_jit(geo, us_bc, ds_bc, h0, Q0, settings, lateral_inflow)
 
 

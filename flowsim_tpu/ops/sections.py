@@ -121,9 +121,23 @@ def _subsection_conveyances(g: TrapezoidGeometry, r, A, P, R):
     P_r = jnp.where(ob, r["P_r"], 0.0)
     R_r = jnp.where(P_r > 0.0, A_r / jnp.where(P_r > 0.0, P_r, 1.0), 0.0)
 
-    K_l = hyd.conveyance(A_l, g.n_left, R_l)
-    K_m = hyd.conveyance(A_m, g.n_main, R_m)
-    K_r = hyd.conveyance(A_r, g.n_right, R_r)
+    # inactive subsections (R = 0) need a sentinel INSIDE conveyance, not
+    # just on its output: pow_2_3's derivative at 0 is infinite, so the
+    # jvp/vjp of A * R^(2/3) evaluates 0 * inf = NaN even though the value
+    # is an exact 0 — which poisoned d(Horton K)/dh for every below-bankfull
+    # node (and the n_left/n_right cotangents) until round 5's adjoint
+    # surfaced it.  Values are bitwise unchanged (the masks select the same
+    # 0 the raw formula produced).
+    act_l, act_m, act_r = P_l > 0.0, P_m > 0.0, P_r > 0.0
+    K_l = jnp.where(act_l,
+                    hyd.conveyance(A_l, g.n_left, jnp.where(act_l, R_l, 1.0)),
+                    0.0)
+    K_m = jnp.where(act_m,
+                    hyd.conveyance(A_m, g.n_main, jnp.where(act_m, R_m, 1.0)),
+                    0.0)
+    K_r = jnp.where(act_r,
+                    hyd.conveyance(A_r, g.n_right, jnp.where(act_r, R_r, 1.0)),
+                    0.0)
     return K_l, K_m, K_r
 
 

@@ -132,21 +132,17 @@ def net_vol_change(sp: StorageParams, Y1, Y2):
     return (Y2 - Y1) * sp.surface_area
 
 
-def mass_balance(sp: StorageParams, duration, vol_in, Y_old):
-    """Implicit new stage from the trapezoidal mass balance (ref :24-35).
-
-    Solves  net_vol_change(Y_old, Y) = vol_in - 0.5*(Qout(Y_old)+Qout(Y))*dt
-    by bracketed bisection on [y_min, y_max] (replacing brentq), then clamps
-    to ``min_stage``.
-    """
+def _mass_balance_residual(sp: StorageParams, duration, vol_in, Y_old, Y):
+    """g(Y) whose root is the new stage:  net_vol_change(Y_old, Y)
+    - (vol_in - 0.5*(Qout(Y_old)+Qout(Y))*dt)  (ref :24-35)."""
     q_old = rcurve.discharge(sp.rating, Y_old) if sp.has_rating else 0.0
+    q_new = rcurve.discharge(sp.rating, Y) if sp.has_rating else 0.0
+    target_vol = vol_in - 0.5 * (q_old + q_new) * duration
+    return net_vol_change(sp, Y_old, Y) - target_vol
 
-    def f(Y):
-        q_new = rcurve.discharge(sp.rating, Y) if sp.has_rating else 0.0
-        q_out = 0.5 * (q_old + q_new)
-        target_vol = vol_in - q_out * duration
-        return net_vol_change(sp, Y_old, Y) - target_vol
 
+def _mass_balance_bisect(sp: StorageParams, duration, vol_in, Y_old):
+    f = lambda Y: _mass_balance_residual(sp, duration, vol_in, Y_old, Y)
     lo = sp.y_min * jnp.ones_like(Y_old)
     hi = sp.y_max * jnp.ones_like(Y_old)
     f_lo = f(lo)
@@ -164,6 +160,43 @@ def mass_balance(sp: StorageParams, duration, vol_in, Y_old):
     lo, hi, _ = jax.lax.fori_loop(0, _BISECT_ITERS, body, (lo, hi, f_lo))
     Y = 0.5 * (lo + hi)
     return jnp.maximum(Y, sp.min_stage)
+
+
+@jax.custom_jvp
+def mass_balance(sp: StorageParams, duration, vol_in, Y_old):
+    """Implicit new stage from the trapezoidal mass balance (ref :24-35).
+
+    Solves  net_vol_change(Y_old, Y) = vol_in - 0.5*(Qout(Y_old)+Qout(Y))*dt
+    by bracketed bisection on [y_min, y_max] (replacing brentq), then clamps
+    to ``min_stage``.
+
+    Derivatives come from the implicit function theorem (``custom_jvp``),
+    NOT from differentiating the bisection: every value path through the
+    bracket updates goes through boolean ``where`` selections from constant
+    brackets, so autodiff of the loop yields an identically-zero (and thus
+    silently wrong) gradient.  The IFT rule dY = -(dg . dtheta)/(dg/dY) is
+    linear in the tangents, so JAX transposes it for reverse mode too —
+    both the gradient-calibration and adjoint paths (ops/adjoint.py, which
+    additionally needs FORWARD mode for its exact-Jacobian block
+    extraction) rely on this.  Below ``min_stage`` the clamp is active and
+    all sensitivities are zero (matching :func:`dY_new_dvol_in`'s guard,
+    ref :37-45).
+    """
+    return _mass_balance_bisect(sp, duration, vol_in, Y_old)
+
+
+@mass_balance.defjvp
+def _mass_balance_jvp(primals, tangents):
+    sp, duration, vol_in, Y_old = primals
+    Y = _mass_balance_bisect(sp, duration, vol_in, Y_old)
+    _, gY = jax.jvp(
+        lambda y: _mass_balance_residual(sp, duration, vol_in, Y_old, y),
+        (Y,), (jnp.ones_like(Y),))
+    _, dg = jax.jvp(
+        lambda s, d, v, yo: _mass_balance_residual(s, d, v, yo, Y),
+        primals, tangents)
+    dY = jnp.where(Y <= sp.min_stage, 0.0, -dg / gY)
+    return Y, dY
 
 
 def dY_new_dvol_in(sp: StorageParams, Y_new):

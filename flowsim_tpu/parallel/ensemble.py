@@ -103,6 +103,17 @@ def batched_simulate(geo_batch, us_bc, ds_bc, h0, Q0, settings: prs.PreissmannSe
     # the fused kernel's contract)
     q = lateral_inflow
     q_ax = 0 if (q is not None and jnp.ndim(q) >= 2) else None
+    B_all = jax.tree_util.tree_leaves(geo_batch)[0].shape[0]
+    if (q is not None and jnp.ndim(q) == 2
+            and B_all == settings.n_time_levels
+            and q.shape[0] == B_all):
+        # member-major [B, N] and a shared time-varying [nt, N] field are
+        # indistinguishable when B == nt — refuse rather than silently pick
+        # member-major (mirrors the fused drivers' guard)
+        raise ValueError(
+            f"2-D lateral_inflow is ambiguous when the member count equals "
+            f"the level count (B={B_all} == nt={settings.n_time_levels}): "
+            f"broadcast to [B, nt, N] to disambiguate")
 
     def one(geo, us, ds, h, Q, qm=None):
         return prs.simulate(geo, us, ds, h, Q, settings, lateral_inflow=qm)

@@ -1,0 +1,161 @@
+"""Gradient-path benchmark: adjoint vs unrolled-fixed autodiff (round 5).
+
+Measures, on the flagship gerd configuration (N=121, 385 levels, tol 1e-6
+semantics), the wall time of one value+gradient evaluation of the RMSE
+calibration objective (ref cases/gerd_roseires/n_calibrate.py:19-31) via:
+
+1. legacy ``newton="fixed"`` reverse-mode (the round-4 state of the art,
+   models/calibrate.py) — forward + unrolled backward through max_iter
+   masked Newton iterations per level;
+2. ``newton="implicit"`` (ops/adjoint.py simulate_implicit): while-Newton
+   forward + IFT adjoint backward, under plain jax.grad;
+3. ``engine="fused"`` two-phase driver (adjoint.simulate_value_and_grad):
+   fused Pallas kernel forward + the same jitted adjoint backward.
+
+Prints one JSON line with the three walls and the speedups.  Run from the
+repo root: ``python scripts/bench_adjoint.py [cpu] [fixed_iters]``.
+"""
+
+import dataclasses
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    force_cpu = "cpu" in sys.argv[1:]
+    import jax
+
+    if force_cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+
+    from flowsim_tpu.utils import compile_cache
+
+    compile_cache.enable()
+
+    import jax.numpy as jnp
+
+    from flowsim_tpu.models.calibrate import (set_main_roughness,
+                                              upstream_stage_at)
+    from flowsim_tpu.models.gerd_roseires import model, settings
+    from flowsim_tpu.ops import adjoint
+    from flowsim_tpu.ops import preissmann as prs
+
+    device = jax.devices()[0]
+    on_tpu = device.platform == "tpu"
+    log(f"device: {device}")
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        solver, channel = model.build()  # smooth (non-gated) ds curve
+        sset = solver.settings(tolerance=settings.tolerance, max_iter=100)
+        sset = dataclasses.replace(
+            sset, linear_solver="pcr_f32" if on_tpu else "thomas")
+        geo = solver.channel.geometry
+
+    # the reference's six calibration targets (ref n_calibrate.py:27-29)
+    Q_t = jnp.asarray([1562.5, 2000.0, 3000.0, 4000.0, 5000.0, 6000.0])
+    H_t = jnp.asarray([500.0, 501.0, 502.3, 503.4, 504.3, 505.1])
+
+    def sync(x):
+        return float(jnp.sum(jnp.where(jnp.isnan(x), 0.0, x)))
+
+    if on_tpu:
+        t0 = time.time()
+        sync(jnp.ones(8))
+        log(f"tunnel session floor: {time.time()-t0:.1f}s")
+
+    us, ds, h0, Q0 = solver.us_params, solver.ds_params, solver.h0, solver.Q0
+
+    def loss_of(out, g):
+        H = upstream_stage_at(out, g.z_bed[0], Q_t)
+        return jnp.sqrt(jnp.mean((H - H_t) ** 2))
+
+    def make_objective(newton, max_iter=None):
+        ss = dataclasses.replace(sset, newton=newton)
+        if max_iter is not None:
+            ss = dataclasses.replace(ss, max_iter=max_iter)
+
+        def f(n_main):
+            g = set_main_roughness(geo, n_main)
+            out = prs.simulate(g, us, ds, h0, Q0, ss)
+            return loss_of(out, g)
+
+        return f
+
+    def time_reps(fn, reps=3):
+        best = np.inf
+        for r in range(reps):
+            n = jnp.asarray(0.0290 + 1e-9 * r)  # perturb: defeat result cache
+            t0 = time.time()
+            v = fn(n)
+            sync(jnp.asarray(v if not isinstance(v, tuple) else v[0]))
+            best = min(best, time.time() - t0)
+        return best
+
+    results = {}
+
+    # --- 2. implicit adjoint under jax.grad --------------------------------
+    vg_impl = jax.jit(jax.value_and_grad(make_objective("implicit")))
+    t0 = time.time()
+    v, g = vg_impl(jnp.asarray(0.029))
+    sync(g)
+    log(f"implicit compile+first: {time.time()-t0:.1f}s  "
+        f"loss={float(v):.4f} grad={float(g):.3f}")
+    results["implicit_s"] = time_reps(lambda n: vg_impl(n)[1])
+    log(f"implicit steady: {results['implicit_s']:.3f}s")
+
+    # --- 1. legacy fixed-path autodiff -------------------------------------
+    # max_iter=100 at flagship scale unrolls 100x385 assemblies on the tape;
+    # use the measured per-level iteration ceiling (~30) as the reference
+    # points do, unless overridden
+    fixed_iters = next((int(a) for a in sys.argv[1:] if a.isdigit()), 30)
+    vg_fixed = jax.jit(jax.value_and_grad(make_objective("fixed",
+                                                         fixed_iters)))
+    t0 = time.time()
+    v, g = vg_fixed(jnp.asarray(0.029))
+    sync(g)
+    log(f"fixed({fixed_iters}) compile+first: {time.time()-t0:.1f}s  "
+        f"loss={float(v):.4f} grad={float(g):.3f}")
+    results["fixed_s"] = time_reps(lambda n: vg_fixed(n)[1])
+    log(f"fixed steady: {results['fixed_s']:.3f}s")
+
+    # --- 3. fused forward + adjoint backward -------------------------------
+    ss_w = dataclasses.replace(sset, newton="while")
+
+    def fused_vg(n):
+        g = set_main_roughness(geo, n)
+        loss, grads, _ = adjoint.simulate_value_and_grad(
+            lambda o: loss_of(o, geo), g, us, ds, h0, Q0, ss_w,
+            engine="fused", interpret=not on_tpu)
+        return loss, jnp.sum(grads[0].n_main)
+
+    if on_tpu:
+        t0 = time.time()
+        v, g = fused_vg(jnp.asarray(0.029))
+        sync(g)
+        log(f"fused+adjoint compile+first: {time.time()-t0:.1f}s  "
+            f"loss={float(v):.4f} grad={float(g):.3f}")
+        results["fused_adjoint_s"] = time_reps(lambda n: fused_vg(n)[1])
+        log(f"fused+adjoint steady: {results['fused_adjoint_s']:.3f}s")
+
+    results["speedup_implicit_vs_fixed"] = round(
+        results["fixed_s"] / results["implicit_s"], 2)
+    if "fused_adjoint_s" in results:
+        results["speedup_fused_vs_fixed"] = round(
+            results["fixed_s"] / results["fused_adjoint_s"], 2)
+    results = {k: (round(v, 4) if isinstance(v, float) else v)
+               for k, v in results.items()}
+    results["platform"] = device.platform
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -10,8 +10,9 @@ from flowsim_tpu.api import RatingCurve
 from flowsim_tpu.utils import utility as util
 from tests.oracle import import_reference, reference_available
 
-pytestmark = pytest.mark.skipif(not reference_available(),
-                                reason="reference not mounted")
+pytestmark = [pytest.mark.fast,
+              pytest.mark.skipif(not reference_available(),
+                                 reason="reference not mounted")]
 
 
 def test_utility_parity():

@@ -14,6 +14,8 @@ import pytest
 
 from flowsim_tpu.ops import tridiag
 
+pytestmark = pytest.mark.fast
+
 
 def _random_system(rng, N=16, coupled=True):
     L = jnp.asarray(rng.normal(size=(N, 2, 2))) * (0.3 if coupled else 0.0)

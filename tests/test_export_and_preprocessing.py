@@ -14,6 +14,8 @@ from flowsim_tpu.utils.geometry_export import draw_channel, reconstruct_centerli
 from flowsim_tpu.utils.shapefile import write_polylines
 from tests.oracle import REFERENCE_ROOT, reference_available
 
+pytestmark = pytest.mark.fast
+
 
 def test_centerline_matches_reference():
     if not reference_available():

@@ -8,7 +8,7 @@ import pytest
 from flowsim_tpu.ops import hydraulics as hyd
 from tests.oracle import import_reference, reference_available
 
-pytestmark = pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+pytestmark = [pytest.mark.fast, pytest.mark.skipif(not reference_available(), reason="reference not mounted")]
 
 
 @pytest.fixture(scope="module")

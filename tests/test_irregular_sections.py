@@ -14,7 +14,7 @@ from flowsim_tpu.geometry_tables import (
 from flowsim_tpu.ops import sections as sec
 from tests.oracle import import_reference, reference_available
 
-pytestmark = pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+pytestmark = [pytest.mark.fast, pytest.mark.skipif(not reference_available(), reason="reference not mounted")]
 
 
 def make_polyline(seed=0, n_pts=25, relief=12.0, width=300.0):

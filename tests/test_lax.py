@@ -17,6 +17,8 @@ from flowsim_tpu.ops.lax_friedrichs import depth_from_area
 from flowsim_tpu.ops import sections as sec
 from tests.test_preissmann_parity import akbari_hydrograph, run_ours_akbari
 
+pytestmark = pytest.mark.fast
+
 
 def build_akbari_lax(dt=150):
     S_0, length, width, roughness = 0.00061, 29000, 120, 0.023

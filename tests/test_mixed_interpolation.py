@@ -22,7 +22,7 @@ from flowsim_tpu.geometry_tables import (
 )
 from tests.oracle import import_reference, reference_available
 
-pytestmark = pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+pytestmark = [pytest.mark.fast, pytest.mark.skipif(not reference_available(), reason="reference not mounted")]
 
 
 def _irr_polyline(width=260.0, relief=10.0, seed=3, n_pts=21):

@@ -7,6 +7,8 @@ from flowsim_tpu import native
 from flowsim_tpu.geometry_tables import polyline_properties
 from tests.test_irregular_sections import make_polyline
 
+pytestmark = pytest.mark.fast
+
 
 @pytest.mark.skipif(not native.available(), reason="no C toolchain")
 def test_polyline_tables_match_python():

@@ -8,6 +8,8 @@ import pytest
 from flowsim_tpu.ops.pallas.pcr_kernel import pcr_pallas
 from tests.test_tridiag import dense_solution, random_system
 
+pytestmark = pytest.mark.fast
+
 
 @pytest.mark.parametrize("N", [7, 64, 121, 700])
 def test_interpret_matches_dense(N, rng):

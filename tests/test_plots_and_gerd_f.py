@@ -6,6 +6,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.fast
+
 
 def test_gerd_f_matches_reference_formulas():
     """Vectorized Swamee-Jain / Colebrook vs the reference's scalar loop

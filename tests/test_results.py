@@ -8,7 +8,7 @@ import pytest
 from tests.oracle import import_reference, reference_available
 from tests.test_preissmann_parity import run_ours_example, run_reference_example
 
-pytestmark = pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+pytestmark = [pytest.mark.fast, pytest.mark.skipif(not reference_available(), reason="reference not mounted")]
 
 
 def test_derived_fields_match_reference(tmp_path):

@@ -8,7 +8,7 @@ from flowsim_tpu.geometry import TrapezoidStation, interpolate_stations
 from flowsim_tpu.ops import sections as sec
 from tests.oracle import import_reference, reference_available
 
-pytestmark = pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+pytestmark = [pytest.mark.fast, pytest.mark.skipif(not reference_available(), reason="reference not mounted")]
 
 
 def _geo_from_stations(stations, chainages, node_ch, **kw):

@@ -7,6 +7,8 @@ import pytest
 
 from flowsim_tpu.ops import tridiag
 
+pytestmark = pytest.mark.fast
+
 
 def random_system(rng, N, diag_boost=4.0, batch=()):
     L = rng.normal(size=batch + (N, 2, 2))

@@ -40,16 +40,19 @@ def _leaf_hydrograph(times, scale, peak_factor=4.0, ramp_h=6.0):
     return np.maximum(q, LEAF_FLOW * scale * 0.5)
 
 
-def build(levels=4, sim_hours=24, time_step=900.0, tolerance=1e-6):
+def build(levels=4, sim_hours=24, time_step=900.0, tolerance=1e-6,
+          link_nodes=LINK_NODES):
     """(branches, n_junctions, settings) for the binary-tree basin.
 
     Branch indexing is heap-like: branch 0 is the outlet reach; branch i's
     children are 2i+1 and 2i+2 (leaves have none).  Junction i (one per
     internal branch) joins branch i's children to branch i's upstream end.
+    ``link_nodes`` scales each reach (the large-basin stress bench passes
+    ~200 for a 10^5-node basin at levels=9).
     """
     n_branches = 2 ** levels - 1
     n_internal = 2 ** (levels - 1) - 1  # branches with children = junctions
-    length = (LINK_NODES - 1) * DX
+    length = (link_nodes - 1) * DX
     drop = SLOPE * length
     nt = int(sim_hours * 3600 // time_step) + 1
     times = np.arange(nt) * time_step
@@ -83,7 +86,7 @@ def build(levels=4, sim_hours=24, time_step=900.0, tolerance=1e-6):
                                          n_main=ROUGHNESS, bed_slope=SLOPE)
         geo = interpolate_stations(
             [st(z_lo + drop), st(z_lo)], np.array([0.0, length]),
-            np.linspace(0.0, length, LINK_NODES))
+            np.linspace(0.0, length, link_nodes))
         h0, Q0 = ic.initial_conditions(geo, "steady-state", base_flow[i], DX)
 
         if i >= n_internal:  # headwater: external inflow

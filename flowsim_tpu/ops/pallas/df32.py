@@ -283,3 +283,53 @@ def abs_(a: DF) -> DF:
     a = df(a)
     neg = a.hi < 0.0
     return where(neg, -a, a)
+
+
+_LN2 = df(0.6931471805599453094)  # split-f64 ln 2 (exact to df32 precision)
+
+
+def exp(a: DF) -> DF:
+    """df e^a via exact ln2 range reduction + Taylor (Hida/Li/Bailey QD
+    technique): a = k ln2 + r with |r| <= ln2/2, e^a = 2^k e^r, and the
+    degree-9 Taylor series of e^r carries ~3e-12 relative error at
+    |r| <= 0.35 — at the df32 floor.  2^k is exact (jnp.exp2 of a small
+    integer).  Domain: |a| <~ 80 (f32 exponent range)."""
+    a = df(a)
+    kf = jnp.round(a.hi * np.float32(1.4426950408889634))  # a / ln2
+    r = a - _LN2 * df(kf)
+    # Horner Taylor: 1 + r (1 + r/2 (1 + r/3 (...)))
+    acc = df(jnp.ones_like(a.hi))
+    for n in range(9, 0, -1):
+        acc = df(jnp.ones_like(a.hi)) + r * acc / df(float(n))
+    # 2^k EXACTLY by exponent-field construction — jnp.exp2 is an
+    # approximation even at integer arguments (measured on XLA:CPU:
+    # exp2(36) off by 1.2e-7 relative), which would waste the df precision.
+    ki = jnp.clip(kf, -126.0, 127.0).astype(jnp.int32)
+    scale = jax.lax.bitcast_convert_type(
+        ((ki + np.int32(127)) << np.int32(23)).astype(jnp.int32),
+        jnp.float32)
+    return DF(acc.hi * scale, acc.lo * scale)
+
+
+def log(x: DF) -> DF:
+    """df natural log via f32 seed + one df Newton step
+    (y <- y0 + (x e^{-y0} - 1)): the correction term is computed in full
+    df arithmetic, so the seed's ~1e-7 error collapses to the df32 floor.
+    Domain: x > 0 (non-positive inputs map to log of a 1.0 sentinel = 0)."""
+    x = df(x)
+    safe = x.hi > 0.0
+    xs = where(safe, x, df(jnp.ones_like(x.hi)))
+    y0 = jnp.log(xs.hi)
+    corr = xs * exp(df(-y0)) - df(1.0)
+    y = df(y0) + corr
+    return where(safe, y, df(jnp.zeros_like(y0)))
+
+
+def powf(x: DF, b) -> DF:
+    """df x^b for x > 0 and a constant (or per-lane) exponent b: exp(b ln x).
+    Relative error ~|b ln x| * 3e-12 — df32 grade for rating-curve ranges.
+    x <= 0 maps to 0 (rating curves clamp their argument positive)."""
+    x = df(x)
+    safe = x.hi > 0.0
+    y = exp(df(b) * log(where(safe, x, df(jnp.ones_like(x.hi)))))
+    return where(safe, y, df(jnp.zeros_like(x.hi)))

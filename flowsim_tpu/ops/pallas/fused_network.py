@@ -97,7 +97,7 @@ _J_YHI, _J_YLO, _J_AREA, _J_C2, _J_C1, _J_C0, _J_D2, _J_D1, _J_D0, \
 _NJ = 12
 
 
-def _make_jrate(jrow, has_jrate, deg=2):
+def _make_jrate(jrow, has_jrate, deg=2, has_jpow=False, jtab_T=0):
     """Rated-outflow closures on junction sublane columns, shared by the
     single and batched network kernels (``jrow`` views the jin input —
     [Jp, 1] or [J*Mp, 1] columns; every op is elementwise across sublanes).
@@ -120,11 +120,62 @@ def _make_jrate(jrow, has_jrate, deg=2):
             j_c = (jrow(_J_C2), jrow(_J_C1), jrow(_J_C0))
             j_d = (jrow(_J_D2), jrow(_J_D1), jrow(_J_D0))
             j_dc = None
+            base = _NJ
         else:
             j_c = tuple(jrow(_NJ + i) for i in range(deg + 1))
             j_d = tuple(jrow(_NJ + (deg + 1) + i) for i in range(deg + 1))
             j_dc = tuple(jrow(_NJ + 2 * (deg + 1) + i) for i in range(deg))
+            base = _NJ + 2 * (deg + 1) + deg
         j_xoff, j_bufs, j_fd = jrow(_J_XOFF), jrow(_J_BUFS), jrow(_J_FD)
+        # round-5 kinds: power (df32 a x^b via exp/log, exact) and table
+        # (the user's OWN breakpoints, per-segment masked eval — matches
+        # jnp.interp incl. the end clamps, ops/rating_curve.py:239)
+        if has_jpow:
+            p_a = DF(jrow(base), jrow(base + 1))
+            p_b = DF(jrow(base + 2), jrow(base + 3))
+            # split stage shift: the shared _J_XOFF row is f32-only, whose
+            # ~1e-7 relative error in x would floor the power residual at
+            # q * b * 1e-7 — above tol for large releases
+            p_xoff = DF(jrow(base + 4), jrow(base + 5))
+            p_sel = jrow(base + 6)
+            base += 7
+        if jtab_T:
+            t_sel = jrow(base)
+            trows = [tuple(jrow(base + 1 + 6 * i + f) for f in range(6))
+                     for i in range(jtab_T)]
+
+        def _tab_s(i):
+            return DF(trows[i][0], trows[i][1])
+
+        def _tab_q(i):
+            return DF(trows[i][2], trows[i][3])
+
+        def _tab_m(i):
+            return DF(trows[i][4], trows[i][5])
+
+        def _table_q_df(Y: DF) -> DF:
+            acc = DF(Y.hi * 0.0, Y.hi * 0.0)
+            for i in range(jtab_T - 1):
+                mask = ((Y.hi >= trows[i][0])
+                        & (Y.hi < trows[i + 1][0])).astype(jnp.float32)
+                seg = _tab_q(i) + (Y - _tab_s(i)) * _tab_m(i)
+                acc = DF(acc.hi + mask * seg.hi, acc.lo + mask * seg.lo)
+            acc = df32.where(Y.hi < trows[0][0], _tab_q(0), acc)
+            acc = df32.where(Y.hi >= trows[jtab_T - 1][0],
+                             _tab_q(jtab_T - 1), acc)
+            return acc
+
+        def _table_q32(yv):
+            acc = yv * 0.0
+            for i in range(jtab_T - 1):
+                mask = ((yv >= trows[i][0])
+                        & (yv < trows[i + 1][0])).astype(jnp.float32)
+                acc = acc + mask * (trows[i][2]
+                                    + (yv - trows[i][0]) * trows[i][4])
+            acc = jnp.where(yv < trows[0][0], trows[0][2], acc)
+            acc = jnp.where(yv >= trows[jtab_T - 1][0],
+                            trows[jtab_T - 1][2], acc)
+            return acc
 
     def horner_df(cs, x: DF) -> DF:
         acc = df(cs[0]) * x + df(cs[1])
@@ -149,7 +200,13 @@ def _make_jrate(jrow, has_jrate, deg=2):
         one = df(jnp.ones_like(Y.hi))
         s = df32.where(s.hi < 0.0, zero, df32.where(s.hi > 1.0, one, s))
         alpha = s * s * (df(3.0) - df(2.0) * s)
-        return low + alpha * (high - low)
+        q = low + alpha * (high - low)
+        if has_jpow:
+            qp = p_a * df32.powf(Y + p_xoff, p_b)
+            q = df32.where(p_sel > 0.5, qp, q)
+        if jtab_T:
+            q = df32.where(t_sel > 0.5, _table_q_df(Y), q)
+        return q
 
     def jrate_dq(Y: DF):
         if not has_jrate:
@@ -168,6 +225,20 @@ def _make_jrate(jrow, has_jrate, deg=2):
         if j_dc is not None:
             # fd == 0 sentinel: analytic derivative (poly_n junctions)
             dq = jnp.where(j_fd > 0.0, dq, horner32(j_dc, xv))
+        if has_jpow:
+            # analytic a b x^(b-1) = q b / x (ops/rating_curve.py:266-268)
+            xv_p = Y.value + (p_xoff.hi + p_xoff.lo)
+            xs = jnp.maximum(xv_p, np.float32(1e-12))
+            qp32 = ((p_a.hi + p_a.lo)
+                    * jnp.exp(p_b.hi * jnp.log(xs)))
+            dq = jnp.where(p_sel > 0.5, qp32 * p_b.hi / xs, dq)
+        if jtab_T:
+            # central FD of the table eval with the packed fd_step —
+            # exactly rcurve.dQ_dz's table branch
+            yv = Y.value
+            dq_t = (_table_q32(yv + fd_safe)
+                    - _table_q32(yv - fd_safe)) / (2.0 * fd_safe)
+            dq = jnp.where(t_sel > 0.5, dq_t, dq)
         return dq
 
     return jrate_q, jrate_dq
@@ -182,12 +253,49 @@ def _jrate_deg(junction_rating):
     return deg
 
 
-def _jrate_extra_rows(deg):
-    """jin rows appended after the _NJ base block when deg > 2."""
-    return 2 * (deg + 1) + deg if deg > 2 else 0
+def _jrate_extra_rows(deg, has_jpow=False, jtab_T=0):
+    """jin rows appended after the _NJ base block: the poly_n coefficient
+    blocks (deg > 2), the power rating block (a/b split + selector), and
+    the table block (selector + 6 rows per breakpoint)."""
+    rows = 2 * (deg + 1) + deg if deg > 2 else 0
+    if has_jpow:
+        rows += 7
+    if jtab_T:
+        rows += 1 + 6 * jtab_T
+    return rows
 
 
-def _pack_jrate_rows(put, rc, deg):
+_JTAB_MAX_T = 64
+
+
+def _jrate_kinds(junction_rating):
+    """(has_jpow, jtab_T): static power/table flags across junctions."""
+    has_jpow = False
+    jtab_T = 0
+    for rc in junction_rating or ():
+        if rc is None:
+            continue
+        if rc.kind == "power":
+            has_jpow = True
+        elif rc.kind == "table":
+            T = int(np.asarray(rc.table_stage).shape[-1])
+            if T < 2:
+                raise FusedUnsupported("table junction rating needs >= 2 "
+                                       "breakpoints")
+            if T > _JTAB_MAX_T:
+                raise FusedUnsupported(
+                    f"table junction rating has {T} breakpoints; the "
+                    f"per-segment kernel eval caps at {_JTAB_MAX_T} "
+                    "(use the XLA engines or thin the table)")
+            st = np.asarray(rc.table_stage, np.float64)
+            if not np.all(np.diff(st) > 0.0):
+                raise FusedUnsupported("table junction rating stages must "
+                                       "be strictly increasing")
+            jtab_T = max(jtab_T, T)
+    return has_jpow, jtab_T
+
+
+def _pack_jrate_rows(put, rc, deg, has_jpow=False, jtab_T=0):
     """Fill one junction's rating config through ``put(row, value)``.
 
     deg == 2 uses the legacy quadratic rows (byte-identical packing to
@@ -196,7 +304,49 @@ def _pack_jrate_rows(put, rc, deg):
     on the FD path).  ``fd = 0.0`` is the analytic-derivative sentinel
     (poly_n above quadratic); quadratics keep fd = 1 (central difference
     exact), blended curves their fd_step (mirrors rcurve.dQ_dz).
+
+    Round-5 kinds ride appended blocks (see _jrate_extra_rows): "power"
+    packs split-f64 (a, b) + a selector; "table" packs the user's own
+    breakpoints as split-f64 (stage, q, slope) triples padded by
+    repeating the last breakpoint with zero slope (empty segments).
     """
+    base_x = _NJ + (2 * (deg + 1) + deg if deg > 2 else 0)
+
+    def put_df(row, v):
+        v64 = np.float64(v)
+        hi = np.float32(v64)
+        put(row, hi)
+        put(row + 1, np.float32(v64 - np.float64(hi)))
+
+    if rc.kind == "power":
+        a_, b_ = np.asarray(rc.coeffs, np.float64)[:2]
+        put_df(base_x, a_)
+        put_df(base_x + 2, b_)
+        put_df(base_x + 4, float(np.asarray(rc.stage_shift, np.float64)))
+        put(base_x + 6, 1.0)  # p_sel
+        put(_J_XOFF, float(np.asarray(rc.stage_shift, np.float64)))
+        put(_J_BUFS, 1e-30)
+        put(_J_FD, 1.0)  # unused (analytic dq); benign for the poly FD
+        return
+    if rc.kind == "table":
+        st = np.asarray(rc.table_stage, np.float64)
+        qv = np.asarray(rc.table_q, np.float64)
+        T = len(st)
+        base_t = base_x + (7 if has_jpow else 0)
+        put(base_t, 1.0)  # t_sel
+        m = np.zeros(jtab_T)
+        m[: T - 1] = (qv[1:] - qv[:-1]) / (st[1:] - st[:-1])
+        st_p = np.concatenate([st, np.full(jtab_T - T, st[-1])])
+        qv_p = np.concatenate([qv, np.full(jtab_T - T, qv[-1])])
+        for i in range(jtab_T):
+            put_df(base_t + 1 + 6 * i, st_p[i])
+            put_df(base_t + 1 + 6 * i + 2, qv_p[i])
+            put_df(base_t + 1 + 6 * i + 4, m[i])
+        put(_J_XOFF, 0.0)
+        put(_J_BUFS, 1e-30)
+        put(_J_FD, float(np.asarray(rc.fd_step, np.float64)))
+        return
+
     c = np.asarray(rc.coeffs, np.float64)
     dlo = None
     if rc.kind == "polynomial":
@@ -250,7 +400,8 @@ def _kernel_network(*refs,
                     nt, n, B, J, Jp, m_rhs, n_sweeps, max_iter, ds_kind,
                     us_kind, gate_init, varying, topo_j, qlat_mode, has_jstor,
                     has_jrate, has_stor_end, geo_kind, tab_M, tab_stride,
-                    tab_b, has_stg, jrate_deg, out_mem, interpret):
+                    tab_b, has_stg, jrate_deg, has_jpow, jtab_T,
+                    out_mem, interpret):
     """The whole-network-simulation kernel body.
 
     ``topo_j``: static tuple of (us_junction_or_None, ds_junction_or_None)
@@ -383,7 +534,8 @@ def _kernel_network(*refs,
     # junction-reservoir / rated-outflow config columns ([Jp, 1] f32)
     j_area = jrow(_J_AREA)
     stor = (j_area > 0.0).astype(jnp.float32) if has_jstor else None
-    jrate_q, jrate_dq = _make_jrate(jrow, has_jrate, deg=jrate_deg)
+    jrate_q, jrate_dq = _make_jrate(jrow, has_jrate, deg=jrate_deg,
+                                    has_jpow=has_jpow, jtab_T=jtab_T)
 
     init = init_ref[:]
     h0 = DF(init[0 * B:1 * B, :], init[1 * B:2 * B, :])
@@ -679,7 +831,8 @@ def _build_call_network(*, nt, n, B, Np, J, Jp, m_rhs, n_sweeps, max_iter,
                         ds_kind, us_kind, gate_init, varying, topo_j,
                         qlat_mode, has_jstor, has_jrate, has_stor_end,
                         geo_kind="trap", tab_M=0, tab_stride=0, tab_b=(),
-                        has_stg=False, jrate_deg=2, out_mem="vmem",
+                        has_stg=False, jrate_deg=2, has_jpow=False,
+                        jtab_T=0, out_mem="vmem",
                         interpret=False):
     kern = functools.partial(
         _kernel_network, nt=nt, n=n, B=B, J=J, Jp=Jp, m_rhs=m_rhs,
@@ -688,7 +841,8 @@ def _build_call_network(*, nt, n, B, Np, J, Jp, m_rhs, n_sweeps, max_iter,
         topo_j=topo_j, qlat_mode=qlat_mode, has_jstor=has_jstor,
         has_jrate=has_jrate, has_stor_end=has_stor_end, geo_kind=geo_kind,
         tab_M=tab_M, tab_stride=tab_stride, tab_b=tab_b, has_stg=has_stg,
-        jrate_deg=jrate_deg, out_mem=out_mem, interpret=interpret)
+        jrate_deg=jrate_deg, has_jpow=has_jpow, jtab_T=jtab_T,
+        out_mem=out_mem, interpret=interpret)
     out_shapes = [
         jax.ShapeDtypeStruct((nt, B, Np), jnp.float32),   # depth hi
         jax.ShapeDtypeStruct((nt, B, Np), jnp.float32),   # depth lo
@@ -789,6 +943,40 @@ def _benign_table_blocks(Np, tab_stride):
     return tabs
 
 
+def _check_branch_qlat_shape(q, nt, n_b, b):
+    """Reject mis-shaped branch lateral inflow before packing.
+
+    The single-reach drivers validate [nt, N] explicitly; without this a
+    wrong 2-D shape surfaces as a raw numpy broadcast error inside the
+    pack loop — and a transposed square [n_b, nt] array with n_b == nt
+    would be consumed silently with wrong semantics.
+    """
+    if q.ndim == 1 and q.shape[0] == n_b:
+        return
+    if q.ndim == 2 and q.shape == (nt, n_b):
+        return
+    raise ValueError(
+        f"branch {b} qlat must be [N={n_b}] or [nt={nt}, N={n_b}]; got "
+        f"{q.shape}")
+
+
+def _check_junction_inputs(junction_area, junction_rating, J):
+    """Junction config arrays must match the junction count exactly.
+
+    Without this, a short ``junction_area`` silently zero-fills (degrading
+    reservoir junctions to plain ones) and an over-length one truncates —
+    where the XLA engines would shape-error.
+    """
+    if junction_area is not None and len(np.asarray(junction_area)) != J:
+        raise ValueError(
+            f"junction_area has {len(np.asarray(junction_area))} entries "
+            f"for {J} junctions")
+    if junction_rating is not None and len(junction_rating) != J:
+        raise ValueError(
+            f"junction_rating has {len(junction_rating)} entries for "
+            f"{J} junctions")
+
+
 def fused_simulate_network(branches, n_junctions, settings, Y0=None,
                            junction_area=None, junction_rating=None,
                            interpret: bool = False):
@@ -811,20 +999,22 @@ def fused_simulate_network(branches, n_junctions, settings, Y0=None,
     J = n_junctions
     if J < 1:
         raise FusedUnsupported("not a network (no junctions)")
+    _check_junction_inputs(junction_area, junction_rating, J)
     if junction_rating is not None:
         for rc in junction_rating:
             if rc is None:
                 continue
-            if rc.kind not in ("polynomial", "blended_poly", "poly_n"):
+            if rc.kind not in ("polynomial", "blended_poly", "poly_n",
+                               "power", "table"):
                 raise FusedUnsupported(
-                    f"junction rating kind {rc.kind!r} is XLA-engine only "
-                    "(the kernel packs polynomial/poly_n/blended_poly)")
-            if (rc.kind != "poly_n"
+                    f"junction rating kind {rc.kind!r} is XLA-engine only")
+            if (rc.kind in ("polynomial", "blended_poly")
                     and np.asarray(rc.coeffs).shape[-1] != 3):
                 raise FusedUnsupported("junction rating rows pack quadratics "
                                        "(3 coefficients; use poly_n for "
                                        "higher degrees)")
     jrate_deg = _jrate_deg(junction_rating)
+    has_jpow, jtab_T = _jrate_kinds(junction_rating)
     has_jstor = junction_area is not None and bool(
         np.any(np.asarray(junction_area) > 0.0))
     has_jrate = junction_rating is not None and any(
@@ -965,6 +1155,7 @@ def fused_simulate_network(branches, n_junctions, settings, Y0=None,
         nr[6, m, 0] = 0.0 if is_pad else 1.0
         if br.qlat is not None and not is_pad:
             q = np.asarray(br.qlat, np.float64)
+            _check_branch_qlat_shape(q, nt, n_b, mm)
             if qlat_mode == "const":
                 # theta-weighted cell average of a constant-in-time inflow
                 # collapses to (q_i + q_{i+1})/2 on real cells
@@ -1026,7 +1217,8 @@ def fused_simulate_network(branches, n_junctions, settings, Y0=None,
     Y0_np = np.zeros((Jp,), np.float64)
     Y0_np[:J] = np.asarray(jax.device_get(Y0), np.float64)
     y_hi, y_lo = _split64(Y0_np)
-    jin = np.zeros(((_NJ + _jrate_extra_rows(jrate_deg)) * Jp, 128), f32)
+    jin = np.zeros(((_NJ + _jrate_extra_rows(jrate_deg, has_jpow,
+                                       jtab_T)) * Jp, 128), f32)
     jput = lambda r, v: jin.__setitem__(
         (slice(r * Jp, r * Jp + len(v)), 0), np.asarray(v, f32))
     jput(_J_YHI, y_hi)
@@ -1044,7 +1236,7 @@ def fused_simulate_network(branches, n_junctions, settings, Y0=None,
             _pack_jrate_rows(
                 lambda row, v: jin.__setitem__((row * Jp + j, 0),
                                                np.float32(v)),
-                rc, jrate_deg)
+                rc, jrate_deg, has_jpow=has_jpow, jtab_T=jtab_T)
 
     # VMEM budget: inputs + per-branch working set (the PCR buffer grows
     # to 12+2*m_rhs rows; reuse the measured single-run row budget plus
@@ -1084,6 +1276,7 @@ def fused_simulate_network(branches, n_junctions, settings, Y0=None,
         has_stor_end=has_stor_end, geo_kind=geo_kind, tab_M=tab_M,
         tab_stride=tab_stride, tab_b=tab_b if geo_kind == "table" else (),
         has_stg=has_stg_cur, jrate_deg=jrate_deg,
+        has_jpow=has_jpow, jtab_T=jtab_T,
         out_mem=out_mem, interpret=interpret)
     ins = [jnp.asarray(geo_rows)]
     if geo_kind == "table":
@@ -1201,7 +1394,8 @@ def _kernel_network_batched(*refs,
                             nt, n, B0, Mp, J, m_rhs, n_sweeps, max_iter,
                             ds_kind, us_kind, gate_init, varying, topo_j,
                             qlat_mode, has_jstor, has_jrate, has_stor_end,
-                            has_stg, jrate_deg, out_mem, interpret):
+                            has_stg, jrate_deg, has_jpow, jtab_T,
+                            out_mem, interpret):
     """Whole-network ensemble kernel body (see section comment above).
 
     ``topo_j`` has B0 entries (real branches only; members replicate the
@@ -1297,7 +1491,8 @@ def _kernel_network_batched(*refs,
     Y0 = DF(jrow(_J_YHI), jrow(_J_YLO))
     j_area = jrow(_J_AREA)
     stor = (j_area > 0.0).astype(jnp.float32) if has_jstor else None
-    jrate_q, jrate_dq = _make_jrate(jrow, has_jrate, deg=jrate_deg)
+    jrate_q, jrate_dq = _make_jrate(jrow, has_jrate, deg=jrate_deg,
+                                    has_jpow=has_jpow, jtab_T=jtab_T)
 
     init = init_ref[:]
     h0 = DF(init[0 * BM:1 * BM, :], init[1 * BM:2 * BM, :])
@@ -1564,6 +1759,7 @@ def _build_call_network_batched(*, nt, n, B0, Mp, Np, J, m_rhs, n_sweeps,
                                 varying, topo_j, qlat_mode, has_jstor,
                                 has_jrate, has_stor_end, n_net_rows,
                                 has_stg=False, jrate_deg=2,
+                                has_jpow=False, jtab_T=0,
                                 out_mem="vmem", interpret=False):
     kern = functools.partial(
         _kernel_network_batched, nt=nt, n=n, B0=B0, Mp=Mp, J=J, m_rhs=m_rhs,
@@ -1571,7 +1767,8 @@ def _build_call_network_batched(*, nt, n, B0, Mp, Np, J, m_rhs, n_sweeps,
         us_kind=us_kind, gate_init=gate_init, varying=varying,
         topo_j=topo_j, qlat_mode=qlat_mode, has_jstor=has_jstor,
         has_jrate=has_jrate, has_stor_end=has_stor_end, has_stg=has_stg,
-        jrate_deg=jrate_deg, out_mem=out_mem, interpret=interpret)
+        jrate_deg=jrate_deg, has_jpow=has_jpow, jtab_T=jtab_T,
+        out_mem=out_mem, interpret=interpret)
     BM, JM = B0 * Mp, J * Mp
     out_shapes = [
         jax.ShapeDtypeStruct((nt, BM, Np), jnp.float32),   # depth hi
@@ -1672,17 +1869,20 @@ def fused_simulate_network_batched(branches, n_junctions, settings, batch,
     if len(batch) != len(branches):
         raise ValueError(f"batch has {len(batch)} entries for "
                          f"{len(branches)} branches")
+    _check_junction_inputs(junction_area, junction_rating, J)
     if junction_rating is not None:
         for rc in junction_rating:
             if rc is None:
                 continue
-            if rc.kind not in ("polynomial", "blended_poly", "poly_n"):
+            if rc.kind not in ("polynomial", "blended_poly", "poly_n",
+                               "power", "table"):
                 raise FusedUnsupported(
                     f"junction rating kind {rc.kind!r} is XLA-engine only")
-            if (rc.kind != "poly_n"
+            if (rc.kind in ("polynomial", "blended_poly")
                     and np.asarray(rc.coeffs).shape[-1] != 3):
                 raise FusedUnsupported("junction rating rows pack quadratics")
     jrate_deg = _jrate_deg(junction_rating)
+    has_jpow, jtab_T = _jrate_kinds(junction_rating)
     has_jstor = junction_area is not None and bool(
         np.any(np.asarray(junction_area) > 0.0))
     has_jrate = junction_rating is not None and any(
@@ -1835,6 +2035,7 @@ def fused_simulate_network_batched(branches, n_junctions, settings, batch,
             nr[6, r, 0] = 1.0
             if br.qlat is not None:
                 q = np.asarray(br.qlat, np.float64)
+                _check_branch_qlat_shape(q, nt, n_b, b)
                 if qlat_mode == "const":
                     nr[7, r, : n_b - 1] = (0.5 * (q[:-1] + q[1:])).astype(f32)
                 else:  # tv: per-level theta-weighted cell averages
@@ -1871,7 +2072,8 @@ def fused_simulate_network_batched(branches, n_junctions, settings, batch,
                     if not np.all(scal_rows[:, i] == scal_rows[0, i]))
 
     y_hi, y_lo = _split64(Y0_np)
-    jin = np.zeros(((_NJ + _jrate_extra_rows(jrate_deg)) * JM, 128), f32)
+    jin = np.zeros(((_NJ + _jrate_extra_rows(jrate_deg, has_jpow,
+                                       jtab_T)) * JM, 128), f32)
     jin[0 * JM:1 * JM, 0] = y_hi
     jin[1 * JM:2 * JM, 0] = y_lo
     jin[_J_FD * JM:(_J_FD + 1) * JM, 0] = 1.0
@@ -1888,7 +2090,7 @@ def fused_simulate_network_batched(branches, n_junctions, settings, batch,
                 lambda row, v: jin.__setitem__(
                     (slice(row * JM + j * Mp, row * JM + (j + 1) * Mp), 0),
                     np.float32(v)),
-                rc, jrate_deg)
+                rc, jrate_deg, has_jpow=has_jpow, jtab_T=jtab_T)
 
     work_rows = fn._WORK_ROWS + 2 * (m_rhs - 1) * (n_sweeps + 2)
     per_level = (4 * BM * Np + BM * 128 + JM * 128) * 4
@@ -1923,7 +2125,8 @@ def fused_simulate_network_batched(branches, n_junctions, settings, batch,
         varying=varying, topo_j=tuple(topo_j), qlat_mode=qlat_mode,
         has_jstor=has_jstor, has_jrate=has_jrate,
         has_stor_end=has_stor_end, has_stg=has_stg_cur,
-        jrate_deg=jrate_deg, n_net_rows=net_rows.shape[0] // BM,
+        jrate_deg=jrate_deg, has_jpow=has_jpow, jtab_T=jtab_T,
+        n_net_rows=net_rows.shape[0] // BM,
         out_mem=out_mem, interpret=interpret)
     ins = [jnp.asarray(geo_rows), jnp.asarray(init_rows),
            jnp.asarray(net_rows), jnp.asarray(jin)]

@@ -45,6 +45,7 @@ Jacobian reuses ops/hydraulics.py's f32 functions directly.
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -78,8 +79,17 @@ _S_THETA, _S_DT, _S_DX, _S_TOL, _S_C2, _S_C1, _S_C0, _S_D2, _S_D1, _S_D0, \
     _S_DSBED, _S_MAXCD, _S_PIVOT, _S_SQS0_US, \
     _S_UC2, _S_UC1, _S_UC0, _S_UD2, _S_UD1, _S_UD0, \
     _S_USTAGEC, _S_UBUF, _S_UFD, _S_USBED, \
-    _S_STG_YMIN, _S_STG_INVDY, _S_STG_DY, _S_STG_LRES, _S_STG_KQ = range(36)
-_NS = 36  # _S_ZERO holds a literal 0.0: the opaque fence for df32 EFTs
+    _S_STG_YMIN, _S_STG_INVDY, _S_STG_DY, _S_STG_LRES, _S_STG_KQ, \
+    _S_TABK, _S_SA_US, _S_MINSTAGE_US, _S_STG_YMIN_US, _S_STG_INVDY_US, \
+    _S_STG_DY_US, _S_STG_LRES_US, _S_STG_KQ_US = range(44)
+_NS = 44  # _S_ZERO holds a literal 0.0: the opaque fence for df32 EFTs
+# _S_TABK: batched-TableGeometry per-member conveyance multiplier c
+# (K -> c K, dK_dA -> c dK_dA, n_eq -> n_eq / c): the member-on-sublane
+# kernel shares ONE set of lookup tables and scales conveyance per member —
+# exactly parallel.ensemble.table_roughness_ensemble's semantics.
+# The *_US storage slots hold the UPSTREAM reservoir's scalars when BOTH
+# boundaries carry lumped storage (round 5); a single storage end keeps the
+# shared slots, whichever side it is on (the pre-round-5 convention).
 
 # rating-coefficient slot blocks: (c2, c1, c0, d2, d1, d0, stagec, buf, fd)
 _DS_RC_SLOTS = (_S_C2, _S_C1, _S_C0, _S_D2, _S_D1, _S_D0,
@@ -438,6 +448,27 @@ def _rating_q(scal, stage_c: DF, kind: str, gate_open=None,
     return low + alpha * (high - low)
 
 
+class _StgSlots(NamedTuple):
+    """Scal-slot indices of one lumped storage's scalars (the shared set
+    for a single storage end — either side — or the *_US set when both
+    boundaries carry storage)."""
+
+    sa: int
+    minstage: int
+    ymin: int
+    invdy: int
+    dy: int
+    lres: int
+    kq: int
+
+
+_STG_SHARED = _StgSlots(_S_SA, _S_MINSTAGE, _S_STG_YMIN, _S_STG_INVDY,
+                        _S_STG_DY, _S_STG_LRES, _S_STG_KQ)
+_STG_US = _StgSlots(_S_SA_US, _S_MINSTAGE_US, _S_STG_YMIN_US,
+                    _S_STG_INVDY_US, _S_STG_DY_US, _S_STG_LRES_US,
+                    _S_STG_KQ_US)
+
+
 def _stg_B(stg):
     """Sublane batch of a stacked storage-table block (1 = single run)."""
     return stg.shape[0] // (_NSTG * _STG_SR)
@@ -490,7 +521,7 @@ def _stg_pick_tabs(stg, ts, lm, cms):
     return outs
 
 
-def _stg_lookup_df(stg, thi, tlo, scal, Y: DF) -> DF:
+def _stg_lookup_df(stg, thi, tlo, scal, Y: DF, slots=_STG_SHARED) -> DF:
     """df32 linear interpolation of the (hi, lo) table pair at stage Y,
     per sublane ([B, 1] stages against per-sublane tables).
 
@@ -501,7 +532,7 @@ def _stg_lookup_df(stg, thi, tlo, scal, Y: DF) -> DF:
     bisection would have clamped to its bracket (ops/storage.py:150-166).
     """
     liota = _stg_liota()
-    u = (Y - df(scal[_S_STG_YMIN])) * df(scal[_S_STG_INVDY])
+    u = (Y - df(scal[slots.ymin])) * df(scal[slots.invdy])
     jf = jnp.clip(jnp.floor(u.hi), 0.0, np.float32(_STG_P - 2))
     frac = u - df(jf)
     v0h, v0l = _stg_pick_tabs(stg, (thi, tlo), *_stg_masks(jf, liota))
@@ -512,10 +543,10 @@ def _stg_lookup_df(stg, thi, tlo, scal, Y: DF) -> DF:
     return v0 + frac * (v1 - v0)
 
 
-def _stg_lookup32(stg, t, scal, y):
+def _stg_lookup32(stg, t, scal, y, slots=_STG_SHARED):
     """f32 per-sublane linear interpolation of a single table at stage y."""
     liota = _stg_liota()
-    u = (y - scal[_S_STG_YMIN]) * scal[_S_STG_INVDY]
+    u = (y - scal[slots.ymin]) * scal[slots.invdy]
     jf = jnp.clip(jnp.floor(u), 0.0, np.float32(_STG_P - 2))
     frac = u - jf
     (v0,) = _stg_pick_tabs(stg, (t,), *_stg_masks(jf, liota))
@@ -525,7 +556,7 @@ def _stg_lookup32(stg, t, scal, y):
 
 def _storage_curve_eval(scal, stg, h_node: DF, Q_node: DF, Qp_node: DF,
                         y_old: DF, k, bed, losses: bool, node, sign=1.0,
-                        h_boot: DF | None = None):
+                        h_boot: DF | None = None, slots=_STG_SHARED):
     """Generalized lumped-storage boundary row (ops/boundary.py:185-205).
 
     ``sign=-1.0`` flips the orientation for UPSTREAM storage: positive Q
@@ -553,8 +584,10 @@ def _storage_curve_eval(scal, stg, h_node: DF, Q_node: DF, Qp_node: DF,
                            (h_node if h_boot is None else h_boot) + df(bed),
                            y_old)
     vol_in = df(np.float32(sign) * 0.5) * (Qp_node + Q_node) * df(dt)
-    V_old = _stg_lookup_df(stg, _STG_VHI, _STG_VLO, scal, Y_old_eff)
-    q_old = _stg_lookup_df(stg, _STG_QHI, _STG_QLO, scal, Y_old_eff)
+    V_old = _stg_lookup_df(stg, _STG_VHI, _STG_VLO, scal, Y_old_eff,
+                           slots=slots)
+    q_old = _stg_lookup_df(stg, _STG_QHI, _STG_QLO, scal, Y_old_eff,
+                           slots=slots)
     C = V_old + vol_in - df(0.5) * df(dt) * q_old
 
     # monotone inverse of g on the grid: count cells below C per sublane,
@@ -574,21 +607,21 @@ def _storage_curve_eval(scal, stg, h_node: DF, Q_node: DF, Qp_node: DF,
                               *_stg_masks(jf + 1.0, liota))
     g0 = df(g0h) + df(g0l)
     g1 = df(g1h) + df(g1l)
-    dy = scal[_S_STG_DY]
+    dy = scal[slots.dy]
     slope = dy / jnp.maximum((g1 - g0).value, np.float32(1e-30))
-    ymin = scal[_S_STG_YMIN]
+    ymin = scal[slots.ymin]
     Y_new = df(ymin) + df(jf) * df(dy) + (C - g0) * df(slope)
     # clamp to the solution bracket (bisection stays inside [y_min, y_max])
     ymax = ymin + dy * np.float32(_STG_P - 1)
     Y_new = df32.maximum(Y_new, df(ymin))
     Y_new = df32.where(Y_new.hi > ymax, df(ymax) + df(jnp.zeros_like(Y_new.hi)),
                        Y_new)
-    Y_new = df32.maximum(Y_new, df(scal[_S_MINSTAGE]))
+    Y_new = df32.maximum(Y_new, df(scal[slots.minstage]))
 
     # optional entrance losses, df32 in the iterate (ops/storage.py:180-188)
     if losses:
         A, K = node["A"], node["K"]
-        lres, kq = scal[_S_STG_LRES], scal[_S_STG_KQ]
+        lres, kq = scal[slots.lres], scal[slots.kq]
         inv2g = np.float32(1.0 / (2.0 * GRAVITY))
         hf = Q_node * df32.abs_(Q_node) / (K * K) * df(lres)
         Vel = Q_node / A
@@ -602,9 +635,10 @@ def _storage_curve_eval(scal, stg, h_node: DF, Q_node: DF, Qp_node: DF,
     res_stage = Y_new
 
     # f32 Jacobian entries (ops/boundary.py:200-205)
-    A_new = jnp.maximum(_stg_lookup32(stg, _STG_A, scal, Y_new.value),
+    A_new = jnp.maximum(_stg_lookup32(stg, _STG_A, scal, Y_new.value,
+                                      slots=slots),
                         np.float32(1e-30))
-    dY_dvol = jnp.where(Y_new.hi <= scal[_S_MINSTAGE], 0.0, 1.0 / A_new)
+    dY_dvol = jnp.where(Y_new.hi <= scal[slots.minstage], 0.0, 1.0 / A_new)
     if losses:
         Af, Kf = node["A"].value, node["K"].value
         Qf = Q_node.value
@@ -647,7 +681,8 @@ def _level_state(g, h: DF, Q: DF, section_fn=None):
     return A, Se, Q2A
 
 
-def _us_row(us_kind, st, scal, h, Q, prev_h, prev_Q, tgt, y_old, k, stg):
+def _us_row(us_kind, st, scal, h, Q, prev_h, prev_Q, tgt, y_old, k, stg,
+            slots=_STG_SHARED):
     """Upstream boundary row (ops/boundary.py:160-205) on [B, 1] columns.
 
     Returns ``(us_res DF, us_df_dh, us_df_dQ, us_res_stage | None)``.
@@ -686,7 +721,7 @@ def _us_row(us_kind, st, scal, h, Q, prev_h, prev_Q, tgt, y_old, k, stg):
         Q_head = DF(Q.hi[:, 0:1], Q.lo[:, 0:1])
         Qp_head = DF(prev_Q.hi[:, 0:1], prev_Q.lo[:, 0:1])
         bed_u = scal[_S_USBED]
-        sa_u, dt_u = scal[_S_SA], scal[_S_DT]
+        sa_u, dt_u = scal[slots.sa], scal[_S_DT]
         first_u = k.astype(jnp.float32) == np.float32(1.0)
         # upstream bootstrap anchors on the PREVIOUS level's surface (see
         # ops/boundary.py evaluate upstream=True; the downstream rows keep
@@ -695,10 +730,11 @@ def _us_row(us_kind, st, scal, h, Q, prev_h, prev_Q, tgt, y_old, k, stg):
         Y_old_u = df32.where(first_u, hp_head + df(bed_u), y_old)
         vol_in_u = df(-0.5) * (Qp_head + Q_head) * df(dt_u)
         Y_new_u = Y_old_u + vol_in_u / df(sa_u)
-        Y_new_u = df32.maximum(Y_new_u, df(scal[_S_MINSTAGE]))
+        Y_new_u = df32.maximum(Y_new_u, df(scal[slots.minstage]))
         us_res = h_head - (Y_new_u - df(bed_u))
         us_df_dh = jnp.ones_like(h_head.hi)
-        dY_dvol_u = jnp.where(Y_new_u.hi <= scal[_S_MINSTAGE], 0.0, 1.0 / sa_u)
+        dY_dvol_u = jnp.where(Y_new_u.hi <= scal[slots.minstage], 0.0,
+                              1.0 / sa_u)
         us_df_dQ = dY_dvol_u * 0.5 * dt_u
         return us_res, us_df_dh, us_df_dQ, Y_new_u
     if us_kind in ("storage_curve", "storage_curve_hl"):
@@ -712,7 +748,7 @@ def _us_row(us_kind, st, scal, h, Q, prev_h, prev_Q, tgt, y_old, k, stg):
         return _storage_curve_eval(
             scal, stg, h_head, Q_head, Qp_head, y_old, k,
             scal[_S_USBED], us_kind == "storage_curve_hl", node_u,
-            sign=-1.0, h_boot=hp_head)
+            sign=-1.0, h_boot=hp_head, slots=slots)
     # stage_hydrograph / fixed_depth: host bakes the datum into tgt
     return (DF(h.hi[:, 0:1], h.lo[:, 0:1]) - df(tgt),
             np.float32(1.0), np.float32(0.0), None)
@@ -793,11 +829,16 @@ def _assemble_fused(g, scal, roll, n, ds_kind,
                     h, Q, prev_h, prev_Q, prev_A, prev_Se, prev_Q2A, tgt,
                     us_kind="flow_hydrograph", y_old=None, k=None,
                     gate_open=None, section_fn=None, ds_tgt=None, stg=None,
-                    junc=None, qlat_avg=None):
+                    junc=None, qlat_avg=None, y_old_us=None, stg_us=None,
+                    both_storage=False):
     """df32 residual + f32 Jacobian, packed as the [16, Np] PCR system.
 
     Module-level (not a kernel closure) so tests can drive the exact same
-    math eagerly with jnp.roll.  Returns (buf, err).
+    math eagerly with jnp.roll.  Returns ``(buf, err, res_stage)`` — or
+    ``(buf, err, res_stage, res_stage_us)`` when ``both_storage`` is set
+    (round 5: lumped storage on BOTH boundaries — the upstream row then
+    carries its own stage ``y_old_us``, tables ``stg_us`` and the *_US
+    scalar slot set, while the downstream row keeps the shared set).
 
     ``junc`` (network mode, ops/pallas/fused_network.py): a dict overriding
     selected per-sublane (per-branch) end rows with equal-stage junction
@@ -894,8 +935,12 @@ def _assemble_fused(g, scal, roll, n, ds_kind,
                 us_res_stage = (st2 if us_res_stage is None else
                                 df32.where(sel, st2, us_res_stage))
     else:
+        us_y = y_old_us if both_storage else y_old
+        us_stg = stg_us if both_storage else stg
+        us_slots = _STG_US if both_storage else _STG_SHARED
         us_res, us_df_dh, us_df_dQ, us_res_stage = _us_row(
-            us_kind, st, scal, h, Q, prev_h, prev_Q, tgt, y_old, k, stg)
+            us_kind, st, scal, h, Q, prev_h, prev_Q, tgt, us_y, k, us_stg,
+            slots=us_slots)
     if isinstance(ds_kind, tuple):
         masks = junc["ds_kind_masks"]
         one_c = jnp.ones_like(masks[0])
@@ -991,10 +1036,19 @@ def _assemble_fused(g, scal, roll, n, ds_kind,
             + us_f * us_f + ds_f * ds_f)
     err = jnp.sqrt(err2)
 
+    if both_storage:
+        bshape = Rm_f.shape
+        buf = jnp.concatenate(
+            [jnp.broadcast_to(r, bshape)
+             for r in (L00, L01, zero_row, zero_row,
+                       D00, D01, D10, D11,
+                       zero_row, zero_row, U10, U11,
+                       b0, b1, zero_row, zero_row)], axis=0)
+        return buf, err, res_stage, us_res_stage
     if us_res_stage is not None:
         if junc is None:
-            # single reach: only one boundary may carry storage
-            # (_check_supported), so the upstream stage takes the slot
+            # single reach with ONE storage end: the upstream stage takes
+            # the (shared) slot when the us boundary carries it
             res_stage = us_res_stage
         else:
             # network mode: different SUBLANES may carry storage on
@@ -1105,11 +1159,12 @@ def _out_scratch_shapes(out_shapes):
 
 def _kernel(*refs, nt, n, n_sweeps, max_iter, ds_kind, us_kind, gate_init,
             geo_kind, tab_M, tab_stride, has_stg, qlat_mode, store, out_mem,
-            unroll, interpret):
+            unroll, interpret, both_storage=False, has_stg_us=False):
     refs = list(refs)
     geo_ref = refs.pop(0)
     tab_ref = refs.pop(0) if geo_kind == "table" else None
     stg_ref = refs.pop(0) if has_stg else None
+    stg_us_ref = refs.pop(0) if has_stg_us else None
     qlat_ref = refs.pop(0) if qlat_mode else None
     streamer = None
     if out_mem == "hbm":
@@ -1143,27 +1198,38 @@ def _kernel(*refs, nt, n, n_sweeps, max_iter, ds_kind, us_kind, gate_init,
         section_fn = None
 
     def newton_iter(h, Q, prev_h, prev_Q, prev_A, prev_Se, prev_Q2A, tgt,
-                    y_old, k, gate_open, ds_tgt, qlat_k):
-        buf, err, res_stage = _assemble_fused(g, scal, roll, n, ds_kind,
-                                              h, Q, prev_h, prev_Q,
-                                              prev_A, prev_Se, prev_Q2A, tgt,
-                                              us_kind=us_kind, y_old=y_old, k=k,
-                                              gate_open=gate_open,
-                                              section_fn=section_fn,
-                                              ds_tgt=ds_tgt, stg=stg_ref,
-                                              qlat_avg=qlat_k)
+                    y_old, k, gate_open, ds_tgt, qlat_k, y_old_us=None):
+        res = _assemble_fused(g, scal, roll, n, ds_kind,
+                              h, Q, prev_h, prev_Q,
+                              prev_A, prev_Se, prev_Q2A, tgt,
+                              us_kind=us_kind, y_old=y_old, k=k,
+                              gate_open=gate_open,
+                              section_fn=section_fn,
+                              ds_tgt=ds_tgt, stg=stg_ref,
+                              qlat_avg=qlat_k, y_old_us=y_old_us,
+                              stg_us=stg_us_ref, both_storage=both_storage)
+        if both_storage:
+            buf, err, res_stage, res_stage_us = res
+        else:
+            buf, err, res_stage = res
+            res_stage_us = res_stage
         x0, x1 = _pcr_solve(buf, idx, n, n_sweeps, roll)
         h = h + df(x0 * node_mask)
         Q = Q + df(x1 * node_mask)
-        return h, Q, err[0, 0], res_stage
+        return h, Q, err[0, 0], res_stage, res_stage_us
 
     def store_level(k, h, Q, iters, err, res_stage=np.float32(np.nan),
-                    gate_open=np.float32(0.0)):
+                    gate_open=np.float32(0.0),
+                    res_stage_us=np.float32(np.nan)):
         idx128 = jax.lax.broadcasted_iota(jnp.int32, (1, stats_ref.shape[1]), 1)
         stats_row = (jnp.where(idx128 == 0, iters.astype(jnp.float32), 0.0)
                      + jnp.where(idx128 == 1, err, 0.0)
                      + jnp.where(idx128 == 2, res_stage, 0.0)
                      + jnp.where(idx128 == 3, gate_open, 0.0))
+        if both_storage:
+            # upstream reservoir stage rides lane 12 (both-ends storage)
+            stats_row = stats_row + jnp.where(idx128 == 12, res_stage_us,
+                                              0.0)
         if store == "boundaries":
             # boundary-node (h, Q) df32 halves ride lanes 4-11 of the stats
             # row (same packing as _kernel_batched.store_level): the
@@ -1200,17 +1266,20 @@ def _kernel(*refs, nt, n, n_sweeps, max_iter, ds_kind, us_kind, gate_init,
         with df32.fenced(scal[_S_ZERO]):
             zrow = jnp.zeros((1, 1), jnp.float32)
             gstage0 = scal[_S_DSBED] + h0.hi[0:1, n - 1:n] + h0.lo[0:1, n - 1:n]
-            jax.lax.fori_loop(
-                1, nt, level_body,
-                (h0.hi, h0.lo, Q0.hi, Q0.lo, zrow, zrow,
-                 zrow + np.float32(gate_init), zrow,
-                 zrow - np.float32(1.0), gstage0))
+            carry0 = (h0.hi, h0.lo, Q0.hi, Q0.lo, zrow, zrow,
+                      zrow + np.float32(gate_init), zrow,
+                      zrow - np.float32(1.0), gstage0)
+            if both_storage:
+                # + the upstream reservoir's own stage carry (df32 halves)
+                carry0 = carry0 + (zrow, zrow)
+            jax.lax.fori_loop(1, nt, level_body, carry0)
 
     def level_body(k, carry):
         (h_hi, h_lo, Q_hi, Q_lo, y_hi, y_lo,
-         gopen, gcool, gptime, gstage) = carry
+         gopen, gcool, gptime, gstage) = carry[:10]
         h, Q = DF(h_hi, h_lo), DF(Q_hi, Q_lo)
         y_old = DF(y_hi, y_lo)
+        y_old_us = DF(carry[10], carry[11]) if both_storage else None
 
         if ds_kind == "gated_blend":
             # per-level gate-controller update (ops/rating_curve.py:168-182;
@@ -1251,37 +1320,51 @@ def _kernel(*refs, nt, n, n_sweeps, max_iter, ds_kind, us_kind, gate_init,
             # the sequential trajectory and iteration counts exactly; the
             # tradeoff is up to (unroll-1) masked-out extra evaluations at
             # each level's convergence boundary.
-            hh, hl, qh, ql, _, it, _, _ = c
-            h1, Q1, e1, rs1 = newton_iter(DF(hh, hl), DF(qh, ql), h, Q,
-                                          prev_A, prev_Se, prev_Q2A, tgt,
-                                          y_old, k, gopen, ds_tgt, qlat_k)
-            st = (h1, Q1, e1, it + np.int32(1), rs1.hi[0, 0], rs1.lo[0, 0])
+            hh, hl, qh, ql, _, it = c[:6]
+            h1, Q1, e1, rs1, ru1 = newton_iter(DF(hh, hl), DF(qh, ql), h, Q,
+                                               prev_A, prev_Se, prev_Q2A,
+                                               tgt, y_old, k, gopen, ds_tgt,
+                                               qlat_k, y_old_us=y_old_us)
+            st = (h1, Q1, e1, it + np.int32(1), rs1.hi[0, 0], rs1.lo[0, 0],
+                  ru1.hi[0, 0], ru1.lo[0, 0])
             for _ in range(unroll - 1):
-                hp, Qp, ep, itv, rh, rl = st
+                hp, Qp, ep, itv, rh, rl, ruh, rul = st
                 cont = (ep >= tol) & (itv < max_iter)
-                h2, Q2, e2, rs2 = newton_iter(hp, Qp, h, Q,
-                                              prev_A, prev_Se, prev_Q2A, tgt,
-                                              y_old, k, gopen, ds_tgt,
-                                              qlat_k)
+                h2, Q2, e2, rs2, ru2 = newton_iter(hp, Qp, h, Q,
+                                                   prev_A, prev_Se,
+                                                   prev_Q2A, tgt,
+                                                   y_old, k, gopen, ds_tgt,
+                                                   qlat_k,
+                                                   y_old_us=y_old_us)
                 pick = lambda a, b: jnp.where(cont, a, b)
                 st = (DF(pick(h2.hi, hp.hi), pick(h2.lo, hp.lo)),
                       DF(pick(Q2.hi, Qp.hi), pick(Q2.lo, Qp.lo)),
                       pick(e2, ep), itv + cont.astype(jnp.int32),
-                      pick(rs2.hi[0, 0], rh), pick(rs2.lo[0, 0], rl))
-            hf, Qf, ef, itf, rhf, rlf = st
-            return (hf.hi, hf.lo, Qf.hi, Qf.lo, ef, itf, rhf, rlf)
+                      pick(rs2.hi[0, 0], rh), pick(rs2.lo[0, 0], rl),
+                      pick(ru2.hi[0, 0], ruh), pick(ru2.lo[0, 0], rul))
+            hf, Qf, ef, itf, rhf, rlf, ruhf, rulf = st
+            out = (hf.hi, hf.lo, Qf.hi, Qf.lo, ef, itf, rhf, rlf)
+            return out + ((ruhf, rulf) if both_storage else ())
 
-        hh, hl, qh, ql, err, iters, rs_hi, rs_lo = jax.lax.while_loop(
-            cond, body,
-            (h.hi, h.lo, Q.hi, Q.lo, np.float32(np.inf), np.int32(0),
-             y_hi[0, 0] * 1.0, y_lo[0, 0] * 1.0))
+        wc0 = (h.hi, h.lo, Q.hi, Q.lo, np.float32(np.inf), np.int32(0),
+               y_hi[0, 0] * 1.0, y_lo[0, 0] * 1.0)
+        if both_storage:
+            wc0 = wc0 + (carry[10][0, 0] * 1.0, carry[11][0, 0] * 1.0)
+        wout = jax.lax.while_loop(cond, body, wc0)
+        hh, hl, qh, ql, err, iters, rs_hi, rs_lo = wout[:8]
         rs_row_hi = jnp.full_like(y_hi, 0.0) + rs_hi
         rs_row_lo = jnp.full_like(y_lo, 0.0) + rs_lo
         gstage = scal[_S_DSBED] + hh[0:1, n - 1:n] + hl[0:1, n - 1:n]
+        rsu = (wout[8] + wout[9]) if both_storage else np.float32(np.nan)
         store_level(k, DF(hh, hl), DF(qh, ql), iters, err,
-                    res_stage=rs_hi + rs_lo, gate_open=gopen[0, 0])
-        return (hh, hl, qh, ql, rs_row_hi, rs_row_lo,
-                gopen, gcool, gptime, gstage)
+                    res_stage=rs_hi + rs_lo, gate_open=gopen[0, 0],
+                    res_stage_us=rsu)
+        out = (hh, hl, qh, ql, rs_row_hi, rs_row_lo,
+               gopen, gcool, gptime, gstage)
+        if both_storage:
+            out = out + (jnp.full_like(y_hi, 0.0) + wout[8],
+                         jnp.full_like(y_lo, 0.0) + wout[9])
+        return out
 
     _run_levels(level_body)
     if streamer is not None:
@@ -1292,7 +1375,7 @@ def _kernel(*refs, nt, n, n_sweeps, max_iter, ds_kind, us_kind, gate_init,
 def _build_call(*, nt, n, Np, tgt_len, n_sweeps, max_iter, ds_kind, us_kind,
                 gate_init, interpret, geo_kind="trap", tab_M=0, tab_stride=0,
                 has_stg=False, qlat_mode=None, store="full", out_mem="vmem",
-                unroll=2):
+                unroll=2, both_storage=False, has_stg_us=False):
     """Cache the pallas_call wrapper per static configuration.
 
     Rebuilding the closure per invocation defeats jax's trace cache: every
@@ -1306,7 +1389,8 @@ def _build_call(*, nt, n, Np, tgt_len, n_sweeps, max_iter, ds_kind, us_kind,
         ds_kind=ds_kind, us_kind=us_kind, gate_init=gate_init,
         geo_kind=geo_kind, tab_M=tab_M, tab_stride=tab_stride,
         has_stg=has_stg, qlat_mode=qlat_mode, store=store, out_mem=out_mem,
-        unroll=unroll, interpret=interpret)
+        unroll=unroll, interpret=interpret, both_storage=both_storage,
+        has_stg_us=has_stg_us)
     if store == "boundaries":
         out_shapes = [
             jax.ShapeDtypeStruct((nt, 128), jnp.float32),  # stats+bnd
@@ -1330,6 +1414,7 @@ def _build_call(*, nt, n, Np, tgt_len, n_sweeps, max_iter, ds_kind, us_kind,
             + ([pl.BlockSpec(memory_space=pltpu.VMEM)]
                if geo_kind == "table" else [])
             + ([pl.BlockSpec(memory_space=pltpu.VMEM)] if has_stg else [])
+            + ([pl.BlockSpec(memory_space=pltpu.VMEM)] if has_stg_us else [])
             + ([pl.BlockSpec(memory_space=pltpu.VMEM)] if qlat_mode else [])
             + [
                 pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -1385,12 +1470,9 @@ def _check_supported(geo, us_bc, ds_bc, settings):
                                    "(3 coefficients)")
     us_sp = us_bc.storage if us_bc.kind == "fixed_depth" else None
     ds_sp = ds_bc.storage if ds_bc.kind == "fixed_depth" else None
-    if us_sp is not None and ds_sp is not None:
-        raise FusedUnsupported(
-            "lumped storage on both boundaries: the kernel carries a single "
-            "reservoir-stage slot; the XLA path carries both stages "
-            "(BCState.reservoir_stage_us, ops/boundary.py:97-122) and is "
-            "used as the fallback")
+    # storage on BOTH boundaries is in-kernel since round 5: the upstream
+    # reservoir gets its own stage carry, *_US scalar slots, and (for
+    # curve/rating/loss storage) a second stage-grid table input
     for sp in (us_sp, ds_sp):
         if sp is not None and sp.has_rating and sp.rating.kind == "gated_blend":
             raise FusedUnsupported(
@@ -1639,8 +1721,13 @@ def _pack_ds_config(ds_bc, settings, scal, nt):
     return ds_kind, ds_series, stg_rows
 
 
-def _pack_us_config(us_bc, settings, scal):
-    """Fill the upstream scal slots; returns (us_kind_str, stg_rows)."""
+def _pack_us_config(us_bc, settings, scal, stg_slots=_STG_SHARED):
+    """Fill the upstream scal slots; returns (us_kind_str, stg_rows).
+
+    ``stg_slots``: where the upstream STORAGE scalars land — the shared set
+    (single storage end, the default) or ``_STG_US`` when both boundaries
+    carry storage (the caller decides; the kernel's ``both_storage`` flag
+    must agree)."""
     us_kind_str = us_bc.kind
     stg_rows = None
     if us_bc.kind == "normal_depth":
@@ -1670,12 +1757,16 @@ def _pack_us_config(us_bc, settings, scal):
         us_kind_str = _storage_mode(sp)
         scal[_S_USBED] = float(np.asarray(us_bc.bed_level, np.float64))
         if us_kind_str == "storage_simple":
-            scal[_S_SA] = float(np.asarray(sp.surface_area, np.float64))
-            scal[_S_MINSTAGE] = float(np.asarray(sp.min_stage, np.float64))
+            scal[stg_slots.sa] = float(np.asarray(sp.surface_area,
+                                                  np.float64))
+            scal[stg_slots.minstage] = float(np.asarray(sp.min_stage,
+                                                        np.float64))
         else:
             stg_rows, s_stg = _pack_storage_tables(sp, settings.time_step)
+            remap = {getattr(_STG_SHARED, f): getattr(stg_slots, f)
+                     for f in _StgSlots._fields}
             for slot, v in s_stg.items():
-                scal[slot] = v
+                scal[remap.get(slot, slot)] = v
     return us_kind_str, stg_rows
 
 
@@ -1698,9 +1789,6 @@ def fused_simulate(geo, us_bc, ds_bc, h0, Q0, settings, interpret: bool = False,
     nt = settings.n_time_levels
     Np = max(128, -(-n // 128) * 128)
     store = getattr(settings, "store", "full")
-    # when the [nt, ...] output stacks don't fit VMEM, stream them to HBM
-    # (arbitrary-duration runs in one dispatch; see _LevelStreamer)
-    out_mem = _pick_out_mem(settings, nt, Np, store)
     n_sweeps = max(1, (n - 1).bit_length())
 
     f32 = np.float32
@@ -1727,6 +1815,14 @@ def fused_simulate(geo, us_bc, ds_bc, h0, Q0, settings, interpret: bool = False,
                 raise FusedUnsupported(
                     "time-varying lateral inflow rows exceed the VMEM "
                     "side budget at this nt; use the XLA path")
+
+    # when the [nt, ...] output stacks don't fit VMEM, stream them to HBM
+    # (arbitrary-duration runs in one dispatch; see _LevelStreamer).  The
+    # qlat VMEM rows (parsed above) count against the same budget, so a
+    # config near the boundary cannot pick "vmem" and then blow real VMEM.
+    qlat_bytes = 0 if qlat_rows is None else qlat_rows.size * 4
+    out_mem = _pick_out_mem(settings, nt, Np, store,
+                            extra_per_member=qlat_bytes)
 
     from flowsim_tpu.geometry import TableGeometry
 
@@ -1778,9 +1874,19 @@ def fused_simulate(geo, us_bc, ds_bc, h0, Q0, settings, interpret: bool = False,
     ds_kind, ds_series, stg_rows = _pack_ds_config(ds_bc, settings, scal, nt)
     ds_tgt = np.zeros((max(nt, 8),), f32)
     ds_tgt[:nt] = ds_series.astype(f32)
-    us_kind_str, stg_us = _pack_us_config(us_bc, settings, scal)
-    if stg_us is not None:
+    both_storage = (us_bc.kind == "fixed_depth" and us_bc.storage is not None
+                    and ds_bc.kind == "fixed_depth"
+                    and ds_bc.storage is not None)
+    us_kind_str, stg_us = _pack_us_config(
+        us_bc, settings, scal,
+        stg_slots=_STG_US if both_storage else _STG_SHARED)
+    if stg_us is not None and not both_storage:
+        # single storage end: whichever side carries it uses the shared
+        # slots + the one stg input (the pre-round-5 convention)
         stg_rows = stg_us
+        stg_us = None
+    if not both_storage:
+        stg_us = None
 
     call = _build_call(nt=nt, n=n, Np=Np, tgt_len=len(tgt),
                        n_sweeps=n_sweeps, max_iter=settings.max_iter,
@@ -1791,12 +1897,16 @@ def fused_simulate(geo, us_bc, ds_bc, h0, Q0, settings, interpret: bool = False,
                        has_stg=stg_rows is not None, qlat_mode=qlat_mode,
                        store=store, out_mem=out_mem,
                        unroll=max(1, int(getattr(settings, "fused_unroll", 2))),
+                       both_storage=both_storage,
+                       has_stg_us=stg_us is not None,
                        interpret=interpret)
     ins = [jnp.asarray(rows)]
     if is_table:
         ins.append(jnp.asarray(tabs))
     if stg_rows is not None:
         ins.append(jnp.asarray(stg_rows))
+    if stg_us is not None:
+        ins.append(jnp.asarray(stg_us))
     if qlat_mode:
         ins.append(jnp.asarray(qlat_rows))
     ins += [jnp.asarray(init), jnp.asarray(tgt), jnp.asarray(ds_tgt),
@@ -1832,6 +1942,13 @@ def fused_simulate(geo, us_bc, ds_bc, h0, Q0, settings, interpret: bool = False,
         res_stage = jnp.where(jnp.arange(nt) == 0, jnp.nan, res_stage)
     else:
         res_stage = nanv
+    if both_storage:
+        # upstream reservoir stage rides lane 12 (see _kernel.store_level);
+        # the merged lane-2 slot keeps the ds stage, like the XLA BCState
+        res_stage_us = stats[:, 12].astype(out_dtype)
+        res_stage_us = jnp.where(jnp.arange(nt) == 0, jnp.nan, res_stage_us)
+    else:
+        res_stage_us = None
     converged = (errs < settings.tolerance) | (jnp.arange(nt) == 0)
     if ds_kind == "gated_blend":
         gate_open = stats[:, 3].astype(out_dtype)
@@ -1843,6 +1960,7 @@ def fused_simulate(geo, us_bc, ds_bc, h0, Q0, settings, interpret: bool = False,
         converged=converged, reservoir_stage=res_stage,
         gate_open=gate_open,
         rcond=jnp.ones((nt,), out_dtype),
+        reservoir_stage_us=res_stage_us,
     )
 
 
@@ -1868,11 +1986,20 @@ def fused_simulate(geo, us_bc, ds_bc, h0, Q0, settings, interpret: bool = False,
 # ---------------------------------------------------------------------------
 
 
-def _kernel_batched(geo_ref, init_ref, tgt_ref, ds_tgt_ref, scal_ref,
-                    *out_refs, nt, n, B, n_sweeps, max_iter, ds_kind, us_kind,
+def _kernel_batched(*refs, nt, n, B, n_sweeps, max_iter, ds_kind, us_kind,
                     gate_init, varying, qlat_mode, has_stg, store, out_mem,
-                    interpret):
-    out_refs = list(out_refs)
+                    geo_kind="trap", tab_M=0, tab_stride=0,
+                    both_storage=False, has_stg_us=False, interpret=False):
+    refs = list(refs)
+    geo_ref = refs.pop(0)
+    # shared lookup tables (batched TableGeometry): single-run [t*stride+j]
+    # row layout, ONE copy for all members (members only differ by _S_TABK)
+    tab_ref = refs.pop(0) if geo_kind == "table" else None
+    init_ref = refs.pop(0)
+    tgt_ref = refs.pop(0)
+    ds_tgt_ref = refs.pop(0)
+    scal_ref = refs.pop(0)
+    out_refs = refs
     # per-member lateral inflow theta-box cell averages: "const" is a
     # loop-invariant VMEM [B, Np] row; "tv" keeps the [nt, B, Np] stack in
     # HBM and DMAs level k's [B, Np] slice into a VMEM staging row at the
@@ -1883,6 +2010,9 @@ def _kernel_batched(geo_ref, init_ref, tgt_ref, ds_tgt_ref, scal_ref,
     # per-member stage-grid storage tables (curve/rating/loss lumped
     # storage; _stg_blk's (t*SR + c)*B + b row layout)
     stg_ref = out_refs.pop(0) if has_stg else None
+    # both-ends storage: the UPSTREAM reservoirs' table block (the shared
+    # stg input keeps the downstream side's)
+    stg_us_ref = out_refs.pop(0) if has_stg_us else None
     qstage = qsem = None
     if qlat_mode == "tv":
         qsem = out_refs.pop()
@@ -1924,12 +2054,34 @@ def _kernel_batched(geo_ref, init_ref, tgt_ref, ds_tgt_ref, scal_ref,
             for i in range(_NS)]
     tol = scal[_S_TOL]
 
+    if geo_kind == "table":
+        base_section = functools.partial(_section_df_table_rows, g, tab_ref,
+                                         M=tab_M, stride=tab_stride, B=1)
+        if _S_TABK in varying:
+            # per-member conveyance multiplier ([B,1] column): tables come
+            # from member 0 (c = 1 there by construction), scaling is exact
+            # Manning algebra (see parallel.ensemble.table_roughness_ensemble)
+            c = scal[_S_TABK]
+            inv_c = 1.0 / c
+
+            def section_fn(h):
+                st = dict(base_section(h))
+                st["K"] = st["K"] * df(c)
+                st["dK_dA"] = st["dK_dA"] * c
+                st["n_eq"] = st["n_eq"] * df(inv_c)
+                return st
+        else:  # all members share c == 1.0: the tables are already exact
+            section_fn = base_section
+    else:
+        section_fn = None
+
     init = init_ref[:]
     h0 = DF(init[0 * B:1 * B, :], init[1 * B:2 * B, :])
     Q0 = DF(init[2 * B:3 * B, :], init[3 * B:4 * B, :])
     qlat_const = qlat_ref[:] if qlat_mode == "const" else None
 
-    def store_level(k, h, Q, iters, err, res_stage, gate_open):
+    def store_level(k, h, Q, iters, err, res_stage, gate_open,
+                    res_stage_us=np.float32(np.nan)):
         # outputs are rank-3 [nt, B, lanes] with the dynamic level index on
         # the UNTILED leading dim: a flat [nt*B, lanes] layout needs a
         # k*B row offset, which Mosaic can neither lower (i64 multiply
@@ -1941,6 +2093,10 @@ def _kernel_batched(geo_ref, init_ref, tgt_ref, ds_tgt_ref, scal_ref,
                       + jnp.where(idx128 == 1, err, 0.0)
                       + jnp.where(idx128 == 2, res_stage, 0.0)
                       + jnp.where(idx128 == 3, gate_open, 0.0))
+        if both_storage:
+            # upstream reservoir stages ride lane 12 per member
+            stats_rows = stats_rows + jnp.where(idx128 == 12, res_stage_us,
+                                                0.0)
         if store == "boundaries":
             # boundary-node (h, Q) df32 halves ride lanes 4-11 of the stats
             # row — the per-level output shrinks from (4*Np + 128) to 128
@@ -1971,9 +2127,10 @@ def _kernel_batched(geo_ref, init_ref, tgt_ref, ds_tgt_ref, scal_ref,
 
     def level_body(k, carry):
         (h_hi, h_lo, Q_hi, Q_lo, y_hi, y_lo,
-         gopen, gcool, gptime, gstage) = carry
+         gopen, gcool, gptime, gstage) = carry[:10]
         h, Q = DF(h_hi, h_lo), DF(Q_hi, Q_lo)
         y_old = DF(y_hi, y_lo)
+        y_old_us = DF(carry[10], carry[11]) if both_storage else None
 
         if ds_kind == "gated_blend":
             # per-member gate controller on [B,1] columns (the state machine
@@ -1991,7 +2148,8 @@ def _kernel_batched(geo_ref, init_ref, tgt_ref, ds_tgt_ref, scal_ref,
             gcool = jnp.where(do_open | do_close, scal[_S_MAXCD], gcool)
             gptime = jnp.zeros_like(gptime) + time
 
-        prev_A, prev_Se, prev_Q2A = _level_state(g, h, Q)
+        prev_A, prev_Se, prev_Q2A = _level_state(g, h, Q,
+                                                 section_fn=section_fn)
         tgt = member_col(tgt_ref, k)
         ds_tgt = member_col(ds_tgt_ref, k)
         if qlat_mode == "tv":
@@ -2003,12 +2161,19 @@ def _kernel_batched(geo_ref, init_ref, tgt_ref, ds_tgt_ref, scal_ref,
             return jnp.sum(c[4]) > 0.0
 
         def body(c):
-            hh, hl, qh, ql, active, iters, errf, rs_hi, rs_lo = c
-            buf, errb, res_stage = _assemble_fused(
+            hh, hl, qh, ql, active, iters, errf, rs_hi, rs_lo = c[:9]
+            res = _assemble_fused(
                 g, scal, roll, n, ds_kind, DF(hh, hl), DF(qh, ql), h, Q,
                 prev_A, prev_Se, prev_Q2A, tgt, us_kind=us_kind,
                 y_old=y_old, k=k, gate_open=gopen, ds_tgt=ds_tgt,
-                qlat_avg=qlat_k, stg=stg_ref)
+                qlat_avg=qlat_k, section_fn=section_fn, stg=stg_ref,
+                y_old_us=y_old_us, stg_us=stg_us_ref,
+                both_storage=both_storage)
+            if both_storage:
+                buf, errb, res_stage, res_stage_us = res
+            else:
+                buf, errb, res_stage = res
+                res_stage_us = res_stage
             x0, x1 = _pcr_solve(buf, idx, n, n_sweeps, roll)
             upd = active  # [B,1] f32 mask: members still iterating
             hn = DF(hh, hl) + df(x0 * node_mask * upd)
@@ -2017,10 +2182,15 @@ def _kernel_batched(geo_ref, init_ref, tgt_ref, ds_tgt_ref, scal_ref,
             errf = jnp.where(upd > 0.0, errb, errf)
             rs_hi = jnp.where(upd > 0.0, res_stage.hi, rs_hi)
             rs_lo = jnp.where(upd > 0.0, res_stage.lo, rs_lo)
-            active = (upd * (errb >= tol).astype(jnp.float32)
-                      * (iters < np.float32(max_iter)).astype(jnp.float32))
-            return (hn.hi, hn.lo, qn.hi, qn.lo, active, iters, errf,
-                    rs_hi, rs_lo)
+            active_n = (upd * (errb >= tol).astype(jnp.float32)
+                        * (iters < np.float32(max_iter)).astype(jnp.float32))
+            out = (hn.hi, hn.lo, qn.hi, qn.lo, active_n, iters, errf,
+                   rs_hi, rs_lo)
+            if both_storage:
+                ru_hi = jnp.where(upd > 0.0, res_stage_us.hi, c[9])
+                ru_lo = jnp.where(upd > 0.0, res_stage_us.lo, c[10])
+                out = out + (ru_hi, ru_lo)
+            return out
 
         # data-derived zero column: a constant-zero [B,1] init gets a
         # REPLICATED Mosaic layout, while the loop body computes a concrete
@@ -2035,25 +2205,32 @@ def _kernel_batched(geo_ref, init_ref, tgt_ref, ds_tgt_ref, scal_ref,
         hsafe = jnp.where(jnp.abs(hcol) < np.float32(3e38), hcol,
                           jnp.zeros_like(hcol))
         dz = hsafe * np.float32(0.0)
-        hh, hl, qh, ql, _, iters, errf, rs_hi, rs_lo = jax.lax.while_loop(
-            cond, body,
-            (h.hi, h.lo, Q.hi, Q.lo, dz + 1.0, dz,
-             dz + np.float32(np.inf), y_hi * 1.0, y_lo * 1.0))
+        wc0 = (h.hi, h.lo, Q.hi, Q.lo, dz + 1.0, dz,
+               dz + np.float32(np.inf), y_hi * 1.0, y_lo * 1.0)
+        if both_storage:
+            wc0 = wc0 + (carry[10] * 1.0, carry[11] * 1.0)
+        wout = jax.lax.while_loop(cond, body, wc0)
+        hh, hl, qh, ql, _, iters, errf, rs_hi, rs_lo = wout[:9]
 
         gstage = scal[_S_DSBED] + hh[:, n - 1:n] + hl[:, n - 1:n]
+        rsu = (wout[9] + wout[10]) if both_storage else np.float32(np.nan)
         store_level(k, DF(hh, hl), DF(qh, ql), iters, errf,
-                    rs_hi + rs_lo, gopen)
-        return (hh, hl, qh, ql, rs_hi, rs_lo, gopen, gcool, gptime, gstage)
+                    rs_hi + rs_lo, gopen, res_stage_us=rsu)
+        out = (hh, hl, qh, ql, rs_hi, rs_lo, gopen, gcool, gptime, gstage)
+        if both_storage:
+            out = out + (wout[9], wout[10])
+        return out
 
     with df32.fenced(scal[_S_ZERO]):
         gstage0 = scal[_S_DSBED] + h0.hi[:, n - 1:n] + h0.lo[:, n - 1:n]
         # data-derived zero column for the level-loop carry (see the layout
         # note at the inner while_loop init)
         dz0 = h0.hi[:, 0:1] * np.float32(0.0)
-        jax.lax.fori_loop(
-            1, nt, level_body,
-            (h0.hi, h0.lo, Q0.hi, Q0.lo, dz0, dz0,
-             dz0 + np.float32(gate_init), dz0, dz0 - 1.0, gstage0))
+        carry0 = (h0.hi, h0.lo, Q0.hi, Q0.lo, dz0, dz0,
+                  dz0 + np.float32(gate_init), dz0, dz0 - 1.0, gstage0)
+        if both_storage:
+            carry0 = carry0 + (dz0, dz0)
+        jax.lax.fori_loop(1, nt, level_body, carry0)
     if streamer is not None:
         streamer.drain()
 
@@ -2062,12 +2239,16 @@ def _kernel_batched(geo_ref, init_ref, tgt_ref, ds_tgt_ref, scal_ref,
 def _build_call_batched(*, nt, n, B, Np, n_sweeps, max_iter, ds_kind,
                         us_kind, gate_init, varying, qlat_mode=None,
                         has_stg=False, store="full", out_mem="vmem",
+                        geo_kind="trap", tab_M=0, tab_stride=0,
+                        both_storage=False, has_stg_us=False,
                         interpret=False):
     kern = functools.partial(
         _kernel_batched, nt=nt, n=n, B=B, n_sweeps=n_sweeps,
         max_iter=max_iter, ds_kind=ds_kind, us_kind=us_kind,
         gate_init=gate_init, varying=varying, qlat_mode=qlat_mode,
-        has_stg=has_stg, store=store, out_mem=out_mem, interpret=interpret)
+        has_stg=has_stg, store=store, out_mem=out_mem, geo_kind=geo_kind,
+        tab_M=tab_M, tab_stride=tab_stride, both_storage=both_storage,
+        has_stg_us=has_stg_us, interpret=interpret)
     if store == "boundaries":
         out_shapes = [
             jax.ShapeDtypeStruct((nt, B, 128), jnp.float32),  # stats+bnd
@@ -2086,6 +2267,9 @@ def _build_call_batched(*, nt, n, B, Np, n_sweeps, max_iter, ds_kind,
         out_shape=out_shapes,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),  # geometry rows
+        ] + ([pl.BlockSpec(memory_space=pltpu.VMEM)]  # shared lookup tables
+             if geo_kind == "table" else [])
+          + [
             pl.BlockSpec(memory_space=pltpu.VMEM),  # init state
             pl.BlockSpec(memory_space=pltpu.SMEM),  # us target series [B, nt]
             pl.BlockSpec(memory_space=pltpu.SMEM),  # ds target series [B, nt]
@@ -2094,7 +2278,9 @@ def _build_call_batched(*, nt, n, B, Np, n_sweeps, max_iter, ds_kind,
                            if qlat_mode == "const" else pl.ANY)]
              if qlat_mode else [])  # tv: [nt, B, Np] stays in HBM
           + ([pl.BlockSpec(memory_space=pltpu.VMEM)]  # storage tables
-             if has_stg else []),
+             if has_stg else [])
+          + ([pl.BlockSpec(memory_space=pltpu.VMEM)]  # us storage tables
+             if has_stg_us else []),
         out_specs=[pl.BlockSpec(memory_space=out_space)] * len(out_shapes),
         scratch_shapes=((_out_scratch_shapes(out_shapes)
                          if out_mem == "hbm" else [])
@@ -2132,13 +2318,15 @@ def _vmem_per_member(n_time_levels: int, Np: int, store: str,
 
 
 def _pick_out_mem(settings, nt: int, Np: int, store: str, B: int = 1,
-                  extra_per_member: int = 0) -> str:
+                  extra_per_member: int = 0, extra_fixed: int = 0) -> str:
     """Output memory space: settings.out_memory, or smallest that fits.
 
     "vmem" (direct vector stores, no DMA machinery) is preferred when the
     stacked outputs fit the VMEM budget; otherwise "hbm" streams them via
     :class:`_LevelStreamer`.  Raises FusedUnsupported when even the HBM
-    layout's per-member working set exceeds VMEM.
+    layout's per-member working set exceeds VMEM.  ``extra_fixed`` budgets
+    member-count-independent VMEM residents (shared lookup tables, the
+    single-run qlat rows).
     """
     req = getattr(settings, "out_memory", "auto")
     if req in ("vmem", "hbm"):
@@ -2146,10 +2334,10 @@ def _pick_out_mem(settings, nt: int, Np: int, store: str, B: int = 1,
     else:
         out_mem = ("vmem"
                    if B * (_vmem_per_member(nt, Np, store, "vmem")
-                           + extra_per_member)
+                           + extra_per_member) + extra_fixed
                    <= _FUSED_VMEM_BYTES else "hbm")
-    if B * (_vmem_per_member(nt, Np, store, out_mem)
-            + extra_per_member) > _FUSED_VMEM_BYTES:
+    if (B * (_vmem_per_member(nt, Np, store, out_mem)
+             + extra_per_member) + extra_fixed) > _FUSED_VMEM_BYTES:
         limit = max_fused_batch(Np, nt, store, out_mem,
                                 stg_curve=extra_per_member > 0)
         raise FusedUnsupported(
@@ -2180,6 +2368,98 @@ def max_fused_batch(n_nodes: int, n_time_levels: int,
     return max(8, (_FUSED_VMEM_BYTES // per_member) // 8 * 8)
 
 
+# batched TableGeometry: the row-accumulate lookup costs O(M) [B, Np] FMAs
+# per section evaluation (the member-on-sublane layout rules out the
+# single-run within-vreg gather), so cap the depth-grid resolution
+_TAB_BATCH_MAX_M = 257
+
+
+def _pack_table_geo_rows_1(geo, n, Np, tab_M):
+    """[_NG, Np] geometry rows for one TableGeometry member (batched
+    kernel): row 0 = reciprocal depth grid, _G_CURV/_G_DZ real, the n-rows
+    benign 1.0 (the trap closure is never selected but must stay finite) —
+    the single-member twin of fused_network._pack_table_geo_rows."""
+    f32 = np.float32
+    a = lambda x: np.asarray(x, np.float64)
+    rows = np.zeros((_NG, Np), f32)
+    rows[_TG_INVDG, :n] = ((tab_M - 1) / a(geo.depth_max)).astype(f32)
+    rows[_G_CURV, :n] = a(geo.curvature).astype(f32)
+    z = a(geo.z_bed)
+    rows[_G_DZ, : n - 1] = (z[1:] - z[:-1]).astype(f32)
+    for r in (_G_N_MAIN, _G_N_LEFT, _G_N_RIGHT):
+        rows[r, :] = 1.0
+    return rows
+
+
+def _check_batched_table(geo_batch, B0, n, Np):
+    """Validate + factor a batched TableGeometry for the member-on-sublane
+    kernel: members must share the A/P/T/dR_dA tables exactly and differ
+    only by a per-member CONVEYANCE scale (K and dK_dA scaled by c_m,
+    n_eq by 1/c_m) — exactly what
+    :func:`parallel.ensemble.table_roughness_ensemble` produces (Manning
+    K = A R^(2/3) / n makes a uniform roughness change an exact rescale;
+    ref cross_section.py:503-522).  Returns
+    ``(tab_M, tab_stride, tab_rows, c[B0])`` with tables packed from
+    member 0 in the single-run layout.
+    """
+    a = lambda x: np.asarray(x, np.float64)
+    area = a(geo_batch.area)  # [B0, N, M]
+    tab_M = area.shape[-1]
+    if tab_M > _TAB_BATCH_MAX_M:
+        raise FusedUnsupported(
+            f"batched TableGeometry lookup costs O(M) per evaluation in "
+            f"the member-on-sublane layout; M={tab_M} > {_TAB_BATCH_MAX_M}."
+            f" Rebuild the tables at a coarser depth-grid resolution or "
+            f"use the XLA vmap engine")
+
+    def same(name):
+        v = a(getattr(geo_batch, name))
+        return np.all(v == v[0:1])
+
+    shared = ("area", "perimeter", "top_width", "dR_dA", "depth_max",
+              "z_bed", "curvature")
+    if not all(same(f) for f in shared):
+        raise FusedUnsupported(
+            "batched TableGeometry members must share the geometric tables "
+            "(A/P/T/dR_dA and the depth grid); only a per-member "
+            "conveyance/roughness scale batches in-kernel "
+            "(parallel.ensemble.table_roughness_ensemble). Per-member "
+            "geometry falls back to the XLA vmap engine")
+
+    K = a(geo_batch.conveyance)
+    dK = a(geo_batch.dK_dA)
+    n_eq = a(geo_batch.n_eq)
+    pos = K[0] > 0.0
+    c = np.ones((B0,), np.float64)
+    for m in range(B0):
+        ratios = K[m][pos] / K[0][pos]
+        c_m = np.median(ratios)
+        ok = (np.allclose(K[m], c_m * K[0], rtol=1e-9, atol=1e-30)
+              and np.allclose(dK[m], c_m * dK[0], rtol=1e-9, atol=1e-30)
+              and np.allclose(n_eq[m] * c_m, n_eq[0], rtol=1e-9))
+        if not ok:
+            raise FusedUnsupported(
+                "batched TableGeometry members must differ by one uniform "
+                "conveyance scale (K, dK_dA x c; n_eq / c); member "
+                f"{m} does not factor. Use the XLA vmap engine")
+        c[m] = c_m
+
+    # pack member 0's tables in the single-run [t*stride + j] layout
+    f32 = np.float32
+    tab_stride = -(-tab_M // 8) * 8 + 8
+    benign = (1.0, 1.0, 1.0, 1.0, 1.0, 0.0, 0.0)
+    tabs = np.zeros((_NT * tab_stride, Np), f32)
+    g0 = jax.tree_util.tree_map(lambda x: np.asarray(x)[0], geo_batch)
+    for t, arr in enumerate((g0.area, g0.perimeter, g0.top_width,
+                             g0.conveyance, g0.n_eq, g0.dK_dA, g0.dR_dA)):
+        block = np.full((tab_stride, Np), benign[t], f32)
+        a2 = np.asarray(arr, np.float64).T.astype(f32)  # [M, N]
+        block[:tab_M, :n] = a2
+        block[tab_M:, :n] = a2[-1]
+        tabs[t * tab_stride:(t + 1) * tab_stride] = block
+    return tab_M, tab_stride, tabs, c
+
+
 def _prepare_batched(geo_batch, us_bc, ds_bc, h0, Q0, settings,
                      us_batched, ds_batched, B_pad=None,
                      lateral_inflow=None):
@@ -2188,11 +2468,12 @@ def _prepare_batched(geo_batch, us_bc, ds_bc, h0, Q0, settings,
     and returns ``(cfg, ins)`` where ``cfg`` carries every static kernel
     parameter (including the per-chunk ``varying`` slot set — callers
     sharing one executable across chunks must union it)."""
-    from flowsim_tpu.geometry import TrapezoidGeometry
+    from flowsim_tpu.geometry import TableGeometry, TrapezoidGeometry
 
-    if not isinstance(geo_batch, TrapezoidGeometry):
+    if not isinstance(geo_batch, (TrapezoidGeometry, TableGeometry)):
         raise FusedUnsupported(
-            "batched fused kernel supports TrapezoidGeometry only")
+            "batched fused kernel supports TrapezoidGeometry and "
+            "TableGeometry (shared tables + per-member conveyance scale)")
     if np.ndim(geo_batch.z_bed) != 2:
         raise FusedUnsupported("geo_batch needs a leading member axis")
     B0 = geo_batch.z_bed.shape[0]
@@ -2219,17 +2500,32 @@ def _prepare_batched(geo_batch, us_bc, ds_bc, h0, Q0, settings,
     us0 = member(us_bc, 0) if us_batched else us_bc
     ds0 = member(ds_bc, 0) if ds_batched else ds_bc
     _check_supported(geo0, us0, ds0, settings)
+    from flowsim_tpu.geometry import TableGeometry
+
+    is_table = isinstance(geo0, TableGeometry)
+    tab_M = tab_stride = 0
+    tab_rows = None
+    tabk = np.ones((B0,), np.float64)
+    if is_table:
+        tab_M, tab_stride, tab_rows, tabk = _check_batched_table(
+            geo_batch, B0, n, Np)
     # per-member stage-grid tables (curve/rating/loss storage) add
-    # _STG_BYTES of VMEM per sublane — budget them before picking out_mem
-    stg_curve = any(
-        bc.kind == "fixed_depth" and bc.storage is not None
-        and _storage_mode(bc.storage) != "storage_simple"
-        for bc in (us0, ds0))
+    # _STG_BYTES of VMEM per sublane PER CURVE-STORAGE END — budget them
+    # before picking out_mem
+    n_stg_curve = sum(
+        1 for bc in (us0, ds0)
+        if bc.kind == "fixed_depth" and bc.storage is not None
+        and _storage_mode(bc.storage) != "storage_simple")
+    stg_curve = n_stg_curve > 0
+    both_storage = (us0.kind == "fixed_depth" and us0.storage is not None
+                    and ds0.kind == "fixed_depth"
+                    and ds0.storage is not None)
     store = getattr(settings, "store", "full")
     try:
         out_mem = _pick_out_mem(settings, nt, Np, store, B=B,
-                                extra_per_member=_STG_BYTES if stg_curve
-                                else 0)
+                                extra_per_member=_STG_BYTES * n_stg_curve,
+                                extra_fixed=(_NT * tab_stride * Np * 4
+                                             if is_table else 0))
     except FusedUnsupported:
         raise FusedUnsupported(
             f"batch {B0} x {nt} levels exceeds the VMEM budget "
@@ -2253,22 +2549,37 @@ def _prepare_batched(geo_batch, us_bc, ds_bc, h0, Q0, settings,
     scal_rows = np.zeros((B, _NS), f32)
     ds_kind = us_kind_str = None
     stg_list = []
+    stg_us_list = []
     for m in range(B):
         mm = min(m, B0 - 1)  # pad members replicate the last real member
-        gm = member(geo_batch, mm)
-        geo_rows.reshape(_NG, B, Np)[:, m, :] = _pack_trap_rows(gm, n, Np)
+        if is_table:
+            # geometry rows are shared (only _S_TABK varies per member)
+            geo_rows.reshape(_NG, B, Np)[:, m, :] = _pack_table_geo_rows_1(
+                geo0, n, Np, tab_M)
+        else:
+            gm = member(geo_batch, mm)
+            geo_rows.reshape(_NG, B, Np)[:, m, :] = _pack_trap_rows(gm, n, Np)
         h0_m = h0_nd[mm] if h0_nd.ndim > 1 else h0_nd
         Q0_m = Q0_nd[mm] if Q0_nd.ndim > 1 else Q0_nd
         init_rows.reshape(4, B, Np)[:, m, :] = _pack_init(h0_m, Q0_m, n, Np)
         us_m = member(us_bc, mm) if us_batched else us_bc
         ds_m = member(ds_bc, mm) if ds_batched else ds_bc
         scal_m = base.copy()
+        scal_m[_S_TABK] = tabk[mm]
         ds_kind_m, ds_series, stg_d = _pack_ds_config(ds_m, settings,
                                                       scal_m, nt)
-        us_kind_m, stg_u = _pack_us_config(us_m, settings, scal_m)
-        # one storage end per reach (_check_supported): the us rows win the
-        # stg slot when present, as in the single-run driver
-        stg_list.append(stg_u if stg_u is not None else stg_d)
+        us_kind_m, stg_u = _pack_us_config(
+            us_m, settings, scal_m,
+            stg_slots=_STG_US if both_storage else _STG_SHARED)
+        if both_storage:
+            # both ends: ds tables keep the shared stg input, us tables
+            # ride their own (per-member) block
+            stg_list.append(stg_d)
+            stg_us_list.append(stg_u)
+        else:
+            # one storage end: the us rows win the stg slot when present,
+            # as in the single-run driver
+            stg_list.append(stg_u if stg_u is not None else stg_d)
         scal_rows[m] = scal_m
         tgt_b[m, :nt] = _pack_us_series(us_m, nt).astype(f32)
         ds_tgt_b[m, :nt] = ds_series.astype(f32)
@@ -2296,6 +2607,16 @@ def _prepare_batched(geo_batch, us_bc, ds_bc, h0, Q0, settings,
         q = np.asarray(lateral_inflow, np.float64)
         if q.ndim == 1 and q.shape[0] == n:
             q = np.broadcast_to(q, (B0, n))
+        if q.ndim == 2 and B0 == nt and q.shape == (B0, n):
+            # [B0, N] per-member constants and a shared time-varying
+            # [nt, N] field are indistinguishable when B0 == nt — refuse
+            # rather than silently pick member-major (the sharded driver
+            # already guards this)
+            raise ValueError(
+                f"2-D lateral_inflow is ambiguous when the member count "
+                f"equals the level count (B={B0} == nt={nt}): broadcast "
+                f"per-member constants to [B, nt, N] (or a shared time "
+                f"series to [B, nt, N]) to disambiguate")
         if q.ndim == 2 and q.shape == (B0, n):
             qlat_mode = "const"
             qlat_rows = np.zeros((B, Np), f32)
@@ -2316,17 +2637,26 @@ def _prepare_batched(geo_batch, us_bc, ds_bc, h0, Q0, settings,
                 f"per-member time series; got {q.shape}")
 
     has_stg = any(r is not None for r in stg_list)
+    has_stg_us = any(r is not None for r in stg_us_list)
     cfg = dict(nt=nt, n=n, B=B, B0=B0, Np=Np, n_sweeps=n_sweeps,
                max_iter=settings.max_iter, ds_kind=ds_kind,
                us_kind=us_kind_str,
                gate_init=1.0 if settings.gate_initially_open else 0.0,
                varying=varying, qlat_mode=qlat_mode, has_stg=has_stg,
-               store=store, out_mem=out_mem)
-    ins = (geo_rows, init_rows, tgt_b, ds_tgt_b, scal_rows)
+               store=store, out_mem=out_mem,
+               geo_kind="table" if is_table else "trap",
+               tab_M=tab_M, tab_stride=tab_stride,
+               both_storage=both_storage, has_stg_us=has_stg_us)
+    ins = (geo_rows,)
+    if is_table:
+        ins = ins + (tab_rows,)
+    ins = ins + (init_rows, tgt_b, ds_tgt_b, scal_rows)
     if qlat_rows is not None:
         ins = ins + (qlat_rows,)
     if has_stg:
         ins = ins + (_stack_storage_rows(stg_list),)
+    if has_stg_us:
+        ins = ins + (_stack_storage_rows(stg_us_list),)
     return cfg, ins
 
 
@@ -2372,6 +2702,11 @@ def _unpack_batched(outs, cfg, settings, out_dtype):
         res_stage = jnp.where(lvl == 0, jnp.nan, res_stage)
     else:
         res_stage = jnp.full((B0, nt), jnp.nan, out_dtype)
+    if cfg.get("both_storage"):
+        res_stage_us = jnp.moveaxis(stats[:, :, 12], 1, 0).astype(out_dtype)
+        res_stage_us = jnp.where(lvl == 0, jnp.nan, res_stage_us)
+    else:
+        res_stage_us = None
     converged = (errs < settings.tolerance) | (lvl == 0)
     if ds_kind == "gated_blend":
         gate_open = jnp.moveaxis(stats[:, :, 3], 1, 0).astype(out_dtype)
@@ -2382,6 +2717,7 @@ def _unpack_batched(outs, cfg, settings, out_dtype):
         depth=depth, flow=flow, iterations=iters, error=errs,
         converged=converged, reservoir_stage=res_stage, gate_open=gate_open,
         rcond=jnp.ones((B0, nt), out_dtype),
+        reservoir_stage_us=res_stage_us,
     )
 
 
@@ -2427,7 +2763,9 @@ def fused_simulate_batched(geo_batch, us_bc, ds_bc, h0, Q0, settings,
         ds_kind=cfg["ds_kind"], us_kind=cfg["us_kind"],
         gate_init=cfg["gate_init"], varying=cfg["varying"],
         qlat_mode=cfg["qlat_mode"], has_stg=cfg["has_stg"],
-        store=cfg["store"],
+        store=cfg["store"], geo_kind=cfg["geo_kind"],
+        tab_M=cfg["tab_M"], tab_stride=cfg["tab_stride"],
+        both_storage=cfg["both_storage"], has_stg_us=cfg["has_stg_us"],
         out_mem=cfg["out_mem"], interpret=interpret)
     outs = call(*(jnp.asarray(x) for x in ins))
     return _unpack_batched(outs, cfg, settings, jnp.asarray(h0).dtype)
@@ -2507,7 +2845,9 @@ def fused_simulate_batched_sharded(geo_batch, us_bc, ds_bc, h0, Q0, settings,
         ds_kind=cfg["ds_kind"], us_kind=cfg["us_kind"],
         gate_init=cfg["gate_init"], varying=cfg["varying"],
         qlat_mode=cfg["qlat_mode"], has_stg=cfg["has_stg"],
-        store=cfg["store"],
+        store=cfg["store"], geo_kind=cfg["geo_kind"],
+        tab_M=cfg["tab_M"], tab_stride=cfg["tab_stride"],
+        both_storage=cfg["both_storage"], has_stg_us=cfg["has_stg_us"],
         out_mem=cfg["out_mem"], interpret=interpret)
 
     stacked = [jnp.asarray(np.stack([ins_dev[d][i] for d in range(D)]))

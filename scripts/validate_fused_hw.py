@@ -324,6 +324,77 @@ def main():
             results[name] = dict(error=f"{type(e).__name__}: {str(e)[:300]}",
                                  members=B)
             log(f"{name} FAILED: {results[name]['error']}")
+
+    # -- batched TableGeometry (round 5): shared tables + per-member
+    # conveyance scale (table_roughness_ensemble), members on sublanes ----
+    if wanted("batched_table"):
+        from flowsim_tpu.parallel.ensemble import table_roughness_ensemble
+
+        with jax.default_device(cpu):
+            tsolver, tsset = build_irregular_case()
+            # re-rasterize at an in-cap resolution (the O(M) row-accumulate
+            # lookup caps M at 257 for the member-on-sublane layout)
+            from flowsim_tpu.geometry_tables import (IrregularStation,
+                                                     build_table_geometry)
+            from flowsim_tpu.ops import initial_conditions as ic
+
+            length, slope = 40000.0, 2e-4
+
+            def _pts(seed, z0):
+                rng = np.random.default_rng(seed)
+                x = np.linspace(0, 220, 21)
+                z = (z0 + 8.0 * ((x - 110) / 110) ** 2
+                     + rng.uniform(0, 0.5, x.size))
+                return x, z
+
+            x1, z1 = _pts(1, slope * length)
+            x2, z2 = _pts(2, 0.0)
+            node_ch = np.linspace(0, length, 121)
+            sts = [IrregularStation(x=x1, z=z1, n_main=0.03, bed_slope=slope),
+                   IrregularStation(x=x2, z=z2, n_main=0.03, bed_slope=slope)]
+            tgeo = build_table_geometry(sts, [0.0, length], node_ch,
+                                        samples=96)
+            th0, tQ0 = ic.initial_conditions(tgeo, "steady-state", 400.0,
+                                             length / 120)
+            Bt = 16
+            tgeob = table_roughness_ensemble(tgeo, np.linspace(0.025, 0.04,
+                                                               Bt))
+        tsset = dc.replace(tsset, tolerance=1e-6)
+        try:
+            out = fused_simulate_batched(tgeob, tsolver.us_params,
+                                         tsolver.ds_params, th0, tQ0, tsset)
+            float(jnp.sum(out.depth))
+            t0 = time.time()
+            out = fused_simulate_batched(
+                tgeob, tsolver.us_params, tsolver.ds_params,
+                jnp.asarray(np.asarray(th0) * (1.0 + 1e-12)), tQ0, tsset)
+            float(jnp.sum(out.depth))
+            best = time.time() - t0
+            r = dict(wall_s=best, members=Bt,
+                     iters=int(np.asarray(out.iterations).sum()),
+                     converged=bool(np.asarray(out.converged).all()))
+            idmax = dmax = 0.0
+            for m in (0, Bt // 2, Bt - 1):
+                gm = jax.tree_util.tree_map(lambda a, m=m: a[m], tgeob)
+                with jax.default_device(cpu):
+                    ref = prs.simulate(gm, tsolver.us_params,
+                                       tsolver.ds_params, th0, tQ0, tsset)
+                idmax = max(idmax, float(np.abs(
+                    np.asarray(out.iterations[m])
+                    - np.asarray(ref.iterations)).max()))
+                dmax = max(dmax, float(np.abs(
+                    np.asarray(out.depth[m])
+                    - np.asarray(ref.depth)).max()))
+            r["max_iter_delta_vs_serial"] = idmax
+            r["max_dh_m_vs_serial"] = dmax
+            results["batched_table_b16"] = r
+            log(f"batched_table_b16: {best:.3f}s iterdelta<={idmax:.0f} "
+                f"max|dh|={dmax:.2e} conv={r['converged']}")
+        except Exception as e:  # noqa: BLE001
+            results["batched_table_b16"] = dict(
+                error=f"{type(e).__name__}: {str(e)[:300]}")
+            log(f"batched_table_b16 FAILED: "
+                f"{results['batched_table_b16']['error']}")
     print(json.dumps(results))
 
 

@@ -274,6 +274,36 @@ def validate_storage_curves():
     results["batched_network_curve"] = dict(ok=goodm)
     ok &= goodm
 
+    # round 5: storage on BOTH boundaries in one kernel (us stage carry +
+    # *_US slots + second stage-grid table input) — simple us + curve ds
+    us_st = bnd.make_boundary(
+        "fixed_depth", bed_level=bed_us,
+        storage=stg.make_storage(surface_area=8.0e5,
+                                 min_stage=bed_us - 5.0,
+                                 solution_boundaries=(0.0, 100.0)))
+    ds_both = mk_ds(1.0, 30.0)
+    out2 = fused_simulate(geo, us_st, ds_both, h0, Q0, sset,
+                          interpret=not on_tpu)
+    _sync(out2.depth)
+    with jax.default_device(cpu):
+        ref2 = prs.simulate(geo, us_st, ds_both, h0, Q0, sset)
+    di2 = int(np.abs(np.asarray(ref2.iterations)
+                     - np.asarray(out2.iterations)).max())
+    dd2 = float(np.abs(np.asarray(out2.depth)
+                       - np.asarray(ref2.depth)).max())
+    dr2 = float(np.abs(np.asarray(out2.reservoir_stage)[1:]
+                       - np.asarray(ref2.reservoir_stage)[1:]).max())
+    du2 = float(np.abs(np.asarray(out2.reservoir_stage_us)[1:]
+                       - np.asarray(ref2.reservoir_stage_us)[1:]).max())
+    good2 = di2 <= 1 and dd2 < 1e-4 and dr2 < 1e-4 and du2 < 1e-4
+    results["both_ends_storage"] = dict(ok=good2, d_iters=di2,
+                                        max_dh=round(dd2, 9),
+                                        max_dY_ds=round(dr2, 9),
+                                        max_dY_us=round(du2, 9))
+    print(f"both_ends_storage: ok={good2} d_iters={di2} |dh|={dd2:.2e} "
+          f"|dY_ds|={dr2:.2e} |dY_us|={du2:.2e}", file=sys.stderr)
+    ok &= good2
+
     results["platform"] = dev.platform
     results["ok"] = bool(ok)
     print(json.dumps(results))

@@ -155,3 +155,59 @@ def test_both_ends_storage_lax_runs():
     # upstream pool releases (stage falls), downstream pool fills (rises)
     assert y_us[-1] < y_us[2]
     assert y_ds[-1] > y_ds[2]
+
+
+def test_both_ends_storage_fused_kernel():
+    """Round-5: storage on BOTH boundaries runs IN the fused kernel
+    (interpret mode) with iteration counts identical to the XLA path and
+    both stage trajectories matching."""
+    from flowsim_tpu.ops.pallas.fused_newton import fused_simulate
+
+    geo, us, ds, h0, Q0 = build()
+    sset = settings(tolerance=1e-6)
+    ref = prs.simulate(geo, us, ds, h0, Q0, sset)
+    out = fused_simulate(geo, us, ds, h0, Q0, sset, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out.iterations),
+                                  np.asarray(ref.iterations))
+    assert bool(np.asarray(out.converged).all())
+    assert np.abs(np.asarray(out.depth) - np.asarray(ref.depth)).max() < 1e-5
+    # both stage trajectories (lane-2 ds / lane-12 us are f32 sums)
+    assert np.abs(np.asarray(out.reservoir_stage[1:])
+                  - np.asarray(ref.reservoir_stage[1:])).max() < 1e-4
+    assert np.abs(np.asarray(out.reservoir_stage_us[1:])
+                  - np.asarray(ref.reservoir_stage_us[1:])).max() < 1e-4
+
+
+def test_both_ends_curve_storage_fused_kernel():
+    """Both-ends with a stage-AREA-CURVE reservoir downstream (two stage
+    table sets: the shared stg input + the us stg input)."""
+    from flowsim_tpu.ops.pallas.fused_newton import fused_simulate
+
+    geo, us, ds, h0, Q0 = build()
+    bed_ds = float(np.asarray(geo.z_bed)[-1])
+    y0 = bed_ds + float(np.asarray(h0)[-1])
+    stages = np.linspace(0.0, 100.0, 33)
+    areas = SA_DS * (1.0 + 0.01 * (stages - y0))
+    ds_curve = bnd.make_boundary(
+        "fixed_depth", bed_level=bed_ds,
+        storage=stg.make_storage(area_curve=np.stack([stages, areas], 1),
+                                 min_stage=y0,
+                                 solution_boundaries=(0.0, 100.0)))
+    bed_us = float(np.asarray(geo.z_bed)[0])
+    us_curve = bnd.make_boundary(
+        "fixed_depth", bed_level=bed_us,
+        storage=stg.make_storage(
+            area_curve=np.stack([stages, SA_US * (1.0 + 0.02 * (stages - y0) ** 0 )], 1),
+            min_stage=bed_us - 5.0, solution_boundaries=(0.0, 100.0)))
+    sset = settings(tolerance=1e-6)
+    ref = prs.simulate(geo, us_curve, ds_curve, h0, Q0, sset)
+    out = fused_simulate(geo, us_curve, ds_curve, h0, Q0, sset,
+                         interpret=True)
+    assert bool(np.asarray(out.converged).all())
+    np.testing.assert_array_equal(np.asarray(out.iterations),
+                                  np.asarray(ref.iterations))
+    assert np.abs(np.asarray(out.depth) - np.asarray(ref.depth)).max() < 1e-5
+    assert np.abs(np.asarray(out.reservoir_stage[1:])
+                  - np.asarray(ref.reservoir_stage[1:])).max() < 1e-4
+    assert np.abs(np.asarray(out.reservoir_stage_us[1:])
+                  - np.asarray(ref.reservoir_stage_us[1:])).max() < 1e-4

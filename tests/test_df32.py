@@ -14,6 +14,8 @@ import pytest
 from flowsim_tpu.ops.pallas import df32
 from flowsim_tpu.ops.pallas.df32 import DF, df, to_f64
 
+pytestmark = pytest.mark.fast
+
 
 def relerr(x, ref):
     return float(jnp.max(jnp.abs((to_f64(x) - ref) / ref)))
@@ -98,3 +100,23 @@ def test_works_under_jit_and_vmap():
     xm = x.reshape(8, 32)
     got = jax.vmap(f)(xm)
     assert float(jnp.max(jnp.abs((got - ref.reshape(8, 32)) / ref.reshape(8, 32)))) < 1e-13
+
+
+def test_exp_log_powf():
+    """Round-5 transcendentals (for power rating curves): df32 exp/log/pow
+    vs float64, ~1e-11 relative."""
+    from flowsim_tpu.ops.pallas import df32
+    from flowsim_tpu.ops.pallas.df32 import df
+
+    x64 = np.array([1e-3, 0.5, 1.0, 2.718281828, 37.5, 900.0, 4.2e4])
+    a64 = np.array([-20.0, -1.0, -1e-6, 0.0, 1e-6, 3.0, 25.0])
+    ex = np.asarray(df32.to_f64(df32.exp(df(jnp.asarray(a64)))))
+    np.testing.assert_allclose(ex, np.exp(a64), rtol=5e-12)
+    lg = np.asarray(df32.to_f64(df32.log(df(jnp.asarray(x64)))))
+    np.testing.assert_allclose(lg, np.log(x64), rtol=0, atol=5e-12)
+    for b in (0.5, 1.6180339887, 2.5):
+        pw = np.asarray(df32.to_f64(df32.powf(df(jnp.asarray(x64)), df(b))))
+        np.testing.assert_allclose(pw, x64 ** b, rtol=5e-11)
+    # domain guards: x <= 0 -> 0 (powf/log sentinels, no NaN)
+    bad = df32.powf(df(jnp.asarray([-1.0, 0.0])), df(1.5))
+    np.testing.assert_array_equal(np.asarray(bad.hi), [0.0, 0.0])

@@ -315,3 +315,59 @@ def test_network_sharded_dam_junction():
                   - np.asarray(ref.junction_stage)).max() < 1e-9
     np.testing.assert_allclose(np.asarray(out.junction_outflow),
                                np.asarray(ref.junction_outflow), atol=1e-7)
+
+
+def test_network_sharded_multiple_branches():
+    """Round-5: SEVERAL branches sharded over one space axis
+    (sharded_branches=[0, 1]) — a Y-network whose two long arms are both
+    domain-decomposed must match the single-device loop engine to solver
+    roundoff."""
+    import dataclasses
+
+    from flowsim_tpu.ops import boundary as bnd_m
+    from flowsim_tpu.ops import initial_conditions as ic
+    from flowsim_tpu.ops.network import BranchDef, simulate_network
+    from flowsim_tpu.parallel.network_domain import simulate_network_sharded
+    from tests.test_fused_network import _prismatic
+
+    slope, dx, dt, nt = 6e-4, 1000.0, 1800.0, 7
+    arm = _prismatic(n=32, slope=slope)
+    z_a = np.asarray(arm.z_bed)
+    h0a, Q0a = ic.initial_conditions(arm, "steady-state", 150.0, dx)
+    times = np.arange(nt, dtype=np.float64)
+    flood = 150.0 + 60.0 * np.exp(-((times - 3.0) / 2.0) ** 2)
+    us_q = bnd_m.make_boundary("flow_hydrograph", bed_level=float(z_a[0]),
+                               target_series=flood)
+    arm2 = _prismatic(n=32, slope=slope, width=90.0)
+    z2 = np.asarray(arm2.z_bed) - np.asarray(arm2.z_bed)[-1] + z_a[-1]
+    arm2 = dataclasses.replace(arm2, z_bed=jnp.asarray(z2))
+    h0b, Q0b = ic.initial_conditions(arm2, "steady-state", 80.0, dx)
+    us_b = bnd_m.make_boundary("flow_hydrograph", bed_level=float(z2[0]),
+                               target_series=np.full(nt, 80.0))
+    outlet = _prismatic(n=16, slope=slope, width=150.0)
+    z_o = np.asarray(outlet.z_bed) - np.asarray(outlet.z_bed)[0] + z_a[-1]
+    outlet = dataclasses.replace(outlet, z_bed=jnp.asarray(z_o))
+    h0o, Q0o = ic.initial_conditions(outlet, "steady-state", 230.0, dx)
+    ds_n = bnd_m.make_boundary("normal_depth", bed_level=float(z_o[-1]),
+                               bed_slope=slope)
+    sset = prs.PreissmannSettings(theta=0.6, time_step=dt, spatial_step=dx,
+                                  n_time_levels=nt, tolerance=1e-8,
+                                  max_iter=100)
+    branches = [
+        BranchDef(geo=arm, dx=dx, us=us_q, ds=0, h0=h0a, Q0=Q0a),
+        BranchDef(geo=arm2, dx=dx, us=us_b, ds=0, h0=h0b, Q0=Q0b),
+        BranchDef(geo=outlet, dx=dx, us=0, ds=ds_n, h0=h0o, Q0=Q0o),
+    ]
+    ref = simulate_network(branches, 1, sset, engine="loop")
+    for n_space in (2, 4):
+        mesh = make_mesh(n_ensemble=8 // n_space, n_space=n_space)
+        out = simulate_network_sharded(branches, 1, sset, mesh,
+                                       sharded_branches=[0, 1])
+        assert bool(np.asarray(out.converged).all())
+        np.testing.assert_array_equal(np.asarray(out.iterations),
+                                      np.asarray(ref.iterations))
+        for b in range(3):
+            assert np.abs(np.asarray(out.depth[b])
+                          - np.asarray(ref.depth[b])).max() < 1e-9
+        assert np.abs(np.asarray(out.junction_stage)
+                      - np.asarray(ref.junction_stage)).max() < 1e-9

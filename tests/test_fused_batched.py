@@ -510,3 +510,118 @@ def test_batched_storage_curve_per_member():
     # members actually differ (per-member reservoir physics is live)
     rs_all = np.asarray(out.reservoir_stage)[:, -1]
     assert len(set(np.round(rs_all, 4))) == B
+
+
+def _table_reach(samples=96, n_nodes=9, nt=13):
+    """Small irregular reach (the test_fused_newton table fixture shape)."""
+    from flowsim_tpu.geometry_tables import (IrregularStation,
+                                             build_table_geometry)
+    from flowsim_tpu.ops import boundary as bnd
+    from flowsim_tpu.ops import initial_conditions as ic
+
+    length, slope = 8000.0, 2e-4
+
+    def section_pts(seed, z0):
+        rng = np.random.default_rng(seed)
+        x = np.linspace(0, 220, 21)
+        z = z0 + 8.0 * ((x - 110) / 110) ** 2 + rng.uniform(0, 0.5, x.size)
+        return x, z
+
+    x1, z1 = section_pts(1, slope * length)
+    x2, z2 = section_pts(2, 0.0)
+    node_ch = np.linspace(0, length, n_nodes)
+    sts = [IrregularStation(x=x1, z=z1, n_main=0.03, bed_slope=slope),
+           IrregularStation(x=x2, z=z2, n_main=0.03, bed_slope=slope)]
+    geo = build_table_geometry(sts, [0.0, length], node_ch, samples=samples)
+    h0, Q0 = ic.initial_conditions(geo, "steady-state", 400.0, 1000.0)
+    times = np.arange(nt) * 1800.0
+    us_p = bnd.make_boundary(
+        "flow_hydrograph", bed_level=float(geo.z_bed[0]),
+        target_series=[400.0 + 600.0 * min(t / (4 * 3600.0), 1.0)
+                       for t in times])
+    ds_p = bnd.make_boundary("normal_depth", bed_level=float(geo.z_bed[-1]),
+                             bed_slope=float(geo.bed_slope[-1]))
+    sset = prs.PreissmannSettings(theta=0.7, time_step=1800.0,
+                                  spatial_step=1000.0, n_time_levels=nt,
+                                  tolerance=1e-6, max_iter=100)
+    return geo, us_p, ds_p, h0, Q0, sset
+
+
+def test_batched_table_geometry_parity():
+    """Round-5: batched TableGeometry (shared tables + per-member
+    conveyance/roughness scale, table_roughness_ensemble semantics) runs
+    IN-KERNEL with per-member iteration counts identical to the vmapped
+    XLA table path."""
+    from flowsim_tpu.parallel.ensemble import table_roughness_ensemble
+
+    geo, us_p, ds_p, h0, Q0, sset = _table_reach()
+    ns = [0.026, 0.030, 0.035]
+    geob = table_roughness_ensemble(geo, ns)
+    outb = fused_simulate_batched(geob, us_p, ds_p, h0, Q0, sset,
+                                  interpret=True)
+    assert outb.depth.shape[0] == len(ns)
+    for m, _n in enumerate(ns):
+        gm = jax.tree_util.tree_map(lambda x: x[m], geob)
+        ref = prs.simulate(gm, us_p, ds_p, h0, Q0, sset)
+        np.testing.assert_array_equal(np.asarray(outb.iterations[m]),
+                                      np.asarray(ref.iterations))
+        assert bool(np.asarray(outb.converged[m]).all())
+        assert np.abs(np.asarray(outb.depth[m])
+                      - np.asarray(ref.depth)).max() < 1e-5
+        assert np.abs(np.asarray(outb.flow[m])
+                      - np.asarray(ref.flow)).max() < 1e-3
+
+
+def test_batched_table_geometry_guards():
+    """Per-member geometric tables (non-factorable) and oversized depth
+    grids raise FusedUnsupported (the XLA vmap engine owns those)."""
+    from flowsim_tpu.parallel.ensemble import table_roughness_ensemble
+
+    geo, us_p, ds_p, h0, Q0, sset = _table_reach()
+    geob = table_roughness_ensemble(geo, [0.026, 0.030, 0.035])
+    # break the shared-geometry premise on one member
+    bad = dataclasses.replace(
+        geob, area=jnp.asarray(np.asarray(geob.area)
+                               * np.array([1.0, 1.01, 1.0])[:, None, None]))
+    with pytest.raises(FusedUnsupported, match="share the geometric"):
+        fused_simulate_batched(bad, us_p, ds_p, h0, Q0, sset, interpret=True)
+    # break the uniform-scale premise on ONE member's conveyance (a
+    # depth-dependent distortion cannot factor into a scalar c_m)
+    K = np.asarray(geob.conveyance).copy()
+    K[1] *= 1.0 + 0.05 * np.linspace(0, 1, geob.area.shape[-1])
+    bad2 = dataclasses.replace(geob, conveyance=jnp.asarray(K))
+    with pytest.raises(FusedUnsupported, match="uniform conveyance scale"):
+        fused_simulate_batched(bad2, us_p, ds_p, h0, Q0, sset,
+                               interpret=True)
+    # oversized depth grid
+    geo_big, *rest = _table_reach(samples=512)
+    geob_big = table_roughness_ensemble(geo_big, [0.026, 0.030])
+    with pytest.raises(FusedUnsupported, match="O\\(M\\)"):
+        fused_simulate_batched(geob_big, rest[0], rest[1], rest[2], rest[3],
+                               rest[4], interpret=True)
+
+
+def test_batched_both_ends_storage():
+    """Round-5: lumped storage on BOTH boundaries in the BATCHED kernel —
+    per-member stage pairs match the vmapped XLA path with identical
+    iteration counts."""
+    from tests.test_both_boundary_storage import build, settings
+
+    geo, us, ds, h0, Q0 = build()
+    sset = settings(tolerance=1e-6)
+    B = 3
+    geob = roughness_ensemble(geo, [0.023, 0.025, 0.028])
+    outb = fused_simulate_batched(geob, us, ds, h0, Q0, sset, interpret=True)
+    assert outb.reservoir_stage_us is not None
+    for m in range(B):
+        gm = jax.tree_util.tree_map(lambda x: x[m], geob)
+        ref = prs.simulate(gm, us, ds, h0, Q0, sset)
+        np.testing.assert_array_equal(np.asarray(outb.iterations[m]),
+                                      np.asarray(ref.iterations))
+        assert bool(np.asarray(outb.converged[m]).all())
+        assert np.abs(np.asarray(outb.depth[m])
+                      - np.asarray(ref.depth)).max() < 1e-5
+        assert np.abs(np.asarray(outb.reservoir_stage[m][1:])
+                      - np.asarray(ref.reservoir_stage[1:])).max() < 1e-4
+        assert np.abs(np.asarray(outb.reservoir_stage_us[m][1:])
+                      - np.asarray(ref.reservoir_stage_us[1:])).max() < 1e-4

@@ -848,3 +848,101 @@ def test_junction_poly_n_rating_parity():
         for b in range(2):
             assert np.abs(np.asarray(outb.depth[b])[m]
                           - np.asarray(ref.depth[b])).max() < 1e-4
+
+
+def test_junction_table_rating_parity():
+    """Round-5: TABLE junction release curves run in-kernel via exact
+    per-segment masked eval on the user's own breakpoints — iteration
+    counts identical to the loop engine (single + batched kernels)."""
+    from flowsim_tpu.ops import rating_curve as rcurve
+    from flowsim_tpu.parallel.ensemble import batched_simulate_network
+
+    branches, sset = _split_akbari(nt=9)
+    z_conf = float(np.asarray(branches[0].geo.z_bed)[-1])
+    Y_init = z_conf + float(np.asarray(branches[0].h0)[-1])
+    stages = Y_init + np.array([-2.0, -0.5, 0.0, 0.4, 1.1, 2.5, 6.0])
+    qs = np.array([0.0, 40.0, 100.0, 180.0, 420.0, 900.0, 2500.0])
+    rc = rcurve.make_table(stages, qs)
+    SA = 5.0e5
+    kw = dict(junction_area=[SA], junction_rating=[rc])
+    out_l = simulate_network(branches, 1, sset, engine="loop", **kw)
+    out_f = simulate_network(branches, 1, sset, engine="fused", **kw)
+    _assert_parity(out_l, out_f, 2, dh=1e-4, dY=1e-4)
+
+    us0 = branches[0].us
+    se = np.asarray(us0.target_series, np.float64)
+    scales = np.asarray([0.9, 1.1])
+    us_b = jax.vmap(lambda s: dataclasses.replace(
+        us0, target_series=jnp.asarray(se) * s))(jnp.asarray(scales))
+    outb = batched_simulate_network(branches, 1, sset,
+                                    [dict(us=us_b), dict()],
+                                    engine="fused", **kw)
+    for m, s in enumerate(scales):
+        brm = [dataclasses.replace(branches[0], us=dataclasses.replace(
+            us0, target_series=jnp.asarray(se * s))), branches[1]]
+        ref = simulate_network(brm, 1, sset, engine="loop", **kw)
+        # within-1: a member whose converged residual sits in the
+        # f32-constant-rounding band of the tolerance may flip one
+        # iteration (docs/PRECISION.md)
+        assert np.abs(np.asarray(outb.iterations)[m]
+                      - np.asarray(ref.iterations)).max() <= 1
+        for b in range(2):
+            assert np.abs(np.asarray(outb.depth[b])[m]
+                          - np.asarray(ref.depth[b])).max() < 1e-4
+
+
+def test_junction_power_rating_parity():
+    """Round-5: POWER junction release curves (Q = a x^b) run in-kernel via
+    df32 exp/log (exact to ~1e-11 relative) — iteration counts identical
+    to the loop engine (single + batched kernels)."""
+    from flowsim_tpu.ops import rating_curve as rcurve
+    from flowsim_tpu.parallel.ensemble import batched_simulate_network
+
+    branches, sset = _split_akbari(nt=9)
+    z_conf = float(np.asarray(branches[0].geo.z_bed)[-1])
+    Y_init = z_conf + float(np.asarray(branches[0].h0)[-1])
+    # x = Y + shift ~ 3 at the initial stage, Q(Y0) ~ 15 (a small rated
+    # withdrawal: larger ones drain the junction to divergence on EVERY
+    # engine — the loop engine NaNs too)
+    rc = rcurve.make_power(a=15.0 / 3.0 ** 1.6, b=1.6,
+                           stage_shift=-(Y_init - 3.0))
+    SA = 5.0e5
+    kw = dict(junction_area=[SA], junction_rating=[rc])
+    out_l = simulate_network(branches, 1, sset, engine="loop", **kw)
+    out_f = simulate_network(branches, 1, sset, engine="fused", **kw)
+    _assert_parity(out_l, out_f, 2, dh=1e-4, dY=1e-4)
+
+    us0 = branches[0].us
+    se = np.asarray(us0.target_series, np.float64)
+    us_b = jax.vmap(lambda s: dataclasses.replace(
+        us0, target_series=jnp.asarray(se) * s))(jnp.asarray([0.9, 1.1]))
+    outb = batched_simulate_network(branches, 1, sset,
+                                    [dict(us=us_b), dict()],
+                                    engine="fused", **kw)
+    for m, s in enumerate((0.9, 1.1)):
+        brm = [dataclasses.replace(branches[0], us=dataclasses.replace(
+            us0, target_series=jnp.asarray(se * s))), branches[1]]
+        ref = simulate_network(brm, 1, sset, engine="loop", **kw)
+        assert np.abs(np.asarray(outb.iterations)[m]
+                      - np.asarray(ref.iterations)).max() <= 1
+        for b in range(2):
+            assert np.abs(np.asarray(outb.depth[b])[m]
+                          - np.asarray(ref.depth[b])).max() < 1e-4
+
+
+def test_junction_table_rating_guards():
+    from flowsim_tpu.ops import rating_curve as rcurve
+    from flowsim_tpu.ops.pallas.fused_network import (_JTAB_MAX_T,
+                                                      fused_simulate_network)
+
+    branches, sset = _split_akbari(nt=5)
+    big = np.linspace(0.0, 10.0, _JTAB_MAX_T + 1)
+    rc = rcurve.make_table(big, big * 10.0)
+    with pytest.raises(FusedUnsupported, match="breakpoints"):
+        fused_simulate_network(branches, 1, sset, junction_rating=[rc],
+                               junction_area=[1e5], interpret=True)
+    rc2 = rcurve.make_table(np.array([1.0, 0.5, 2.0]),
+                            np.array([0.0, 1.0, 2.0]))
+    with pytest.raises(FusedUnsupported, match="increasing"):
+        fused_simulate_network(branches, 1, sset, junction_rating=[rc2],
+                               junction_area=[1e5], interpret=True)

@@ -141,6 +141,64 @@ def spike_sweep_count(tile=4096):
     return _count_jaxpr(jaxpr.jaxpr)
 
 
+def network_iteration_count(B=8, n=60, m_rhs=2):
+    """One fused-NETWORK Newton iteration on the GERD-tributary shape:
+    3 real branches on 8 sublanes (Nmax ~ 60 -> Np=128), equal-stage
+    junction rows, and the multi-RHS block-PCR (Newton RHS + one -1
+    coupling column per junction coupling).  The J x J Schur solve is a
+    few hundred scalar-column ops at J <= 15 and is left out (<1%)."""
+    import jax
+    import jax.numpy as jnp
+
+    from flowsim_tpu.ops.pallas import df32, pcr_common
+    from flowsim_tpu.ops.pallas import fused_newton as fn
+    from flowsim_tpu.ops.pallas.df32 import DF
+
+    Np = 128
+    n_sweeps = max(1, (n - 1).bit_length())
+    roll = lambda x, s: jnp.roll(x, s, axis=1)
+    rng = np.random.default_rng(0)
+    g = [jnp.asarray(rng.random((B, Np)), jnp.float32) + 0.5
+         for _ in range(fn._NG)]
+    scal = [jnp.float32(v) for v in rng.random(fn._NS) + 0.5]
+    mk = lambda shape=(B, Np): DF(
+        jnp.asarray(rng.random(shape), jnp.float32) + 1.0,
+        jnp.asarray(rng.random(shape) * 1e-7, jnp.float32))
+    col = lambda: jnp.asarray(rng.random((B, 1)), jnp.float32)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (1, Np), 1)
+    cell_real = (idx < n - 1).astype(jnp.float32) * jnp.ones((B, 1),
+                                                             jnp.float32)
+
+    def one_iter(h_hi, h_lo, q_hi, q_lo):
+        h, Q = DF(h_hi, h_lo), DF(q_hi, q_lo)
+        with df32.fenced(jnp.float32(0.0)):
+            prev_A, prev_Se, prev_Q2A = fn._level_state(g, h, Q)
+            junc = dict(us_mask=col(), ds_mask=col(),
+                        Y_us=mk((B, 1)), Y_ds=mk((B, 1)),
+                        z_us=col(), z_ds=col(),
+                        cell_real=cell_real,
+                        pad_cell=(idx < n - 1).astype(jnp.float32)
+                        * jnp.zeros((B, 1), jnp.float32),
+                        us_kind_masks=None, ds_kind_masks=None)
+            buf, err, _ = fn._assemble_fused(
+                g, scal, roll, n, "fixed_h", h, Q, h, Q,
+                prev_A, prev_Se, prev_Q2A, col(),
+                us_kind="flow_hydrograph", y_old=mk((B, 1)),
+                k=jnp.asarray(2), gate_open=jnp.ones((B, 1), jnp.float32),
+                ds_tgt=col(), junc=junc)
+            extra = [-(idx == 0).astype(jnp.float32) * col()
+                     for _ in range(2 * (m_rhs - 1))]
+            buf = jnp.concatenate([buf[:14 * B]] + extra, axis=0)
+            red = pcr_common.pcr_reduce(buf, idx, n, n_sweeps, roll,
+                                        rhs_pairs=m_rhs, block=B)
+            X = pcr_common.pcr_backsolve(red, rhs_pairs=m_rhs, block=B)
+        return X, err
+
+    h, Q = mk(), mk()
+    jaxpr = jax.make_jaxpr(one_iter)(h.hi, h.lo, Q.hi, Q.lo)
+    return _count_jaxpr(jaxpr.jaxpr)
+
+
 def main():
     import jax
 
@@ -174,6 +232,23 @@ def main():
         # tiled SPIKE at N=1e6: 12 sweeps x 245 tiles, ~9 ms pure solve
         ("tiled SPIKE solve N=1e6 (12 sweeps x 245 tiles, ~9 ms)",
          sl * 12 * 245, sv * 12 * 245, 9e-3),
+    ]
+    nl, nv = network_iteration_count()
+    print(f"\nfused NETWORK kernel, one Newton iteration "
+          f"(3-branch tributary, B=8 sublanes, m_rhs=2):")
+    print(f"  weighted f32 lane-ops: {nl:,.0f}")
+    print(f"  vreg-row ops:          {nv:,.0f}")
+    cases += [
+        # tributary flagship: 0.100 s end-to-end over 4,339 iterations
+        # (BASELINE r3), minus the ~30 ms dispatch floor -> 16.1 us/iter
+        ("fused NETWORK / iteration (0.100 s - floor over 4,339 iters)",
+         nl, nv, 16.1e-6),
+        # batched network M=8 on the tributary: 14 sims/s (BENCH r4
+        # crossover table) -> 0.571 s/dispatch - floor over ~4,339
+        # synchronized iterations; rows grow to ceil(3*8 x pad /8) = 3x
+        # the single network kernel's vregs (24 vs 8 sublanes)
+        ("fused batched NETWORK M=8 / iteration (0.541 s / 4,339 iters)",
+         nl * 3, nv * 3, 125e-6),
     ]
     for name, lo, vo, wall in cases:
         sus_l = lo / wall

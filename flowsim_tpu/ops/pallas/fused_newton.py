@@ -2348,7 +2348,7 @@ def _pick_out_mem(settings, nt: int, Np: int, store: str, B: int = 1,
 
 def max_fused_batch(n_nodes: int, n_time_levels: int,
                     store: str = "full", out_memory: str = "auto",
-                    stg_curve: bool = False) -> int:
+                    stg_curve=False) -> int:
     """Largest member count one batched kernel call can hold in VMEM
     (callers chunk bigger ensembles; multiples of 8 fill whole vregs).
 
@@ -2363,8 +2363,9 @@ def max_fused_batch(n_nodes: int, n_time_levels: int,
     mems = ("vmem", "hbm") if out_memory == "auto" else (out_memory,)
     per_member = min(_vmem_per_member(n_time_levels, Np, store, m)
                      for m in mems)
-    if stg_curve:
-        per_member += _STG_BYTES  # per-member stage-grid storage tables
+    # per-member stage-grid storage tables; stg_curve counts curve-storage
+    # ENDS (True == 1; both-ends reservoirs pass 2)
+    per_member += _STG_BYTES * int(stg_curve)
     return max(8, (_FUSED_VMEM_BYTES // per_member) // 8 * 8)
 
 

@@ -203,7 +203,8 @@ def _fused_batched_simulate(geo_batch, us_bc, ds_bc, h0, Q0, settings,
     cap = chunk_size or max_fused_batch(n, settings.n_time_levels,
                                         getattr(settings, "store", "full"),
                                         getattr(settings, "out_memory", "auto"),
-                                        stg_curve=_curve(us_bc) or _curve(ds_bc))
+                                        stg_curve=(int(_curve(us_bc))
+                                                   + int(_curve(ds_bc))))
     if mesh is not None:
         cap = cap * mesh.shape[ENSEMBLE_AXIS]
     # same convention as api.Solver.run: Mosaic on TPU, interpret elsewhere

@@ -401,7 +401,8 @@ def _kernel_network(*refs,
                     us_kind, gate_init, varying, topo_j, qlat_mode, has_jstor,
                     has_jrate, has_stor_end, geo_kind, tab_M, tab_stride,
                     tab_b, has_stg, jrate_deg, has_jpow, jtab_T,
-                    out_mem, interpret):
+                    out_mem, interpret, both_storage=False,
+                    has_stg_us=False):
     """The whole-network-simulation kernel body.
 
     ``topo_j``: static tuple of (us_junction_or_None, ds_junction_or_None)
@@ -420,6 +421,9 @@ def _kernel_network(*refs,
     net_ref = refs.pop(0)
     jin_ref = refs.pop(0)
     stg_ref = refs.pop(0) if has_stg else None
+    # both-ends storage: upstream reservoirs' stage-grid block (the shared
+    # stg input keeps the downstream side's)
+    stg_us_ref = refs.pop(0) if has_stg_us else None
     qlat_ref = refs.pop(0) if qlat_mode == "tv" else None
     tgt_ref = refs.pop(0)
     ds_tgt_ref = refs.pop(0)
@@ -569,7 +573,8 @@ def _kernel_network(*refs,
             S = S + DF(m, m * 0.0) * q_end * df(np.float32(sgn))
         return S
 
-    def store_level(k, h, Q, iters_s, err_s, gate_open, Y, rs=None):
+    def store_level(k, h, Q, iters_s, err_s, gate_open, Y, rs=None,
+                    rs_us=None):
         """``iters_s``/``err_s`` are [1, 1] network-wide scalars; the
         per-branch stats row replicates them (lanes 0/1) and carries the
         per-branch gate state (lane 3) and, with storage ends, the df32
@@ -581,6 +586,11 @@ def _kernel_network(*refs,
             stats_rows = (stats_rows
                           + jnp.where(liota128 == 4, rs.hi, 0.0)
                           + jnp.where(liota128 == 5, rs.lo, 0.0))
+        if rs_us is not None:
+            # both-ends storage: upstream reservoir halves on lanes 12/13
+            stats_rows = (stats_rows
+                          + jnp.where(liota128 == 12, rs_us.hi, 0.0)
+                          + jnp.where(liota128 == 13, rs_us.lo, 0.0))
         stats_rows = jnp.broadcast_to(stats_rows, (B, 128))
         jrows = (jnp.where(liota128 == 0, Y.hi, 0.0)
                  + jnp.where(liota128 == 1, Y.lo, 0.0)
@@ -614,11 +624,12 @@ def _kernel_network(*refs,
 
     def level_body(k, carry):
         (h_hi, h_lo, Q_hi, Q_lo, y_hi, y_lo,
-         gopen, gcool, gptime, gstage, ry_hi, ry_lo) = carry
+         gopen, gcool, gptime, gstage, ry_hi, ry_lo) = carry[:12]
         h, Q = sync(DF(h_hi, h_lo)), sync(DF(Q_hi, Q_lo))
         Y = DF(y_hi, y_lo)
         # per-branch reservoir stage entering this level (storage ends)
         y_old_b = DF(ry_hi, ry_lo)
+        y_old_us_b = DF(carry[12], carry[13]) if both_storage else None
 
         if gated:
             # per-branch gate controller (same [B,1]-column state machine
@@ -655,19 +666,27 @@ def _kernel_network(*refs,
             return jnp.sum(c[8]) > 0.0
 
         def body(c):
-            hh, hl, qh, ql, yh, yl, iters, errf, active, rs_h, rs_l = c
+            (hh, hl, qh, ql, yh, yl, iters, errf, active,
+             rs_h, rs_l) = c[:11]
             hc, Qc, Yc = DF(hh, hl), DF(qh, ql), DF(yh, yl)
             junc = dict(us_mask=jm_us, ds_mask=jm_ds,
                         Y_us=gather_Y(Yc, 0), Y_ds=gather_Y(Yc, 1),
                         z_us=z_us_col, z_ds=z_ds_col,
                         cell_real=cell_real, pad_cell=pad_cell,
                         us_kind_masks=us_masks, ds_kind_masks=ds_masks)
-            buf, errb, res_st = _assemble_fused(
+            res = _assemble_fused(
                 g, scal, roll, n, ds_kind, hc, Qc, h, Q,
                 prev_A, prev_Se, prev_Q2A, tgt, us_kind=us_kind,
                 y_old=(y_old_b if has_stor_end else Yc), k=k,
                 gate_open=gopen, ds_tgt=ds_tgt, junc=junc,
-                qlat_avg=qlat_k, section_fn=section_fn, stg=stg_ref)
+                qlat_avg=qlat_k, section_fn=section_fn, stg=stg_ref,
+                y_old_us=y_old_us_b, stg_us=stg_us_ref,
+                both_storage=both_storage)
+            if both_storage:
+                buf, errb, res_st, res_st_us = res
+            else:
+                buf, errb, res_st = res
+                res_st_us = res_st
             # append the constant -1 coupling RHS pairs (the dR/dY columns
             # of the arrowhead system, ops/network.py:_simulate_network_
             # stacked rhs_coup)
@@ -790,8 +809,12 @@ def _kernel_network(*refs,
                 rs_l = jnp.where(updc > 0.0, res_st.lo, rs_l)
             active = (upd * (err_net >= tol).astype(jnp.float32)
                       * (iters < np.float32(max_iter)).astype(jnp.float32))
-            return (hn.hi, hn.lo, qn.hi, qn.lo, Yn.hi, Yn.lo,
-                    iters, errf, active, rs_h, rs_l)
+            out = (hn.hi, hn.lo, qn.hi, qn.lo, Yn.hi, Yn.lo,
+                   iters, errf, active, rs_h, rs_l)
+            if both_storage:
+                out = out + (jnp.where(updc > 0.0, res_st_us.hi, c[11]),
+                             jnp.where(updc > 0.0, res_st_us.lo, c[12]))
+            return out
 
         # data-derived scalar zero (a constant-zero init would get a
         # REPLICATED Mosaic layout rejected at the carry relayout; and a
@@ -800,28 +823,35 @@ def _kernel_network(*refs,
         hsafe = jnp.where(jnp.abs(hcol) < np.float32(3e38), hcol,
                           jnp.zeros_like(hcol))
         dz = hsafe * np.float32(0.0)
-        (hh, hl, qh, ql, yh, yl, iters, errf, _,
-         rs_h, rs_l) = jax.lax.while_loop(
-            cond, body,
-            (h.hi, h.lo, Q.hi, Q.lo, Y.hi * 1.0, Y.lo * 1.0,
-             dz, dz + np.float32(np.inf), dz + 1.0,
-             ry_hi * 1.0, ry_lo * 1.0))
+        wc0 = (h.hi, h.lo, Q.hi, Q.lo, Y.hi * 1.0, Y.lo * 1.0,
+               dz, dz + np.float32(np.inf), dz + 1.0,
+               ry_hi * 1.0, ry_lo * 1.0)
+        if both_storage:
+            wc0 = wc0 + (carry[12] * 1.0, carry[13] * 1.0)
+        wout = jax.lax.while_loop(cond, body, wc0)
+        (hh, hl, qh, ql, yh, yl, iters, errf, _, rs_h, rs_l) = wout[:11]
 
         gstage = scal[_S_DSBED] + hh[:, n - 1:n] + hl[:, n - 1:n]
         store_level(k, DF(hh, hl), DF(qh, ql), iters, errf, gopen,
                     DF(yh, yl),
-                    rs=DF(rs_h, rs_l) if has_stor_end else None)
-        return (hh, hl, qh, ql, yh, yl, gopen, gcool, gptime, gstage,
-                rs_h, rs_l)
+                    rs=DF(rs_h, rs_l) if has_stor_end else None,
+                    rs_us=(DF(wout[11], wout[12]) if both_storage
+                           else None))
+        out = (hh, hl, qh, ql, yh, yl, gopen, gcool, gptime, gstage,
+               rs_h, rs_l)
+        if both_storage:
+            out = out + (wout[11], wout[12])
+        return out
 
     with df32.fenced(scal[_S_ZERO]):
         gstage0 = scal[_S_DSBED] + h0.hi[:, n - 1:n] + h0.lo[:, n - 1:n]
         dz0 = h0.hi[:, 0:1] * np.float32(0.0)
-        jax.lax.fori_loop(
-            1, nt, level_body,
-            (h0.hi, h0.lo, Q0.hi, Q0.lo, Y0.hi * 1.0, Y0.lo * 1.0,
-             dz0 + np.float32(gate_init), dz0, dz0 - 1.0, gstage0,
-             dz0 * 1.0, dz0 * 1.0))
+        carry0 = (h0.hi, h0.lo, Q0.hi, Q0.lo, Y0.hi * 1.0, Y0.lo * 1.0,
+                  dz0 + np.float32(gate_init), dz0, dz0 - 1.0, gstage0,
+                  dz0 * 1.0, dz0 * 1.0)
+        if both_storage:
+            carry0 = carry0 + (dz0 * 1.0, dz0 * 1.0)
+        jax.lax.fori_loop(1, nt, level_body, carry0)
     if streamer is not None:
         streamer.drain()
 
@@ -832,7 +862,8 @@ def _build_call_network(*, nt, n, B, Np, J, Jp, m_rhs, n_sweeps, max_iter,
                         qlat_mode, has_jstor, has_jrate, has_stor_end,
                         geo_kind="trap", tab_M=0, tab_stride=0, tab_b=(),
                         has_stg=False, jrate_deg=2, has_jpow=False,
-                        jtab_T=0, out_mem="vmem",
+                        jtab_T=0, out_mem="vmem", both_storage=False,
+                        has_stg_us=False,
                         interpret=False):
     kern = functools.partial(
         _kernel_network, nt=nt, n=n, B=B, J=J, Jp=Jp, m_rhs=m_rhs,
@@ -842,7 +873,8 @@ def _build_call_network(*, nt, n, B, Np, J, Jp, m_rhs, n_sweeps, max_iter,
         has_jrate=has_jrate, has_stor_end=has_stor_end, geo_kind=geo_kind,
         tab_M=tab_M, tab_stride=tab_stride, tab_b=tab_b, has_stg=has_stg,
         jrate_deg=jrate_deg, has_jpow=has_jpow, jtab_T=jtab_T,
-        out_mem=out_mem, interpret=interpret)
+        out_mem=out_mem, both_storage=both_storage,
+        has_stg_us=has_stg_us, interpret=interpret)
     out_shapes = [
         jax.ShapeDtypeStruct((nt, B, Np), jnp.float32),   # depth hi
         jax.ShapeDtypeStruct((nt, B, Np), jnp.float32),   # depth lo
@@ -866,6 +898,8 @@ def _build_call_network(*, nt, n, B, Np, J, Jp, m_rhs, n_sweeps, max_iter,
             ]
             + ([pl.BlockSpec(memory_space=pltpu.VMEM)]   # storage tables
                if has_stg else [])
+            + ([pl.BlockSpec(memory_space=pltpu.VMEM)]   # us storage tables
+               if has_stg_us else [])
             + ([pl.BlockSpec(memory_space=pl.ANY)]   # [nt, B, Np] tv qlat
                if qlat_mode == "tv" else [])         # stack stays in HBM
             + [
@@ -1034,6 +1068,14 @@ def fused_simulate_network(branches, n_junctions, settings, Y0=None,
                 "TableGeometry branches")
         is_tab_b.append(isinstance(br.geo, TableGeometry))
         n_bs.append(int(np.asarray(br.h0).shape[0]))
+
+    def _stor_end(end):
+        return (not _is_junction(end) and end.kind == "fixed_depth"
+                and end.storage is not None)
+
+    # storage on BOTH external ends of one branch: the upstream reservoirs
+    # get their own per-branch stage carry, *_US slots and table block
+    net_both = any(_stor_end(br.us) and _stor_end(br.ds) for br in branches)
     geo_kind = "table" if any(is_tab_b) else "trap"
     tab_M = tab_stride = 0
     if geo_kind == "table":
@@ -1081,6 +1123,7 @@ def fused_simulate_network(branches, n_junctions, settings, Y0=None,
     ds_kind_bs = [None] * B
     pad_steady = []           # pad ends needing post-loop steady targets
     stg_list = []             # per-sublane storage stage-grid tables
+    stg_us_list = []          # both-ends mode: upstream tables per sublane
 
     base = np.zeros((_NS,), f32)
     base[_S_THETA] = settings.theta
@@ -1122,7 +1165,9 @@ def fused_simulate_network(branches, n_junctions, settings, Y0=None,
 
         stg_u = stg_d = None
         if jus is None:
-            us_kind_m, stg_u = _pack_us_config(br.us, settings, scal_m)
+            us_kind_m, stg_u = _pack_us_config(
+                br.us, settings, scal_m,
+                stg_slots=fn._STG_US if net_both else fn._STG_SHARED)
             us_kind_bs[m] = us_kind_m
             tgt_b[m, :nt] = _pack_us_series(br.us, nt).astype(f32)
         elif is_pad:
@@ -1135,13 +1180,13 @@ def fused_simulate_network(branches, n_junctions, settings, Y0=None,
         elif is_pad:
             pad_steady.append(("ds", m, f32(Q0p[-1]), f32(h0p[-1])))
         # per-branch stage-grid tables (curve/rating/loss storage on an
-        # external end; at most one storage end per branch — checked below)
-        stg_list.append(stg_u if stg_u is not None else stg_d)
-        if ((us_kind_bs[m] or "").startswith("storage")
-                and (ds_kind_bs[m] or "").startswith("storage")):
-            raise FusedUnsupported(
-                "storage on both ends of one branch shares the kernel's "
-                "per-branch storage slots; use the XLA engines")
+        # external end); in both-ends mode the us tables ride their own
+        # per-branch block and the *_US scalar slots
+        if net_both:
+            stg_list.append(stg_d)
+            stg_us_list.append(stg_u)
+        else:
+            stg_list.append(stg_u if stg_u is not None else stg_d)
         scal_rows[m] = scal_m
 
         z_p = np.asarray(geo_p.z_bed, np.float64)
@@ -1253,6 +1298,9 @@ def fused_simulate_network(branches, n_junctions, settings, Y0=None,
     has_stg_cur = any(r is not None for r in stg_list)
     if has_stg_cur:
         work += fn._STG_BYTES * B  # per-branch storage stage-grid tables
+    has_stg_us_cur = any(r is not None for r in stg_us_list)
+    if has_stg_us_cur:
+        work += fn._STG_BYTES * B  # upstream tables (both-ends mode)
     req = getattr(settings, "out_memory", "auto")
     if req in ("vmem", "hbm"):
         out_mem = req
@@ -1277,6 +1325,7 @@ def fused_simulate_network(branches, n_junctions, settings, Y0=None,
         tab_stride=tab_stride, tab_b=tab_b if geo_kind == "table" else (),
         has_stg=has_stg_cur, jrate_deg=jrate_deg,
         has_jpow=has_jpow, jtab_T=jtab_T,
+        both_storage=net_both, has_stg_us=has_stg_us_cur,
         out_mem=out_mem, interpret=interpret)
     ins = [jnp.asarray(geo_rows)]
     if geo_kind == "table":
@@ -1284,6 +1333,8 @@ def fused_simulate_network(branches, n_junctions, settings, Y0=None,
     ins += [jnp.asarray(init_rows), jnp.asarray(net_rows), jnp.asarray(jin)]
     if has_stg_cur:
         ins.append(jnp.asarray(fn._stack_storage_rows(stg_list)))
+    if has_stg_us_cur:
+        ins.append(jnp.asarray(fn._stack_storage_rows(stg_us_list)))
     if qlat_mode == "tv":
         ins.append(jnp.asarray(qlat_rows))
     ins += [jnp.asarray(tgt_b), jnp.asarray(ds_tgt_b),
@@ -1307,11 +1358,17 @@ def fused_simulate_network(branches, n_junctions, settings, Y0=None,
     converged = (errs < settings.tolerance) | (lvl == 0)
     res_stage = jnp.full((nt, B0, 2), jnp.nan, dtype)
     if has_stor_end:
-        # reservoir stages ride stats lanes 4/5 (df32 halves); report them
-        # only on the end that actually carries storage (the XLA engines'
-        # BCState contract: NaN elsewhere, NaN at level 0)
+        # reservoir stages ride stats lanes 4/5 (df32 halves; both-ends
+        # mode adds the upstream halves on 12/13); report them only on the
+        # end that actually carries storage (the XLA engines' BCState
+        # contract: NaN elsewhere, NaN at level 0)
         rs = df_sum(stats[:, :B0, 4], stats[:, :B0, 5])
         rs = jnp.where(jnp.arange(nt)[:, None] == 0, jnp.nan, rs)
+        if net_both:
+            rs_u = df_sum(stats[:, :B0, 12], stats[:, :B0, 13])
+            rs_u = jnp.where(jnp.arange(nt)[:, None] == 0, jnp.nan, rs_u)
+        else:
+            rs_u = rs
         us_st = np.array([topo_j[b][0] is None
                           and us_kind_bs[b].startswith("storage")
                           for b in range(B0)])[None, :]
@@ -1320,7 +1377,7 @@ def fused_simulate_network(branches, n_junctions, settings, Y0=None,
                           for b in range(B0)])[None, :]
         nanv = jnp.asarray(jnp.nan, dtype)
         res_stage = jnp.stack(
-            [jnp.where(jnp.asarray(us_st), rs, nanv),
+            [jnp.where(jnp.asarray(us_st), rs_u, nanv),
              jnp.where(jnp.asarray(ds_st), rs, nanv)], axis=-1)
     gate0 = 1.0 if settings.gate_initially_open else 0.0
     if "gated_blend" in ds_kinds:
@@ -1395,7 +1452,8 @@ def _kernel_network_batched(*refs,
                             ds_kind, us_kind, gate_init, varying, topo_j,
                             qlat_mode, has_jstor, has_jrate, has_stor_end,
                             has_stg, jrate_deg, has_jpow, jtab_T,
-                            out_mem, interpret):
+                            out_mem, interpret, both_storage=False,
+                            has_stg_us=False):
     """Whole-network ensemble kernel body (see section comment above).
 
     ``topo_j`` has B0 entries (real branches only; members replicate the
@@ -1410,6 +1468,9 @@ def _kernel_network_batched(*refs,
     net_ref = refs.pop(0)
     jin_ref = refs.pop(0)
     stg_ref = refs.pop(0) if has_stg else None
+    # both-ends storage: upstream reservoirs' stage-grid block (the shared
+    # stg input keeps the downstream side's)
+    stg_us_ref = refs.pop(0) if has_stg_us else None
     qlat_ref = refs.pop(0) if qlat_mode == "tv" else None
     tgt_ref = refs.pop(0)
     ds_tgt_ref = refs.pop(0)
@@ -1524,7 +1585,8 @@ def _kernel_network_batched(*refs,
         return DF(jnp.concatenate([s.hi for s in S_blocks], axis=0),
                   jnp.concatenate([s.lo for s in S_blocks], axis=0))
 
-    def store_level(k, h, Q, iters_m, err_m, gate_open, Y, rs=None):
+    def store_level(k, h, Q, iters_m, err_m, gate_open, Y, rs=None,
+                    rs_us=None):
         """``iters_m``/``err_m`` are per-member [Mp, 1] columns."""
         itB, erB = _tile_sub(iters_m, B0), _tile_sub(err_m, B0)
         stats_rows = (jnp.where(liota128 == 0, itB, 0.0)
@@ -1534,6 +1596,11 @@ def _kernel_network_batched(*refs,
             stats_rows = (stats_rows
                           + jnp.where(liota128 == 4, rs.hi, 0.0)
                           + jnp.where(liota128 == 5, rs.lo, 0.0))
+        if rs_us is not None:
+            # both-ends storage: upstream reservoir halves on lanes 12/13
+            stats_rows = (stats_rows
+                          + jnp.where(liota128 == 12, rs_us.hi, 0.0)
+                          + jnp.where(liota128 == 13, rs_us.lo, 0.0))
         stats_rows = jnp.broadcast_to(stats_rows, (BM, 128))
         itJ, erJ = _tile_sub(iters_m, J), _tile_sub(err_m, J)
         jrows = (jnp.where(liota128 == 0, Y.hi, 0.0)
@@ -1564,10 +1631,11 @@ def _kernel_network_batched(*refs,
 
     def level_body(k, carry):
         (h_hi, h_lo, Q_hi, Q_lo, y_hi, y_lo,
-         gopen, gcool, gptime, gstage, ry_hi, ry_lo) = carry
+         gopen, gcool, gptime, gstage, ry_hi, ry_lo) = carry[:12]
         h, Q = sync(DF(h_hi, h_lo)), sync(DF(Q_hi, Q_lo))
         Y = DF(y_hi, y_lo)
         y_old_b = DF(ry_hi, ry_lo)
+        y_old_us_b = DF(carry[12], carry[13]) if both_storage else None
 
         if gated:
             time = k.astype(jnp.float32) * scal[_S_DT]
@@ -1598,19 +1666,27 @@ def _kernel_network_batched(*refs,
             return jnp.sum(c[8]) > 0.0
 
         def body(c):
-            hh, hl, qh, ql, yh, yl, iters, errf, active, rs_h, rs_l = c
+            (hh, hl, qh, ql, yh, yl, iters, errf, active,
+             rs_h, rs_l) = c[:11]
             hc, Qc, Yc = DF(hh, hl), DF(qh, ql), DF(yh, yl)
             junc = dict(us_mask=jm_us, ds_mask=jm_ds,
                         Y_us=gather_Y(Yc, 0), Y_ds=gather_Y(Yc, 1),
                         z_us=z_us_col, z_ds=z_ds_col,
                         cell_real=cell_real, pad_cell=pad_cell,
                         us_kind_masks=us_masks, ds_kind_masks=ds_masks)
-            buf, errb, res_st = _assemble_fused(
+            res = _assemble_fused(
                 g, scal, roll, n, ds_kind, hc, Qc, h, Q,
                 prev_A, prev_Se, prev_Q2A, tgt, us_kind=us_kind,
                 y_old=(y_old_b if has_stor_end else Yc), k=k,
                 gate_open=gopen, ds_tgt=ds_tgt, junc=junc,
-                qlat_avg=qlat_k, stg=stg_ref)
+                qlat_avg=qlat_k, stg=stg_ref,
+                y_old_us=y_old_us_b, stg_us=stg_us_ref,
+                both_storage=both_storage)
+            if both_storage:
+                buf, errb, res_st, res_st_us = res
+            else:
+                buf, errb, res_st = res
+                res_st_us = res_st
             is0 = (idx == 0).astype(jnp.float32)
             isl = (idx == n - 1).astype(jnp.float32)
             jm_ds_only = jm_ds * (1.0 - jm_us)
@@ -1720,35 +1796,46 @@ def _kernel_network_batched(*refs,
                 rs_l = jnp.where(updB > 0.0, res_st.lo, rs_l)
             active = (upd * (err_m >= tol).astype(jnp.float32)
                       * (iters < np.float32(max_iter)).astype(jnp.float32))
-            return (hn.hi, hn.lo, qn.hi, qn.lo, Yn.hi, Yn.lo,
-                    iters, errf, active, rs_h, rs_l)
+            out = (hn.hi, hn.lo, qn.hi, qn.lo, Yn.hi, Yn.lo,
+                   iters, errf, active, rs_h, rs_l)
+            if both_storage:
+                out = out + (jnp.where(updB > 0.0, res_st_us.hi, c[11]),
+                             jnp.where(updB > 0.0, res_st_us.lo, c[12]))
+            return out
 
         hcol = h.hi[0:Mp, 0:1]
         hsafe = jnp.where(jnp.abs(hcol) < np.float32(3e38), hcol,
                           jnp.zeros_like(hcol))
         dz = hsafe * np.float32(0.0)
-        (hh, hl, qh, ql, yh, yl, iters, errf, _,
-         rs_h, rs_l) = jax.lax.while_loop(
-            cond, body,
-            (h.hi, h.lo, Q.hi, Q.lo, Y.hi * 1.0, Y.lo * 1.0,
-             dz, dz + np.float32(np.inf), dz + 1.0,
-             ry_hi * 1.0, ry_lo * 1.0))
+        wc0 = (h.hi, h.lo, Q.hi, Q.lo, Y.hi * 1.0, Y.lo * 1.0,
+               dz, dz + np.float32(np.inf), dz + 1.0,
+               ry_hi * 1.0, ry_lo * 1.0)
+        if both_storage:
+            wc0 = wc0 + (carry[12] * 1.0, carry[13] * 1.0)
+        wout = jax.lax.while_loop(cond, body, wc0)
+        (hh, hl, qh, ql, yh, yl, iters, errf, _, rs_h, rs_l) = wout[:11]
 
         gstage = scal[_S_DSBED] + hh[:, n - 1:n] + hl[:, n - 1:n]
         store_level(k, DF(hh, hl), DF(qh, ql), iters, errf, gopen,
                     DF(yh, yl),
-                    rs=DF(rs_h, rs_l) if has_stor_end else None)
-        return (hh, hl, qh, ql, yh, yl, gopen, gcool, gptime, gstage,
-                rs_h, rs_l)
+                    rs=DF(rs_h, rs_l) if has_stor_end else None,
+                    rs_us=(DF(wout[11], wout[12]) if both_storage
+                           else None))
+        out = (hh, hl, qh, ql, yh, yl, gopen, gcool, gptime, gstage,
+               rs_h, rs_l)
+        if both_storage:
+            out = out + (wout[11], wout[12])
+        return out
 
     with df32.fenced(scal[_S_ZERO]):
         gstage0 = scal[_S_DSBED] + h0.hi[:, n - 1:n] + h0.lo[:, n - 1:n]
         dz0 = h0.hi[:, 0:1] * np.float32(0.0)
-        jax.lax.fori_loop(
-            1, nt, level_body,
-            (h0.hi, h0.lo, Q0.hi, Q0.lo, Y0.hi * 1.0, Y0.lo * 1.0,
-             dz0 + np.float32(gate_init), dz0, dz0 - 1.0, gstage0,
-             dz0 * 1.0, dz0 * 1.0))
+        carry0 = (h0.hi, h0.lo, Q0.hi, Q0.lo, Y0.hi * 1.0, Y0.lo * 1.0,
+                  dz0 + np.float32(gate_init), dz0, dz0 - 1.0, gstage0,
+                  dz0 * 1.0, dz0 * 1.0)
+        if both_storage:
+            carry0 = carry0 + (dz0 * 1.0, dz0 * 1.0)
+        jax.lax.fori_loop(1, nt, level_body, carry0)
     if streamer is not None:
         streamer.drain()
 
@@ -1760,13 +1847,15 @@ def _build_call_network_batched(*, nt, n, B0, Mp, Np, J, m_rhs, n_sweeps,
                                 has_jrate, has_stor_end, n_net_rows,
                                 has_stg=False, jrate_deg=2,
                                 has_jpow=False, jtab_T=0,
-                                out_mem="vmem", interpret=False):
+                                out_mem="vmem", both_storage=False,
+                                has_stg_us=False, interpret=False):
     kern = functools.partial(
         _kernel_network_batched, nt=nt, n=n, B0=B0, Mp=Mp, J=J, m_rhs=m_rhs,
         n_sweeps=n_sweeps, max_iter=max_iter, ds_kind=ds_kind,
         us_kind=us_kind, gate_init=gate_init, varying=varying,
         topo_j=topo_j, qlat_mode=qlat_mode, has_jstor=has_jstor,
         has_jrate=has_jrate, has_stor_end=has_stor_end, has_stg=has_stg,
+        both_storage=both_storage, has_stg_us=has_stg_us,
         jrate_deg=jrate_deg, has_jpow=has_jpow, jtab_T=jtab_T,
         out_mem=out_mem, interpret=interpret)
     BM, JM = B0 * Mp, J * Mp
@@ -1791,6 +1880,8 @@ def _build_call_network_batched(*, nt, n, B0, Mp, Np, J, m_rhs, n_sweeps,
             ]
             + ([pl.BlockSpec(memory_space=pltpu.VMEM)]  # storage tables
                if has_stg else [])
+            + ([pl.BlockSpec(memory_space=pltpu.VMEM)]  # us storage tables
+               if has_stg_us else [])
             + ([pl.BlockSpec(memory_space=pl.ANY)]  # [nt, BM, Np] tv qlat
                if qlat_mode == "tv" else [])        # stack stays in HBM
             + [
@@ -1915,6 +2006,12 @@ def fused_simulate_network_batched(branches, n_junctions, settings, batch,
             raise FusedUnsupported("fused network kernel supports "
                                    "TrapezoidGeometry branches only")
         n_bs.append(int(np.asarray(br.h0).shape[0]))
+
+    def _stor_end(end):
+        return (not _is_junction(end) and end.kind == "fixed_depth"
+                and end.storage is not None)
+
+    net_both = any(_stor_end(br.us) and _stor_end(br.ds) for br in branches)
     # a per-member batch override can INTRODUCE qlat on a branch whose
     # base qlat is None — the mode must consider both, or the override
     # would be packed into net row 7 but never read by the kernel.  Any
@@ -1953,6 +2050,7 @@ def fused_simulate_network_batched(branches, n_junctions, settings, batch,
     us_kind_bs = [None] * BM
     ds_kind_bs = [None] * BM
     stg_bm = [None] * BM
+    stg_us_bm = [None] * BM   # both-ends mode: upstream tables
 
     base = np.zeros((_NS,), f32)
     base[_S_THETA] = settings.theta
@@ -2008,7 +2106,9 @@ def fused_simulate_network_batched(branches, n_junctions, settings, batch,
             jus, jds = topo_j[b]
             stg_u = stg_d = None
             if jus is None:
-                us_kind_m, stg_u = _pack_us_config(br.us, settings, scal_m)
+                us_kind_m, stg_u = _pack_us_config(
+                    br.us, settings, scal_m,
+                    stg_slots=fn._STG_US if net_both else fn._STG_SHARED)
                 us_kind_bs[r] = us_kind_m
                 tgt_b[r, :nt] = _pack_us_series(br.us, nt).astype(f32)
             if jds is None:
@@ -2016,12 +2116,13 @@ def fused_simulate_network_batched(branches, n_junctions, settings, batch,
                     br.ds, settings, scal_m, nt)
                 ds_kind_bs[r] = ds_kind_m
                 ds_tgt_b[r, :nt] = ds_series.astype(f32)
-            # per-(member x branch) stage-grid tables (curve/loss storage)
-            stg_bm[r] = stg_u if stg_u is not None else stg_d
-            if ((us_kind_bs[r] or "").startswith("storage")
-                    and (ds_kind_bs[r] or "").startswith("storage")):
-                raise FusedUnsupported("storage on both ends of one branch "
-                                       "shares the per-branch storage slots")
+            # per-(member x branch) stage-grid tables (curve/loss storage);
+            # in both-ends mode upstream tables ride their own block
+            if net_both:
+                stg_bm[r] = stg_d
+                stg_us_bm[r] = stg_u
+            else:
+                stg_bm[r] = stg_u if stg_u is not None else stg_d
             scal_rows[r] = scal_m
 
             z_p = np.asarray(geo_p.z_bed, np.float64)
@@ -2098,6 +2199,9 @@ def fused_simulate_network_batched(branches, n_junctions, settings, batch,
     has_stg_cur = any(r is not None for r in stg_bm)
     if has_stg_cur:
         work += fn._STG_BYTES * BM  # per-(member x branch) storage tables
+    has_stg_us_cur = any(r is not None for r in stg_us_bm)
+    if has_stg_us_cur:
+        work += fn._STG_BYTES * BM  # upstream tables (both-ends mode)
     if qlat_mode == "tv":
         work += BM * Np * 4  # the VMEM staging row (the stack is in HBM)
     req = getattr(settings, "out_memory", "auto")
@@ -2127,11 +2231,14 @@ def fused_simulate_network_batched(branches, n_junctions, settings, batch,
         has_stor_end=has_stor_end, has_stg=has_stg_cur,
         jrate_deg=jrate_deg, has_jpow=has_jpow, jtab_T=jtab_T,
         n_net_rows=net_rows.shape[0] // BM,
+        both_storage=net_both, has_stg_us=has_stg_us_cur,
         out_mem=out_mem, interpret=interpret)
     ins = [jnp.asarray(geo_rows), jnp.asarray(init_rows),
            jnp.asarray(net_rows), jnp.asarray(jin)]
     if has_stg_cur:
         ins.append(jnp.asarray(fn._stack_storage_rows(stg_bm)))
+    if has_stg_us_cur:
+        ins.append(jnp.asarray(fn._stack_storage_rows(stg_us_bm)))
     if qlat_mode == "tv":
         ins.append(jnp.asarray(qlat_rows))
     ins += [jnp.asarray(tgt_b), jnp.asarray(ds_tgt_b),
@@ -2173,6 +2280,12 @@ def fused_simulate_network_batched(branches, n_junctions, settings, batch,
         rs = jnp.moveaxis(df_sum(stats4[:, :, :M, 4], stats4[:, :, :M, 5]),
                           2, 0)  # [M, nt, B0]
         rs = jnp.where(lvl[..., None] == 0, jnp.nan, rs)
+        if net_both:
+            rs_u = jnp.moveaxis(df_sum(stats4[:, :, :M, 12],
+                                       stats4[:, :, :M, 13]), 2, 0)
+            rs_u = jnp.where(lvl[..., None] == 0, jnp.nan, rs_u)
+        else:
+            rs_u = rs
         us_st = np.array([topo_j[b][0] is None
                           and us_kind_bs[b * Mp].startswith("storage")
                           for b in range(B0)])[None, None, :]
@@ -2180,7 +2293,7 @@ def fused_simulate_network_batched(branches, n_junctions, settings, batch,
                           and ds_kind_bs[b * Mp].startswith("storage")
                           for b in range(B0)])[None, None, :]
         nanv = jnp.asarray(jnp.nan, dtype)
-        res_stage = jnp.stack([jnp.where(jnp.asarray(us_st), rs, nanv),
+        res_stage = jnp.stack([jnp.where(jnp.asarray(us_st), rs_u, nanv),
                                jnp.where(jnp.asarray(ds_st), rs, nanv)],
                               axis=-1)
     gate0 = 1.0 if settings.gate_initially_open else 0.0

@@ -917,16 +917,23 @@ def _assemble_fused(g, scal, roll, n, ds_kind,
     # external-end kinds (network mode): evaluate each kind's row on the
     # full [B, 1] columns and SELECT per branch (masks aligned with the
     # kind tuple in junc["us_kind_masks"]/["ds_kind_masks"])
+    # both-ends storage: the us rows read their own stage carry, table
+    # block, and *_US scalar slots (the ds rows keep the shared set)
+    us_y = y_old_us if both_storage else y_old
+    us_stg = stg_us if both_storage else stg
+    us_slots = _STG_US if both_storage else _STG_SHARED
     if isinstance(us_kind, tuple):
         masks = junc["us_kind_masks"]
         one_c = jnp.ones_like(masks[0])
         us_res, us_df_dh, us_df_dQ, us_res_stage = _us_row(
-            us_kind[0], st, scal, h, Q, prev_h, prev_Q, tgt, y_old, k, stg)
+            us_kind[0], st, scal, h, Q, prev_h, prev_Q, tgt, us_y, k,
+            us_stg, slots=us_slots)
         us_df_dh = us_df_dh * one_c
         us_df_dQ = us_df_dQ * one_c
         for kind, m in zip(us_kind[1:], masks[1:]):
             r2, dh2, dq2, st2 = _us_row(kind, st, scal, h, Q, prev_h,
-                                        prev_Q, tgt, y_old, k, stg)
+                                        prev_Q, tgt, us_y, k, us_stg,
+                                        slots=us_slots)
             sel = m > 0.0
             us_res = df32.where(sel, r2, us_res)
             us_df_dh = jnp.where(sel, dh2 * one_c, us_df_dh)
@@ -935,9 +942,6 @@ def _assemble_fused(g, scal, roll, n, ds_kind,
                 us_res_stage = (st2 if us_res_stage is None else
                                 df32.where(sel, st2, us_res_stage))
     else:
-        us_y = y_old_us if both_storage else y_old
-        us_stg = stg_us if both_storage else stg
-        us_slots = _STG_US if both_storage else _STG_SHARED
         us_res, us_df_dh, us_df_dQ, us_res_stage = _us_row(
             us_kind, st, scal, h, Q, prev_h, prev_Q, tgt, us_y, k, us_stg,
             slots=us_slots)

@@ -177,6 +177,51 @@ def main():
     _compare("junction_blended", rbr, 1, sset, results, dh=1e-5,
              junction_area=[SA], junction_rating=[rcb])
 
+    # 5b2) round-5 junction rating kinds: exact TABLE (per-segment masked
+    # eval on the user's breakpoints) and POWER (df32 exp/log)
+    rct = rcurve.make_table(
+        Y_init + np.array([-2.0, -0.5, 0.0, 0.4, 1.1, 2.5, 6.0]),
+        np.array([0.0, 8.0, 20.0, 36.0, 84.0, 180.0, 500.0]))
+    _compare("junction_table_rating", rbr, 1, sset, results, dh=1e-5,
+             junction_area=[SA], junction_rating=[rct])
+    rcp = rcurve.make_power(a=20.0 / 3.0 ** 1.6, b=1.6,
+                            stage_shift=-(Y_init - 3.0))
+    _compare("junction_power_rating", rbr, 1, sset, results, dh=1e-5,
+             junction_area=[SA], junction_rating=[rcp])
+
+    # 5b3) round-5 both-ends storage on one branch (tests/test_fused_
+    # network.py::test_branch_both_ends_storage_parity topology)
+    from test_both_boundary_storage import DT as BDT, DX as BDX
+    from test_both_boundary_storage import build as both_build
+    from test_fused_network import _prismatic
+
+    from flowsim_tpu.ops import boundary as bnd_m
+    from flowsim_tpu.ops import initial_conditions as ic
+
+    geo_b, us_b0, ds_b0, h0_b, Q0_b = both_build()
+    pg = _prismatic()
+    pz = np.asarray(pg.z_bed)
+    ph0, pQ0 = ic.initial_conditions(pg, "steady-state", 150.0, BDX)
+    pcut = 8
+    psl = lambda s: jax.tree_util.tree_map(lambda x: x[s], pg)
+    us_pq = bnd_m.make_boundary("flow_hydrograph", bed_level=float(pz[0]),
+                                target_series=np.full(11, 150.0))
+    ds_pn = bnd_m.make_boundary("normal_depth", bed_level=float(pz[-1]),
+                                bed_slope=6e-4)
+    import flowsim_tpu.ops.preissmann as prs_m
+
+    bset = prs_m.PreissmannSettings(
+        theta=0.6, time_step=BDT, spatial_step=BDX, n_time_levels=11,
+        tolerance=1e-8, max_iter=100)
+    bebr = [
+        BranchDef(geo=geo_b, dx=BDX, us=us_b0, ds=ds_b0, h0=h0_b, Q0=Q0_b),
+        BranchDef(geo=psl(slice(0, pcut + 1)), dx=BDX, us=us_pq, ds=0,
+                  h0=ph0[: pcut + 1], Q0=pQ0[: pcut + 1]),
+        BranchDef(geo=psl(slice(pcut, None)), dx=BDX, us=0, ds=ds_pn,
+                  h0=ph0[pcut:], Q0=pQ0[pcut:]),
+    ]
+    _compare("branch_both_ends_storage", bebr, 1, bset, results, dh=1e-5)
+
     # 5c) constant-area storage on an external network end + mixed kinds
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "tests"))

@@ -43,3 +43,23 @@ def _bounded_compile_state():
     """
     jax.clear_caches()
     yield
+
+
+_TESTS_SINCE_CLEAR = [0]
+
+
+@pytest.fixture(autouse=True)
+def _bounded_compile_state_per_test():
+    """Also clear every 8 tests WITHIN a module.
+
+    Round 5 grew the kernel-heavy modules (test_fused_network et al.) past
+    the same upstream crash threshold on their own: running the four fused
+    modules together segfaulted reproducibly ~14 minutes in (3/3 attempts,
+    faulthandler dump with no Python frame) until the per-test cap was
+    added.  Eight tests of fused-kernel size stay safely under the limit.
+    """
+    yield
+    _TESTS_SINCE_CLEAR[0] += 1
+    if _TESTS_SINCE_CLEAR[0] >= 8:
+        _TESTS_SINCE_CLEAR[0] = 0
+        jax.clear_caches()

@@ -111,13 +111,15 @@ def test_gated_end_parity():
 def test_unsupported_configs_raise():
     branches, sset = _split_akbari(nt=4)
 
-    # non-quadratic junction rating kinds are XLA-engine only
+    # the gated controller is downstream-boundary-only; at a junction it
+    # is XLA-engine only (table/power junction ratings run in-kernel
+    # since round 5 — test_junction_table/power_rating_parity)
     from flowsim_tpu.ops import rating_curve as rcurve
-    rc_tab = rcurve.make_table(np.linspace(480.0, 490.0, 8),
-                               np.linspace(0.0, 100.0, 8))
-    with pytest.raises(FusedUnsupported):
+    rc_gate = rcurve.make_gated_blend(np.array([0.0, 1.0, 0.0]),
+                                      np.array([0.0, 2.0, 0.0]), 485.0)
+    with pytest.raises((FusedUnsupported, ValueError)):
         simulate_network(branches, 1, sset, engine="fused",
-                         junction_rating=[rc_tab])
+                         junction_rating=[rc_gate])
     # fixed-Newton mode (differentiable path) is XLA-engine only
     s_fixed = dataclasses.replace(sset, newton="fixed")
     with pytest.raises(FusedUnsupported):
@@ -946,3 +948,72 @@ def test_junction_table_rating_guards():
     with pytest.raises(FusedUnsupported, match="increasing"):
         fused_simulate_network(branches, 1, sset, junction_rating=[rc2],
                                junction_area=[1e5], interpret=True)
+
+
+def test_branch_both_ends_storage_parity():
+    """Round-5: ONE branch carrying lumped storage on BOTH external ends
+    runs in the network kernel (upstream stage carry + *_US slots + second
+    per-branch table block).  Branch 0 is the known-good both-ends reach
+    of tests/test_both_boundary_storage; branches 1-2 form a junction pair
+    so the dispatch is a real network."""
+    from flowsim_tpu.ops import boundary as bnd
+    from flowsim_tpu.ops import initial_conditions as ic
+    from flowsim_tpu.parallel.ensemble import batched_simulate_network
+    from tests.test_both_boundary_storage import DT, DX, build
+
+    geo_b, us_b0, ds_b0, h0_b, Q0_b = build()
+    slope = 6e-4
+    geo = _prismatic()
+    z = np.asarray(geo.z_bed)
+    h0, Q0 = ic.initial_conditions(geo, "steady-state", 150.0, DX)
+    cut = 8
+    sl = lambda s_: jax.tree_util.tree_map(lambda x: x[s_], geo)
+    us_q = bnd.make_boundary(
+        "flow_hydrograph", bed_level=float(z[0]),
+        target_series=np.full(11, 150.0))
+    ds_n = bnd.make_boundary("normal_depth", bed_level=float(z[-1]),
+                             bed_slope=slope)
+    sset = prs.PreissmannSettings(theta=0.6, time_step=DT, spatial_step=DX,
+                                  n_time_levels=11, tolerance=1e-8,
+                                  max_iter=100)
+    branches = [
+        BranchDef(geo=geo_b, dx=DX, us=us_b0, ds=ds_b0, h0=h0_b, Q0=Q0_b),
+        BranchDef(geo=sl(slice(0, cut + 1)), dx=DX, us=us_q, ds=0,
+                  h0=h0[: cut + 1], Q0=Q0[: cut + 1]),
+        BranchDef(geo=sl(slice(cut, None)), dx=DX, us=0, ds=ds_n,
+                  h0=h0[cut:], Q0=Q0[cut:]),
+    ]
+    out_l = simulate_network(branches, 1, sset, engine="loop")
+    out_f = simulate_network(branches, 1, sset, engine="fused")
+    np.testing.assert_array_equal(np.asarray(out_f.iterations),
+                                  np.asarray(out_l.iterations))
+    np.testing.assert_array_equal(np.asarray(out_f.converged),
+                                  np.asarray(out_l.converged))
+    for b in range(3):
+        assert np.abs(np.asarray(out_f.depth[b])
+                      - np.asarray(out_l.depth[b])).max() < 5e-6
+    # branch 0 reports BOTH stages, independently evolving
+    for side in (0, 1):
+        rs_l = np.asarray(out_l.reservoir_stage)[1:, 0, side]
+        rs_f = np.asarray(out_f.reservoir_stage)[1:, 0, side]
+        assert np.isfinite(rs_f).all()
+        np.testing.assert_allclose(rs_f, rs_l, atol=5e-6)
+
+    # member-batched: 2 members scaling branch-1 inflow
+    se = np.asarray(us_q.target_series, np.float64)
+    usv = jax.vmap(lambda sc: dataclasses.replace(
+        us_q, target_series=jnp.asarray(se) * sc))(jnp.asarray([0.95, 1.05]))
+    outb = batched_simulate_network(
+        branches, 1, sset, [dict(), dict(us=usv), dict()], engine="fused")
+    for m, sc in enumerate((0.95, 1.05)):
+        brm = [branches[0],
+               dataclasses.replace(branches[1], us=dataclasses.replace(
+                   us_q, target_series=jnp.asarray(se * sc))),
+               branches[2]]
+        ref = simulate_network(brm, 1, sset, engine="loop")
+        assert np.abs(np.asarray(outb.iterations)[m]
+                      - np.asarray(ref.iterations)).max() <= 1
+        for side in (0, 1):
+            rs_f = np.asarray(outb.reservoir_stage)[m][1:, 0, side]
+            rs_l = np.asarray(ref.reservoir_stage)[1:, 0, side]
+            np.testing.assert_allclose(rs_f, rs_l, atol=5e-6)

@@ -368,7 +368,11 @@ def test_bc_surface_extended():
             assert drs < 1e-4, (name, drs)
 
 
-def test_storage_both_ends_raises():
+def test_storage_both_ends_in_kernel():
+    # Round-5: storage on both boundaries no longer falls back; the kernel
+    # accepts it and matches the XLA path (the full parity bar lives in
+    # tests/test_both_boundary_storage.py; this pins that the old
+    # FusedUnsupported rejection is gone).
     from flowsim_tpu.ops import boundary as bnd
     from flowsim_tpu.ops import initial_conditions as ic
     from flowsim_tpu.ops import storage as stg
@@ -379,12 +383,18 @@ def test_storage_both_ends_raises():
     sset = prs.PreissmannSettings(theta=0.6, time_step=3600.0,
                                   spatial_step=1000.0, n_time_levels=4,
                                   tolerance=1e-6, max_iter=100)
-    mk = lambda bed: bnd.make_boundary(
+    mk = lambda bed, floor: bnd.make_boundary(
         "fixed_depth", bed_level=bed,
-        storage=stg.make_storage(surface_area=1e6))
-    with pytest.raises(FusedUnsupported):
-        fused_simulate(geo, mk(float(z[0])), mk(float(z[-1])),
-                       h0, Q0, sset, interpret=True)
+        storage=stg.make_storage(surface_area=1e6, min_stage=floor,
+                                 solution_boundaries=(0.0, 100.0)))
+    us = mk(float(z[0]), float(z[0] + np.asarray(h0)[0]))
+    ds = mk(float(z[-1]), float(z[-1] + np.asarray(h0)[-1]))
+    out = fused_simulate(geo, us, ds, h0, Q0, sset, interpret=True)
+    ref = prs.simulate(geo, us, ds, h0, Q0, sset)
+    np.testing.assert_array_equal(np.asarray(out.iterations),
+                                  np.asarray(ref.iterations))
+    assert np.isfinite(np.asarray(out.reservoir_stage)[1:]).all()
+    assert np.isfinite(np.asarray(out.reservoir_stage_us)[1:]).all()
 
 
 def test_hbm_streaming_bitwise(gerd):

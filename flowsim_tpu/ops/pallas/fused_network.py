@@ -1453,7 +1453,8 @@ def _kernel_network_batched(*refs,
                             qlat_mode, has_jstor, has_jrate, has_stor_end,
                             has_stg, jrate_deg, has_jpow, jtab_T,
                             out_mem, interpret, both_storage=False,
-                            has_stg_us=False):
+                            has_stg_us=False, geo_kind="trap", tab_M=0,
+                            tab_stride=0, tab_b=()):
     """Whole-network ensemble kernel body (see section comment above).
 
     ``topo_j`` has B0 entries (real branches only; members replicate the
@@ -1464,6 +1465,10 @@ def _kernel_network_batched(*refs,
     JM = J * Mp
     refs = list(refs)
     geo_ref = refs.pop(0)
+    # per-(branch x member) lookup tables (batched TableGeometry networks;
+    # members of a branch replicate its tables — per-member geometry does
+    # not batch)
+    tab_ref = refs.pop(0) if geo_kind == "table" else None
     init_ref = refs.pop(0)
     net_ref = refs.pop(0)
     jin_ref = refs.pop(0)
@@ -1546,6 +1551,30 @@ def _kernel_network_batched(*refs,
     pad_cell = (idx < n - 1).astype(jnp.float32) - cell_real
     z_us_col = z_rows[:, 0:1]
     z_ds_col = z_rows[:, n - 1:n]
+
+    # per-branch section closures (the single-network kernel's convention,
+    # lifted to branch x member sublanes): table branches run the
+    # per-sublane lookup eval, trap branches the analytic closures; mixed
+    # networks evaluate both and select by the static branch mask
+    section_fn = None
+    if geo_kind == "table":
+        tmask = zcol
+        for b in range(B0):
+            if tab_b[b]:
+                tmask = tmask + ((riota >= b * Mp)
+                                 & (riota < (b + 1) * Mp)).astype(jnp.float32)
+        tbool = tmask > 0.0
+
+        def section_fn(hh):
+            st_t = fn._section_df_table_rows(g, tab_ref, hh, M=tab_M,
+                                             stride=tab_stride, B=BM)
+            if all(tab_b):
+                return st_t
+            st_s = fn._section_df(g, hh)
+            return {key: (df32.where(tbool, v, st_s[key])
+                          if isinstance(v, DF)
+                          else jnp.where(tbool, v, st_s[key]))
+                    for key, v in st_t.items()}
 
     jin = jin_ref[:]
     jrow = lambda r: jin[r * JM:(r + 1) * JM, 0:1]
@@ -1650,7 +1679,8 @@ def _kernel_network_batched(*refs,
             gcool = jnp.where(do_open | do_close, scal[fn._S_MAXCD], gcool)
             gptime = jnp.zeros_like(gptime) + time
 
-        prev_A, prev_Se, prev_Q2A = _level_state(g, h, Q)
+        prev_A, prev_Se, prev_Q2A = _level_state(g, h, Q,
+                                                 section_fn=section_fn)
         tgt = member_col(tgt_ref, k)
         ds_tgt = member_col(ds_tgt_ref, k)
         if qlat_mode == "tv":
@@ -1679,7 +1709,7 @@ def _kernel_network_batched(*refs,
                 prev_A, prev_Se, prev_Q2A, tgt, us_kind=us_kind,
                 y_old=(y_old_b if has_stor_end else Yc), k=k,
                 gate_open=gopen, ds_tgt=ds_tgt, junc=junc,
-                qlat_avg=qlat_k, stg=stg_ref,
+                qlat_avg=qlat_k, section_fn=section_fn, stg=stg_ref,
                 y_old_us=y_old_us_b, stg_us=stg_us_ref,
                 both_storage=both_storage)
             if both_storage:
@@ -1848,7 +1878,9 @@ def _build_call_network_batched(*, nt, n, B0, Mp, Np, J, m_rhs, n_sweeps,
                                 has_stg=False, jrate_deg=2,
                                 has_jpow=False, jtab_T=0,
                                 out_mem="vmem", both_storage=False,
-                                has_stg_us=False, interpret=False):
+                                has_stg_us=False, geo_kind="trap",
+                                tab_M=0, tab_stride=0, tab_b=(),
+                                interpret=False):
     kern = functools.partial(
         _kernel_network_batched, nt=nt, n=n, B0=B0, Mp=Mp, J=J, m_rhs=m_rhs,
         n_sweeps=n_sweeps, max_iter=max_iter, ds_kind=ds_kind,
@@ -1857,6 +1889,7 @@ def _build_call_network_batched(*, nt, n, B0, Mp, Np, J, m_rhs, n_sweeps,
         has_jrate=has_jrate, has_stor_end=has_stor_end, has_stg=has_stg,
         both_storage=both_storage, has_stg_us=has_stg_us,
         jrate_deg=jrate_deg, has_jpow=has_jpow, jtab_T=jtab_T,
+        geo_kind=geo_kind, tab_M=tab_M, tab_stride=tab_stride, tab_b=tab_b,
         out_mem=out_mem, interpret=interpret)
     BM, JM = B0 * Mp, J * Mp
     out_shapes = [
@@ -1872,8 +1905,10 @@ def _build_call_network_batched(*, nt, n, B0, Mp, Np, J, m_rhs, n_sweeps,
         kern,
         out_shape=out_shapes,
         in_specs=(
-            [
-                pl.BlockSpec(memory_space=pltpu.VMEM),  # geometry rows
+            [pl.BlockSpec(memory_space=pltpu.VMEM)]     # geometry rows
+            + ([pl.BlockSpec(memory_space=pltpu.VMEM)]  # branch x member tables
+               if geo_kind == "table" else [])
+            + [
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # init state
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # network masks
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # junction config
@@ -1928,6 +1963,12 @@ def max_fused_network_batch(branches, settings) -> int:
     if any(br.qlat is not None and np.ndim(br.qlat) == 2
            for br in branches):
         per_member += B0 * Np * 4  # tv-qlat VMEM staging row
+    from flowsim_tpu.geometry import TableGeometry
+    tab_Ms = [int(np.asarray(br.geo.area).shape[-1])
+              for br in branches if isinstance(br.geo, TableGeometry)]
+    if tab_Ms:
+        stride = -(-max(tab_Ms) // 8) * 8 + 8
+        per_member += fn._NT * stride * B0 * Np * 4  # per-branch tables
     return (fn._FUSED_VMEM_BYTES // per_member) // 8 * 8
 
 
@@ -2000,12 +2041,33 @@ def fused_simulate_network_batched(branches, n_junctions, settings, batch,
         import dataclasses as _dc
         return _dc.replace(branches[b], **d)
 
+    from flowsim_tpu.geometry import TableGeometry
+
     n_bs = []
-    for br in branches:
-        if not isinstance(br.geo, TrapezoidGeometry):
-            raise FusedUnsupported("fused network kernel supports "
-                                   "TrapezoidGeometry branches only")
+    is_tab_b = []
+    for b, br in enumerate(branches):
+        if not isinstance(br.geo, (TrapezoidGeometry, TableGeometry)):
+            raise FusedUnsupported(
+                "fused network kernel supports TrapezoidGeometry and "
+                "TableGeometry branches")
+        is_tab_b.append(isinstance(br.geo, TableGeometry))
+        if is_tab_b[-1] and "geo" in batch[b]:
+            raise FusedUnsupported(
+                "per-member TableGeometry overrides do not batch (the "
+                "members of a branch share its lookup tables); use the "
+                "stacked engine")
         n_bs.append(int(np.asarray(br.h0).shape[0]))
+    geo_kind = "table" if any(is_tab_b) else "trap"
+    tab_M = tab_stride = 0
+    if geo_kind == "table":
+        Ms = {int(np.asarray(br.geo.area).shape[-1])
+              for br, t in zip(branches, is_tab_b) if t}
+        if len(Ms) > 1:
+            raise FusedUnsupported(
+                f"TableGeometry branches must share one depth-grid "
+                f"resolution (got M = {sorted(Ms)})")
+        tab_M = Ms.pop()
+        tab_stride = -(-tab_M // 8) * 8 + 8
 
     def _stor_end(end):
         return (not _is_junction(end) and end.kind == "fixed_depth"
@@ -2039,6 +2101,8 @@ def fused_simulate_network_batched(branches, n_junctions, settings, batch,
 
     f32 = np.float32
     geo_rows = np.zeros((_NG * BM, Np), f32)
+    tab_rows = (np.zeros((fn._NT * tab_stride * BM, Np), f32)
+                if geo_kind == "table" else None)
     init_rows = np.zeros((4 * BM, Np), f32)
     net_rows = np.zeros((8 * BM, Np), f32)
     qlat_rows = (np.zeros((nt, BM, Np), f32) if qlat_mode == "tv" else None)
@@ -2095,8 +2159,19 @@ def fused_simulate_network_batched(branches, n_junctions, settings, batch,
             n_b = n_bs[b]
             geo_p = jax.tree_util.tree_map(
                 lambda x: _edge_pad_np(np.asarray(x), Nmax), br.geo)
-            geo_rows.reshape(_NG, BM, Np)[:, r, :] = _pack_trap_rows(
-                geo_p, Nmax, Np)
+            if is_tab_b[b]:
+                geo_rows.reshape(_NG, BM, Np)[:, r, :] = \
+                    _pack_table_geo_rows(geo_p, Nmax, Np, tab_M)
+            else:
+                geo_rows.reshape(_NG, BM, Np)[:, r, :] = _pack_trap_rows(
+                    geo_p, Nmax, Np)
+            if geo_kind == "table":
+                blocks = (_pack_table_blocks(geo_p, Nmax, Np, tab_M,
+                                             tab_stride)
+                          if is_tab_b[b]
+                          else _benign_table_blocks(Np, tab_stride))
+                tab_rows.reshape(fn._NT * tab_stride, BM, Np)[:, r, :] = \
+                    blocks
             h0p = _edge_pad_np(np.asarray(br.h0, np.float64), Nmax)
             Q0p = _edge_pad_np(np.asarray(br.Q0, np.float64), Nmax)
             init_rows.reshape(4, BM, Np)[:, r, :] = _pack_init(
@@ -2202,6 +2277,8 @@ def fused_simulate_network_batched(branches, n_junctions, settings, batch,
     has_stg_us_cur = any(r is not None for r in stg_us_bm)
     if has_stg_us_cur:
         work += fn._STG_BYTES * BM  # upstream tables (both-ends mode)
+    if geo_kind == "table":
+        work += fn._NT * tab_stride * BM * Np * 4  # branch x member tables
     if qlat_mode == "tv":
         work += BM * Np * 4  # the VMEM staging row (the stack is in HBM)
     req = getattr(settings, "out_memory", "auto")
@@ -2232,8 +2309,13 @@ def fused_simulate_network_batched(branches, n_junctions, settings, batch,
         jrate_deg=jrate_deg, has_jpow=has_jpow, jtab_T=jtab_T,
         n_net_rows=net_rows.shape[0] // BM,
         both_storage=net_both, has_stg_us=has_stg_us_cur,
+        geo_kind=geo_kind, tab_M=tab_M, tab_stride=tab_stride,
+        tab_b=tuple(bool(t) for t in is_tab_b),
         out_mem=out_mem, interpret=interpret)
-    ins = [jnp.asarray(geo_rows), jnp.asarray(init_rows),
+    ins = [jnp.asarray(geo_rows)]
+    if geo_kind == "table":
+        ins.append(jnp.asarray(tab_rows))
+    ins += [jnp.asarray(init_rows),
            jnp.asarray(net_rows), jnp.asarray(jin)]
     if has_stg_cur:
         ins.append(jnp.asarray(fn._stack_storage_rows(stg_bm)))

@@ -1017,3 +1017,34 @@ def test_branch_both_ends_storage_parity():
             rs_f = np.asarray(outb.reservoir_stage)[m][1:, 0, side]
             rs_l = np.asarray(ref.reservoir_stage)[1:, 0, side]
             np.testing.assert_allclose(rs_f, rs_l, atol=5e-6)
+
+
+def test_batched_table_network_parity():
+    """Round-5: batched NETWORK kernel with a TableGeometry branch (mixed
+    table + trapezoid network; members share each branch's tables) —
+    per-member iteration counts within 1 of serial loop-engine runs."""
+    from flowsim_tpu.parallel.ensemble import batched_simulate_network
+
+    geo, us_p, ds_p, h0, Q0, sset, _ = _table_reach()
+    sl = lambda s_: jax.tree_util.tree_map(lambda x: x[s_], geo)
+    branches = [BranchDef(geo=sl(slice(0, 5)), dx=1000.0, us=us_p, ds=0,
+                          h0=h0[:5], Q0=Q0[:5]),
+                BranchDef(geo=sl(slice(4, None)), dx=1000.0, us=0, ds=ds_p,
+                          h0=h0[4:], Q0=Q0[4:])]
+    us0 = branches[0].us
+    se = np.asarray(us0.target_series, np.float64)
+    us_b = jax.vmap(lambda sc: dataclasses.replace(
+        us0, target_series=jnp.asarray(se) * sc))(jnp.asarray([0.9, 1.1]))
+    outb = batched_simulate_network(branches, 1, sset,
+                                    [dict(us=us_b), dict()],
+                                    engine="fused")
+    for m, sc in enumerate((0.9, 1.1)):
+        brm = [dataclasses.replace(branches[0], us=dataclasses.replace(
+            us0, target_series=jnp.asarray(se * sc))), branches[1]]
+        ref = simulate_network(brm, 1, sset, engine="loop")
+        assert np.abs(np.asarray(outb.iterations)[m]
+                      - np.asarray(ref.iterations)).max() <= 1
+        assert bool(np.asarray(outb.converged)[m].all())
+        for b in range(2):
+            assert np.abs(np.asarray(outb.depth[b])[m]
+                          - np.asarray(ref.depth[b])).max() < 1e-4

@@ -116,6 +116,43 @@ def rmse_sweep(geo, us_bc, ds_bc, h0, Q0, settings, Q_targets, H_targets, n_valu
     return fv(n_values)
 
 
+def bfgs_calibrate(geo, us_bc, ds_bc, h0, Q0, settings, Q_targets, H_targets,
+                   n0=0.028, bounds=(0.020, 0.060), maxiter=30):
+    """Quasi-Newton (BFGS) Manning-n calibration through the solver.
+
+    The reference carries a commented-out scipy L-BFGS-B scaffold it never
+    ran (ref cases/gerd_roseires/n_calibrate.py:33-52 — each evaluation
+    would have re-simulated serially with FD gradients).  Here the whole
+    optimize runs as jitted JAX: ``jax.scipy.optimize.minimize(method=
+    "BFGS")`` over the RMSE objective with EXACT adjoint gradients
+    (``newton="implicit"``, ops/adjoint.py).  Bounds are enforced by a
+    smooth sigmoid reparameterization (BFGS itself is unconstrained).
+
+    Returns ``(n_opt, rmse_opt, result)``.
+    """
+    from jax.scipy.optimize import minimize as jsp_minimize
+
+    sset = dataclasses.replace(settings, newton="implicit")
+    obj = rmse_objective(geo, us_bc, ds_bc, h0, Q0, sset, Q_targets,
+                         H_targets)
+    lo, hi = bounds
+
+    def to_n(t):  # unconstrained -> (lo, hi)
+        return lo + (hi - lo) * jax.nn.sigmoid(t)
+
+    def to_t(n):
+        f = (n - lo) / (hi - lo)
+        return jnp.log(f / (1.0 - f))
+
+    def f(t):
+        return obj(to_n(t[0]))
+
+    res = jsp_minimize(f, jnp.asarray([float(to_t(jnp.asarray(n0)))]),
+                       method="BFGS", options=dict(maxiter=maxiter))
+    n_opt = float(to_n(res.x[0]))
+    return n_opt, float(res.fun), res
+
+
 def gradient_calibrate(geo, us_bc, ds_bc, h0, Q0, settings, Q_targets, H_targets,
                        n0=0.028, lr=2e-4, steps=25, bounds=(0.020, 0.060),
                        newton: str = "implicit", engine: str = "xla"):

@@ -235,3 +235,28 @@ def test_gradient_calibrate_implicit_descends():
         sset, _QT, _HT, n0=0.028, lr=1e-7, steps=3)
     assert hist[-1][1] <= hist[0][1] + 1e-9
     assert np.isfinite(n_opt)
+
+
+def test_bfgs_calibrate_recovers_roughness():
+    """BFGS calibration (the reference's abandoned L-BFGS-B scaffold, ref
+    n_calibrate.py:33-52, realized with exact adjoint gradients): recover
+    the known roughness from stages the model itself produced."""
+    from flowsim_tpu.models.calibrate import (bfgs_calibrate,
+                                              set_main_roughness,
+                                              upstream_stage_at)
+
+    solver, sset = _akbari(nt=7, tol=1e-8)
+    geo = solver.channel.geometry
+    n_true = 0.026
+    out = prs.simulate(set_main_roughness(geo, n_true), solver.us_params,
+                       solver.ds_params, solver.h0, solver.Q0,
+                       dataclasses.replace(sset, newton="while"))
+    Qt = np.array([150.0, 250.0])
+    Ht = np.asarray(upstream_stage_at(out, geo.z_bed[0], jnp.asarray(Qt)))
+    n_opt, rmse, res = bfgs_calibrate(
+        geo, solver.us_params, solver.ds_params, solver.h0, solver.Q0,
+        sset, Qt, Ht, n0=0.032, maxiter=25)
+    # BFGS with default line-search tolerances lands within ~1e-3 of the
+    # generating roughness on this shallow 2-target objective
+    assert abs(n_opt - n_true) < 1e-3, (n_opt, rmse)
+    assert rmse < 0.05

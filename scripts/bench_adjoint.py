@@ -18,10 +18,13 @@ repo root: ``python scripts/bench_adjoint.py [cpu] [fixed_iters]``.
 
 import dataclasses
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def log(*a):

@@ -14,10 +14,13 @@ defaults: levels=9 (511 branches, 255 junctions), link_nodes=197
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def log(*a):
